@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the bench-flagged catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully materialized via the noop sink (no driver collect,
+no display cost). A warmup pass on sf0.001 triggers JIT/codegen so the
+measured numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_estate_data_pipeline_spark.queries import CATALOG  # noqa: E402
+from real_estate_data_pipeline_spark.session import get_session  # noqa: E402
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"bench: data dir not found: {sf_dir}")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_session("bench")
+
+    bench_queries = {n: q for n, q in CATALOG.items() if q.bench}
+
+    # Warmup at the smallest SF: JVM/codegen/parquet-footer caches.
+    for name, q in bench_queries.items():
+        try:
+            materialize(q.fn(spark, "/root/testdata/sf0.001"))
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        start = time.perf_counter()
+        materialize(q.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

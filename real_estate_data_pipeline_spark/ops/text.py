@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north-star): language ID, quality scoring, token counting, document
+fingerprinting. All built-in-function expressions (JVM-side, codegen-able,
+cross-engine reproducible) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seed lists for the n-gram/stopword heuristic.
+# Order matters: ties resolve in this order (deterministic argmax).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "a", "is"],
+    "es": ["el", "la", "de", "que", "y", "los", "es"],
+    "de": ["der", "die", "und", "das", "ein", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+}
+
+
+def _stopword_hits(c: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pat))
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    return {lang: _stopword_hits(c, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-hit-count language ID with deterministic tie-break in
+    LANG_STOPWORDS order; 'und' when no stopword hits at all."""
+    s = lang_scores(c)
+    langs = list(s)
+    total = sum(s.values())
+    out = F.when(total == 0, F.lit("und"))
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            ge = s[lang] >= s[other]
+            cond = ge if cond is None else (cond & ge)
+        out = out.when(cond if cond is not None else F.lit(True), F.lit(lang))
+    return out
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def word_tokens(c: Column) -> Column:
+    """BPE-ish word/punct tokenization: letter-digit runs or single
+    punctuation marks (regex analogue of a GPT-2-style pre-tokenizer)."""
+    return F.regexp_extract_all(F.lower(c), F.lit(r"([a-z0-9]+|[^\sa-z0-9])"), 1)
+
+
+def quality_features(c: Column) -> dict[str, Column]:
+    """Heuristic document-quality signals: length, token stats, punctuation
+    and stopword ratios. Deterministic arithmetic only."""
+    n_chars = F.length(c)
+    toks = token_count(c)
+    punct = F.regexp_count(c, F.lit(r"[.,;:!?]"))
+    stop = _stopword_hits(c, LANG_STOPWORDS["en"])
+    return {
+        "n_chars_measured": n_chars,
+        "n_tokens": toks,
+        "avg_token_len": n_chars.cast("double") / toks,
+        "punct_ratio": punct.cast("double") / n_chars,
+        "stopword_ratio": stop.cast("double") / toks,
+    }
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality score: rewards reasonable length and
+    stopword presence, penalizes punctuation soup."""
+    f = quality_features(c)
+    len_score = F.least(f["n_tokens"].cast("double") / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(f["stopword_ratio"] * F.lit(5.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - f["punct_ratio"] * F.lit(10.0), F.lit(0.0))
+    return len_score * F.lit(0.4) + stop_score * F.lit(0.3) + punct_pen * F.lit(0.3)
+
+
+def normalize_for_fingerprint(c: Column) -> Column:
+    """Canonical text form: lowercase, strip non-alphanumerics (keep
+    spaces), collapse whitespace."""
+    x = F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(x, r" +", " "))
+
+
+def fingerprint(c: Column) -> Column:
+    """sha2-256 fingerprint of the normalized text — exact-dup key that
+    survives case/punctuation noise."""
+    return F.sha2(normalize_for_fingerprint(c), 256)
+
+
+def rolling_hash_fingerprint(c: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over word n-gram windows
+    of the normalized text (deterministic; Spark-side only)."""
+    toks = F.split(normalize_for_fingerprint(c), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, window)))
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass document profile: language, quality, tokens, fingerprint."""
+    c = F.col(text_col)
+    feats = quality_features(c)
+    return df.select(
+        F.col(id_col),
+        lang_id(c).alias("lang_pred"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(c).alias("quality_score"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,1350 @@
+"""Query catalog: every operator family from SURVEY.md §2 exposed as a
+named query over the driver's TPC-H-ish testdata, each paired with an
+ANSI-SQL oracle that DuckDB runs on the same parquet files.
+
+Cross-engine exactness rules used throughout (so the driver's value-hash
+compare passes bit-for-bit):
+
+- SUM/AVG of money columns go through DECIMAL(18,2): decimal addition is
+  exact and order-independent, so Spark and DuckDB agree exactly; the
+  final CAST AS DOUBLE of the same exact decimal yields the same double.
+- Row-level double arithmetic ((a+b)/2, z-scores, cosine) uses identical
+  IEEE-754 operations on identical inputs -> bit-identical outputs.
+- stddev is never taken from the engines' accumulators (their summation
+  orders differ); it is recomputed from exact decimal sums:
+  sqrt((sumsq - sum^2/n)/(n-1)).
+- Timestamps are output as formatted strings; computed integers are cast
+  to BIGINT on both sides.
+- ln() is the one libm-dependent function -> rounded to 6 decimals.
+- Murmur3/xxhash64-based ops (minhash, simhash) are not reproducible in
+  DuckDB -> registered without an oracle (driver does a rows-only check).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .ops import dedup, similarity, text
+from .ops import functions as X
+
+DEC = "decimal(18,2)"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read nanos as long and truncate to micros —
+        # exactly what DuckDB's nanosecond->microsecond coercion does.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col: str, alias: str):
+    """Exact decimal sum of a 2-dp money column, emitted as double."""
+    return F.sum(F.col(col).cast(DEC)).cast("double").alias(alias)
+
+
+def dsum_expr(c, alias: str):
+    return F.sum(c).cast("double").alias(alias)
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    bench: bool = False  # include in bench.py headline set
+
+
+CATALOG: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, bench: bool = False) -> None:
+    """Declare a catalog entry; its ``fn`` is attached right below each
+    ``register(...)`` call (keeps the oracle SQL next to the Spark code)."""
+    CATALOG[name] = Query(fn=None, oracle=oracle, bench=bench)  # type: ignore[arg-type]
+
+
+# ===========================================================================
+# A* aggregations
+# ===========================================================================
+
+register(
+    "a1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+
+
+def _a1(spark, sf_dir):
+    """A1 grouped multi-aggregate (TPC-H Q1 shape).
+    Ref operator: data_enhancement.py:47-57 grouped price stats."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = F.col("l_extendedprice").cast(DEC) * (one - F.col("l_discount").cast(DEC))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum_expr(disc_price, "sum_disc_price"),
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+CATALOG["a1_pricing_summary"].fn = _a1
+
+register(
+    "a1b_grouped_median_stddev",
+    oracle="""
+    SELECT l_returnflag,
+           MEDIAN(l_quantity) AS median_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+           SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+def _a1b(spark, sf_dir):
+    """A1 median/stddev — exact median (Spark>=3.4) and decimal-exact
+    stddev recomputation. Ref: data_enhancement.py:47-57 (median/stddev)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast(DEC)
+    g = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.sum(p).cast("double").alias("s1"),
+        F.sum(p * p).cast("double").alias("s2"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "l_returnflag",
+        "median_qty",
+        "s1",
+        "s2",
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "stddev_price"
+        ),
+    )
+
+
+CATALOG["a1b_grouped_median_stddev"].fn = _a1b
+
+register(
+    "a2_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority
+    """,
+)
+
+
+def _a2(spark, sf_dir):
+    """A2 group-count + sort. Ref: gold_ml_etl.py:62,364,522."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "o_orderpriority")
+    )
+
+
+CATALOG["a2_priority_counts"].fn = _a2
+
+register(
+    "a4_distinct_customers",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS unique_customers, COUNT(*) AS total_orders
+    FROM orders
+    """,
+)
+
+
+def _a4(spark, sf_dir):
+    """A4 distinct count. Ref: data_quality_checks.py:60."""
+    return t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("unique_customers"),
+        F.count("*").alias("total_orders"),
+    )
+
+
+CATALOG["a4_distinct_customers"].fn = _a4
+
+register(
+    "a5_quality_singlepass",
+    oracle="""
+    SELECT COUNT(*) AS total_rows,
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+           SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS neg_price,
+           SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_out_of_range,
+           SUM(CASE WHEN NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 ELSE 0 END) AS bad_flag,
+           SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS disc_in_range
+    FROM lineitem
+    """,
+)
+
+
+def _a5(spark, sf_dir):
+    """A5/§2.14 — all data-quality counters in ONE aggregate pass (the
+    reference runs one filter+count job per check,
+    data_quality_checks.py:33,88-90,193-197)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("total_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).alias("neg_price"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("qty_out_of_range"),
+        F.sum(F.when(~F.col("l_returnflag").rlike("^[ANR]$"), 1).otherwise(0)).alias("bad_flag"),
+        F.sum(
+            F.when((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1), 1).otherwise(0)
+        ).alias("disc_in_range"),
+    )
+
+
+CATALOG["a5_quality_singlepass"].fn = _a5
+
+register(
+    "a6_completeness",
+    oracle="""
+    SELECT COUNT(*) AS total_rows,
+           SUM(CASE WHEN o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+                     AND o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS complete_rows
+    FROM orders
+    """,
+)
+
+
+def _a6(spark, sf_dir):
+    """A6 dropna completeness as a conditional sum (one pass).
+    Ref: data_quality_checks.py:221."""
+    o = t(spark, sf_dir, "orders")
+    cond = (
+        F.col("o_custkey").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+    )
+    return o.agg(
+        F.count("*").alias("total_rows"),
+        F.sum(F.when(cond, 1).otherwise(0)).alias("complete_rows"),
+    )
+
+
+CATALOG["a6_completeness"].fn = _a6
+
+# ===========================================================================
+# P* filters / projections
+# ===========================================================================
+
+register(
+    "p1_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+
+
+def _p1(spark, sf_dir):
+    """P1 equality filter + P5 projection. Ref: silver_etl_script.py:167,
+    490-499. Filter and projection both push into the parquet scan."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+CATALOG["p1_filter_project"].fn = _p1
+
+register(
+    "p3_range_filter",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE value BETWEEN 10 AND 100 AND user_id <> 0
+    """,
+)
+
+
+def _p3(spark, sf_dir):
+    """P3 range predicate. Ref: silver_etl_script.py:542-553."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").between(10, 100) & (F.col("user_id") != 0))
+        .select("event_id", "user_id", "value")
+    )
+
+
+CATALOG["p3_range_filter"].fn = _p3
+
+register(
+    "p2_validation_split",
+    oracle="""
+    SELECT CASE WHEN o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+                 AND length(o_orderstatus) > 0 AND o_totalprice > 0
+                THEN 'valid' ELSE 'invalid' END AS bucket,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+)
+
+
+def _p2(spark, sf_dir):
+    """P2 compound validation predicate -> valid/invalid split counts.
+    Ref: silver_etl_script.py:533-539,567-568."""
+    o = t(spark, sf_dir, "orders")
+    valid = (
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+        & (F.length("o_orderstatus") > 0)
+        & (F.col("o_totalprice") > 0)
+    )
+    return (
+        o.select(F.when(valid, "valid").otherwise("invalid").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+CATALOG["p2_validation_split"].fn = _p2
+
+# ===========================================================================
+# J* joins
+# ===========================================================================
+
+register(
+    "j1_dim_join_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    bench=True,
+)
+
+
+def _j1(spark, sf_dir):
+    """J1 broadcast dimension joins. Ref: gold_ml_etl.py:169-192.
+    nation/region are tiny dims -> explicit broadcast(), no shuffle of
+    the fact side beyond the final aggregation."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("customers"), dsum("c_acctbal", "total_acctbal"))
+    )
+
+
+CATALOG["j1_dim_join_rollup"].fn = _j1
+
+register(
+    "j2_stats_backjoin",
+    oracle="""
+    WITH stats AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS nation_avg_acctbal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_acctbal, s.nation_avg_acctbal,
+           c.c_acctbal > s.nation_avg_acctbal AS above_avg
+    FROM customer c LEFT JOIN stats s ON c.c_nationkey = s.c_nationkey
+    """,
+)
+
+
+def _j2(spark, sf_dir):
+    """J2 aggregate -> broadcast -> back-join enrichment (the reference's
+    imputation pattern). Ref: data_enhancement.py:70-80."""
+    c = t(spark, sf_dir, "customer")
+    stats = c.groupBy("c_nationkey").agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")).alias(
+            "nation_avg_acctbal"
+        )
+    )
+    return c.join(F.broadcast(stats), "c_nationkey", "left").select(
+        "c_custkey",
+        "c_acctbal",
+        "nation_avg_acctbal",
+        (F.col("c_acctbal") > F.col("nation_avg_acctbal")).alias("above_avg"),
+    )
+
+
+CATALOG["j2_stats_backjoin"].fn = _j2
+
+register(
+    "j3_anti_orphans",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_custkey IS NULL
+    """,
+)
+
+
+def _j3(spark, sf_dir):
+    """J3 left-anti referential-integrity probe.
+    Ref: data_quality_checks.py:158-162."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+CATALOG["j3_anti_orphans"].fn = _j3
+
+# ===========================================================================
+# W1 window dedup, O1 top-k, U1 union
+# ===========================================================================
+
+register(
+    "w1_dedup_keep_latest",
+    oracle="""
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate_s
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    bench=True,
+)
+
+
+def _w1(spark, sf_dir):
+    """W1 keep-latest dedup with deterministic tie-break.
+    Ref: silver_etl_script.py:641-652 (+ SURVEY §7.4.3 tie fix)."""
+    o = t(spark, sf_dir, "orders")
+    d = dedup.keep_latest(o, ["o_custkey"], "o_orderdate", tiebreakers=["o_orderkey"])
+    return d.select(
+        "o_custkey", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_s")
+    )
+
+
+CATALOG["w1_dedup_keep_latest"].fn = _w1
+
+register(
+    "o1_topk_customers",
+    oracle="""
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey LIMIT 10
+    """,
+)
+
+
+def _o1(spark, sf_dir):
+    """O1 order-by + top-k. Ref: gold_ml_etl.py:62,364. Spark plans this
+    as TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "total_spend"))
+        .orderBy(F.desc("total_spend"), "o_custkey")
+        .limit(10)
+    )
+
+
+CATALOG["o1_topk_customers"].fn = _o1
+
+register(
+    "u1_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+)
+
+
+def _u1(spark, sf_dir):
+    """U1 unionByName with missing-column tolerance.
+    Ref: silver_etl_script.py:504-508."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderstatus") != "F").select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+CATALOG["u1_union_by_name"].fn = _u1
+
+# ===========================================================================
+# TPC-H-style multi-join headliners (bench)
+# ===========================================================================
+
+register(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate_s, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, orderdate_s, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+    bench=True,
+)
+
+
+def _q3(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> fact joins -> agg -> top-k.
+    customer side is small after the segment filter -> broadcast it."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    l = t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = F.col("l_extendedprice").cast(DEC) * (one - F.col("l_discount").cast(DEC))
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "o_orderdate", "o_orderpriority")),
+            l.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_s"),
+            "o_orderpriority",
+        )
+        .agg(dsum_expr(rev, "revenue"))
+        .select("l_orderkey", "revenue", "orderdate_s", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+CATALOG["q3_top_revenue_orders"].fn = _q3
+
+register(
+    "q5_nation_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    bench=True,
+)
+
+
+def _q5(spark, sf_dir):
+    """TPC-H Q5 shape: star joins fact->dims with broadcasts."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = F.col("l_extendedprice").cast(DEC) * (one - F.col("l_discount").cast(DEC))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum_expr(rev, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+CATALOG["q5_nation_revenue"].fn = _q5
+
+# ===========================================================================
+# F*/D*/M* scalar-function queries
+# ===========================================================================
+
+register(
+    "f_customer_normalize",
+    oracle="""
+    SELECT c_custkey,
+           lower(trim(c_name)) AS name_norm,
+           regexp_replace(c_name, '[^0-9]', '', 'g') AS digits,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           sha256(concat_ws('_', 'customer', CAST(c_custkey AS VARCHAR))) AS uid
+    FROM customer
+    """,
+)
+
+
+def _fcn(spark, sf_dir):
+    """F2/F4/F5/F11/F13 string normalization + sha2 surrogate key.
+    Ref: transformation_utils.py:52-76,200-217; silver_etl_script.py:762-765."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower(F.trim("c_name")).alias("name_norm"),
+        F.regexp_replace("c_name", r"[^0-9]", "").alias("digits"),
+        F.length("c_name").cast("long").alias("name_len"),
+        X.hash_id(F.lit("customer"), F.col("c_custkey")).alias("uid"),
+    )
+
+
+CATALOG["f_customer_normalize"].fn = _fcn
+
+register(
+    "f_segment_recode_bucket",
+    oracle="""
+    SELECT c_custkey,
+           CASE trim(c_mktsegment)
+                WHEN 'BUILDING' THEN 'construction'
+                WHEN 'AUTOMOBILE' THEN 'auto'
+                WHEN 'MACHINERY' THEN 'industrial'
+                ELSE trim(c_mktsegment) END AS segment_recode,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS balance_tier
+    FROM customer
+    """,
+)
+
+
+def _fseg(spark, sf_dir):
+    """F6 dictionary recode + M8 bucketing.
+    Ref: transformation_utils.py:220-254,434-456; gold_ml_etl.py:334-355."""
+    c = t(spark, sf_dir, "customer")
+    recode = X.recode_map(
+        F.col("c_mktsegment"),
+        {"BUILDING": "construction", "AUTOMOBILE": "auto", "MACHINERY": "industrial"},
+        default=F.trim(F.col("c_mktsegment")),
+    )
+    tier = X.bucketize(F.col("c_acctbal"), [0.0, 3000.0, 7000.0], ["negative", "low", "mid", "high"])
+    return c.select("c_custkey", recode.alias("segment_recode"), tier.alias("balance_tier"))
+
+
+CATALOG["f_segment_recode_bucket"].fn = _fseg
+
+register(
+    "d_calendar_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           COUNT(*) AS orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+
+
+def _dcal(spark, sf_dir):
+    """D4/D5 calendar decomposition rollup. Ref: gold_ml_etl.py:314-321."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+    ).agg(F.count("*").alias("orders"), dsum("o_totalprice", "total_sales"))
+
+
+CATALOG["d_calendar_rollup"].fn = _dcal
+
+register(
+    "d_epoch_and_format",
+    oracle="""
+    SELECT event_id,
+           epoch_ms(ts) AS ts_ms,
+           strftime(ts, '%Y-%m-%d %H') AS hour_s
+    FROM events
+    """,
+)
+
+
+def _depoch(spark, sf_dir):
+    """D2/D6 epoch-millis + formatting round-trip.
+    Ref: silver_etl_script.py:364-389 (unix-millis parse path)."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour_s"),
+    )
+
+
+CATALOG["d_epoch_and_format"].fn = _depoch
+
+register(
+    "d7_freshness",
+    oracle="""
+    SELECT COUNT(*) AS total_rows,
+           SUM(CASE WHEN (1706659200 - FLOOR(epoch(ts))) / 3600.0 > 240 THEN 1 ELSE 0 END) AS stale_rows
+    FROM events
+    """,
+)
+
+
+def _d7(spark, sf_dir):
+    """D7 freshness-hours check against a fixed 'now' (2024-01-31 UTC).
+    Ref: data_quality_checks.py:106-140."""
+    e = t(spark, sf_dir, "events")
+    age_h = (F.lit(1706659200) - F.unix_timestamp("ts")) / F.lit(3600.0)
+    return e.agg(
+        F.count("*").alias("total_rows"),
+        F.sum(F.when(age_h > 240, 1).otherwise(0)).alias("stale_rows"),
+    )
+
+
+CATALOG["d7_freshness"].fn = _d7
+
+register(
+    "m1_log_features",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_retailprice > 0 THEN ROUND(ln(p_retailprice), 6) END AS log_price,
+           p_size * 10000.0 AS size_scaled
+    FROM part
+    """,
+)
+
+
+def _m1(spark, sf_dir):
+    """M1 guarded log transform + M7 unit scale.
+    Ref: gold_ml_etl.py:209-222; silver_etl_script.py:214-219.
+    ln() is libm-dependent -> rounded to 6dp on both sides."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(X.log_guarded(F.col("p_retailprice")), 6).alias("log_price"),
+        (F.col("p_size") * F.lit(10000.0)).alias("size_scaled"),
+    )
+
+
+CATALOG["m1_log_features"].fn = _m1
+
+register(
+    "m2_zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             COUNT(*) AS n
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           (l_extendedprice - s.s1 / s.n) /
+           SQRT((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS zscore
+    FROM lineitem, s
+    WHERE ABS((l_extendedprice - s.s1 / s.n) /
+              SQRT((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 2.5
+    """,
+)
+
+
+def _m2(spark, sf_dir):
+    """M2 z-score outlier detection, stats from exact decimal sums (no
+    driver collect, unlike the reference's collect()-loop,
+    silver_etl_script.py:668-693)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast(DEC)
+    s = li.agg(
+        F.sum(p).cast("double").alias("s1"),
+        F.sum(p * p).cast("double").alias("s2"),
+        F.count("*").alias("n"),
+    )
+    j = li.crossJoin(F.broadcast(s))
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("l_extendedprice") - mean) / std
+    return (
+        j.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 2.5)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "zscore")
+    )
+
+
+CATALOG["m2_zscore_outliers"].fn = _m2
+
+register(
+    "m3_order_price_spread",
+    oracle="""
+    SELECT l_orderkey,
+           MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+           (MIN(l_extendedprice) + MAX(l_extendedprice)) / 2.0 AS mid_price,
+           MAX(l_extendedprice) - MIN(l_extendedprice) AS price_range,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+
+
+def _m3(spark, sf_dir):
+    """M3 midpoint + M4 range per group.
+    Ref: silver_etl_script.py:771-828."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("n_lines"),
+    )
+    return g.select(
+        "l_orderkey",
+        "min_price",
+        "max_price",
+        ((F.col("min_price") + F.col("max_price")) / 2.0).alias("mid_price"),
+        (F.col("max_price") - F.col("min_price")).alias("price_range"),
+        "n_lines",
+    )
+
+
+CATALOG["m3_order_price_spread"].fn = _m3
+
+register(
+    "m6_completeness_score",
+    oracle="""
+    SELECT c_custkey,
+           (CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN c_name IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN CASE WHEN c_acctbal >= 0 THEN c_acctbal END IS NOT NULL THEN 1 ELSE 0 END
+           ) / 3.0 AS completeness
+    FROM customer
+    """,
+)
+
+
+def _m6(spark, sf_dir):
+    """M6 completeness-score expression (nulls synthesized via nullif so
+    the score varies). Ref: silver_etl_script.py:854-875."""
+    c = t(spark, sf_dir, "customer")
+    score = X.completeness_score(
+        [
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+            F.col("c_name"),
+            F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")),
+        ]
+    )
+    return c.select("c_custkey", score.alias("completeness"))
+
+
+CATALOG["m6_completeness_score"].fn = _m6
+
+register(
+    "m9_impute_cascade",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    ), med AS (
+      SELECT c_nationkey, MEDIAN(bal) AS nation_median FROM base GROUP BY c_nationkey
+    )
+    SELECT b.c_custkey,
+           COALESCE(b.bal, m.nation_median, 0.0) AS bal_imputed,
+           b.bal IS NULL AS was_imputed
+    FROM base b LEFT JOIN med m ON b.c_nationkey = m.c_nationkey
+    """,
+)
+
+
+def _m9(spark, sf_dir):
+    """M9 imputation cascade: group median -> broadcast back-join ->
+    coalesce + flag. Ref: data_enhancement.py:86-143."""
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    med = base.groupBy("c_nationkey").agg(F.median("bal").alias("nation_median"))
+    imputed, flag = X.impute_cascade(F.col("bal"), F.col("nation_median"), F.lit(0.0))
+    return (
+        base.join(F.broadcast(med), "c_nationkey", "left")
+        .select("c_custkey", imputed.alias("bal_imputed"), F.col("bal").isNull().alias("was_imputed"))
+    )
+
+
+CATALOG["m9_impute_cascade"].fn = _m9
+
+# ===========================================================================
+# N* nested data
+# ===========================================================================
+
+register(
+    "n9_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           event_type
+    FROM events
+    """,
+)
+
+
+def _n9(spark, sf_dir):
+    """N9 JSON string parse. Ref: silver_etl_script.py:460-475."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        "event_type",
+    )
+
+
+CATALOG["n9_json_extract"].fn = _n9
+
+register(
+    "n_array_access",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[-1] AS DOUBLE) AS last_val,
+           list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_sq
+    FROM embeddings
+    """,
+)
+
+
+def _narr(spark, sf_dir):
+    """N4/N8 element access + size + higher-order fold.
+    Ref: transformation_utils.py:605-630; silver_etl_script.py:226-240."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", -1).cast("double").alias("last_val"),
+        similarity.l2_norm_sq(F.col("embedding")).alias("norm_sq"),
+    )
+
+
+CATALOG["n_array_access"].fn = _narr
+
+# ===========================================================================
+# Event-time windows (batch forms of the streaming ops; streaming variants
+# live in streaming/ and are covered by tests)
+# ===========================================================================
+
+register(
+    "evt_tumbling_hourly",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    bench=True,
+)
+
+
+def _tumbling(spark, sf_dir):
+    """Tumbling event-time window aggregate (batch form; streaming variant
+    in streaming/events.py uses the same expression + watermark)."""
+    e = t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        e.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("events"), dsum("value", "total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
+CATALOG["evt_tumbling_hourly"].fn = _tumbling
+
+register(
+    "evt_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
+           FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS duration_secs
+    FROM sess GROUP BY user_id, session_id
+    """,
+    bench=True,
+)
+
+
+def _sessions(spark, sf_dir):
+    """Session windows via gaps-and-islands (30-min inactivity gap) —
+    batch analogue of streaming session windows."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    )
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(wsum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start_s"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_secs"),
+    )
+
+
+CATALOG["evt_sessionization"].fn = _sessions
+
+# ===========================================================================
+# LLM-data-pipeline operators: dedup / text / similarity
+# ===========================================================================
+
+register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY text
+    """,
+    bench=True,
+)
+
+
+def _dexact(spark, sf_dir):
+    """Exact dedup by content hash; one shuffle on the hashed text."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, ["text"], "doc_id")
+
+
+CATALOG["dedup_exact_docs"].fn = _dexact
+
+register(
+    "doc_fingerprint_dedup",
+    oracle="""
+    SELECT sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                      ' +', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+
+
+def _dfp(spark, sf_dir):
+    """Normalized-text fingerprint dedup (case/punct-insensitive)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(text.fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+CATALOG["doc_fingerprint_dedup"].fn = _dfp
+
+register(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+)
+
+
+def _dtok(spark, sf_dir):
+    """Token counting + punctuation profile (text-analysis family)."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        text.token_count(c).cast("long").alias("n_tokens"),
+        F.regexp_count(c, F.lit(r"[.,;:!?]")).cast("long").alias("n_punct"),
+        F.length(c).cast("long").alias("n_chars_measured"),
+    )
+
+
+CATALOG["doc_token_stats"].fn = _dtok
+
+_LANG_CASE_SQL = """
+    WITH scored AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|los|es)\\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ein|ist|nicht)\\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|un|est)\\b')) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+"""
+
+register("doc_lang_id", oracle=_LANG_CASE_SQL)
+
+
+def _dlang(spark, sf_dir):
+    """Stopword-heuristic language ID with deterministic tie-break."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+CATALOG["doc_lang_id"].fn = _dlang
+
+register(
+    "doc_quality_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+             CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b')) AS BIGINT) AS stop,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           LEAST(CAST(toks AS DOUBLE) / 50.0, 1.0) * 0.4
+           + LEAST((CAST(stop AS DOUBLE) / toks) * 5.0, 1.0) * 0.3
+           + GREATEST(1.0 - (CAST(punct AS DOUBLE) / n_chars) * 10.0, 0.0) * 0.3
+               AS quality_score
+    FROM f
+    """,
+)
+
+
+def _dqual(spark, sf_dir):
+    """Composite document quality score (deterministic arithmetic)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.quality_score(F.col("text")).alias("quality_score"))
+
+
+CATALOG["doc_quality_score"].fn = _dqual
+
+register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.2
+    """,
+    bench=True,
+)
+
+
+def _djac(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs within (source, lang) blocks."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", ["source", "lang"], threshold=0.2)
+
+
+CATALOG["ngram_jaccard_pairs"].fn = _djac
+
+# Non-SQL-reproducible dedups (xxhash64-based) -> rows-only checks.
+register("minhash_dup_pairs", oracle=None, bench=True)
+
+
+def _dmh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (deterministic seeds, no oracle —
+    xxhash64 has no DuckDB equivalent)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_dup_pairs(d, "doc_id", "text", num_perm=32, bands=8, jaccard_threshold=0.5)
+
+
+CATALOG["minhash_dup_pairs"].fn = _dmh
+
+register("simhash_dup_pairs", oracle=None)
+
+
+def _dsh(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only check; murmur/xxhash not portable)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.simhash_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+CATALOG["simhash_dup_pairs"].fn = _dsh
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = """list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"""
+_NORM_SQL_E = "list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+_NORM_SQL_Q = "list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {_DOT_SQL} / (SQRT({_NORM_SQL_E}) * SQRT({_NORM_SQL_Q})) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
+    """,
+    bench=True,
+)
+
+
+def _simbf(spark, sf_dir):
+    """Brute-force cosine top-k against the vec_id=0 query vector."""
+    e = t(spark, sf_dir, "embeddings")
+    qvec = F.first(F.col("embedding"))
+    q = e.filter(F.col("vec_id") == 0).agg(qvec.alias("qv"))
+    joined = e.crossJoin(F.broadcast(q))
+    scored = joined.select(
+        "vec_id", similarity.cosine(F.col("embedding"), F.col("qv")).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), "vec_id").limit(10)
+
+
+CATALOG["sim_bruteforce_topk"].fn = _simbf
+
+_BUCKET_SQL_E = (
+    "concat("
+    + ", ".join([f"CASE WHEN e.embedding[{i+1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)])
+    + ")"
+)
+_BUCKET_SQL_Q = (
+    "concat("
+    + ", ".join([f"CASE WHEN q.embedding[{i+1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)])
+    + ")"
+)
+
+register(
+    "sim_lsh_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {_DOT_SQL} / (SQRT({_NORM_SQL_E}) * SQRT({_NORM_SQL_Q})) AS cosine_sim
+    FROM embeddings e, q
+    WHERE {_BUCKET_SQL_E} = {_BUCKET_SQL_Q}
+    ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
+    """,
+)
+
+
+def _simlsh(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-k (scale path: bucket is a
+    partition-prunable key)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).agg(F.first("embedding").alias("qv"))
+    joined = e.crossJoin(F.broadcast(q))
+    filtered = joined.filter(
+        similarity.sign_bucket(F.col("embedding"), 8) == similarity.sign_bucket(F.col("qv"), 8)
+    )
+    scored = filtered.select(
+        "vec_id", similarity.cosine(F.col("embedding"), F.col("qv")).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), "vec_id").limit(10)
+
+
+CATALOG["sim_lsh_topk"].fn = _simlsh
+
+register("sim_knn_join", oracle=None, bench=True)
+
+
+def _simknn(spark, sf_dir):
+    """Bucketed approximate kNN self-join (rows-only check)."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.knn_join(e, e, k=3, bits=6)
+
+
+CATALOG["sim_knn_join"].fn = _simknn
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + typed metadata; decode is stubbed)
+# ---------------------------------------------------------------------------
+
+register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(length(text) AS BIGINT) AS char_len
+    FROM documents
+    """,
+)
+
+
+def _mm(spark, sf_dir):
+    """Opaque-binary column plumbing: payload bytes + metadata columns.
+    Decode/feature-extraction is a stubbed mapInPandas op (ops/multimodal)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("byte_len"),
+        F.length("text").cast("long").alias("char_len"),
+    )
+
+
+CATALOG["mm_binary_meta"].fn = _mm
+
+
+# ===========================================================================
+# entry() flagship
+# ===========================================================================
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: keep-latest dedup per customer (W1) -> broadcast dim join
+    (J1) -> grouped decimal-exact aggregate (A1) -> ordered result."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    latest = dedup.keep_latest(o, ["o_custkey"], "o_orderdate", tiebreakers=["o_orderkey"])
+    return (
+        latest.join(F.broadcast(c), latest.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("customers"),
+            dsum("o_totalprice", "latest_order_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
