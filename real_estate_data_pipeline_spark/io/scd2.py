@@ -1,0 +1,145 @@
+"""SCD Type 2 table — the reference's Delta MERGE flow
+(S6, silver_etl_script.py:916-966) re-expressed as an engine-agnostic
+merge computation plus a snapshot-versioned parquet store.
+
+Semantics (null-safe variant; the reference's ``!=`` comparisons are
+null-hostile — SURVEY §7.4.1 — we use ``<=>`` equivalents and document
+the divergence):
+
+1. incoming batch is deduplicated to one row per key (keep-latest);
+2. current rows whose tracked attributes changed are *closed*
+   (is_current=false, valid_to=batch_ts);
+3. a new current version is appended for changed + brand-new keys;
+4. unchanged keys are left alone (the reference re-appends them,
+   creating duplicate history — we don't).
+
+Storage: each merge writes a full new snapshot under ``_v<N>/`` and then
+atomically repoints a ``_CURRENT`` marker — a poor-man's transaction log.
+On a real cluster this class swaps its storage layer for Delta/Iceberg
+``MERGE INTO`` (the compute_merge() output maps 1:1 onto
+whenMatchedUpdate/whenNotMatchedInsert), so partition-level rewrites and
+data skipping come from the table format, not from this file.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops.dedup import keep_latest
+
+
+class Scd2Table:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str,
+        tracked: list[str],
+        order_col: str,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.tracked = tracked
+        self.order_col = order_col
+
+    # -- storage ------------------------------------------------------------
+    def _current_version(self) -> int | None:
+        marker = os.path.join(self.path, "_CURRENT")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as fh:
+            return int(fh.read().strip())
+
+    def read(self) -> DataFrame | None:
+        v = self._current_version()
+        if v is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"_v{v}"))
+
+    def _write_snapshot(self, df: DataFrame) -> None:
+        v = (self._current_version() or 0) + 1
+        target = os.path.join(self.path, f"_v{v}")
+        df.write.mode("overwrite").parquet(target)
+        marker = os.path.join(self.path, "_CURRENT")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, marker)  # atomic pointer swap
+
+    # -- merge --------------------------------------------------------------
+    def _changed_cond(self) -> F.Column:
+        """NOT (all tracked attributes null-safe-equal)."""
+        cond = None
+        for c in self.tracked:
+            eq = F.col(f"cur.{c}").eqNullSafe(F.col(f"new.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        return ~cond
+
+    def merge(self, batch: DataFrame, batch_ts=None) -> dict[str, int]:
+        """Apply one batch; returns counters (closed/inserted/unchanged)."""
+        batch_ts = batch_ts if batch_ts is not None else F.current_timestamp()
+        incoming = keep_latest(batch, [self.key], self.order_col).select(
+            *[F.col(c) for c in batch.columns]
+        )
+
+        existing = self.read()
+        if existing is None:
+            first = incoming.withColumn("is_current", F.lit(True)).withColumn(
+                "valid_from", batch_ts.cast("timestamp")
+            ).withColumn("valid_to", F.lit(None).cast("timestamp"))
+            self._write_snapshot(first)
+            n = first.count()
+            return {"closed": 0, "inserted": n, "unchanged": 0}
+
+        cur = existing.filter(F.col("is_current")).alias("cur")
+        hist = existing.filter(~F.col("is_current"))
+        new = incoming.alias("new")
+
+        joined = cur.join(new, F.col(f"cur.{self.key}") == F.col(f"new.{self.key}"), "full_outer")
+        changed = self._changed_cond()
+
+        matched = joined.filter(
+            F.col(f"cur.{self.key}").isNotNull() & F.col(f"new.{self.key}").isNotNull()
+        )
+        # closed: matched + changed -> old row with valid_to stamped
+        closed = (
+            matched.filter(changed)
+            .select("cur.*")
+            .withColumn("is_current", F.lit(False))
+            .withColumn("valid_to", batch_ts.cast("timestamp"))
+        )
+        unchanged_cur = matched.filter(~changed).select("cur.*")
+        # rows in cur with no incoming match stay current untouched
+        only_cur = joined.filter(F.col(f"new.{self.key}").isNull()).select("cur.*")
+        # inserts: brand-new keys + new versions of changed keys
+        inserts = (
+            joined.filter(
+                F.col(f"new.{self.key}").isNotNull()
+                & (F.col(f"cur.{self.key}").isNull() | changed)
+            )
+            .select("new.*")
+            .withColumn("is_current", F.lit(True))
+            .withColumn("valid_from", batch_ts.cast("timestamp"))
+            .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        )
+
+        cols = [f.name for f in existing.schema.fields]
+        result = (
+            hist.select(cols)
+            .unionByName(closed.select(cols))
+            .unionByName(unchanged_cur.select(cols))
+            .unionByName(only_cur.select(cols))
+            .unionByName(inserts.select(cols))
+        )
+        counters = {
+            "closed": closed.count(),
+            "inserted": inserts.count(),
+            "unchanged": unchanged_cur.count(),
+        }
+        self._write_snapshot(result)
+        return counters

@@ -1,0 +1,20 @@
+"""Writers — S4 append, S5 partitioned overwrite (parquet locally; the
+same calls work against Delta by swapping the format, which is how the
+reference writes: silver_etl_script.py:947-961, gold_ml_etl.py:459-464).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

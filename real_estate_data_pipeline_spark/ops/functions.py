@@ -191,7 +191,7 @@ def parse_timestamp_multi(c: Column, formats: list[str] = _TS_FORMATS) -> Column
 def parse_date_dual(c: Column) -> Column:
     """D2 — value may be ISO date string OR unix-millis; dispatch on
     magnitude. Ref: silver_etl_script.py:364-389."""
-    as_long = c.cast("long")
+    as_long = c.try_cast("long")
     return F.when(
         as_long > F.lit(10**12),
         F.timestamp_millis(as_long),

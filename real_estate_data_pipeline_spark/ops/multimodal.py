@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed through Arrow-batched
+``mapInPandas`` operators.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``decode_image_features`` computes deterministic
+fake features from the bytes so the Spark-side plumbing — schema,
+batch iteration, partitioning, output shape — is real and testable.
+Swapping the stub for PIL/torchvision/ffmpeg changes one inner
+function, not the plan.
+
+Scale notes: mapInPandas streams Arrow batches, so peak memory is one
+batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
+partition; binary payloads should be size-bucketed before repartition
+so batches stay balanced; metadata-only predicates (width/height/
+media_type) are plain columns and prune BEFORE bytes are read when the
+table is stored columnar.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feat_mean", T.DoubleType()),
+        T.StructField("feat_std", T.DoubleType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Build a media table from any table with a string column: payload =
+    UTF-8 bytes (stand-in for real image bytes), typed metadata columns."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("image/png").alias("media_type"),
+        payload.alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[float, float, int]:
+    """Deterministic fake 'decode': byte-level statistics + a 64-bit
+    rolling hash. A real implementation would be:
+        img = PIL.Image.open(io.BytesIO(payload))   # not in container
+    and raise NotImplementedError if the codec is unsupported."""
+    if payload is None or len(payload) == 0:
+        return 0.0, 0.0, 0
+    n = len(payload)
+    mean = sum(payload) / n
+    var = sum((b - mean) ** 2 for b in payload) / n
+    h = 1469598103934665603
+    for b in payload[:256]:
+        h = ((h ^ b) * 1099511628211) & 0x7FFFFFFFFFFFFFFF
+    return float(mean), float(var**0.5), h
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: Arrow batches
+    in, Arrow batches out, no row-at-a-time Python UDF."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feat_mean": [f[0] for f in feats],
+                    "feat_std": [f[1] for f in feats],
+                    "phash": [f[2] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' stand-in: slice the payload every N bytes (the
+    video analogue would sample every Nth frame). Pure built-ins:
+    substring over binary stays JVM-side."""
+    n_frames = F.floor(F.col("n_bytes") / every_n_bytes).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    frames = F.transform(idx, lambda i: F.substring(F.col("payload"), i * every_n_bytes + 1, every_n_bytes))
+    return media.select("media_id", F.posexplode(frames).alias("frame_no", "frame_bytes"))

@@ -1,0 +1,123 @@
+"""Structured Streaming path.
+
+The reference has NO streaming (SURVEY §2.13): it emulates increments
+with daily Airflow runs over date-encoded paths. The north-star
+(BASELINE.json "batch/streaming pipeline") asks for a genuine streaming
+path, so this module provides the standard shapes:
+
+- file-source event stream with explicit schema,
+- watermarked tumbling / sliding / session window aggregates,
+- late-data dedup via dropDuplicatesWithinWatermark,
+- foreachBatch SCD2 merge (streaming upsert into the Silver table).
+
+All transformations reuse the exact batch expressions from queries.py —
+one definition, two execution modes (the point of Structured Streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "json", max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENT_SCHEMA).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def tumbling_counts_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts — streaming twin of the batch
+    evt_tumbling_hourly query. The watermark bounds state: late rows
+    beyond it are dropped, finalized windows are evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "events", "total_value")
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "events")
+    )
+
+
+def session_windows_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (F.session_window) — streaming twin of the
+    batch gaps-and-islands evt_sessionization query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Late-data-safe streaming dedup: one row per event_id within the
+    watermark horizon (bounded state, unlike plain dropDuplicates)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def scd2_foreach_batch(scd2_table):
+    """foreachBatch sink applying each micro-batch as an SCD2 merge —
+    the streaming form of the reference's daily Delta MERGE
+    (silver_etl_script.py:916-966)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_table.merge(batch_df)
+
+    return apply
+
+
+def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    """Test helper: availableNow trigger -> complete/append to a memory
+    sink, block until done, return the materialized table."""
+    mode = "complete" if stream_df.isStreaming and _has_aggregation(stream_df) else "append"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    try:
+        return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True

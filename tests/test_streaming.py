@@ -1,0 +1,84 @@
+"""Structured Streaming tests: watermarked windows, streaming dedup,
+foreachBatch SCD2 — run with availableNow triggers over file sources so
+they are deterministic and fast.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_data_pipeline_spark.io.scd2 import Scd2Table
+from real_estate_data_pipeline_spark.streaming.events import (
+    dedup_stream,
+    read_event_stream,
+    scd2_foreach_batch,
+    session_windows_stream,
+    tumbling_counts_stream,
+)
+
+EVENTS = [
+    {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+    {"event_id": 2, "ts": "2024-01-01T00:20:00", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},
+    {"event_id": 2, "ts": "2024-01-01T00:20:00", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},  # dup
+    {"event_id": 3, "ts": "2024-01-01T01:10:00", "user_id": 1, "event_type": "view", "value": 3.0, "props": "{}"},
+    {"event_id": 4, "ts": "2024-01-01T00:30:00", "user_id": 2, "event_type": "click", "value": 4.0, "props": "{}"},
+]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    with open(d / "part1.jsonl", "w") as fh:
+        for e in EVENTS:
+            fh.write(json.dumps(e) + "\n")
+    return str(d)
+
+
+def _run(stream_df, name, spark, mode):
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_tumbling_stream(spark, stream_dir):
+    src = read_event_stream(spark, stream_dir)
+    out = _run(tumbling_counts_stream(src, "1 hour"), "t_tumble", spark, "complete")
+    rows = {(str(r["window_start"]), r["event_type"]): r["events"] for r in out.collect()}
+    assert rows[("2024-01-01 00:00:00", "click")] == 4  # includes the dup row
+    assert rows[("2024-01-01 01:00:00", "view")] == 1
+
+
+def test_session_stream(spark, stream_dir):
+    src = read_event_stream(spark, stream_dir)
+    out = _run(session_windows_stream(src, gap="30 minutes"), "t_sess", spark, "complete")
+    u1 = [r for r in out.collect() if r["user_id"] == 1]
+    # user 1: events at 00:05, 00:20 (x2), then 01:10 -> 2 sessions
+    assert len(u1) == 2
+
+
+def test_dedup_stream(spark, stream_dir):
+    src = read_event_stream(spark, stream_dir)
+    out = _run(dedup_stream(src), "t_dedup", spark, "append")
+    assert out.count() == 4  # 5 rows, one exact dup dropped
+    assert out.select("event_id").distinct().count() == 4
+
+
+def test_foreach_batch_scd2(spark, stream_dir, tmp_path):
+    t = Scd2Table(
+        spark, str(tmp_path / "scd2s"), key="event_id",
+        tracked=["value"], order_col="ts",
+    )
+    src = read_event_stream(spark, stream_dir)
+    q = (
+        src.writeStream.foreachBatch(scd2_foreach_batch(t))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    cur = t.read().filter("is_current")
+    assert cur.count() == 4  # one row per distinct event_id
