@@ -332,6 +332,38 @@ def _p2(spark, sf_dir):
 
 CATALOG["p2_validation_split"].fn = _p2
 
+register(
+    "p4_null_dispatch",
+    oracle="""
+    SELECT (c_acctbal IS NOT NULL OR c_name IS NOT NULL) AS has_any, COUNT(*) AS cnt
+    FROM (SELECT CASE WHEN c_acctbal < 500 THEN NULL ELSE c_acctbal END AS c_acctbal,
+                 nullif(c_name, 'Customer#000000001') AS c_name
+          FROM customer)
+    GROUP BY has_any ORDER BY has_any
+    """,
+)
+
+
+def _p4(spark, sf_dir):
+    """P4 null-dispatch predicate ('at least one value present' flag).
+    Ref: silver_etl_script.py:556-565."""
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        F.when(F.col("c_acctbal") < 500, None).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        F.nullif(F.col("c_name"), F.lit("Customer#000000001")).alias("c_name"),
+    )
+    return (
+        base.select(
+            (F.col("c_acctbal").isNotNull() | F.col("c_name").isNotNull()).alias("has_any")
+        )
+        .groupBy("has_any")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("has_any")
+    )
+
+
+CATALOG["p4_null_dispatch"].fn = _p4
+
 # ===========================================================================
 # J* joins
 # ===========================================================================
@@ -1326,6 +1358,232 @@ def _mm(spark, sf_dir):
 
 
 CATALOG["mm_binary_meta"].fn = _mm
+
+
+# ===========================================================================
+# Additional coverage: Q6 pushdown showcase, global stats, summary,
+# multi-format dates, fillna, vocabulary
+# ===========================================================================
+
+register(
+    "q6_banded_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    bench=True,
+)
+
+
+def _q6(spark, sf_dir):
+    """TPC-H Q6 shape: every predicate pushes into the parquet scan
+    (date range, discount band, quantity) — the pure-pushdown showcase;
+    verified by tests/test_plans.py."""
+    li = t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+    return f.agg(dsum_expr(rev, "revenue"), F.count("*").alias("n_rows"))
+
+
+CATALOG["q6_banded_revenue"].fn = _q6
+
+register(
+    "a3_global_stats",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_price,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders
+    """,
+)
+
+
+def _a3(spark, sf_dir):
+    """A3 global single-row aggregate (one multi-column agg, no driver
+    loop). Ref: silver_etl_script.py:676-679,1102."""
+    o = t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast(DEC)
+    return o.agg(
+        F.count("*").alias("n"),
+        F.sum(p).cast("double").alias("total"),
+        (F.sum(p).cast("double") / F.count("*")).alias("mean_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+CATALOG["a3_global_stats"].fn = _a3
+
+register(
+    "a7_summary_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col, COUNT(l_quantity) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS mean,
+           MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v, MEDIAN(l_quantity) AS median_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(l_extendedprice),
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice),
+           MIN(l_extendedprice), MAX(l_extendedprice), MEDIAN(l_extendedprice)
+    FROM lineitem
+    """,
+)
+
+
+def _a7(spark, sf_dir):
+    """A7 df.summary() semantics, engine-exact (one pass per column set,
+    deterministic mean/median). Ref: gold_ml_etl.py:501-503."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def stats(col: str):
+        c = F.col(col).cast(DEC)
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count(col).alias("cnt"),
+            (F.sum(c).cast("double") / F.count(col)).alias("mean"),
+            F.min(col).alias("min_v"),
+            F.max(col).alias("max_v"),
+            F.median(col).alias("median_v"),
+        )
+
+    return stats("l_quantity").unionByName(stats("l_extendedprice"))
+
+
+CATALOG["a7_summary_stats"].fn = _a7
+
+register(
+    "a8_fillna_defaults",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_filled,
+           COALESCE(nullif(c_mktsegment, 'MACHINERY'), 'UNKNOWN') AS seg_filled
+    FROM customer
+    """,
+)
+
+
+def _a8(spark, sf_dir):
+    """A8 na.fill defaults (nulls synthesized). Ref: silver_etl_script.py:662-664."""
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal_filled"),
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg_filled"),
+    )
+    return base.na.fill({"bal_filled": 0.0, "seg_filled": "UNKNOWN"})
+
+
+CATALOG["a8_fillna_defaults"].fn = _a8
+
+register(
+    "d1_multiformat_roundtrip",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS parsed_s
+    FROM orders
+    """,
+)
+
+
+def _d1(spark, sf_dir):
+    """D1 multi-format timestamp parse: format each date into a different
+    format by key, run through the coalesce-of-formats parser, then emit a
+    canonical string (the oracle computes it directly — equivalence proves
+    the parser inverted every format). Ref: transformation_utils.py:381-409."""
+    from .ops.functions import parse_timestamp_multi
+
+    o = t(spark, sf_dir, "orders")
+    fmt = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy/MM/dd HH:mm:ss"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+    )
+    parsed = parse_timestamp_multi(fmt)
+    return o.select(
+        "o_orderkey", F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("parsed_s")
+    )
+
+
+CATALOG["d1_multiformat_roundtrip"].fn = _d1
+
+register(
+    "doc_top_tokens",
+    oracle="""
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50
+    """,
+    bench=True,
+)
+
+
+def _dtop(spark, sf_dir):
+    """Corpus vocabulary: tokenize -> explode -> count -> top-k. The
+    explode is a map; the count is one shuffle on token; top-k is a
+    TakeOrdered — the canonical scalable wordcount."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok").agg(F.count("*").alias("cnt")).orderBy(F.desc("cnt"), "tok").limit(50)
+    )
+
+
+CATALOG["doc_top_tokens"].fn = _dtop
+
+register(
+    "doc_token_doc_freq",
+    oracle="""
+    SELECT tok,
+           COUNT(*) AS doc_freq,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS doc_frac
+    FROM (SELECT DISTINCT doc_id,
+                 unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok HAVING COUNT(*) >= 5
+    ORDER BY doc_freq DESC, tok
+    """,
+)
+
+
+def _ddf(spark, sf_dir):
+    """Document frequency (IDF numerator): distinct token per doc ->
+    count docs per token. Map-side distinct inside the array keeps the
+    explode output at O(distinct tokens per doc)."""
+    d = t(spark, sf_dir, "documents")
+    total = d.agg(F.count("*").alias("__n"))  # stays lazy: broadcast scalar
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 5)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "doc_freq",
+            (F.col("doc_freq").cast("double") / F.col("__n")).alias("doc_frac"),
+        )
+        .orderBy(F.desc("doc_freq"), "tok")
+    )
+
+
+CATALOG["doc_token_doc_freq"].fn = _ddf
 
 
 # ===========================================================================

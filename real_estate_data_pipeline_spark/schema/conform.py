@@ -25,13 +25,16 @@ def _coerce_to_string_array(actual: T.DataType, col: Column) -> Column:
         el = actual.elementType
         if isinstance(el, T.StructType):
             # N11: pick name/value/key, else first string field, else JSON
+            # NB: higher-order lambdas must be single-arg — a second
+            # Python param would be bound to Spark's index argument
             names = [f.name for f in el.fields]
             for cand in ("name", "value", "key"):
                 if cand in names:
-                    return F.transform(col, lambda x, c=cand: x.getField(c).cast("string"))
+                    return F.transform(col, lambda x: x.getField(cand).cast("string"))
             for f in el.fields:
                 if isinstance(f.dataType, T.StringType):
-                    return F.transform(col, lambda x, c=f.name: x.getField(c).cast("string"))
+                    chosen = f.name
+                    return F.transform(col, lambda x: x.getField(chosen).cast("string"))
             return F.transform(col, lambda x: F.to_json(x))
         return col.cast("array<string>")
     if isinstance(actual, T.StringType):

@@ -1,0 +1,86 @@
+"""IO layer tests: maintenance (compaction + snapshot vacuum), pandas
+UDF escape hatch, nested-array coercions (N3/N4/N11) via conform.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from real_estate_data_pipeline_spark.io.maintenance import compact, vacuum_snapshots
+from real_estate_data_pipeline_spark.io.scd2 import Scd2Table
+from real_estate_data_pipeline_spark.ops.functions import (
+    distinct_double_transform,
+    first_last,
+)
+from real_estate_data_pipeline_spark.ops.udf import haversine_km, l2_normalize
+from real_estate_data_pipeline_spark.schema.conform import conform
+
+
+def test_compact(spark, tmp_path):
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 10000).withColumn("k", F.col("id") % 10)
+    df.repartition(64).write.parquet(p)  # fragment into 64 tiny files
+    n_before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    compact(spark, p, ["k"], target_file_mb=1)
+    n_after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n_after < n_before
+    back = spark.read.parquet(p)
+    assert back.count() == 10000 and back.agg(F.sum("id")).first()[0] == 49995000
+
+
+def test_vacuum_snapshots(spark, tmp_path):
+    t = Scd2Table(spark, str(tmp_path / "t"), key="k", tracked=["v"], order_col="ts")
+    for i in range(4):
+        df = spark.createDataFrame([("a", float(i), f"2024-01-0{i+1}")], "k string, v double, ts string")
+        t.merge(df, batch_ts=F.lit(f"2024-01-0{i+1} 12:00:00"))
+    versions = [e for e in os.listdir(str(tmp_path / "t")) if e.startswith("_v")]
+    assert len(versions) == 4
+    removed = vacuum_snapshots(str(tmp_path / "t"), keep=2)
+    assert len(removed) == 2
+    assert t.read().filter("is_current").first()["v"] == 3.0  # current unharmed
+
+
+def test_haversine_pandas_udf(spark):
+    df = spark.createDataFrame([(10.7769, 106.7009, 21.0285, 105.8542)], "a double, b double, c double, d double")
+    km = df.select(haversine_km("a", "b", "c", "d").alias("km")).first()["km"]
+    assert km == pytest.approx(1137, rel=0.02)  # HCMC -> Hanoi ~1140 km
+
+
+def test_l2_normalize_udf(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0])], "id int, v array<float>")
+    out = df.select(l2_normalize("v").alias("n")).first()["n"]
+    assert out[0] == pytest.approx(0.6) and out[1] == pytest.approx(0.8)
+
+
+def test_n3_distinct_double_transform(spark):
+    df = spark.createDataFrame(
+        [([{"translation": [{"name": "Căn hộ"}, {"name": "Apartment"}]},
+           {"translation": [{"name": "Apartment"}]}],)],
+        "pt array<struct<translation: array<struct<name: string>>>>",
+    )
+    out = df.select(distinct_double_transform(F.col("pt"), "translation", "name").alias("o")).first()["o"]
+    assert sorted(out) == ["Apartment", "Căn hộ"]
+
+
+def test_n4_first_last_empty(spark):
+    df = spark.createDataFrame([([1, 2, 3],), ([],)], "a array<int>")
+    first, last = first_last(F.col("a"))
+    rows = df.select(first.alias("f"), last.alias("l")).collect()
+    assert (rows[0]["f"], rows[0]["l"]) == (1, 3)
+    assert rows[1]["f"] is None and rows[1]["l"] is None
+
+
+def test_n11_conform_struct_array_to_strings(spark):
+    # array<struct{name,value}> column conformed to array<string> -> 'name'
+    df = spark.createDataFrame(
+        [([{"name": "air", "value": "good"}],), (None,)],
+        "facilities array<struct<name: string, value: string>>",
+    )
+    target = T.StructType([T.StructField("facilities", T.ArrayType(T.StringType()))])
+    out = conform(df, target).collect()
+    assert out[0]["facilities"] == ["air"]
+    assert out[1]["facilities"] is None

@@ -1,0 +1,74 @@
+"""Physical-plan tests (SURVEY §5.5): the plans that must hold at 100 TB
+are asserted here at sf0.001 — broadcast joins on dims, predicate/column
+pushdown into the parquet scan, top-k via TakeOrdered, partial
+aggregation, no cartesian products where an equi-join is intended.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_estate_data_pipeline_spark.queries import CATALOG
+
+
+def plan(spark, name, sf):
+    df = CATALOG[name].fn(spark, sf)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast(spark, sf_small):
+    for q in ["j1_dim_join_rollup", "j2_stats_backjoin", "q3_top_revenue_orders", "q5_nation_revenue"]:
+        p = plan(spark, q, sf_small)
+        assert "BroadcastHashJoin" in p, f"{q}: expected broadcast join\n{p}"
+        assert "SortMergeJoin" not in p, f"{q}: dim join fell back to SMJ\n{p}"
+        assert "CartesianProduct" not in p, f"{q}: cartesian product!\n{p}"
+
+
+def test_q6_full_pushdown(spark, sf_small):
+    p = plan(spark, "q6_banded_revenue", sf_small)
+    assert "PushedFilters: [" in p
+    # every predicate column reaches the scan
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_p1_column_pruning(spark, sf_small):
+    p = plan(spark, "p1_filter_project", sf_small)
+    assert "ReadSchema" in p
+    read_schema = p.split("ReadSchema:", 1)[1].splitlines()[0]
+    # only the 5 needed columns are read (4 projected + filter col)
+    assert "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema, f"scan reads unneeded column: {read_schema}"
+    assert "IsNotNull(l_returnflag)" in p or "l_returnflag" in p  # filter pushed
+
+
+def test_topk_is_take_ordered(spark, sf_small):
+    p = plan(spark, "o1_topk_customers", sf_small)
+    assert "TakeOrderedAndProject" in p, f"top-k should not global-sort\n{p}"
+
+
+def test_agg_is_partial_final(spark, sf_small):
+    p = plan(spark, "a1_pricing_summary", sf_small)
+    # hash aggregate in partial then final mode -> map-side combine
+    # (AQE prints the pre-execution plan, so codegen spans aren't visible
+    # here; two HashAggregates prove the partial/final split)
+    assert p.count("HashAggregate") >= 2, f"expected partial+final agg\n{p}"
+
+
+def test_minhash_no_cartesian(spark, sf_small):
+    p = plan(spark, "minhash_dup_pairs", sf_small)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
+        f"LSH band join must be an equi-join\n{p}"
+    )
+
+
+def test_knn_join_is_equijoin(spark, sf_small):
+    p = plan(spark, "sim_knn_join", sf_small)
+    assert "CartesianProduct" not in p, f"bucketed kNN must not cross-join\n{p}"
+
+
+def test_single_pass_quality_one_agg(spark, sf_small):
+    p = plan(spark, "a5_quality_singlepass", sf_small)
+    # one scan of lineitem only
+    assert p.count("FileScan parquet") == 1, f"quality checks must be one pass\n{p}"
