@@ -55,11 +55,22 @@ class Scd2Table:
         with open(marker) as fh:
             return int(fh.read().strip())
 
-    def read(self) -> DataFrame | None:
-        v = self._current_version()
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Read the current snapshot, or time-travel to ``version`` (the
+        Delta ``versionAsOf`` idea over the snapshot log)."""
+        v = version if version is not None else self._current_version()
         if v is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, f"_v{v}"))
+        target = os.path.join(self.path, f"_v{v}")
+        if not os.path.isdir(target):
+            raise FileNotFoundError(f"snapshot version {v} not found (vacuumed?)")
+        return self.spark.read.parquet(target)
+
+    def history(self) -> list[int]:
+        """Available snapshot versions, oldest first."""
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(int(e[2:]) for e in os.listdir(self.path) if e.startswith("_v"))
 
     def _write_snapshot(self, df: DataFrame) -> None:
         v = (self._current_version() or 0) + 1

@@ -62,14 +62,30 @@ def token_set(c):
     return F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))
 
 
-def word_shingles(c, n: int = 3):
-    """Distinct word n-gram shingles. O(tokens) per document — unlike
-    char shingles whose substr offsets make them O(len^2) on UTF-8 —
-    and the standard unit for web-scale text dedup."""
-    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+def norm_tokens(c):
+    """Normalized token array (lowercase, whitespace-split)."""
+    return F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+
+
+def shingles_from_tokens(tk, n: int = 3):
+    """Distinct word n-gram shingles from an ALREADY-PROJECTED token
+    array column. Callers must materialize the tokens in their own
+    select() first: Catalyst does no common-subexpression elimination
+    inside higher-order lambdas, so passing the split expression
+    directly would re-run the regex+split once per referenced element
+    (measured ~20x slowdown). Direct element indexing beats
+    slice()+concat_ws by ~2x in codegen."""
+    cnt = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), cnt)
-    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(tk, i + off) for off in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def word_shingles(c, n: int = 3):
+    """Word n-gram shingles straight from a text column. Fine for
+    single-use expressions; hot paths should project norm_tokens()
+    first and use shingles_from_tokens (see its docstring)."""
+    return shingles_from_tokens(norm_tokens(c), n)
 
 
 def ngram_jaccard_pairs(
@@ -87,19 +103,22 @@ def ngram_jaccard_pairs(
     scale."""
     toks = df.select(
         F.col(id_col), *[F.col(b) for b in block_cols], token_set(F.col(text_col)).alias("__toks")
-    )
+    ).withColumn("__n", F.size("__toks"))
     a = toks.alias("a")
     b = toks.alias("b")
     cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in block_cols]
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # |A∪B| = |A|+|B|-|A∩B| for distinct sets: one intersect per pair,
+    # no array_union materialization
     pairs = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        (
-            F.size(F.array_intersect("a.__toks", "b.__toks")).cast("double")
-            / F.size(F.array_union("a.__toks", "b.__toks"))
-        ).alias("jaccard"),
+        F.size(F.array_intersect("a.__toks", "b.__toks")).alias("__i"),
+        F.col("a.__n").alias("__na"),
+        F.col("b.__n").alias("__nb"),
     )
+    jac = F.col("__i").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+    pairs = pairs.select("id_a", "id_b", jac.alias("jaccard"))
     if threshold > 0.0:
         pairs = pairs.filter(F.col("jaccard") >= threshold)
     return pairs
@@ -128,7 +147,10 @@ def minhash_signatures(
     Plan shape: shingle (map) -> explode -> hash-aggregate with num_perm
     min() columns. The aggregate is a single shuffle on id and runs in
     whole-stage codegen — this scales linearly and needs no RNG."""
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"))
+    tk = df.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("__tk"))
+    sh = tk.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("__s")
+    )
     hashed = sh.select(
         F.col(id_col),
         F.xxhash64(F.col("__s"), F.lit(1)).alias("__h1"),
@@ -195,22 +217,22 @@ def minhash_dup_pairs(
     return cand.filter(F.col("jaccard_est") >= jaccard_threshold)
 
 
-def simhash64(c, token_n: int = 2):
-    """Deterministic 64-bit SimHash of a text column, built-ins only.
-
-    Tokens are word n-grams; each token hashes with xxhash64; each of the
-    64 bits votes +1/-1; the sign vector packs into a long. Near-dups have
-    small Hamming distance."""
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(token_n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, token_n)))
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-
+def simhash64_from_hashes(hashes):
+    """64-bit SimHash from an ALREADY-PROJECTED array<long> of token
+    hashes (see shingles_from_tokens for why the projection matters:
+    this expression references its input 64 times). Each bit votes
+    +1/-1 across token hashes; the sign vector packs into a long."""
     bit_sums = [
         F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+            # NB: two params only — Spark binds extra lambda params to its
+            # own arguments; the loop var i is safe because F.aggregate
+            # builds the expression eagerly inside this iteration
+            lambda acc, h: acc
+            + F.when(
+                h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1
+            ).otherwise(-1),
         )
         for i in range(64)
     ]
@@ -219,6 +241,20 @@ def simhash64(c, token_n: int = 2):
         bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         packed = packed + F.shiftleft(bit, i)
     return packed
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str, token_n: int = 2) -> DataFrame:
+    """Deterministic SimHash per document, via staged projections so
+    each stage's expression evaluates once per row: tokens -> n-gram
+    hashes -> packed 64-bit signature."""
+    tk = df.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("__tk"))
+    grams = tk.select(
+        F.col(id_col), shingles_from_tokens(F.col("__tk"), token_n).alias("__g")
+    )
+    hashed = grams.select(
+        F.col(id_col), F.transform(F.col("__g"), lambda g: F.xxhash64(g)).alias("__h")
+    )
+    return hashed.select(F.col(id_col), simhash64_from_hashes(F.col("__h")).alias("__sim"))
 
 
 def simhash_dup_pairs(
@@ -231,7 +267,7 @@ def simhash_dup_pairs(
     """SimHash near-dup pairs: block on the top ``block_bits`` bits (near
     dups with distance < 64/block ratio usually share a prefix block),
     verify Hamming distance within blocks."""
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sim"))
+    sh = simhash_signatures(df, id_col, text_col)
     blocked = sh.withColumn("__blk", F.shiftrightunsigned(F.col("__sim"), 64 - block_bits))
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = a.join(

@@ -98,19 +98,23 @@ def knn_join(
     """Bucketed approximate kNN join: pairs within the same sign bucket,
     ranked by cosine per left id. One equi-join shuffle on the bucket key
     instead of a full cross join."""
+    # norms precomputed per side: the pair stage then does one dot
+    # product per pair instead of dot + two norm folds
     lb = left.select(
         F.col(left_id).alias("left_id"),
         F.col(vec_col).alias("__lv"),
         sign_bucket(F.col(vec_col), bits).alias("__bkt"),
-    )
+    ).withColumn("__ln", F.sqrt(l2_norm_sq(F.col("__lv"))))
     rb = right.select(
         F.col(right_id).alias("right_id"),
         F.col(vec_col).alias("__rv"),
         sign_bucket(F.col(vec_col), bits).alias("__bkt"),
-    )
+    ).withColumn("__rn", F.sqrt(l2_norm_sq(F.col("__rv"))))
     pairs = lb.join(rb, "__bkt").filter(F.col("left_id") != F.col("right_id"))
     scored = pairs.select(
-        "left_id", "right_id", cosine(F.col("__lv"), F.col("__rv")).alias("cosine_sim")
+        "left_id",
+        "right_id",
+        (dot(F.col("__lv"), F.col("__rv")) / (F.col("__ln") * F.col("__rn"))).alias("cosine_sim"),
     )
     from pyspark.sql import Window
 

@@ -1,0 +1,82 @@
+"""Skew-handling operators for 100 TB workloads.
+
+AQE's skew-join handling (enabled by the session builder) covers sort-
+merge joins; these helpers cover the two shapes AQE doesn't:
+
+- ``salted_aggregate``: two-phase aggregation for skewed group keys
+  (e.g. one district holding 30% of all listings). Phase 1 aggregates on
+  (key, salt) spreading the hot key over N reducers; phase 2 combines
+  the partials. Works for any algebraic aggregate (sum/count/min/max).
+- ``salted_join``: replicate the small side N ways, salt the skewed fact
+  side, join on (key, salt) — an equi-join with no single hot reducer.
+
+Both are pure DataFrame transformations (deterministic salts from
+xxhash64 of a row id, no RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(df: DataFrame, n: int, salt_from: str) -> Column:
+    return F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n)).cast("int")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs``: output_name -> (input_col, fn) with fn in
+    {sum, count, min, max}. Example::
+
+        salted_aggregate(li, ["l_returnflag"],
+                         {"qty": ("l_quantity", "sum"), "n": ("*", "count")})
+    """
+    salt_from = salt_from or keys[0]
+    salted = df.withColumn("__salt", _salt(df, n_salts, salt_from))
+
+    phase1 = []
+    for out, (col, fn) in aggs.items():
+        if fn == "count":
+            phase1.append(F.count(F.lit(1)).alias(f"__p_{out}"))
+        elif fn == "sum":
+            phase1.append(F.sum(col).alias(f"__p_{out}"))
+        elif fn == "min":
+            phase1.append(F.min(col).alias(f"__p_{out}"))
+        elif fn == "max":
+            phase1.append(F.max(col).alias(f"__p_{out}"))
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+    partial = salted.groupBy(*keys, "__salt").agg(*phase1)
+
+    phase2 = []
+    for out, (_, fn) in aggs.items():
+        combiner = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}[fn]
+        phase2.append(combiner(f"__p_{out}").alias(out))
+    return partial.groupBy(*keys).agg(*phase2)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    salt_from: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe fact-dim equi-join: fact rows get a deterministic salt,
+    the dim side is exploded n_salts ways, the join key becomes
+    (key, salt). Dim grows n_salts x — use for small-to-medium dims
+    where broadcast is too big but a hot fact key melts one reducer."""
+    salt_from = salt_from or on
+    f = fact.withColumn("__salt", _salt(fact, n_salts, salt_from))
+    d = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    out = f.join(d, [on, "__salt"], how)
+    return out.drop("__salt")

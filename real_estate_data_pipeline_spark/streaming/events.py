@@ -101,6 +101,46 @@ def scd2_foreach_batch(scd2_table):
     return apply
 
 
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via transformWithStateInPandas (the
+    Spark 4 arbitrary-state API): per-user running totals held in an
+    explicit ValueState, emitting one row per user per micro-batch.
+    The shape to copy for any bespoke streaming state machine that
+    window aggregates can't express. The reference has no streaming at
+    all (SURVEY §2.13); this is the north-star's custom-stateful op."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    # NoTimeout keeps this portable; on a real cluster add
+    # ProcessingTimeTimeout + state.setTimeoutDuration to expire idle
+    # users and bound state. (Spark 4's transformWithStateInPandas is
+    # the successor API but needs protobuf at runtime.)
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
     """Test helper: availableNow trigger -> complete/append to a memory
     sink, block until done, return the materialized table."""
