@@ -1587,6 +1587,301 @@ CATALOG["doc_token_doc_freq"].fn = _ddf
 
 
 # ===========================================================================
+# Window analytics, rollup, pivot, set ops
+# ===========================================================================
+
+register(
+    "w2_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS order_seq
+    FROM orders
+    """,
+)
+
+
+def _w2(spark, sf_dir):
+    """Running totals + sequence numbers (frame-spec windows — beyond the
+    reference's single row_number use). Decimal running sum keeps every
+    prefix exact in both engines."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(wf).cast("double").alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+CATALOG["w2_running_totals"].fn = _w2
+
+register(
+    "w3_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS days_since_prev,
+           CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS spend_quartile
+    FROM orders
+    """,
+)
+
+
+def _w3(spark, sf_dir):
+    """lag + ntile window analytics (gap-to-previous-order, per-customer
+    spend quartile)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long").alias("days_since_prev"),
+        F.ntile(4).over(wq).cast("long").alias("spend_quartile"),
+    )
+
+
+CATALOG["w3_order_gaps"].fn = _w3
+
+register(
+    "a9_rollup_sales",
+    oracle="""
+    SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+           COALESCE(CAST(quarter(o_orderdate) AS VARCHAR), 'ALL') AS qtr,
+           COUNT(*) AS orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
+    """,
+)
+
+
+def _a9(spark, sf_dir):
+    """ROLLUP hierarchy totals (year -> quarter -> grand total) — one
+    pass computes every level (Spark expands grouping sets map-side)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").alias("__y"), F.quarter("o_orderdate").alias("__q"))
+        .agg(F.count("*").alias("orders"), dsum("o_totalprice", "sales"))
+        .select(
+            F.coalesce(F.col("__y").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce(F.col("__q").cast("string"), F.lit("ALL")).alias("qtr"),
+            "orders",
+            "sales",
+        )
+    )
+
+
+CATALOG["a9_rollup_sales"].fn = _a9
+
+register(
+    "a10_pivot_status",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_orders
+    FROM orders GROUP BY 1
+    """,
+)
+
+
+def _a10(spark, sf_dir):
+    """Pivot: status categories -> columns (explicit values list so the
+    plan is a single pass, no distinct-values pre-job)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "yr",
+            F.coalesce(F.col("F"), F.lit(0)).alias("f_orders"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("o_orders"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("p_orders"),
+        )
+    )
+
+
+CATALOG["a10_pivot_status"].fn = _a10
+
+register(
+    "u2_intersect_except",
+    oracle="""
+    WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT 'both' AS cohort, COUNT(*) AS customers FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+    UNION ALL
+    SELECT 'only_1995', COUNT(*) FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+    UNION ALL
+    SELECT 'only_1996', COUNT(*) FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c95)
+    """,
+)
+
+
+def _u2(spark, sf_dir):
+    """INTERSECT / EXCEPT cohort analysis (set ops beyond the
+    reference's unionByName)."""
+    o = t(spark, sf_dir, "orders")
+    c95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    c96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+
+    def count_row(name, df):
+        return df.agg(F.count("*").alias("customers")).select(
+            F.lit(name).alias("cohort"), "customers"
+        )
+
+    return (
+        count_row("both", c95.intersect(c96))
+        .unionByName(count_row("only_1995", c95.exceptAll(c96)))
+        .unionByName(count_row("only_1996", c96.exceptAll(c95)))
+    )
+
+
+CATALOG["u2_intersect_except"].fn = _u2
+
+# ===========================================================================
+# As-of join + range join (custom time-series operators)
+# ===========================================================================
+
+register(
+    "asof_latest_event",
+    oracle="""
+    WITH l AS (SELECT o_orderkey, o_custkey % 20 AS k,
+                      o_orderdate + INTERVAL 29 YEAR AS ts
+               FROM orders),
+         r AS (SELECT user_id % 20 AS k, ts, MAX(value) AS ev_value
+               FROM events GROUP BY 1, 2)
+    SELECT l.o_orderkey, l.k, r.ev_value AS ev_value_asof
+    FROM l ASOF LEFT JOIN r ON l.k = r.k AND r.ts <= l.ts
+    """,
+    bench=True,
+)
+
+
+def _asof(spark, sf_dir):
+    """As-of join: each (shifted) order matched to the latest prior event
+    value for its key — union trick, one shuffle (ops/asof.py). Oracle is
+    DuckDB's native ASOF JOIN."""
+    from .ops.asof import asof_join
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("k"),
+        # orders live in 1995-2001, events in 2024: shift orders +29y so
+        # the time ranges interleave
+        (F.col("o_orderdate") + F.expr("INTERVAL 29 YEARS")).alias("ts"),
+    )
+    e = (
+        t(spark, sf_dir, "events")
+        .select((F.col("user_id") % 20).alias("k"), "ts", "value")
+        .groupBy("k", "ts")
+        .agg(F.max("value").alias("ev_value"))
+    )
+    out = asof_join(o, e, on="k", left_ts="ts", right_ts="ts", value_cols=["ev_value"])
+    return out.select("o_orderkey", "k", "ev_value_asof")
+
+
+CATALOG["asof_latest_event"].fn = _asof
+
+register(
+    "range_join_day_window",
+    oracle="""
+    WITH l AS (SELECT event_id AS probe_id, user_id % 10 AS k, ts AS start_ts,
+                      ts + INTERVAL 2 HOUR AS end_ts
+               FROM events WHERE event_type = 'signup'),
+         r AS (SELECT event_id, user_id % 10 AS k, ts, value FROM events)
+    SELECT l.probe_id, r.event_id, r.value
+    FROM l JOIN r ON l.k = r.k AND r.ts >= l.start_ts AND r.ts < l.end_ts
+    """,
+)
+
+
+def _rangej(spark, sf_dir):
+    """Interval containment join via time-bucket equi-join (ops/asof.py):
+    events within 2h after each signup, same key — no nested-loop join
+    (asserted in test_plans)."""
+    from .ops.asof import range_join_bucketed
+
+    e = t(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("probe_id"),
+        (F.col("user_id") % 10).alias("k"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    r = e.select("event_id", (F.col("user_id") % 10).alias("k"), "ts", "value")
+    out = range_join_bucketed(l, r, on="k", left_start="start_ts", left_end="end_ts", right_ts="ts", bucket_secs=3600)
+    return out.select("probe_id", "event_id", "value")
+
+
+CATALOG["range_join_day_window"].fn = _rangej
+
+# ===========================================================================
+# Pipeline-shaped query: document cleanse (validate -> dedup -> score)
+# ===========================================================================
+
+register(
+    "pipeline_docs_cleanse",
+    oracle="""
+    WITH valid AS (
+      SELECT * FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0 AND lang IS NOT NULL
+    ), fp AS (
+      SELECT *, sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                           ' +', ' ', 'g'))) AS fingerprint
+      FROM valid
+    ), dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM fp
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, source, fingerprint,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 60 THEN 'long'
+                WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 30 THEN 'medium'
+                ELSE 'short' END AS length_tier
+    FROM dedup
+    """,
+)
+
+
+def _pcleanse(spark, sf_dir):
+    """The Silver-pipeline shape (P2 validate -> W1 dedup -> enrich ->
+    M8 tier) applied to the documents corpus — one declarative plan,
+    no intermediate actions."""
+    d = t(spark, sf_dir, "documents")
+    valid = d.filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0) & F.col("lang").isNotNull()
+    )
+    fp = valid.withColumn("fingerprint", text.fingerprint(F.col("text")))
+    # W1-style dedup keeping the LOWEST doc_id as representative
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    toks = text.token_count(F.col("text")).cast("long")
+    return deduped.select(
+        "doc_id",
+        "lang",
+        "source",
+        "fingerprint",
+        toks.alias("n_tokens"),
+        F.when(toks >= 60, "long").when(toks >= 30, "medium").otherwise("short").alias("length_tier"),
+    )
+
+
+CATALOG["pipeline_docs_cleanse"].fn = _pcleanse
+
+
+# ===========================================================================
 # entry() flagship
 # ===========================================================================
 

@@ -68,6 +68,20 @@ def test_knn_join_is_equijoin(spark, sf_small):
     assert "CartesianProduct" not in p, f"bucketed kNN must not cross-join\n{p}"
 
 
+def test_asof_join_no_cartesian(spark, sf_small):
+    p = plan(spark, "asof_latest_event", sf_small)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
+        f"as-of join must be the union-trick, not a product\n{p}"
+    )
+
+
+def test_range_join_is_equijoin(spark, sf_small):
+    p = plan(spark, "range_join_day_window", sf_small)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, (
+        f"range join must bucket to an equi-join\n{p}"
+    )
+
+
 def test_single_pass_quality_one_agg(spark, sf_small):
     p = plan(spark, "a5_quality_singlepass", sf_small)
     # one scan of lineitem only
