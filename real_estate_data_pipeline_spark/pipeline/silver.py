@@ -209,6 +209,26 @@ class SilverPipeline:
             out = out.withColumn(name, flag)
         return out.withColumn("processed_at_utc", F.current_timestamp())
 
+    # -- full run with sinks ---------------------------------------------------
+    def run_and_write(
+        self,
+        bronze: DataFrame | dict[str, DataFrame],
+        scd2_table,
+        quarantine_path: str | None = None,
+        batch_ts=None,
+    ) -> SilverResult:
+        """run() + the reference's sinks: SCD2 merge into the Silver
+        table (S6), quarantine append partitioned by source (S4,
+        silver_etl_script.py:1012-1016). Counters gain the merge stats."""
+        result = self.run(bronze)
+        merge_counters = scd2_table.merge(result.silver, batch_ts=batch_ts)
+        result.counters.update({f"scd2_{k}": v for k, v in merge_counters.items()})
+        if quarantine_path and result.counters.get("quarantined", 0) > 0:
+            result.quarantine.write.mode("append").partitionBy("spider_name").parquet(
+                quarantine_path
+            )
+        return result
+
     # -- full run -------------------------------------------------------------
     def run(self, bronze: DataFrame) -> SilverResult:
         mapped = self.map_all(bronze)

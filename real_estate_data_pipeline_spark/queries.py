@@ -1544,6 +1544,28 @@ def _dtop(spark, sf_dir):
 CATALOG["doc_top_tokens"].fn = _dtop
 
 register(
+    "doc_bpe_tokenize",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+|[^\sa-z0-9])', 1)) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
+
+
+def _dbpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer count (GPT-2-style regex: letter/digit runs
+    or single non-space symbols)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(text.word_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens")
+    )
+
+
+CATALOG["doc_bpe_tokenize"].fn = _dbpe
+
+register(
     "doc_token_doc_freq",
     oracle="""
     SELECT tok,
