@@ -1,0 +1,42 @@
+"""Bucketed tables — co-located joins and aggregations without a
+shuffle.
+
+At 100 TB the dominant cost of fact-fact joins (orders ⋈ lineitem) is
+shuffling both sides on the key. Writing both tables bucketed by that
+key with the same bucket count lets Spark's FileSourceScanExec report
+a HashPartitioning output, so SortMergeJoin runs with NO Exchange on
+either side — the join is pre-shuffled at write time, paid once,
+amortized over every subsequent query. Same for groupBy on the bucket
+key. (Verified by tests/test_bucketing.py asserting the Exchange-free
+plan.)
+
+Bucketing needs the table catalog (saveAsTable) — plain .parquet(path)
+writes drop bucket metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+ optionally sorted) managed table."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — plans without
+    an Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

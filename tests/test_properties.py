@@ -1,0 +1,150 @@
+"""Property-based checks (SURVEY §5.4) with hypothesis: invariants that
+must hold for ANY input, not just fixtures. Example counts are kept low
+because every example pays a Spark job.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from real_estate_data_pipeline_spark.ops.dedup import keep_latest
+from real_estate_data_pipeline_spark.ops.functions import completeness_score, midpoint
+from real_estate_data_pipeline_spark.ops.skew import salted_aggregate
+from real_estate_data_pipeline_spark.schema.conform import conform
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),          # key
+        st.integers(min_value=0, max_value=5),         # ts
+        st.integers(min_value=0, max_value=1000),      # id (tiebreak)
+        st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SLOW
+@given(rows_strategy)
+def test_keep_latest_exactly_one_per_key(spark, rows):
+    df = spark.createDataFrame(rows, "k string, ts int, id int, v double")
+    out = keep_latest(df, ["k"], "ts", tiebreakers=["id"]).collect()
+    keys = [r["k"] for r in out]
+    assert len(keys) == len(set(keys)) == df.select("k").distinct().count()
+    # winner is the lexicographic max of (ts, id) within its key
+    by_key = {}
+    for k, ts, i, v in rows:
+        if k not in by_key or (ts, i) > by_key[k]:
+            by_key[k] = (ts, i)
+    for r in out:
+        assert (r["ts"], r["id"]) == by_key[r["k"]]
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=5)),
+            st.one_of(st.none(), st.floats(allow_nan=False, min_value=-10, max_value=10)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_completeness_score_bounds(spark, rows):
+    df = spark.createDataFrame(rows, "a string, b double")
+    vals = [
+        r["s"] for r in df.select(
+            completeness_score([F.col("a"), F.col("b")]).alias("s")
+        ).collect()
+    ]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert all(v * 2 == int(v * 2) for v in vals)  # quantized to halves for 2 fields
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(min_value=0, max_value=1e9, allow_nan=False)),
+            st.one_of(st.none(), st.floats(min_value=0, max_value=1e9, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_midpoint_fallbacks(spark, rows):
+    df = spark.createDataFrame(rows, "lo double, hi double")
+    out = df.select("lo", "hi", midpoint(F.col("lo"), F.col("hi")).alias("m")).collect()
+    for r in out:
+        if r["lo"] is not None and r["hi"] is not None:
+            assert math.isclose(r["m"], (r["lo"] + r["hi"]) / 2)
+        elif r["lo"] is not None:
+            assert r["m"] == r["lo"]
+        elif r["hi"] is not None:
+            assert r["m"] == r["hi"]
+        else:
+            assert r["m"] is None
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["HOT"] * 8 + ["a", "b"]),  # heavy skew
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_salted_aggregate_equals_plain(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v int")
+    df = df.withColumn("rid", F.monotonically_increasing_id())
+    plain = {
+        (r["k"], r["s"], r["n"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    salted = {
+        (r["k"], r["s"], r["n"])
+        for r in salted_aggregate(
+            df, ["k"], {"s": ("v", "sum"), "n": ("*", "count")}, n_salts=4, salt_from="rid"
+        ).collect()
+    }
+    assert plain == salted
+
+
+@SLOW
+@given(st.sets(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=4))
+def test_conform_always_exact_schema(spark, present_cols):
+    target = T.StructType(
+        [
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("c", T.ArrayType(T.StringType())),
+            T.StructField("d", T.TimestampType()),
+        ]
+    )
+    # build an input with only `present_cols`, all strings (worst case)
+    if present_cols:
+        row = tuple("1" for _ in present_cols)
+        df = spark.createDataFrame([row], ", ".join(f"{c} string" for c in sorted(present_cols)))
+    else:
+        df = spark.createDataFrame([(1,)], "z int")
+    out = conform(df, target)
+    assert [f.name for f in out.schema.fields] == ["a", "b", "c", "d"]
+    assert {f.name: f.dataType for f in out.schema.fields} == {
+        f.name: f.dataType for f in target.fields
+    }
+    out.collect()  # must also evaluate
