@@ -41,6 +41,35 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return t(spark, sf_dir, name)
 
 
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Format-agnostic source reader: parquet / orc / json / csv with an
+    optional explicit schema. CSV defaults to header=true; JSON/CSV get
+    PERMISSIVE mode + corrupt-record capture when a schema is given."""
+    fmt = fmt.lower()
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    if fmt in ("json", "csv"):
+        reader = reader.option("mode", "PERMISSIVE")
+        if schema is not None:
+            schema = T.StructType(
+                [f for f in schema.fields if f.name != CORRUPT_COL]
+                + [T.StructField(CORRUPT_COL, T.StringType())]
+            )
+            reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def with_incremental_filter(df: DataFrame, date_col: str, run_date: str) -> DataFrame:
     """S2 — incremental selection as a *predicate on a partition column*
     (Catalyst partition pruning), replacing the reference's manual

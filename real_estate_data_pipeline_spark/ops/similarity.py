@@ -86,6 +86,100 @@ def lsh_topk(
     return brute_force_topk(bucketed, query_vec, k, id_col, vec_col)
 
 
+def l2_dist_sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared euclidean distance."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-flat index build with deterministic seeding: centroids are the
+    ``n_cells`` lowest-id vectors (k-means iterations would refine them;
+    seeding keeps the index reproducible with zero RNG). Returns
+    (centroids, assignments) where each vector is assigned to its nearest
+    centroid.
+
+    Plan shape: centroid table is tiny -> broadcast; assignment is a map
+    over the corpus + a per-row argmin (window row_number over n_cells
+    candidates). At 100 TB the corpus would be *written partitioned by
+    cell id*, making probes partition-prunable scans."""
+    from pyspark.sql import Window
+
+    cent = (
+        df.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    pairs = df.select(id_col, vec_col).crossJoin(F.broadcast(cent))
+    scored = pairs.withColumn("__d", l2_dist_sq(F.col(vec_col), F.col("cvec")))
+    w = Window.partitionBy(id_col).orderBy("__d", "cid")
+    assign = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cid")
+    )
+    return cent, assign
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` cells whose
+    centroids are nearest the query, brute-force inside them. The
+    scale path complement to sign-LSH (ivf prunes by density cells,
+    LSH by hyperplane signs)."""
+    cent, assign = ivf_assign(df, id_col, vec_col, n_cells)
+    probe_cells = (
+        cent.withColumn("__d", l2_dist_sq(F.col("cvec"), query_vec))
+        .orderBy("__d", "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand = df.join(assign, id_col).join(F.broadcast(probe_cells), "cid")
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a sign-LSH
+    bucket, verified by exact cosine >= threshold. The embedding-space
+    member of the dedup family (exact / minhash / simhash / jaccard /
+    embedding)."""
+    b = df.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("__bkt")
+    ).withColumn("__n", F.sqrt(l2_norm_sq(F.col(vec_col))))
+    l, r = b.alias("a"), b.alias("b")
+    pairs = l.join(
+        r, (F.col("a.__bkt") == F.col("b.__bkt")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        (dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a.__n") * F.col("b.__n"))).alias(
+            "cosine_sim"
+        ),
+    )
+    return pairs.filter(F.col("cosine_sim") >= threshold)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

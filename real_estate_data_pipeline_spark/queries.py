@@ -1320,6 +1320,97 @@ def _simlsh(spark, sf_dir):
 
 CATALOG["sim_lsh_topk"].fn = _simlsh
 
+_DIST_SQL = lambda a, b: (  # noqa: E731
+    f"list_sum(list_transform(range(1, 65), i -> "
+    f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DIST_SQL('e.embedding', 'c.cvec')}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM cent, q
+      ORDER BY {_DIST_SQL('cent.cvec', 'q.embedding')}, cid LIMIT 4
+    )
+    SELECT e.vec_id,
+           {_DOT_SQL} / (SQRT({_NORM_SQL_E}) * SQRT({_NORM_SQL_Q})) AS cosine_sim
+    FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+                      JOIN probe p ON a.cid = p.cid, q
+    ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
+    """,
+)
+
+
+def _simivf(spark, sf_dir):
+    """IVF-flat approximate top-k: deterministic seeded centroids, probe
+    the 4 nearest cells, brute-force inside (ops/similarity.ivf_topk)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).agg(F.first("embedding").alias("qv"))
+    joined = e.crossJoin(F.broadcast(q))
+    # rebuild with the query vec as a correlated column for exact parity
+    from .ops.similarity import brute_force_topk, ivf_assign, l2_dist_sq
+
+    cent, assign = ivf_assign(e, "vec_id", "embedding", 16)
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .withColumn("__d", l2_dist_sq(F.col("cvec"), F.col("qv")))
+        .orderBy("__d", "cid")
+        .limit(4)
+        .select("cid")
+    )
+    cand = joined.join(assign, "vec_id").join(F.broadcast(probe), "cid")
+    scored = cand.select(
+        "vec_id", similarity.cosine(F.col("embedding"), F.col("qv")).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), "vec_id").limit(10)
+
+
+CATALOG["sim_ivf_topk"].fn = _simivf
+
+_BUCKET6 = lambda side: "concat(" + ", ".join(  # noqa: E731
+    [f"CASE WHEN {side}.embedding[{i+1}] >= 0 THEN '1' ELSE '0' END" for i in range(6)]
+) + ")"
+
+register(
+    "emb_dup_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             concat({", ".join([f"CASE WHEN embedding[{i+1}] >= 0 THEN '1' ELSE '0' END" for i in range(6)])}) AS bkt,
+             SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+      FROM embeddings
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65), i ->
+                 CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (a.n * c.n) AS cosine_sim
+      FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+    ) WHERE cosine_sim >= 0.35
+    """,
+)
+
+
+def _embdup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (bucketed candidates + exact
+    verify). Threshold 0.35 because the synthetic embeddings are
+    isotropic (max pairwise cosine ~0.5)."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_pairs(e, threshold=0.35, bits=6)
+
+
+CATALOG["emb_dup_pairs"].fn = _embdup
+
 register("sim_knn_join", oracle=None, bench=True)
 
 

@@ -1,0 +1,45 @@
+"""Multi-format reader round-trips: csv/orc/json/parquet through
+read_any, with schema enforcement and corrupt-record capture."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from real_estate_data_pipeline_spark.io.readers import read_any
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _src(spark):
+    return spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], SCHEMA)
+
+
+def test_roundtrip_all_formats(spark, tmp_path):
+    df = _src(spark)
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / fmt)
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.format(fmt).save(p)
+        back = read_any(spark, p, fmt, schema=SCHEMA)
+        rows = sorted((r["id"], r["name"], r["score"]) for r in back.select("id", "name", "score").collect())
+        assert rows == [(1, "a", 1.5), (2, "b", 2.5)], fmt
+
+
+def test_csv_corrupt_record(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "x.csv").write_text("id,name,score\n1,a,1.5\nnot-a-long,b,xyz\n")
+    back = read_any(spark, str(p), "csv", schema=SCHEMA)
+    rows = back.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["id"] == 1
+    assert len(bad) == 1 and "not-a-long" in bad[0]["_corrupt_record"]
