@@ -13,8 +13,11 @@ def write_parquet(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    compression: str = "zstd",
 ) -> None:
-    w = df.write.mode(mode)
+    """zstd by default: ~30% smaller than snappy at similar scan speed —
+    at 100 TB that is tens of TB of storage and IO."""
+    w = df.write.mode(mode).option("compression", compression)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

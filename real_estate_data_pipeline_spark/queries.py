@@ -1017,6 +1017,40 @@ def _tumbling(spark, sf_dir):
 CATALOG["evt_tumbling_hourly"].fn = _tumbling
 
 register(
+    "evt_sliding_halfhour",
+    oracle="""
+    SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS events
+    FROM (
+      SELECT *, unnest([ (FLOOR(epoch(ts))::BIGINT // 1800 - 1) * 1800,
+                         (FLOOR(epoch(ts))::BIGINT // 1800) * 1800 ]) AS ws
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+
+
+def _sliding(spark, sf_dir):
+    """Sliding windows (1h window, 30min slide) in batch — each event
+    lands in exactly two windows; the oracle enumerates them
+    arithmetically. Streaming twin: streaming/events.sliding_counts_stream."""
+    e = t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "events",
+        )
+    )
+
+
+CATALOG["evt_sliding_halfhour"].fn = _sliding
+
+register(
     "evt_sessionization",
     oracle="""
     WITH flagged AS (
@@ -1195,7 +1229,7 @@ register(
     "ngram_jaccard_pairs",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, source, lang,
+      SELECT doc_id, source, lang, n_chars // 100 AS len_bucket,
              list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
       FROM documents
     )
@@ -1203,7 +1237,8 @@ register(
            CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
              / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
     FROM toks a JOIN toks b
-      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+      ON a.source = b.source AND a.lang = b.lang
+         AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
              / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.2
     """,
@@ -1212,9 +1247,13 @@ register(
 
 
 def _djac(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs within (source, lang) blocks."""
-    d = t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", ["source", "lang"], threshold=0.2)
+    """Token-set Jaccard near-dup pairs within (source, lang, length-
+    bucket) blocks — the length bucket is standard near-dup blocking
+    (near-dups have similar length) and bounds the pair space."""
+    d = t(spark, sf_dir, "documents").withColumn("len_bucket", F.expr("n_chars div 100"))
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", ["source", "lang", "len_bucket"], threshold=0.2
+    )
 
 
 CATALOG["ngram_jaccard_pairs"].fn = _djac
