@@ -1738,6 +1738,99 @@ def _ddf(spark, sf_dir):
 CATALOG["doc_token_doc_freq"].fn = _ddf
 
 
+register(
+    "q4_semi_join_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+
+def _q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS -> left_semi join (no row duplication, the
+    probe side short-circuits per key)."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+CATALOG["q4_semi_join_priority"].fn = _q4
+
+register(
+    "q14_conditional_ratio",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+
+
+def _q14(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation ratio over a broadcast
+    part join, decimal-exact numerator and denominator."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = F.col("l_extendedprice").cast(DEC) * (one - F.col("l_discount").cast(DEC))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast(DEC))
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return j.agg(
+        (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+CATALOG["q14_conditional_ratio"].fn = _q14
+
+register(
+    "q18_having_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 150
+    ORDER BY total_qty DESC, o.o_orderkey LIMIT 100
+    """,
+)
+
+
+def _q18(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate + HAVING (post-aggregation filter) +
+    top-k."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    g = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("__q"))
+        .filter(F.col("__q") > 150)
+    )
+    return (
+        g.select("o_orderkey", "o_custkey", F.col("__q").cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+CATALOG["q18_having_large_orders"].fn = _q18
+
 # ===========================================================================
 # Window analytics, rollup, pivot, set ops
 # ===========================================================================
