@@ -35,13 +35,21 @@ DEC = "decimal(18,2)"
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may run these queries in a session with a non-UTC
+    # timezone; date_format/window on TIMESTAMP are tz-sensitive, and the
+    # oracles are tz-naive. Pin UTC (runtime conf, idempotent).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read nanos as long and truncate to micros —
         # exactly what DuckDB's nanosecond->microsecond coercion does.
+        # Cast to TIMESTAMP_NTZ (like every other parquet timestamp here)
+        # so downstream formatting is timezone-independent.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -727,7 +735,7 @@ def _depoch(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         F.date_format("ts", "yyyy-MM-dd HH").alias("hour_s"),
     )
 
@@ -748,7 +756,7 @@ def _d7(spark, sf_dir):
     """D7 freshness-hours check against a fixed 'now' (2024-01-31 UTC).
     Ref: data_quality_checks.py:106-140."""
     e = t(spark, sf_dir, "events")
-    age_h = (F.lit(1706659200) - F.unix_timestamp("ts")) / F.lit(3600.0)
+    age_h = (F.lit(1706659200) - F.col("ts").cast("timestamp").cast("long")) / F.lit(3600.0)
     return e.agg(
         F.count("*").alias("total_rows"),
         F.sum(F.when(age_h > 240, 1).otherwise(0)).alias("stale_rows"),
@@ -1079,7 +1087,8 @@ def _sessions(spark, sf_dir):
     batch analogue of streaming session windows."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
     flagged = e.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
     )
@@ -1090,7 +1099,7 @@ def _sessions(spark, sf_dir):
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start_s"),
-        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_secs"),
+        (F.max("ts").cast("timestamp").cast("long") - F.min("ts").cast("timestamp").cast("long")).alias("duration_secs"),
     )
 
 
