@@ -24,9 +24,8 @@ data skipping come from the table format, not from this file.
 from __future__ import annotations
 
 import os
-import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ops.dedup import keep_latest
@@ -83,7 +82,7 @@ class Scd2Table:
         os.replace(tmp, marker)  # atomic pointer swap
 
     # -- merge --------------------------------------------------------------
-    def _changed_cond(self) -> F.Column:
+    def _changed_cond(self) -> Column:
         """NOT (all tracked attributes null-safe-equal)."""
         cond = None
         for c in self.tracked:

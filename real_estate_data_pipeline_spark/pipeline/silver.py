@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
@@ -66,7 +66,7 @@ class SilverPipeline:
         withColumn chains, no rename collisions.
         Ref: apply_schema_mapping silver_etl_script.py:157-521."""
         cols = set(df.columns)
-        exprs: dict[str, F.Column] = {}
+        exprs: dict[str, Column] = {}
         for src, dst in spec.mapping.items():
             if src in cols:
                 exprs[dst] = F.col(src)
