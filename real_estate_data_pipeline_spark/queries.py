@@ -1747,6 +1747,76 @@ def _ddf(spark, sf_dir):
 CATALOG["doc_token_doc_freq"].fn = _ddf
 
 
+register("sketch_cardinality_profile", oracle=None)
+
+
+def _sketch(spark, sf_dir):
+    """HLL++ cardinality profile (rows-only: sketch internals differ per
+    engine; error bounds tested in tests/test_sketches.py)."""
+    from .ops.sketches import cardinality_profile
+
+    li = t(spark, sf_dir, "lineitem")
+    return cardinality_profile(li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"])
+
+
+CATALOG["sketch_cardinality_profile"].fn = _sketch
+
+register(
+    "heavy_hitters_event_types",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM events)
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share
+    FROM events GROUP BY event_type
+    HAVING COUNT(*) >= (SELECT n FROM tot) * 0.01
+    ORDER BY cnt DESC, event_type
+    """,
+)
+
+
+def _hh(spark, sf_dir):
+    """Heavy hitters (values with >= 1% share), two-level aggregation."""
+    from .ops.sketches import heavy_hitters
+
+    e = t(spark, sf_dir, "events")
+    return heavy_hitters(e, "event_type", min_share=0.01)
+
+
+CATALOG["heavy_hitters_event_types"].fn = _hh
+
+register(
+    "j4_null_safe_join",
+    oracle="""
+    WITH a AS (SELECT c_custkey, nullif(c_mktsegment, 'MACHINERY') AS seg FROM customer),
+         b AS (SELECT DISTINCT nullif(c_mktsegment, 'MACHINERY') AS seg,
+                      CASE WHEN nullif(c_mktsegment, 'MACHINERY') IS NULL
+                           THEN 'unsegmented' ELSE 'segmented' END AS label
+               FROM customer)
+    SELECT a.c_custkey, b.label
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+)
+
+
+def _j4(spark, sf_dir):
+    """Null-safe equi-join (<=>): null keys match null keys — the
+    semantics the reference's != comparisons get wrong (SURVEY §7.4.1)."""
+    c = t(spark, sf_dir, "customer")
+    a = c.select("c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg"))
+    b = (
+        c.select(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg"))
+        .distinct()
+        .withColumn(
+            "label", F.when(F.col("seg").isNull(), "unsegmented").otherwise("segmented")
+        )
+    )
+    return a.alias("a").join(
+        F.broadcast(b).alias("b"), F.col("a.seg").eqNullSafe(F.col("b.seg"))
+    ).select("a.c_custkey", "b.label")
+
+
+CATALOG["j4_null_safe_join"].fn = _j4
+
 register(
     "q4_semi_join_priority",
     oracle="""

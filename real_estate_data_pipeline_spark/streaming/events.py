@@ -141,6 +141,42 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (batch)
+    dimension — the streaming twin of J1. The static side re-reads per
+    micro-batch, so a Delta/parquet dim picks up slowly-changing updates
+    without restarting the query; Spark broadcasts it per batch."""
+    return events.join(dim, on, "left")
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: pairs of events
+    from the two streams for the same key within ``within`` of each
+    other. Both sides watermarked so join state is evicted — without the
+    time bound the state would grow forever."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+        & (F.col("l.event_id") != F.col("r.event_id"))
+    )
+    return l.join(r, cond).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event"),
+        F.col("r.event_id").alias("right_event"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
     """Test helper: availableNow trigger -> complete/append to a memory
     sink, block until done, return the materialized table."""

@@ -1,0 +1,95 @@
+"""Sketch error-bound tests (sketches are rows-only in the oracle gate;
+here their error is bounded against exact answers) + streaming joins.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_data_pipeline_spark.ops.sketches import (
+    approx_quantiles,
+    cardinality_profile,
+    heavy_hitters,
+)
+from real_estate_data_pipeline_spark.queries import t
+from real_estate_data_pipeline_spark.streaming.events import (
+    correlate_streams,
+    enrich_stream_with_dim,
+    read_event_stream,
+)
+
+
+def test_approx_distinct_error_bound(spark, sf_oracle):
+    li = t(spark, sf_oracle, "lineitem")
+    prof = cardinality_profile(li, ["l_orderkey", "l_partkey"], rsd=0.02).first()
+    exact_o = li.select("l_orderkey").distinct().count()
+    exact_p = li.select("l_partkey").distinct().count()
+    assert abs(prof["l_orderkey_approx_distinct"] - exact_o) / exact_o < 0.10
+    assert abs(prof["l_partkey_approx_distinct"] - exact_p) / exact_p < 0.10
+    assert prof["total_rows"] == li.count()
+
+
+def test_approx_quantiles_error_bound(spark, sf_oracle):
+    li = t(spark, sf_oracle, "lineitem")
+    qs = approx_quantiles(li, "l_extendedprice", [0.5, 0.9], rel_err=0.01)
+    exact_median = li.agg(F.median("l_extendedprice")).first()[0]
+    assert abs(qs[0] - exact_median) / exact_median < 0.05
+
+
+def test_heavy_hitters_exactness(spark, sf_oracle):
+    e = t(spark, sf_oracle, "events")
+    hh = {r["event_type"]: r["cnt"] for r in heavy_hitters(e, "event_type", 0.01).collect()}
+    exact = {r["event_type"]: r["cnt"] for r in e.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    assert hh == exact  # all 5 types are above 1%
+    assert not heavy_hitters(e, "event_type", 0.5).collect()  # none above 50%
+
+
+# ---------------------------------------------------------------------------
+# streaming joins
+# ---------------------------------------------------------------------------
+
+EVENTS = [
+    {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "signup", "value": 0.0, "props": "{}"},
+    {"event_id": 2, "ts": "2024-01-01T00:30:00", "user_id": 1, "event_type": "purchase", "value": 9.0, "props": "{}"},
+    {"event_id": 3, "ts": "2024-01-01T03:00:00", "user_id": 1, "event_type": "purchase", "value": 5.0, "props": "{}"},
+    {"event_id": 4, "ts": "2024-01-01T00:10:00", "user_id": 2, "event_type": "signup", "value": 0.0, "props": "{}"},
+]
+
+
+@pytest.fixture()
+def stream_src(spark, tmp_path):
+    d = tmp_path / "ev"
+    d.mkdir()
+    with open(d / "p.jsonl", "w") as fh:
+        for e in EVENTS:
+            fh.write(json.dumps(e) + "\n")
+    return read_event_stream(spark, str(d))
+
+
+def _run(stream_df, name, spark):
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_stream_static_join(spark, stream_src):
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "user_id long, tier string")
+    out = _run(enrich_stream_with_dim(stream_src, dim), "t_ss", spark)
+    tiers = {r["event_id"]: r["tier"] for r in out.collect()}
+    assert tiers[1] == "gold" and tiers[4] == "silver"
+
+
+def test_stream_stream_join(spark, stream_src):
+    signups = stream_src.filter(F.col("event_type") == "signup")
+    purchases = stream_src.filter(F.col("event_type") == "purchase")
+    out = _run(correlate_streams(signups, purchases, within="1 hour"), "t_ssj", spark)
+    pairs = {(r["left_event"], r["right_event"]) for r in out.collect()}
+    # purchase at 00:30 within 1h of signup at 00:00 -> matched;
+    # purchase at 03:00 outside the bound -> dropped; user 2 has none
+    assert pairs == {(1, 2)}
