@@ -2008,6 +2008,65 @@ def _a9(spark, sf_dir):
 CATALOG["a9_rollup_sales"].fn = _a9
 
 register(
+    "a9b_cube_grouping_id",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+
+
+def _a9b(spark, sf_dir):
+    """CUBE with grouping_id: all four aggregation levels in one pass,
+    with the grouping bitmask distinguishing real nulls from totals."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "orders",
+        )
+    )
+
+
+CATALOG["a9b_cube_grouping_id"].fn = _a9b
+
+register(
+    "n_array_sort_top3",
+    oracle="""
+    SELECT vec_id,
+           CAST(l[1] AS DOUBLE) AS top1, CAST(l[2] AS DOUBLE) AS top2, CAST(l[3] AS DOUBLE) AS top3
+    FROM (SELECT vec_id, list_reverse_sort(embedding) AS l FROM embeddings)
+    """,
+)
+
+
+def _nsort(spark, sf_dir):
+    """Array sort + element extraction: top-3 dimensions per embedding
+    (sort_array desc ≙ list_reverse_sort)."""
+    e = t(spark, sf_dir, "embeddings")
+    s = F.sort_array(F.col("embedding"), asc=False)
+    return e.select(
+        "vec_id",
+        F.element_at(s, 1).cast("double").alias("top1"),
+        F.element_at(s, 2).cast("double").alias("top2"),
+        F.element_at(s, 3).cast("double").alias("top3"),
+    )
+
+
+CATALOG["n_array_sort_top3"].fn = _nsort
+
+register(
     "a10_pivot_status",
     oracle="""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
