@@ -204,11 +204,11 @@ register(
     "a5_quality_singlepass",
     oracle="""
     SELECT COUNT(*) AS total_rows,
-           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
-           SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS neg_price,
-           SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_out_of_range,
-           SUM(CASE WHEN NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 ELSE 0 END) AS bad_flag,
-           SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS disc_in_range
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+           CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+           CAST(SUM(CASE WHEN NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag,
+           CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_in_range
     FROM lineitem
     """,
 )
@@ -239,8 +239,8 @@ register(
     "a6_completeness",
     oracle="""
     SELECT COUNT(*) AS total_rows,
-           SUM(CASE WHEN o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
-                     AND o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS complete_rows
+           CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+                     AND o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS complete_rows
     FROM orders
     """,
 )
@@ -746,7 +746,7 @@ register(
     "d7_freshness",
     oracle="""
     SELECT COUNT(*) AS total_rows,
-           SUM(CASE WHEN (1706659200 - FLOOR(epoch(ts))) / 3600.0 > 240 THEN 1 ELSE 0 END) AS stale_rows
+           CAST(SUM(CASE WHEN (1706659200 - FLOOR(epoch(ts))) / 3600.0 > 240 THEN 1 ELSE 0 END) AS BIGINT) AS stale_rows
     FROM events
     """,
 )
@@ -1069,13 +1069,13 @@ register(
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, event_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
-           FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS duration_secs
+           CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_secs
     FROM sess GROUP BY user_id, session_id
     """,
     bench=True,

@@ -34,6 +34,43 @@ def ddb(sf_oracle):
     con.close()
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the kind the driver's value hash is
+    sensitive to: int-family, float-family, bool, datetime, or object.
+
+    DuckDB HUGEINT (from SUM(CASE ...)) arrives as object/float128-ish and
+    DOUBLE arrives as float64 — both must NOT silently equal Spark's int64.
+    """
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("bool"):
+        return "bool"
+    if "datetime" in s or "date" in s:
+        return "datetime"
+    return "object"
+
+
+def assert_dtype_kinds(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame):
+    """Driver-faithful type gate: the driver hashes values type-sensitively,
+    so an int64 Spark column vs a HUGEINT/DOUBLE oracle column fails there
+    even when the numbers agree.  Catch that class locally (VERDICT r1 §wrong)."""
+    for col in sorted(spark_df.columns):
+        ks, kd = _dtype_kind(spark_df[col].dtype), _dtype_kind(duck_df[col].dtype)
+        # HUGEINT comes back as object holding Python ints — detect and flag.
+        if kd == "object" and len(duck_df) and all(
+            isinstance(v, int) for v in duck_df[col] if v is not None
+        ) and ks != "object":
+            kd = "int-as-object(HUGEINT?)"
+        assert ks == kd, (
+            f"{name}.{col}: dtype kind mismatch spark={spark_df[col].dtype}({ks}) "
+            f"vs oracle={duck_df[col].dtype}({kd}) — would fail the driver value hash; "
+            f"CAST the oracle (or alias the Spark side) to the same type"
+        )
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -72,6 +109,7 @@ def test_oracle_parity(name, spark, sf_oracle, ddb):
     q = CATALOG[name]
     spark_pdf = q.fn(spark, sf_oracle).toPandas()
     duck_pdf = ddb.sql(q.oracle).df()
+    assert_dtype_kinds(name, spark_pdf, duck_pdf)
     assert_frames_exact(name, spark_pdf, duck_pdf)
 
 
