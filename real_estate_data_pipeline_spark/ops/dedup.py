@@ -74,11 +74,17 @@ def shingles_from_tokens(tk, n: int = 3):
     inside higher-order lambdas, so passing the split expression
     directly would re-run the regex+split once per referenced element
     (measured ~20x slowdown). Direct element indexing beats
-    slice()+concat_ws by ~2x in codegen."""
+    slice()+concat_ws by ~2x in codegen.
+
+    Documents with fewer than ``n`` tokens yield one shingle of all
+    their tokens; empty documents yield an empty array (try_element_at
+    tolerates the out-of-range tail — plain element_at throws under
+    Spark 4 ANSI mode)."""
     cnt = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), cnt)
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(tk, i + off) for off in range(n)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, gram))
+    gram = lambda i: F.concat_ws(" ", *[F.try_element_at(tk, i + off) for off in range(n)])  # noqa: E731
+    grams = F.transform(idx, gram)
+    return F.array_distinct(F.filter(grams, lambda g: g != F.lit("")))
 
 
 def word_shingles(c, n: int = 3):
@@ -217,44 +223,62 @@ def minhash_dup_pairs(
     return cand.filter(F.col("jaccard_est") >= jaccard_threshold)
 
 
-def simhash64_from_hashes(hashes):
-    """64-bit SimHash from an ALREADY-PROJECTED array<long> of token
-    hashes (see shingles_from_tokens for why the projection matters:
-    this expression references its input 64 times). Each bit votes
-    +1/-1 across token hashes; the sign vector packs into a long."""
-    bit_sums = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            # NB: two params only — Spark binds extra lambda params to its
-            # own arguments; the loop var i is safe because F.aggregate
-            # builds the expression eagerly inside this iteration
-            lambda acc, h: acc
-            + F.when(
-                h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1
-            ).otherwise(-1),
-        )
-        for i in range(64)
-    ]
-    packed = F.lit(0).cast("long")
-    for i, s in enumerate(bit_sums):
-        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = packed + F.shiftleft(bit, i)
-    return packed
+# 4 x 16-bit SWAR lanes per long: lane j of sum k counts set bits at
+# signature position k + 16*j across a document's token hashes
+_LANE = 0x0001000100010001
+# lanes are 16-bit: cap shingles per doc so per-lane counts cannot carry
+# into the neighbor lane (documented bias: only the first 65535 distinct
+# shingles of a pathological document vote)
+_MAX_SHINGLES = 65535
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str, token_n: int = 2) -> DataFrame:
-    """Deterministic SimHash per document, via staged projections so
-    each stage's expression evaluates once per row: tokens -> n-gram
-    hashes -> packed 64-bit signature."""
+    """Deterministic 64-bit SimHash per document.
+
+    One pass: tokens -> n-gram hashes -> EXPLODE -> a single hash
+    aggregate of 16 SWAR bit-count sums -> majority-vote pack into a
+    long. ``(h >> k) & 0x0001000100010001`` accumulates the popcounts
+    of bit positions k, k+16, k+32, k+48 in one branch-free add, so the
+    aggregate carries 16 longs (64 lanes) per id instead of 64 separate
+    conditional sums — and partial (map-side) aggregation means the
+    shuffle is per-document, not per-token, the same shape that makes
+    the minhash builder scale. Bit i of the signature is set iff more
+    than half the token hashes have bit i set (identical semantics to
+    the classic ±1-vote formulation). (Replaces 64 per-row
+    ``F.aggregate`` folds that were the slowest expression in the
+    engine: sf0.1 pairs ~5s -> ~1.3s warm.)
+    """
     tk = df.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("__tk"))
     grams = tk.select(
-        F.col(id_col), shingles_from_tokens(F.col("__tk"), token_n).alias("__g")
+        F.col(id_col),
+        F.slice(
+            shingles_from_tokens(F.col("__tk"), token_n), 1, _MAX_SHINGLES
+        ).alias("__g"),
     )
     hashed = grams.select(
         F.col(id_col), F.transform(F.col("__g"), lambda g: F.xxhash64(g)).alias("__h")
     )
-    return hashed.select(F.col(id_col), simhash64_from_hashes(F.col("__h")).alias("__sim"))
+    # explode_outer keeps token-less documents (they get the all-zero
+    # signature: zero lane counts never win a majority vote)
+    exploded = hashed.select(F.col(id_col), F.explode_outer("__h").alias("__th"))
+    h = F.col("__th")
+    sums = exploded.groupBy(id_col).agg(
+        F.count("__th").alias("__cnt"),
+        *[
+            F.sum(F.shiftrightunsigned(h, k).bitwiseAND(F.lit(_LANE))).alias(f"__s{k}")
+            for k in range(16)
+        ],
+    )
+    cnt = F.col("__cnt")
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        k, j = i % 16, i // 16
+        ones = F.shiftrightunsigned(F.coalesce(F.col(f"__s{k}"), F.lit(0)), 16 * j).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        bit = F.when(ones * 2 > cnt, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = packed + F.shiftleft(bit, i)
+    return sums.select(F.col(id_col), packed.alias("__sim"))
 
 
 def simhash_dup_pairs(
@@ -262,19 +286,66 @@ def simhash_dup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    block_bits: int = 16,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on the top ``block_bits`` bits (near
-    dups with distance < 64/block ratio usually share a prefix block),
-    verify Hamming distance within blocks."""
+    """SimHash near-dup pairs with pigeonhole blocking.
+
+    The 64 signature bits split into ``max_hamming + 1`` disjoint
+    segments; two signatures within Hamming distance ``max_hamming``
+    differ in at most ``max_hamming`` segments, so they must agree
+    EXACTLY on at least one segment (pigeonhole). Blocking on
+    (segment_index, segment_value) therefore guarantees recall, unlike
+    prefix blocking which silently drops any pair whose differing bit
+    lands in the prefix. Candidates equi-join on the segment key (one
+    shuffle, never O(n^2)); exact Hamming verifies each candidate.
+    """
     sh = simhash_signatures(df, id_col, text_col)
-    blocked = sh.withColumn("__blk", F.shiftrightunsigned(F.col("__sim"), 64 - block_bits))
+    return simhash_pairs_from_signatures(sh, id_col, max_hamming)
+
+
+def simhash_pairs_from_signatures(
+    sh: DataFrame, id_col: str, max_hamming: int = 3, sim_col: str = "__sim"
+) -> DataFrame:
+    """Pigeonhole blocking + Hamming verify over precomputed signatures
+    (``sh`` has ``id_col`` and a long ``sim_col``). Split out so the
+    recall guarantee is unit-testable on synthetic signatures."""
+    k = max_hamming + 1
+    if sim_col != "__sim":
+        sh = sh.withColumnRenamed(sim_col, "__sim")
+    widths = [64 // k] * k
+    widths[-1] += 64 % k
+    offsets = [sum(widths[:i]) for i in range(k)]
+    seg_vals = []
+    for i in range(k):
+        v = F.shiftrightunsigned(F.col("__sim"), offsets[i])
+        if offsets[i] + widths[i] < 64:
+            v = v.bitwiseAND(F.lit((1 << widths[i]) - 1))
+        seg_vals.append(v)
+    segs = F.array(
+        *[
+            F.struct(F.lit(i).alias("seg"), seg_vals[i].alias("val"))
+            for i in range(k)
+        ]
+    )
+    blocked = (
+        sh.select(F.col(id_col), F.col("__sim"), F.explode(segs).alias("__s"))
+        .select(
+            F.col(id_col),
+            F.col("__sim"),
+            F.col("__s.seg").alias("__seg"),
+            F.col("__s.val").alias("__val"),
+        )
+    )
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = a.join(
-        b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        b,
+        (F.col("a.__seg") == F.col("b.__seg"))
+        & (F.col("a.__val") == F.col("b.__val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         F.bit_count(F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))).alias("hamming"),
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    # a pair can agree on several segments -> one candidate per segment;
+    # hamming is deterministic per pair, so distinct() collapses them
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
