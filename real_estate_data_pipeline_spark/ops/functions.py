@@ -33,22 +33,58 @@ def normalize_email(c: Column) -> Column:
     ).otherwise(F.lit(""))
 
 
-# Minimal HTML entity table; the reference chains ~40 regexp_replace calls
-# (transformation_utils.py:79-173). One combined pass keeps the plan small.
+# Full entity table from the reference, which chains ~40 regexp_replace
+# calls (transformation_utils.py:91-138) — incl. its nonstandard
+# Vietnamese-accent names (&etilde; &itilde; &utilde; &ygrave;), kept
+# verbatim for behavior parity. One combined chain of literal F.replace
+# calls (no regex engine per entity) keeps the plan cheap.
 _HTML_ENTITIES = {
+    "&nbsp;": " ",
+    "&quot;": '"',
     "&amp;": "&",
     "&lt;": "<",
     "&gt;": ">",
-    "&quot;": '"',
     "&#39;": "'",
-    "&nbsp;": " ",
+    # Vietnamese lowercase - a
     "&aacute;": "á",
     "&agrave;": "à",
+    "&atilde;": "ã",
+    "&acirc;": "â",
+    "&Acirc;": "Â",
+    # Vietnamese lowercase - e
     "&eacute;": "é",
     "&egrave;": "è",
+    "&etilde;": "ẽ",
+    "&ecirc;": "ê",
+    "&Ecirc;": "Ê",
+    # Vietnamese lowercase - i
     "&iacute;": "í",
+    "&igrave;": "ì",
+    "&itilde;": "ĩ",
+    # Vietnamese lowercase - o
     "&oacute;": "ó",
+    "&ograve;": "ò",
+    "&otilde;": "õ",
+    "&ocirc;": "ô",
+    "&Ocirc;": "Ô",
+    # Vietnamese lowercase - u
     "&uacute;": "ú",
+    "&ugrave;": "ù",
+    "&utilde;": "ũ",
+    # Vietnamese lowercase - y
+    "&yacute;": "ý",
+    "&ygrave;": "ỳ",
+    # Vietnamese uppercase
+    "&Aacute;": "Á",
+    "&Agrave;": "À",
+    "&Eacute;": "É",
+    "&Egrave;": "È",
+    "&Iacute;": "Í",
+    "&Igrave;": "Ì",
+    "&Oacute;": "Ó",
+    "&Ograve;": "Ò",
+    "&Uacute;": "Ú",
+    "&Ugrave;": "Ù",
 }
 
 

@@ -1,9 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
 Baseline: brute-force cosine top-k — a single map + top-k, no shuffle of
-the corpus. Scale path: deterministic sign-LSH bucketing (hyperplanes =
-coordinate axes of leading dims), which prunes candidates with one
-equi-join; and an IVF-style variant that clusters on coarse buckets.
+the corpus. Scale path: seeded random-hyperplane sign-LSH bucketing,
+which prunes candidates with one equi-join; and an IVF-style variant
+that clusters on coarse buckets.
 
 All dot products are built-in higher-order functions (zip_with +
 aggregate) folding left-to-right in double precision — deterministic and
@@ -12,8 +12,24 @@ reproducible in any engine that folds sequentially.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Deterministic hyperplane family: both the Spark expression and the
+# DuckDB oracle SQL are generated from THESE literals, so the two
+# engines bucket identically (sign flips would need |dot| ~ 1e-15).
+_PLANE_SEED = 42
+_PLANE_DIM = 64
+
+
+def gaussian_planes(bits: int, dim: int = _PLANE_DIM, seed: int = _PLANE_SEED) -> list[list[float]]:
+    """``bits`` seeded standard-normal hyperplanes of ``dim`` dims.
+    NumPy's Generator is stable across platforms for a fixed seed, and
+    the planes are embedded as literals in the plan — executors never
+    run numpy."""
+    rng = np.random.default_rng(seed)
+    return [[float(v) for v in row] for row in rng.standard_normal((bits, dim))]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -37,16 +53,61 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
 
 
-def sign_bucket(vec: Column, bits: int = 8) -> Column:
-    """Deterministic LSH bucket: concatenated signs of the first ``bits``
-    dimensions. A degenerate-but-deterministic random-hyperplane LSH
-    (planes = coordinate axes); replace with seeded Gaussian planes for
-    production recall."""
-    parts = [
-        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(bits)
-    ]
+def _bucket_from_planes(vec: Column, planes: list[list[float]]) -> Column:
+    parts = []
+    for p in planes:
+        plane = F.array(*[F.lit(v) for v in p])
+        prods = F.zip_with(vec, plane, lambda x, y: x.cast("double") * y)
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + F.coalesce(v, F.lit(0.0)))
+        parts.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*parts)
+
+
+def _bucket_sql_from_planes(col: str, planes: list[list[float]], dim: int = _PLANE_DIM) -> str:
+    cases = []
+    for p in planes:
+        arr = "[" + ", ".join(repr(v) for v in p) + "]"
+        dotp = (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST({col}[i] AS DOUBLE) * ({arr})[i]))"
+        )
+        cases.append(f"CASE WHEN {dotp} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(cases) + ")"
+
+
+def sign_bucket(
+    vec: Column, bits: int = 8, dim: int = _PLANE_DIM, seed: int = _PLANE_SEED
+) -> Column:
+    """Random-hyperplane LSH bucket: bit j is the sign of <vec, g_j> for
+    seeded Gaussian planes g_j (Charikar SimHash for real vectors —
+    collision probability 1 - theta/pi per bit). Replaces the r1
+    coordinate-axis planes, whose recall collapsed whenever the data's
+    leading dimensions were uninformative (e.g. any rotation putting
+    cluster structure outside the first ``bits`` coords)."""
+    return _bucket_from_planes(vec, gaussian_planes(bits, dim, seed))
+
+
+def sign_bucket_sql(col: str, bits: int = 8, dim: int = _PLANE_DIM, seed: int = _PLANE_SEED) -> str:
+    """DuckDB expression computing the SAME bucket as :func:`sign_bucket`
+    (identical float64 literals, same >= 0 threshold) — lets oracle SQL
+    replicate LSH-bucketed queries exactly."""
+    return _bucket_sql_from_planes(col, gaussian_planes(bits, dim, seed), dim)
+
+
+def band_planes(
+    bits: int, bands: int, dim: int = _PLANE_DIM, seed: int = _PLANE_SEED
+) -> list[list[list[float]]]:
+    """``bands`` disjoint plane families of ``bits`` planes each, carved
+    from one seeded draw (band t gets planes [t*bits, (t+1)*bits))."""
+    all_planes = gaussian_planes(bits * bands, dim, seed)
+    return [all_planes[t * bits : (t + 1) * bits] for t in range(bands)]
+
+
+def banded_bucket_sql(
+    col: str, bits: int, bands: int, dim: int = _PLANE_DIM, seed: int = _PLANE_SEED
+) -> list[str]:
+    """Per-band DuckDB bucket expressions matching the Spark banded LSH."""
+    return [_bucket_sql_from_planes(col, p, dim) for p in band_planes(bits, bands, dim, seed)]
 
 
 def brute_force_topk(
@@ -159,17 +220,37 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 6,
+    bands: int = 3,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates share a sign-LSH
-    bucket, verified by exact cosine >= threshold. The embedding-space
-    member of the dedup family (exact / minhash / simhash / jaccard /
-    embedding)."""
+    """Embedding-cosine near-duplicate pairs: banded sign-LSH candidates
+    (a pair is a candidate when ANY of the ``bands`` disjoint plane
+    families agrees on all ``bits`` signs — same amplification trick as
+    the MinHash banding), verified by exact cosine >= threshold. The
+    embedding-space member of the dedup family (exact / minhash /
+    simhash / jaccard / embedding).
+
+    Single-bucket LSH loses recall whenever one member of a tight
+    cluster sits near one hyperplane (one flipped bit breaks all its
+    pairs); with p = per-bit collision probability the banded miss rate
+    is (1 - p^bits)^bands instead of 1 - p^bits.
+
+    Plan shape: posexplode to (band, bucket) rows — bands is small, so
+    the 3x row blow-up is cheap — then ONE equi-join on (band, bucket),
+    cosine filter, and a dedup shuffle on the surviving pairs only."""
+    fams = band_planes(bits, bands)
+    bucket_arr = F.array(*[_bucket_from_planes(F.col(vec_col), p) for p in fams])
     b = df.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("__bkt")
-    ).withColumn("__n", F.sqrt(l2_norm_sq(F.col(vec_col))))
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("__n"),
+        F.posexplode(bucket_arr).alias("__band", "__bkt"),
+    )
     l, r = b.alias("a"), b.alias("b")
     pairs = l.join(
-        r, (F.col("a.__bkt") == F.col("b.__bkt")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        r,
+        (F.col("a.__band") == F.col("b.__band"))
+        & (F.col("a.__bkt") == F.col("b.__bkt"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
@@ -177,7 +258,9 @@ def embedding_dup_pairs(
             "cosine_sim"
         ),
     )
-    return pairs.filter(F.col("cosine_sim") >= threshold)
+    # a pair matching in several bands appears once per band; cosine is
+    # identical in each, so dropDuplicates is value-deterministic
+    return pairs.filter(F.col("cosine_sim") >= threshold).dropDuplicates(["id_a", "id_b"])
 
 
 def knn_join(

@@ -1329,16 +1329,10 @@ def _simbf(spark, sf_dir):
 
 CATALOG["sim_bruteforce_topk"].fn = _simbf
 
-_BUCKET_SQL_E = (
-    "concat("
-    + ", ".join([f"CASE WHEN e.embedding[{i+1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)])
-    + ")"
-)
-_BUCKET_SQL_Q = (
-    "concat("
-    + ", ".join([f"CASE WHEN q.embedding[{i+1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)])
-    + ")"
-)
+# generated from the SAME seeded Gaussian plane literals as the Spark
+# expression (ops/similarity.sign_bucket), so both engines bucket alike
+_BUCKET_SQL_E = similarity.sign_bucket_sql("e.embedding", 8)
+_BUCKET_SQL_Q = similarity.sign_bucket_sql("q.embedding", 8)
 
 register(
     "sim_lsh_topk",
@@ -1427,16 +1421,16 @@ def _simivf(spark, sf_dir):
 
 CATALOG["sim_ivf_topk"].fn = _simivf
 
-_BUCKET6 = lambda side: "concat(" + ", ".join(  # noqa: E731
-    [f"CASE WHEN {side}.embedding[{i+1}] >= 0 THEN '1' ELSE '0' END" for i in range(6)]
-) + ")"
+_EMB_BAND_SQL = similarity.banded_bucket_sql("embedding", bits=6, bands=3)
 
 register(
     "emb_dup_pairs",
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding,
-             concat({", ".join([f"CASE WHEN embedding[{i+1}] >= 0 THEN '1' ELSE '0' END" for i in range(6)])}) AS bkt,
+             {_EMB_BAND_SQL[0]} AS bkt0,
+             {_EMB_BAND_SQL[1]} AS bkt1,
+             {_EMB_BAND_SQL[2]} AS bkt2,
              SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
       FROM embeddings
     )
@@ -1445,18 +1439,21 @@ register(
              list_sum(list_transform(range(1, 65), i ->
                  CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
                / (a.n * c.n) AS cosine_sim
-      FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+      FROM b a JOIN b c
+        ON a.vec_id < c.vec_id
+       AND (a.bkt0 = c.bkt0 OR a.bkt1 = c.bkt1 OR a.bkt2 = c.bkt2)
     ) WHERE cosine_sim >= 0.35
     """,
 )
 
 
 def _embdup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (bucketed candidates + exact
-    verify). Threshold 0.35 because the synthetic embeddings are
-    isotropic (max pairwise cosine ~0.5)."""
+    """Embedding-cosine near-dup pairs (banded sign-LSH candidates +
+    exact verify; OR-of-bands in the oracle matches the Spark union of
+    per-band equi-joins). Threshold 0.35 because the synthetic
+    embeddings are isotropic (max pairwise cosine ~0.5)."""
     e = t(spark, sf_dir, "embeddings")
-    return similarity.embedding_dup_pairs(e, threshold=0.35, bits=6)
+    return similarity.embedding_dup_pairs(e, threshold=0.35, bits=6, bands=3)
 
 
 CATALOG["emb_dup_pairs"].fn = _embdup

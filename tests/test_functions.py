@@ -53,6 +53,27 @@ def test_strip_html_vietnamese(spark):
     assert "  " not in vals[0]  # whitespace collapsed
 
 
+def test_strip_html_full_entity_table(spark):
+    """Round-trips for the reference's full ~38-entity table
+    (transformation_utils.py:91-138), incl. its nonstandard names
+    (&ecirc; &etilde; &utilde; &ygrave;) and uppercase variants."""
+    cases = [
+        ("nh&agrave; &ocirc;t&ocirc;", "nhà ôtô"),
+        ("chung c&ecirc; &Ecirc;", "chung cê Ê"),
+        ("v&itilde; m&otilde;", "vĩ mõ"),
+        ("&Uacute;t &ugrave;n &utilde;", "Út ùn ũ"),
+        ("m&yacute; &ygrave;", "mý ỳ"),
+        ("&Aacute;&Agrave;&Eacute;&Egrave;&Iacute;&Igrave;", "ÁÀÉÈÍÌ"),
+        ("&Oacute;&Ograve;&Uacute;&Ugrave;&Acirc;&Ocirc;", "ÓÒÚÙÂÔ"),
+        ("a &atilde; &acirc; &egrave; &igrave; &ograve; &otilde;", "a ã â è ì ò õ"),
+    ]
+    vals = col_vals(
+        spark, [(c[0],) for c in cases], "x string", X.strip_html(F.col("x"))
+    )
+    for got, (_, want) in zip(vals, cases):
+        assert got == want
+
+
 def test_extract_numeric_and_vnd(spark):
     # F5 keeps every digit and dot ("m2" contributes its 2 — reference parity)
     assert col_vals(spark, [("abc12.5m2",)], "x string", X.extract_numeric(F.col("x")))[0] == 12.52

@@ -1,0 +1,68 @@
+"""Recall of the seeded Gaussian sign-LSH (VERDICT r1: the old
+coordinate-axis planes lost all recall whenever the first ``bits``
+dimensions were uninformative). The fixture makes exactly that hostile
+case: cluster structure lives only in dims 9..64, dims 1..8 are pure
+noise — axis-sign bucketing scatters each cluster across 2^8 buckets,
+hyperplane bucketing keeps clusters together.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from real_estate_data_pipeline_spark.ops.similarity import (
+    embedding_dup_pairs,
+    gaussian_planes,
+    sign_bucket,
+)
+
+
+def _hostile_corpus(spark, members=5):
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(2):
+        u = rng.standard_normal(64)
+        u[:8] = 0.0  # cluster direction invisible to axis-sign buckets
+        u /= np.linalg.norm(u)
+        for m in range(members):
+            v = u + 0.01 * rng.standard_normal(64)
+            v[:8] = 0.01 * rng.standard_normal(8)  # first dims: noise only
+            rows.append((c * members + m, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_gaussian_lsh_full_recall_on_rotated_clusters(spark):
+    df = _hostile_corpus(spark)
+    pairs = embedding_dup_pairs(df, threshold=0.9, bits=6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(a, b) for c in range(2) for a in range(c * 5, c * 5 + 5)
+            for b in range(a + 1, c * 5 + 5)}
+    # single-table LSH: a member sitting near one plane can still flip a
+    # bit, so demand high recall rather than perfection — the axis-plane
+    # version finds ~0 of these pairs (cluster signal is outside dims 1-8)
+    assert not (got - want)  # no false cross-cluster pairs
+    assert len(got & want) >= 0.7 * len(want)
+
+
+def test_axis_signs_would_have_scattered_this_corpus(spark):
+    """Documents why the change matters: the old axis-sign bucketing
+    splits each cluster into several buckets on this corpus."""
+    df = _hostile_corpus(spark)
+    axis = df.select(
+        "vec_id",
+        F.concat(*[
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(6)
+        ]).alias("bkt"),
+    ).collect()
+    cluster0 = {r["bkt"] for r in axis if r["vec_id"] < 5}
+    assert len(cluster0) > 1  # axis buckets disagree within a cluster
+
+
+def test_bucket_deterministic_across_calls(spark):
+    df = _hostile_corpus(spark)
+    b1 = {r["vec_id"]: r["b"] for r in df.select("vec_id", sign_bucket(F.col("embedding"), 8).alias("b")).collect()}
+    b2 = {r["vec_id"]: r["b"] for r in df.select("vec_id", sign_bucket(F.col("embedding"), 8).alias("b")).collect()}
+    assert b1 == b2
+    assert gaussian_planes(4) == gaussian_planes(4)  # seeded, stable
