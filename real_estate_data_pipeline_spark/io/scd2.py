@@ -83,7 +83,11 @@ class Scd2Table:
 
     # -- merge --------------------------------------------------------------
     def _changed_cond(self) -> Column:
-        """NOT (all tracked attributes null-safe-equal)."""
+        """NOT (all tracked attributes null-safe-equal). With no tracked
+        attributes nothing can ever differ, so the condition is
+        constant-false (merge degenerates to insert-new-keys-only)."""
+        if not self.tracked:
+            return F.lit(False)
         cond = None
         for c in self.tracked:
             eq = F.col(f"cur.{c}").eqNullSafe(F.col(f"new.{c}"))
@@ -110,46 +114,63 @@ class Scd2Table:
         hist = existing.filter(~F.col("is_current"))
         new = incoming.alias("new")
 
-        joined = cur.join(new, F.col(f"cur.{self.key}") == F.col(f"new.{self.key}"), "full_outer")
-        changed = self._changed_cond()
-
-        matched = joined.filter(
-            F.col(f"cur.{self.key}").isNotNull() & F.col(f"new.{self.key}").isNotNull()
-        )
-        # closed: matched + changed -> old row with valid_to stamped
-        closed = (
-            matched.filter(changed)
-            .select("cur.*")
-            .withColumn("is_current", F.lit(False))
-            .withColumn("valid_to", batch_ts.cast("timestamp"))
-        )
-        unchanged_cur = matched.filter(~changed).select("cur.*")
-        # rows in cur with no incoming match stay current untouched
-        only_cur = joined.filter(F.col(f"new.{self.key}").isNull()).select("cur.*")
-        # inserts: brand-new keys + new versions of changed keys
-        inserts = (
-            joined.filter(
-                F.col(f"new.{self.key}").isNotNull()
-                & (F.col(f"cur.{self.key}").isNull() | changed)
+        # one full-outer join, persisted: the counter aggregate and the
+        # snapshot write both reuse it instead of recomputing the
+        # join lineage once per action (4x before)
+        joined = cur.join(
+            new, F.col(f"cur.{self.key}") == F.col(f"new.{self.key}"), "full_outer"
+        ).persist()
+        try:
+            changed = self._changed_cond()
+            is_matched = (
+                F.col(f"cur.{self.key}").isNotNull() & F.col(f"new.{self.key}").isNotNull()
             )
-            .select("new.*")
-            .withColumn("is_current", F.lit(True))
-            .withColumn("valid_from", batch_ts.cast("timestamp"))
-            .withColumn("valid_to", F.lit(None).cast("timestamp"))
-        )
+            insert_cond = F.col(f"new.{self.key}").isNotNull() & (
+                F.col(f"cur.{self.key}").isNull() | changed
+            )
 
-        cols = [f.name for f in existing.schema.fields]
-        result = (
-            hist.select(cols)
-            .unionByName(closed.select(cols))
-            .unionByName(unchanged_cur.select(cols))
-            .unionByName(only_cur.select(cols))
-            .unionByName(inserts.select(cols))
-        )
-        counters = {
-            "closed": closed.count(),
-            "inserted": inserts.count(),
-            "unchanged": unchanged_cur.count(),
+            matched = joined.filter(is_matched)
+            # closed: matched + changed -> old row with valid_to stamped
+            closed = (
+                matched.filter(changed)
+                .select("cur.*")
+                .withColumn("is_current", F.lit(False))
+                .withColumn("valid_to", batch_ts.cast("timestamp"))
+            )
+            unchanged_cur = matched.filter(~changed).select("cur.*")
+            # rows in cur with no incoming match stay current untouched
+            only_cur = joined.filter(F.col(f"new.{self.key}").isNull()).select("cur.*")
+            # inserts: brand-new keys + new versions of changed keys
+            inserts = (
+                joined.filter(insert_cond)
+                .select("new.*")
+                .withColumn("is_current", F.lit(True))
+                .withColumn("valid_from", batch_ts.cast("timestamp"))
+                .withColumn("valid_to", F.lit(None).cast("timestamp"))
+            )
+
+            # all three counters in ONE aggregate action over the cached join
+            stats = joined.select(
+                F.coalesce(F.sum((is_matched & changed).cast("long")), F.lit(0)).alias("closed"),
+                F.coalesce(F.sum(insert_cond.cast("long")), F.lit(0)).alias("inserted"),
+                F.coalesce(F.sum((is_matched & ~changed).cast("long")), F.lit(0)).alias(
+                    "unchanged"
+                ),
+            ).collect()[0]
+
+            cols = [f.name for f in existing.schema.fields]
+            result = (
+                hist.select(cols)
+                .unionByName(closed.select(cols))
+                .unionByName(unchanged_cur.select(cols))
+                .unionByName(only_cur.select(cols))
+                .unionByName(inserts.select(cols))
+            )
+            self._write_snapshot(result)
+        finally:
+            joined.unpersist()
+        return {
+            "closed": int(stats["closed"]),
+            "inserted": int(stats["inserted"]),
+            "unchanged": int(stats["unchanged"]),
         }
-        self._write_snapshot(result)
-        return counters

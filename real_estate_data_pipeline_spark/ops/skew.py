@@ -20,7 +20,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt(df: DataFrame, n: int, salt_from: str) -> Column:
+def _salt(df: DataFrame, n: int, salt_from: str | None, keys: list[str]) -> Column:
+    """Deterministic per-row salt. ``salt_from=None`` hashes ALL columns,
+    which spreads a hot key as long as its rows differ anywhere; passing
+    one of ``keys`` would put every row of a hot key into the same salt
+    (a silent no-op), so that is rejected."""
+    if salt_from is None:
+        return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n)).cast("int")
+    if salt_from in keys:
+        raise ValueError(
+            f"salt_from={salt_from!r} is a group/join key: every row of a hot key "
+            "would get the same salt, defeating the mitigation. Use a row-unique "
+            "column, or None to hash all columns."
+        )
     return F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n)).cast("int")
 
 
@@ -39,8 +51,7 @@ def salted_aggregate(
         salted_aggregate(li, ["l_returnflag"],
                          {"qty": ("l_quantity", "sum"), "n": ("*", "count")})
     """
-    salt_from = salt_from or keys[0]
-    salted = df.withColumn("__salt", _salt(df, n_salts, salt_from))
+    salted = df.withColumn("__salt", _salt(df, n_salts, salt_from, keys))
 
     phase1 = []
     for out, (col, fn) in aggs.items():
@@ -75,8 +86,7 @@ def salted_join(
     the dim side is exploded n_salts ways, the join key becomes
     (key, salt). Dim grows n_salts x — use for small-to-medium dims
     where broadcast is too big but a hot fact key melts one reducer."""
-    salt_from = salt_from or on
-    f = fact.withColumn("__salt", _salt(fact, n_salts, salt_from))
+    f = fact.withColumn("__salt", _salt(fact, n_salts, salt_from, [on]))
     d = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     out = f.join(d, [on, "__salt"], how)
     return out.drop("__salt")

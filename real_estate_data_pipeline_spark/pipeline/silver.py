@@ -42,6 +42,14 @@ class SilverResult:
     quarantine: DataFrame
     quality_report: str
     counters: dict
+    # the persisted validation-split frame; callers release() once the
+    # silver/quarantine branches have been consumed
+    cached: DataFrame | None = None
+
+    def release(self) -> None:
+        if self.cached is not None:
+            self.cached.unpersist()
+            self.cached = None
 
 
 class SilverPipeline:
@@ -115,9 +123,13 @@ class SilverPipeline:
         return out
 
     # -- stage 3: validation split ------------------------------------------
-    def validate(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def validate(self, df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         """P2 predicate split; cached so valid and invalid branches don't
-        recompute the full lineage. Ref: silver_etl_script.py:526-589."""
+        recompute the full lineage. Returns (valid, invalid, tagged)
+        where ``tagged`` is the persisted frame — the caller unpersists
+        it once both branches are consumed (run() threads it through
+        SilverResult.cached / release()).
+        Ref: silver_etl_script.py:526-589."""
         pred = self.validation.valid_predicate()
         tagged = df.withColumn("__valid", pred).persist(StorageLevel.MEMORY_AND_DISK)
         valid = tagged.filter(F.col("__valid")).drop("__valid")
@@ -126,7 +138,7 @@ class SilverPipeline:
             .drop("__valid")
             .withColumn("reject_reason", self.validation.reject_reason())
         )
-        return valid, invalid
+        return valid, invalid, tagged
 
     # -- stage 4: quality ----------------------------------------------------
     def quality(self, df: DataFrame) -> tuple[str, list]:
@@ -227,12 +239,13 @@ class SilverPipeline:
             result.quarantine.write.mode("append").partitionBy("spider_name").parquet(
                 quarantine_path
             )
+        result.release()  # both branches consumed; free the cached split
         return result
 
     # -- full run -------------------------------------------------------------
     def run(self, bronze: DataFrame) -> SilverResult:
         mapped = self.map_all(bronze)
-        valid, invalid = self.validate(mapped)
+        valid, invalid, tagged = self.validate(mapped)
         report, results = self.quality(valid)
         cleansed = self.cleanse(valid)
         standardized = self.standardize(cleansed)
@@ -243,5 +256,9 @@ class SilverPipeline:
             "quality_failed": sum(1 for r in results if not r.passed),
         }
         return SilverResult(
-            silver=enriched, quarantine=invalid, quality_report=report, counters=counters
+            silver=enriched,
+            quarantine=invalid,
+            quality_report=report,
+            counters=counters,
+            cached=tagged,
         )

@@ -63,6 +63,34 @@ def test_salted_aggregate_rejects_non_algebraic(spark, skewed):
         salted_aggregate(skewed, ["k"], {"m": ("v", "median")})
 
 
+def test_default_salt_spreads_hot_key(spark, skewed):
+    """ADVICE r1: the old default salted on the key itself — every HOT
+    row got ONE salt and the mitigation was a no-op. The new default
+    hashes all columns; assert correctness AND actual spreading."""
+    plain = {r["k"]: r["n"] for r in skewed.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r["k"]: r["n"]
+        for r in salted_aggregate(skewed, ["k"], {"n": ("*", "count")}, n_salts=8).collect()
+    }
+    assert plain == got
+    from real_estate_data_pipeline_spark.ops.skew import _salt
+
+    n_salts = (
+        skewed.filter(F.col("k") == "HOT")
+        .select(_salt(skewed, 8, None, ["k"]).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1  # hot key really spans multiple reducers
+
+
+def test_salting_on_group_key_rejected(spark, skewed):
+    with pytest.raises(ValueError, match="group/join key"):
+        salted_aggregate(skewed, ["k"], {"n": ("*", "count")}, salt_from="k")
+    with pytest.raises(ValueError, match="group/join key"):
+        salted_join(skewed, skewed.select("k").distinct(), "k", salt_from="k")
+
+
 def test_apply_in_pandas_with_state(spark, tmp_path):
     d = tmp_path / "ev"
     d.mkdir()
