@@ -335,17 +335,48 @@ def simhash_pairs_from_signatures(
             F.col("__s.val").alias("__val"),
         )
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.__seg") == F.col("b.__seg"))
-        & (F.col("a.__val") == F.col("b.__val"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.bit_count(F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))).alias("hamming"),
+    # Intra-bucket pair expansion instead of a self-join: a self-join
+    # plans the (expensive) signature subtree TWICE — the broadcast side
+    # can't reuse the other side's shuffle stage — so signatures were
+    # computed twice per run. Grouping each (segment, value) bucket and
+    # expanding i<j pairs with higher-order functions computes
+    # signatures ONCE and shuffles only slim (id, sim) structs. The
+    # pair work per bucket is identical to what the equi-join did (a
+    # hash join emits every bucket's pair in one task too); a
+    # pathological bucket (thousands of identical signatures) would
+    # materialize its member array in memory — at ~16 bytes/member that
+    # is harmless until buckets reach millions, at which point the data
+    # needs exact-dedup first anyway.
+    buckets = (
+        blocked.groupBy("__seg", "__val")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("__sim").alias("sim"))
+            ).alias("__m")
+        )
+        .filter(F.size("__m") > 1)
+    )
+    arr = F.col("__m")
+    tail_len = lambda i: F.greatest(F.size(arr) - i - F.lit(1), F.lit(0))  # noqa: E731
+    pair_lists = F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + F.lit(2), tail_len(i)),
+            lambda y: F.struct(
+                F.least(x["id"], y["id"]).alias("id_a"),
+                F.greatest(x["id"], y["id"]).alias("id_b"),
+                F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
+            ),
+        ),
+    )
+    close = F.filter(
+        F.flatten(pair_lists), lambda p: p["hamming"] <= F.lit(max_hamming)
+    )
+    pairs = buckets.select(F.explode(close).alias("__p")).select(
+        F.col("__p.id_a").alias("id_a"),
+        F.col("__p.id_b").alias("id_b"),
+        F.col("__p.hamming").alias("hamming"),
     )
     # a pair can agree on several segments -> one candidate per segment;
     # hamming is deterministic per pair, so distinct() collapses them
-    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+    return pairs.distinct()
