@@ -271,28 +271,35 @@ def knn_join(
     right_id: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 6,
+    bands: int = 3,
 ) -> DataFrame:
-    """Bucketed approximate kNN join: pairs within the same sign bucket,
-    ranked by cosine per left id. One equi-join shuffle on the bucket key
-    instead of a full cross join."""
+    """Banded-LSH approximate kNN join: a pair is a candidate when ANY
+    of the ``bands`` disjoint plane families agrees on all ``bits``
+    signs; candidates rank by cosine per left id. One equi-join shuffle
+    on (band, bucket) instead of a full cross join; banding recovers
+    the recall a single bucket loses when a vector sits near one
+    hyperplane (same amplification as embedding_dup_pairs)."""
+
+    def _sides(df, id_in, id_out, v_alias, n_alias):
+        fams = band_planes(bits, bands)
+        barr = F.array(*[_bucket_from_planes(F.col(vec_col), p) for p in fams])
+        return df.select(
+            F.col(id_in).alias(id_out),
+            F.col(vec_col).alias(v_alias),
+            F.sqrt(l2_norm_sq(F.col(vec_col))).alias(n_alias),
+            F.posexplode(barr).alias("__band", "__bkt"),
+        )
+
     # norms precomputed per side: the pair stage then does one dot
     # product per pair instead of dot + two norm folds
-    lb = left.select(
-        F.col(left_id).alias("left_id"),
-        F.col(vec_col).alias("__lv"),
-        sign_bucket(F.col(vec_col), bits).alias("__bkt"),
-    ).withColumn("__ln", F.sqrt(l2_norm_sq(F.col("__lv"))))
-    rb = right.select(
-        F.col(right_id).alias("right_id"),
-        F.col(vec_col).alias("__rv"),
-        sign_bucket(F.col(vec_col), bits).alias("__bkt"),
-    ).withColumn("__rn", F.sqrt(l2_norm_sq(F.col("__rv"))))
-    pairs = lb.join(rb, "__bkt").filter(F.col("left_id") != F.col("right_id"))
+    lb = _sides(left, left_id, "left_id", "__lv", "__ln")
+    rb = _sides(right, right_id, "right_id", "__rv", "__rn")
+    pairs = lb.join(rb, ["__band", "__bkt"]).filter(F.col("left_id") != F.col("right_id"))
     scored = pairs.select(
         "left_id",
         "right_id",
         (dot(F.col("__lv"), F.col("__rv")) / (F.col("__ln") * F.col("__rn"))).alias("cosine_sim"),
-    )
+    ).dropDuplicates(["left_id", "right_id"])
     from pyspark.sql import Window
 
     w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))

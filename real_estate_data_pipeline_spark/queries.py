@@ -1762,6 +1762,51 @@ def _sketch(spark, sf_dir):
 CATALOG["sketch_cardinality_profile"].fn = _sketch
 
 register(
+    "sketch_topk_priorities",
+    oracle="""
+    SELECT o_orderpriority AS item, COUNT(*) AS est_count
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY est_count DESC, item
+    """,
+)
+
+
+def _sketch_topk(spark, sf_dir):
+    """DataSketches approx_top_k over order priorities. Oracle-EXACT
+    here: the frequent-items sketch is provably exact while distinct
+    items (5) stay under maxItemsTracked (10k) — at 100 TB the same
+    one-pass aggregate degrades gracefully to approximate instead of
+    shuffling every distinct value."""
+    from .ops.sketches import approx_top_k
+
+    o = t(spark, sf_dir, "orders")
+    return approx_top_k(o, "o_orderpriority", k=5).orderBy(
+        F.desc("est_count"), "item"
+    )
+
+
+CATALOG["sketch_topk_priorities"].fn = _sketch_topk
+
+register("sketch_hll_mergeable_daily", oracle=None)
+
+
+def _sketch_hll(spark, sf_dir):
+    """Re-aggregatable distinct users: per-day DataSketches HLL binaries
+    union-merged into one estimate (rows-only: sketch estimates differ
+    per engine; error bound tested in tests/test_sketches.py). The
+    two-level shape — store per-partition sketch bytes, merge on
+    demand — is what replaces full-table COUNT(DISTINCT) rescans at
+    100 TB."""
+    from .ops.sketches import hll_merge_estimate, hll_partial_sketches
+
+    e = t(spark, sf_dir, "events").withColumn("__day", F.to_date("ts"))
+    daily = hll_partial_sketches(e, "__day", "user_id")
+    return hll_merge_estimate(daily)
+
+
+CATALOG["sketch_hll_mergeable_daily"].fn = _sketch_hll
+
+register(
     "heavy_hitters_event_types",
     oracle="""
     WITH tot AS (SELECT COUNT(*) AS n FROM events)
@@ -2040,6 +2085,133 @@ def _a9b(spark, sf_dir):
 
 
 CATALOG["a9b_cube_grouping_id"].fn = _a9b
+
+register(
+    "a11_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+
+
+def _a11(spark, sf_dir):
+    """Explicit GROUPING SETS (two independent single-key rollups in one
+    pass — the subset CUBE would over-compute). Spark expands the sets
+    map-side; grouping_id disambiguates which set each row belongs to."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("orders"),
+            dsum("o_totalprice", "sales"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "orders",
+            "sales",
+        )
+    )
+
+
+CATALOG["a11_grouping_sets"].fn = _a11
+
+register(
+    "w4_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(DENSE_RANK() OVER w_price AS BIGINT) AS price_rank,
+           PERCENT_RANK() OVER w_price AS price_pct_rank,
+           CUME_DIST() OVER w_price AS price_cume_dist,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+             / CAST(COUNT(*)
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+               AS moving_avg_3
+    FROM orders
+    WINDOW w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+
+
+def _w4(spark, sf_dir):
+    """Rank-function breadth: dense_rank / percent_rank / cume_dist plus
+    a centered 3-row moving average. percent_rank and cume_dist divide
+    exact integer ranks, and the moving average divides an exact
+    decimal frame sum by the frame count — deterministic doubles in
+    both engines."""
+    o = t(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wm = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-1, 1)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(wp).cast("long").alias("price_rank"),
+        F.percent_rank().over(wp).alias("price_pct_rank"),
+        F.cume_dist().over(wp).alias("price_cume_dist"),
+        (
+            F.sum(F.col("o_totalprice").cast(DEC)).over(wm).cast("double")
+            / F.count("*").over(wm).cast("double")
+        ).alias("moving_avg_3"),
+    )
+
+
+CATALOG["w4_rank_family"].fn = _w4
+
+register(
+    "w5_value_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                               RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+                AS BIGINT) AS similar_price_orders,
+           CAST(FIRST_VALUE(o_orderkey) OVER
+                  (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS cheapest_orderkey,
+           CAST(LAST_VALUE(o_orderkey) OVER
+                  (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS priciest_orderkey
+    FROM orders
+    """,
+)
+
+
+def _w5(spark, sf_dir):
+    """Value-based RANGE frame (orders within ±1000 of this order's
+    price) + first/last over the full partition. RANGE frames count
+    peers by value, not position — a different window evaluator than
+    every other query exercises."""
+    o = t(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(wr).cast("long").alias("similar_price_orders"),
+        F.first("o_orderkey").over(wp).cast("long").alias("cheapest_orderkey"),
+        F.last("o_orderkey").over(wfull).cast("long").alias("priciest_orderkey"),
+    )
+
+
+CATALOG["w5_value_range_frame"].fn = _w5
 
 register(
     "n_array_sort_top3",

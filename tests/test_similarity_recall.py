@@ -60,6 +60,24 @@ def test_axis_signs_would_have_scattered_this_corpus(spark):
     assert len(cluster0) > 1  # axis buckets disagree within a cluster
 
 
+def test_knn_join_recall_on_rotated_clusters(spark):
+    """Banded kNN join finds same-cluster neighbors even when cluster
+    structure is invisible to the leading dimensions."""
+    from real_estate_data_pipeline_spark.ops.similarity import knn_join
+
+    df = _hostile_corpus(spark)
+    nn = knn_join(df, df, k=4, bits=6, bands=3).collect()
+    same_cluster = sum(1 for r in nn if r["left_id"] // 5 == r["right_id"] // 5)
+    assert same_cluster >= 0.8 * len(nn)  # neighbors mostly intra-cluster
+    per_left = {}
+    for r in nn:
+        per_left.setdefault(r["left_id"], []).append(r["right_id"])
+    # every member should see at least 2 of its 4 cluster-mates
+    assert all(
+        sum(1 for b in v if b // 5 == a // 5) >= 2 for a, v in per_left.items()
+    )
+
+
 def test_bucket_deterministic_across_calls(spark):
     df = _hostile_corpus(spark)
     b1 = {r["vec_id"]: r["b"] for r in df.select("vec_id", sign_bucket(F.col("embedding"), 8).alias("b")).collect()}

@@ -11,8 +11,12 @@ from pyspark.sql import functions as F
 
 from real_estate_data_pipeline_spark.ops.sketches import (
     approx_quantiles,
+    approx_top_k,
     cardinality_profile,
+    cms_frequency,
     heavy_hitters,
+    hll_merge_estimate,
+    hll_partial_sketches,
 )
 from real_estate_data_pipeline_spark.queries import t
 from real_estate_data_pipeline_spark.streaming.events import (
@@ -76,6 +80,39 @@ def _run(stream_df, name, spark):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def test_hll_mergeable_union_bound(spark, sf_oracle):
+    """Per-day sketches union-merged must estimate the GLOBAL distinct
+    (not the sum of dailies — users appear on many days)."""
+    e = t(spark, sf_oracle, "events").withColumn("__day", F.to_date("ts"))
+    daily = hll_partial_sketches(e, "__day", "user_id")
+    est = hll_merge_estimate(daily).first()["distinct_estimate"]
+    exact = e.select("user_id").distinct().count()
+    day_sum = daily.agg(F.sum("rows")).first()[0]
+    assert abs(est - exact) / exact < 0.05
+    assert est < day_sum  # merged, not summed
+
+
+def test_cms_frequency_bounds(spark, sf_oracle):
+    """CMS estimates never undercount, and overcount by at most eps*N."""
+    e = t(spark, sf_oracle, "events")
+    n = e.count()
+    eps = 0.001
+    cms = cms_frequency(e, "event_type", eps=eps)
+    exact = {r["event_type"]: r["c"] for r in e.groupBy("event_type").agg(F.count("*").alias("c")).collect()}
+    for item, true_cnt in exact.items():
+        est = cms.estimateCount(item)
+        assert est >= true_cnt
+        assert est <= true_cnt + eps * n * 3  # 3x slack over the eps*N bound
+
+
+def test_approx_top_k_exact_under_cap(spark, sf_oracle):
+    o = t(spark, sf_oracle, "orders")
+    got = {r["item"]: r["est_count"] for r in approx_top_k(o, "o_orderpriority", k=5).collect()}
+    exact = {r["o_orderpriority"]: r["c"]
+             for r in o.groupBy("o_orderpriority").agg(F.count("*").alias("c")).collect()}
+    assert got == exact  # 5 distinct values < maxItemsTracked -> exact
 
 
 def test_stream_static_join(spark, stream_src):
