@@ -33,6 +33,34 @@ def test_roundtrip_all_formats(spark, tmp_path):
         assert rows == [(1, "a", 1.5), (2, "b", 2.5)], fmt
 
 
+def test_write_any_roundtrip(spark, tmp_path):
+    from real_estate_data_pipeline_spark.io.writers import write_any
+
+    df = _src(spark)
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / f"w_{fmt}")
+        write_any(df, p, fmt, mode="overwrite")
+        back = read_any(spark, p, fmt, schema=SCHEMA)
+        rows = sorted((r["id"], r["name"], r["score"]) for r in back.collect())
+        assert rows == [(1, "a", 1.5), (2, "b", 2.5)], fmt
+
+
+def test_dynamic_partition_overwrite_keeps_siblings(spark, tmp_path):
+    """S5: overwriting one partition must NOT clobber the others (static
+    overwrite mode would truncate the whole table first)."""
+    from real_estate_data_pipeline_spark.io.writers import write_parquet
+
+    p = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id long, day string"
+    )
+    write_parquet(full, p, mode="overwrite", partition_by=["day"])
+    patch = spark.createDataFrame([(99, "2024-01-02")], "id long, day string")
+    write_parquet(patch, p, mode="overwrite", partition_by=["day"])
+    rows = sorted((r["id"], str(r["day"])) for r in spark.read.parquet(p).collect())
+    assert rows == [(1, "2024-01-01"), (99, "2024-01-02")]  # day-01 survived
+
+
 def test_csv_corrupt_record(spark, tmp_path):
     p = tmp_path / "bad"
     p.mkdir()
