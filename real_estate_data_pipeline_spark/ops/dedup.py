@@ -194,33 +194,65 @@ def minhash_dup_pairs(
         cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_structs.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
     buckets = sigs.select(
-        F.col(id_col), *[F.col(f"m{i}") for i in range(num_perm)],
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("__sig"),
         F.explode(F.array(*band_structs)).alias("__b"),
     ).select(
-        F.col(id_col), *[F.col(f"m{i}") for i in range(num_perm)],
-        F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"),
+        F.col(id_col),
+        F.col("__sig"),
+        F.col("__b.band").alias("band"),
+        F.col("__b.bh").alias("bh"),
     )
 
-    a = buckets.alias("a")
-    b_ = buckets.alias("b")
-    agree = sum(
-        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0) for i in range(num_perm)
-    )
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Intra-bucket expansion, not a self-join: the broadcast side of a
+    # self-join cannot reuse the other side's shuffle stages, so the
+    # whole shingle->explode->32-min aggregate would run twice (same
+    # fix as simhash_pairs_from_signatures). Buckets shuffle once on
+    # (band, bh) carrying (id, 32-long signature) structs; each
+    # bucket's i<j pairs expand via higher-order functions with the
+    # agreement fraction from one zip_with pass.
+    grouped = (
+        buckets.groupBy("band", "bh")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("__sig").alias("sig"))
+            ).alias("__m")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        .filter(F.size("__m") > 1)
+    )
+    arr = F.col("__m")
+    tail_len = lambda i: F.greatest(F.size(arr) - i - F.lit(1), F.lit(0))  # noqa: E731
+
+    def _pair(x, y):
+        agree = F.aggregate(
+            F.zip_with(
+                x["sig"], y["sig"], lambda u, v: F.when(u == v, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, z: acc + z,
+        )
+        return F.struct(
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
             (agree.cast("double") / F.lit(float(num_perm))).alias("jaccard_est"),
+        )
+
+    pair_lists = F.transform(
+        arr,
+        lambda x, i: F.transform(F.slice(arr, i + F.lit(2), tail_len(i)), lambda y: _pair(x, y)),
+    )
+    keep = F.filter(
+        F.flatten(pair_lists), lambda p: p["jaccard_est"] >= F.lit(jaccard_threshold)
+    )
+    return (
+        grouped.select(F.explode(keep).alias("__p"))
+        .select(
+            F.col("__p.id_a").alias("id_a"),
+            F.col("__p.id_b").alias("id_b"),
+            F.col("__p.jaccard_est").alias("jaccard_est"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.filter(F.col("jaccard_est") >= jaccard_threshold)
 
 
 # 4 x 16-bit SWAR lanes per long: lane j of sum k counts set bits at
