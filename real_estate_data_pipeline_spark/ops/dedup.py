@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .pairs import pairs_within_groups
+
 
 def keep_latest(
     df: DataFrame,
@@ -110,24 +112,30 @@ def ngram_jaccard_pairs(
     toks = df.select(
         F.col(id_col), *[F.col(b) for b in block_cols], token_set(F.col(text_col)).alias("__toks")
     ).withColumn("__n", F.size("__toks"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in block_cols]
-    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+
     # |A∪B| = |A|+|B|-|A∩B| for distinct sets: one intersect per pair,
-    # no array_union materialization
-    pairs = a.join(b, cond).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.size(F.array_intersect("a.__toks", "b.__toks")).alias("__i"),
-        F.col("a.__n").alias("__na"),
-        F.col("b.__n").alias("__nb"),
+    # no array_union materialization. Intra-block expansion (see
+    # ops/pairs.py) tokenizes each document once; the self-join it
+    # replaces tokenized everything twice.
+    def _pair(x, y):
+        inter = F.size(F.array_intersect(x["toks"], y["toks"]))
+        jac = inter.cast("double") / (x["n"] + y["n"] - inter)
+        return F.struct(
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
+            jac.alias("jaccard"),
+        )
+
+    keep = (lambda p: p["jaccard"] >= F.lit(threshold)) if threshold > 0.0 else None
+    return pairs_within_groups(
+        toks,
+        block_cols,
+        F.struct(
+            F.col(id_col).alias("id"), F.col("__toks").alias("toks"), F.col("__n").alias("n")
+        ),
+        _pair,
+        keep=keep,
     )
-    jac = F.col("__i").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__i"))
-    pairs = pairs.select("id_a", "id_b", jac.alias("jaccard"))
-    if threshold > 0.0:
-        pairs = pairs.filter(F.col("jaccard") >= threshold)
-    return pairs
 
 
 def _rotl64(c, r: int):
@@ -204,25 +212,9 @@ def minhash_dup_pairs(
         F.col("__b.bh").alias("bh"),
     )
 
-    # Intra-bucket expansion, not a self-join: the broadcast side of a
-    # self-join cannot reuse the other side's shuffle stages, so the
-    # whole shingle->explode->32-min aggregate would run twice (same
-    # fix as simhash_pairs_from_signatures). Buckets shuffle once on
-    # (band, bh) carrying (id, 32-long signature) structs; each
-    # bucket's i<j pairs expand via higher-order functions with the
-    # agreement fraction from one zip_with pass.
-    grouped = (
-        buckets.groupBy("band", "bh")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("id"), F.col("__sig").alias("sig"))
-            ).alias("__m")
-        )
-        .filter(F.size("__m") > 1)
-    )
-    arr = F.col("__m")
-    tail_len = lambda i: F.greatest(F.size(arr) - i - F.lit(1), F.lit(0))  # noqa: E731
-
+    # Intra-bucket expansion, not a self-join (see ops/pairs.py):
+    # buckets shuffle once on (band, bh) carrying (id, signature)
+    # structs; the shingle->explode->32-min aggregate runs ONCE.
     def _pair(x, y):
         agree = F.aggregate(
             F.zip_with(
@@ -237,22 +229,13 @@ def minhash_dup_pairs(
             (agree.cast("double") / F.lit(float(num_perm))).alias("jaccard_est"),
         )
 
-    pair_lists = F.transform(
-        arr,
-        lambda x, i: F.transform(F.slice(arr, i + F.lit(2), tail_len(i)), lambda y: _pair(x, y)),
-    )
-    keep = F.filter(
-        F.flatten(pair_lists), lambda p: p["jaccard_est"] >= F.lit(jaccard_threshold)
-    )
-    return (
-        grouped.select(F.explode(keep).alias("__p"))
-        .select(
-            F.col("__p.id_a").alias("id_a"),
-            F.col("__p.id_b").alias("id_b"),
-            F.col("__p.jaccard_est").alias("jaccard_est"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return pairs_within_groups(
+        buckets,
+        ["band", "bh"],
+        F.struct(F.col(id_col).alias("id"), F.col("__sig").alias("sig")),
+        _pair,
+        keep=lambda p: p["jaccard_est"] >= F.lit(jaccard_threshold),
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 # 4 x 16-bit SWAR lanes per long: lane j of sum k counts set bits at
@@ -367,47 +350,22 @@ def simhash_pairs_from_signatures(
             F.col("__s.val").alias("__val"),
         )
     )
-    # Intra-bucket pair expansion instead of a self-join: a self-join
-    # plans the (expensive) signature subtree TWICE — the broadcast side
-    # can't reuse the other side's shuffle stage — so signatures were
-    # computed twice per run. Grouping each (segment, value) bucket and
-    # expanding i<j pairs with higher-order functions computes
-    # signatures ONCE and shuffles only slim (id, sim) structs. The
-    # pair work per bucket is identical to what the equi-join did (a
-    # hash join emits every bucket's pair in one task too); a
-    # pathological bucket (thousands of identical signatures) would
-    # materialize its member array in memory — at ~16 bytes/member that
-    # is harmless until buckets reach millions, at which point the data
+    # Intra-bucket pair expansion, not a self-join (see ops/pairs.py):
+    # signatures compute ONCE and only slim (id, sim) structs shuffle.
+    # A pathological bucket (thousands of identical signatures)
+    # materializes its member array in one task — at ~16 bytes/member
+    # harmless until buckets reach millions, at which point the data
     # needs exact-dedup first anyway.
-    buckets = (
-        blocked.groupBy("__seg", "__val")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("id"), F.col("__sim").alias("sim"))
-            ).alias("__m")
-        )
-        .filter(F.size("__m") > 1)
-    )
-    arr = F.col("__m")
-    tail_len = lambda i: F.greatest(F.size(arr) - i - F.lit(1), F.lit(0))  # noqa: E731
-    pair_lists = F.transform(
-        arr,
-        lambda x, i: F.transform(
-            F.slice(arr, i + F.lit(2), tail_len(i)),
-            lambda y: F.struct(
-                F.least(x["id"], y["id"]).alias("id_a"),
-                F.greatest(x["id"], y["id"]).alias("id_b"),
-                F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
-            ),
+    pairs = pairs_within_groups(
+        blocked,
+        ["__seg", "__val"],
+        F.struct(F.col(id_col).alias("id"), F.col("__sim").alias("sim")),
+        lambda x, y: F.struct(
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
+            F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
         ),
-    )
-    close = F.filter(
-        F.flatten(pair_lists), lambda p: p["hamming"] <= F.lit(max_hamming)
-    )
-    pairs = buckets.select(F.explode(close).alias("__p")).select(
-        F.col("__p.id_a").alias("id_a"),
-        F.col("__p.id_b").alias("id_b"),
-        F.col("__p.hamming").alias("hamming"),
+        keep=lambda p: p["hamming"] <= F.lit(max_hamming),
     )
     # a pair can agree on several segments -> one candidate per segment;
     # hamming is deterministic per pair, so distinct() collapses them

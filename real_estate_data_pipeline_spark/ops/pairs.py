@@ -1,0 +1,87 @@
+"""Intra-group pair expansion — the shared skeleton of every blocked
+pair operator (MinHash/SimHash LSH, banded embedding LSH, n-gram
+Jaccard blocking, self-kNN).
+
+Why not a self-join on the blocking key: the broadcast side of a
+self-join cannot reuse the other side's shuffle stages, so the whole
+upstream pipeline (tokenize/shingle/hash/aggregate, or bucket+norm)
+is planned and executed TWICE. Grouping each block and expanding the
+i<j pairs with higher-order functions computes the upstream exactly
+once and shuffles only the slim member payload.
+
+Distribution is equivalent to the equi-join it replaces: a hash join
+emits all of one key's pairs in one task too. The one divergence is
+memory: a block's member array materializes in its task (payload_bytes
+x block_size), so callers must keep blocks bounded — which every LSH /
+blocking scheme here does by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pairs_within_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    member: Column,
+    pair_fn: Callable[[Column, Column], Column],
+    keep: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """All unordered (i<j by array position) member pairs within each
+    group.
+
+    ``member`` is the struct collected per row; ``pair_fn(x, y)``
+    builds the output struct for one pair; ``keep`` optionally filters
+    pair structs BEFORE the explode (cheaper than a post-explode
+    filter: rejected pairs never become rows). Output columns are the
+    fields of the struct ``pair_fn`` returns.
+    """
+    return _expand(df, group_cols, member, pair_fn, keep, ordered=False)
+
+
+def ordered_pairs_within_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    member: Column,
+    pair_fn: Callable[[Column, Column], Column],
+    keep: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """All ordered (i != j by array position) member pairs within each
+    group — for per-source outputs like kNN edges, where each unordered
+    pair must appear in both orientations. Emitting both inside the one
+    expansion keeps the upstream single-planned; a
+    ``pairs.union(pairs.swapped)`` would plan it twice."""
+    return _expand(df, group_cols, member, pair_fn, keep, ordered=True)
+
+
+def _expand(df, group_cols, member, pair_fn, keep, ordered):
+    grouped = (
+        df.groupBy(*group_cols)
+        .agg(F.collect_list(member).alias("__m"))
+        .filter(F.size("__m") > 1)
+    )
+    arr = F.col("__m")
+    if ordered:
+        # i != j: every member pairs with every other, both orientations
+        pair_lists = F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.filter(arr, lambda _, j: j != i), lambda y: pair_fn(x, y)
+            ),
+        )
+    else:
+        tail_len = lambda i: F.greatest(F.size(arr) - i - F.lit(1), F.lit(0))  # noqa: E731
+        pair_lists = F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), tail_len(i)), lambda y: pair_fn(x, y)
+            ),
+        )
+    flat = F.flatten(pair_lists)
+    if keep is not None:
+        flat = F.filter(flat, keep)
+    return grouped.select(F.explode(flat).alias("__p")).select("__p.*")

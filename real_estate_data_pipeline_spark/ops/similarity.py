@@ -16,6 +16,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .pairs import ordered_pairs_within_groups, pairs_within_groups
+
 # Deterministic hyperplane family: both the Spark expression and the
 # DuckDB oracle SQL are generated from THESE literals, so the two
 # engines bucket identically (sign flips would need |dot| ~ 1e-15).
@@ -235,8 +237,10 @@ def embedding_dup_pairs(
     is (1 - p^bits)^bands instead of 1 - p^bits.
 
     Plan shape: posexplode to (band, bucket) rows — bands is small, so
-    the 3x row blow-up is cheap — then ONE equi-join on (band, bucket),
-    cosine filter, and a dedup shuffle on the surviving pairs only."""
+    the 3x row blow-up is cheap — then intra-bucket pair expansion (see
+    ops/pairs.py: computes buckets+norms once, where a self-join would
+    compute them twice), cosine filter inside the expansion, and a
+    dedup shuffle on the surviving pairs only."""
     fams = band_planes(bits, bands)
     bucket_arr = F.array(*[_bucket_from_planes(F.col(vec_col), p) for p in fams])
     b = df.select(
@@ -245,22 +249,64 @@ def embedding_dup_pairs(
         F.sqrt(l2_norm_sq(F.col(vec_col))).alias("__n"),
         F.posexplode(bucket_arr).alias("__band", "__bkt"),
     )
-    l, r = b.alias("a"), b.alias("b")
-    pairs = l.join(
-        r,
-        (F.col("a.__band") == F.col("b.__band"))
-        & (F.col("a.__bkt") == F.col("b.__bkt"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        (dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a.__n") * F.col("b.__n"))).alias(
-            "cosine_sim"
+    pairs = pairs_within_groups(
+        b,
+        ["__band", "__bkt"],
+        F.struct(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("__n").alias("n")
         ),
+        lambda x, y: F.struct(
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
+            (dot(x["v"], y["v"]) / (x["n"] * y["n"])).alias("cosine_sim"),
+        ),
+        keep=lambda p: p["cosine_sim"] >= F.lit(threshold),
     )
     # a pair matching in several bands appears once per band; cosine is
     # identical in each, so dropDuplicates is value-deterministic
-    return pairs.filter(F.col("cosine_sim") >= threshold).dropDuplicates(["id_a", "id_b"])
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def knn_self_join(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    bands: int = 3,
+) -> DataFrame:
+    """Self-kNN over one corpus: banded-LSH candidates expanded
+    intra-bucket (buckets+norms computed ONCE — ``knn_join(df, df)``
+    computes them twice, once per join side), each unordered pair then
+    oriented both ways before the per-left-id top-k ranking."""
+    fams = band_planes(bits, bands)
+    bucket_arr = F.array(*[_bucket_from_planes(F.col(vec_col), p) for p in fams])
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("__n"),
+        F.posexplode(bucket_arr).alias("__band", "__bkt"),
+    )
+    oriented = ordered_pairs_within_groups(
+        b,
+        ["__band", "__bkt"],
+        F.struct(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("__n").alias("n")
+        ),
+        lambda x, y: F.struct(
+            x["id"].alias("left_id"),
+            y["id"].alias("right_id"),
+            (dot(x["v"], y["v"]) / (x["n"] * y["n"])).alias("cosine_sim"),
+        ),
+    ).dropDuplicates(["left_id", "right_id"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
+    return (
+        oriented.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def knn_join(

@@ -1462,9 +1462,10 @@ register("sim_knn_join", oracle=None, bench=True)
 
 
 def _simknn(spark, sf_dir):
-    """Bucketed approximate kNN self-join (rows-only check)."""
+    """Banded-LSH approximate kNN self-join (rows-only check); the
+    self-join fast path computes buckets+norms once."""
     e = t(spark, sf_dir, "embeddings")
-    return similarity.knn_join(e, e, k=3, bits=6)
+    return similarity.knn_self_join(e, k=3, bits=6, bands=3)
 
 
 CATALOG["sim_knn_join"].fn = _simknn

@@ -67,6 +67,24 @@ def test_knn_join_recall_on_rotated_clusters(spark):
 
     df = _hostile_corpus(spark)
     nn = knn_join(df, df, k=4, bits=6, bands=3).collect()
+    _assert_knn_quality(nn)
+
+
+def test_knn_self_join_matches_two_sided(spark):
+    """The single-scan self path must produce the same edges as
+    knn_join(df, df)."""
+    from real_estate_data_pipeline_spark.ops.similarity import knn_join, knn_self_join
+
+    df = _hostile_corpus(spark)
+    self_nn = knn_self_join(df, k=4, bits=6, bands=3).collect()
+    _assert_knn_quality(self_nn)
+    two_sided = {
+        (r["left_id"], r["right_id"]) for r in knn_join(df, df, k=4, bits=6, bands=3).collect()
+    }
+    assert {(r["left_id"], r["right_id"]) for r in self_nn} == two_sided
+
+
+def _assert_knn_quality(nn):
     same_cluster = sum(1 for r in nn if r["left_id"] // 5 == r["right_id"] // 5)
     assert same_cluster >= 0.8 * len(nn)  # neighbors mostly intra-cluster
     per_left = {}
