@@ -40,47 +40,19 @@ def pairs_within_groups(
     filter: rejected pairs never become rows). Output columns are the
     fields of the struct ``pair_fn`` returns.
     """
-    return _expand(df, group_cols, member, pair_fn, keep, ordered=False)
-
-
-def ordered_pairs_within_groups(
-    df: DataFrame,
-    group_cols: list[str],
-    member: Column,
-    pair_fn: Callable[[Column, Column], Column],
-    keep: Callable[[Column], Column] | None = None,
-) -> DataFrame:
-    """All ordered (i != j by array position) member pairs within each
-    group — for per-source outputs like kNN edges, where each unordered
-    pair must appear in both orientations. Emitting both inside the one
-    expansion keeps the upstream single-planned; a
-    ``pairs.union(pairs.swapped)`` would plan it twice."""
-    return _expand(df, group_cols, member, pair_fn, keep, ordered=True)
-
-
-def _expand(df, group_cols, member, pair_fn, keep, ordered):
     grouped = (
         df.groupBy(*group_cols)
         .agg(F.collect_list(member).alias("__m"))
         .filter(F.size("__m") > 1)
     )
     arr = F.col("__m")
-    if ordered:
-        # i != j: every member pairs with every other, both orientations
-        pair_lists = F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.filter(arr, lambda _, j: j != i), lambda y: pair_fn(x, y)
-            ),
-        )
-    else:
-        tail_len = lambda i: F.greatest(F.size(arr) - i - F.lit(1), F.lit(0))  # noqa: E731
-        pair_lists = F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.slice(arr, i + F.lit(2), tail_len(i)), lambda y: pair_fn(x, y)
-            ),
-        )
+    tail_len = lambda i: F.greatest(F.size(arr) - i - F.lit(1), F.lit(0))  # noqa: E731
+    pair_lists = F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + F.lit(2), tail_len(i)), lambda y: pair_fn(x, y)
+        ),
+    )
     flat = F.flatten(pair_lists)
     if keep is not None:
         flat = F.filter(flat, keep)

@@ -16,7 +16,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .pairs import ordered_pairs_within_groups, pairs_within_groups
+from .pairs import pairs_within_groups
 
 # Deterministic hyperplane family: both the Spark expression and the
 # DuckDB oracle SQL are generated from THESE literals, so the two
@@ -277,8 +277,10 @@ def knn_self_join(
 ) -> DataFrame:
     """Self-kNN over one corpus: banded-LSH candidates expanded
     intra-bucket (buckets+norms computed ONCE — ``knn_join(df, df)``
-    computes them twice, once per join side), each unordered pair then
-    oriented both ways before the per-left-id top-k ranking."""
+    computes them twice, once per join side). Cosine is symmetric, so
+    each unordered pair's dot product computes ONCE; both kNN-edge
+    orientations then come from a cheap two-struct explode after the
+    cross-band dedup has already halved the row count."""
     fams = band_planes(bits, bands)
     bucket_arr = F.array(*[_bucket_from_planes(F.col(vec_col), p) for p in fams])
     b = df.select(
@@ -287,18 +289,38 @@ def knn_self_join(
         F.sqrt(l2_norm_sq(F.col(vec_col))).alias("__n"),
         F.posexplode(bucket_arr).alias("__band", "__bkt"),
     )
-    oriented = ordered_pairs_within_groups(
+    # least/greatest, not positional (x, y): collect_list order differs
+    # per bucket, so the same pair could surface as (x, y) in one band
+    # and (y, x) in another and survive the dedup twice — duplicate
+    # edges would then occupy two of the k ranks.
+    und = pairs_within_groups(
         b,
         ["__band", "__bkt"],
         F.struct(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("__n").alias("n")
         ),
         lambda x, y: F.struct(
-            x["id"].alias("left_id"),
-            y["id"].alias("right_id"),
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
             (dot(x["v"], y["v"]) / (x["n"] * y["n"])).alias("cosine_sim"),
         ),
-    ).dropDuplicates(["left_id", "right_id"])
+    ).dropDuplicates(["id_a", "id_b"])
+    oriented = und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("left_id"),
+                    F.col("id_b").alias("right_id"),
+                    F.col("cosine_sim"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("left_id"),
+                    F.col("id_a").alias("right_id"),
+                    F.col("cosine_sim"),
+                ),
+            )
+        ).alias("__p")
+    ).select("__p.*")
     from pyspark.sql import Window
 
     w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
