@@ -2849,6 +2849,310 @@ def _q22(spark, sf_dir):
 
 CATALOG["q22_idle_wealthy_customers"].fn = _q22
 
+# ---------------------------------------------------------------------------
+# TPC-H completion: q2/q9/q11/q12/q20/q21 shapes, adapted to the driver
+# testdata (no partsupp table, no l_commitdate/l_receiptdate/l_shipmode
+# columns). Each keeps the query's distinctive operator shape; the
+# part<->supplier relationship comes from lineitem and "late" means
+# shipped >90 days after the order date.
+# ---------------------------------------------------------------------------
+
+register(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey, p.p_name
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_size <= 5
+      AND l.l_extendedprice / l.l_quantity = (
+        SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey LIMIT 100
+    """,
+)
+
+
+def _q2(spark, sf_dir):
+    """TPC-H Q2 shape: correlated MIN subquery over the same join tree
+    as the outer query, decorrelated into ONE pass — a min window over
+    p_partkey on the already-joined rows — instead of building the
+    5-table join twice. Unit cost is row-level double division
+    (identical IEEE-754 on both engines). Deterministic top-100 via a
+    total ORDER BY -> TakeOrdered, no global sort."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select("p_partkey", "p_name")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("__cost"),
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    joined = li.join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey).join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    )
+    # The subquery's min scopes to EUROPE lineitems of the SAME part —
+    # exactly the per-p_partkey partition of the joined rows. Joining
+    # the size-filtered part dimension first is sound: it drops whole
+    # parts (with all their lineitems), never individual lineitems of a
+    # surviving part, so each surviving part's min is unchanged.
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("__min", F.min("__cost").over(w))
+        .filter(F.col("__cost") == F.col("__min"))
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name")
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+CATALOG["q2_min_cost_supplier"].fn = _q2
+
+register(
+    "q9_nation_year_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+    bench=True,
+)
+
+
+def _q9(spark, sf_dir):
+    """TPC-H Q9 shape (profit by nation x year; adapted — no partsupp,
+    so profit omits supplycost). Plan: the selective part predicate
+    broadcasts into the lineitem scan FIRST (shrinks the fact before
+    the one big shuffle), supplier/nation broadcast, and only the
+    surviving rows join orders shuffle-side."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    profit = F.col("l_extendedprice").cast(DEC) * (one - F.col("l_discount").cast(DEC))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum_expr(profit, "profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+CATALOG["q9_nation_year_profit"].fn = _q9
+
+register(
+    "q11_revenue_concentration",
+    oracle="""
+    WITH pr AS (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+                FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, CAST(rev AS DOUBLE) AS part_value FROM pr
+    WHERE CAST(rev AS DOUBLE) > (SELECT CAST(SUM(rev) AS DOUBLE) FROM pr) * 0.0007
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+
+
+def _q11(spark, sf_dir):
+    """TPC-H Q11 shape (adapted — no partsupp, so 'important stock'
+    becomes per-part revenue share): grouped aggregate, then a 1-row
+    global re-aggregate of the SAME grouped result broadcast back as
+    the HAVING threshold. One fact shuffle total; the threshold join is
+    a broadcast of one row. Share compares in double on both engines
+    (both doubles come from exact decimal sums)."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pr = li.groupBy("l_partkey").agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("__rev"))
+    total = pr.agg(F.sum("__rev").cast("double").alias("__tot"))
+    return (
+        pr.crossJoin(F.broadcast(total))
+        .filter(F.col("__rev").cast("double") > F.col("__tot") * 0.0007)
+        .select("l_partkey", F.col("__rev").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+CATALOG["q11_revenue_concentration"].fn = _q11
+
+register(
+    "q12_late_priority_mix",
+    oracle="""
+    SELECT l.l_returnflag,
+      CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+          AS high_line_count,
+      CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+          AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+
+
+def _q12(spark, sf_dir):
+    """TPC-H Q12 shape (adapted — no l_shipmode/commitdate/receiptdate:
+    'late' = shipped >90 days after order date, groups by returnflag).
+    The lateness predicate needs both sides, so it filters the join
+    OUTPUT; the conditional counts then fold in one hash aggregate
+    (map-side partials)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+CATALOG["q12_late_priority_mix"].fn = _q12
+
+register(
+    "q20_dominant_share_suppliers",
+    oracle="""
+    WITH pq AS (SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                FROM lineitem GROUP BY 1, 2),
+         tot AS (SELECT l_partkey, SUM(qty) AS tq FROM pq GROUP BY 1)
+    SELECT s.s_name, s.s_acctbal FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT pq.l_suppkey FROM pq
+      JOIN tot ON pq.l_partkey = tot.l_partkey
+      JOIN part p ON p.p_partkey = pq.l_partkey
+      WHERE p.p_name LIKE 'small%' AND CAST(pq.qty AS DOUBLE) > 0.18 * CAST(tot.tq AS DOUBLE))
+    ORDER BY s.s_name
+    """,
+)
+
+
+def _q20(spark, sf_dir):
+    """TPC-H Q20 shape (adapted — no partsupp, so 'excess stock'
+    becomes a dominant shipped-quantity share): nested aggregate
+    threshold + IN, decorrelated as ONE (partkey, suppkey) aggregate
+    whose per-part total comes from a sum window over the SAME rows
+    (no second lineitem scan, no re-join), then a left-semi join into
+    supplier. The part-name restriction broadcasts into the pair agg's
+    output before the window."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_name", "s_acctbal", "s_suppkey")
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("__qty")
+    )
+    # per-part total BEFORE the part filter (the oracle's tot CTE is
+    # unfiltered too: a part's total includes all its suppliers)
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        pq.withColumn("__tq", F.sum("__qty").over(w))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("__qty").cast("double") > F.lit(0.18) * F.col("__tq").cast("double"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+CATALOG["q20_dominant_share_suppliers"].fn = _q20
+
+register(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH li AS (SELECT l.l_orderkey, l.l_suppkey,
+                       MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                                THEN 1 ELSE 0 END) AS is_late
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+                GROUP BY 1, 2),
+         agg AS (SELECT l_orderkey, COUNT(*) AS nsupp, SUM(is_late) AS nlate
+                 FROM li GROUP BY 1)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM li JOIN agg ON li.l_orderkey = agg.l_orderkey
+    JOIN supplier s ON li.l_suppkey = s.s_suppkey
+    WHERE li.is_late = 1 AND agg.nsupp >= 2 AND agg.nlate = 1
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name
+    """,
+)
+
+
+def _q21(spark, sf_dir):
+    """TPC-H Q21 shape: 'supplier who was the SOLE late shipper on a
+    multi-supplier order' (adapted lateness as in q12). The classic
+    EXISTS + NOT-EXISTS pair would re-join lineitem twice; instead the
+    per-(order, supplier) lateness aggregates once and the order-level
+    supplier/late counts come from count/sum windows over those same
+    rows — the correlation collapses into two narrow shuffles."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("__late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        per_supp.withColumn("__nsupp", F.count("*").over(w))
+        .withColumn("__nlate", F.sum("__late").over(w))
+        .filter((F.col("__late") == 1) & (F.col("__nsupp") >= 2) & (F.col("__nlate") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+CATALOG["q21_sole_late_supplier"].fn = _q21
+
 # ===========================================================================
 # entry() flagship
 # ===========================================================================
