@@ -96,6 +96,43 @@ def _assert_knn_quality(nn):
     )
 
 
+def test_ivf_knn_self_join_quality_and_determinism(spark):
+    """IVF cells adapt to the data, so the hostile corpus (cluster
+    signal invisible to leading dims) is easy: with enough cells each
+    cluster gets its own cell and every neighbor list is intra-cluster."""
+    from real_estate_data_pipeline_spark.ops.similarity import ivf_knn_self_join
+
+    df = _hostile_corpus(spark)
+    nn = ivf_knn_self_join(df, k=4, n_cells=4, nprobe=2, refine=1).collect()
+    _assert_knn_quality(nn)
+    assert all(r["left_id"] != r["right_id"] for r in nn)
+    again = ivf_knn_self_join(df, k=4, n_cells=4, nprobe=2, refine=1).collect()
+    assert {(r["left_id"], r["right_id"]) for r in nn} == {
+        (r["left_id"], r["right_id"]) for r in again
+    }
+
+
+def test_ivf_centroids_refinement_recenter(spark):
+    """Lloyd iterations recenter each cell on its members' mean: with
+    two tight clusters and 2 cells, refined centroids converge onto the
+    cluster means even though BOTH seeds start inside cluster 0 (one
+    iteration splits the mixed cell, the second recenters exactly)."""
+    import numpy as np
+
+    from real_estate_data_pipeline_spark.ops.similarity import ivf_centroids
+
+    df = _hostile_corpus(spark)
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    means = [np.mean([vecs[i] for i in range(c * 5, c * 5 + 5)], axis=0) for c in range(2)]
+    cents = [np.array(r["cvec"]) for r in ivf_centroids(df, n_cells=2, refine=2).collect()]
+    for c in cents:
+        best = min(np.linalg.norm(c - m) for m in means)
+        assert best < 0.05  # recentered onto a cluster mean
+    # and each mean is claimed by a DIFFERENT centroid
+    claimed = {int(np.argmin([np.linalg.norm(c - m) for m in means])) for c in cents}
+    assert claimed == {0, 1}
+
+
 def test_bucket_deterministic_across_calls(spark):
     df = _hostile_corpus(spark)
     b1 = {r["vec_id"]: r["b"] for r in df.select("vec_id", sign_bucket(F.col("embedding"), 8).alias("b")).collect()}
