@@ -23,6 +23,9 @@ SHOW_NOTES = {
     "minhash_dup_pairs": "LSH band join is a plain equi-join (SortMergeJoin/ShuffledHashJoin on band+hash); no cartesian pair space.",
     "asof_latest_event": "Union-trick as-of: one shuffle for the window over (key, ts, side); no nested-loop join.",
     "range_join_day_window": "Interval join becomes an equi-join on (key, time bucket) + filter; no BroadcastNestedLoopJoin.",
+    "q2_min_cost_supplier": "The correlated MIN subquery is a min window over the ALREADY-joined rows — the 5-table join tree is built once, not twice; all dims broadcast.",
+    "q9_nation_year_profit": "The selective part predicate broadcasts into the lineitem scan before the single orders shuffle; profit aggregates once.",
+    "q21_sole_late_supplier": "EXISTS + NOT-EXISTS decorrelated: per-(order,supplier) aggregate once, order-level counts as windows over the same rows — no second or third lineitem join.",
 }
 
 
