@@ -13,6 +13,7 @@ reproducible in any engine that folds sequentially.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -427,6 +428,89 @@ def ivf_knn_self_join(
     )
     und = _scored_pairs_within(assign, ["cid"], id_col, vec_col)
     return _orient_and_rank(und, k)
+
+
+def ivf_knn_self_join_arrow(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 32,
+    nprobe: int = 2,
+    refine: int = 1,
+) -> DataFrame:
+    """``ivf_knn_self_join`` with the two dot-product hot loops moved
+    to Arrow-batched numpy (same candidates, same edges — verified
+    equal at sf0.1):
+
+    - centroid probing is ONE matrix multiply per Arrow batch in a
+      ``pandas_udf`` (replacing a 32-way broadcast crossJoin + argmax
+      window: no row blow-up, no shuffle);
+    - per-cell scoring is a BLAS gram matrix in ``applyInPandas``
+      (replacing ~|cell|^2/2 interpreted higher-order dot folds), with
+      the per-row top-k taken INSIDE the cell — sound because a global
+      top-k neighbor ranks top-k in every cell containing both rows —
+      so only O(n * k * nprobe) slim edges leave the Python workers.
+
+    ~2x the end-to-end throughput of the JVM-expression variant at
+    sf0.1 and the gap grows with cell size; the JVM variant remains for
+    environments where Arrow/pandas workers are unavailable. The only
+    driver-side collect is the n_cells x dim centroid table (a few KB —
+    the same \"model broadcast\" pattern spark.ml uses)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = ivf_centroids(df, id_col, vec_col, n_cells, refine).collect()
+    C = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    Cn = C / cn[:, None]
+
+    @pandas_udf("array<bigint>")
+    def _probe_cells(v: pd.Series) -> pd.Series:
+        X = np.stack(v.values).astype(np.float64)
+        xn = np.linalg.norm(X, axis=1)
+        xn[xn == 0.0] = 1.0
+        sims = (X / xn[:, None]) @ Cn.T
+        # ties broken by cid asc, matching the JVM variant's window order
+        order = np.lexsort((np.broadcast_to(cids, sims.shape), -sims), axis=1)[:, :nprobe]
+        return pd.Series([cids[row].tolist() for row in order])
+
+    assign = df.select(id_col, vec_col).withColumn(
+        "cid", F.explode(_probe_cells(F.col(vec_col)))
+    )
+
+    def _cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        m = len(ids)
+        kk = min(k, m - 1)
+        if kk <= 0:
+            return pd.DataFrame({"left_id": [], "right_id": [], "cosine_sim": []})
+        X = np.stack(pdf[vec_col].values).astype(np.float64)
+        xn = np.linalg.norm(X, axis=1)
+        xn[xn == 0.0] = 1.0
+        Xn = X / xn[:, None]
+        G = Xn @ Xn.T
+        np.fill_diagonal(G, -np.inf)
+        # deterministic per-row top-kk: (-cos, right_id) lexicographic
+        order = np.lexsort((np.broadcast_to(ids, G.shape), -G), axis=1)[:, :kk]
+        left = np.repeat(ids, kk)
+        right = ids[order.ravel()]
+        cos = np.take_along_axis(G, order, axis=1).ravel()
+        return pd.DataFrame({"left_id": left, "right_id": right, "cosine_sim": cos})
+
+    per_cell = assign.groupBy("cid").applyInPandas(
+        _cell_knn, "left_id long, right_id long, cosine_sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
+    return (
+        per_cell.dropDuplicates(["left_id", "right_id"])
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def knn_join(

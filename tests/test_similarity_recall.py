@@ -112,6 +112,23 @@ def test_ivf_knn_self_join_quality_and_determinism(spark):
     }
 
 
+def test_ivf_arrow_matches_jvm_variant(spark):
+    """The Arrow (applyInPandas gram-matrix) variant must produce the
+    same edge set as the JVM-expression variant — same centroids, same
+    probes, same tie-breaks."""
+    from real_estate_data_pipeline_spark.ops.similarity import (
+        ivf_knn_self_join,
+        ivf_knn_self_join_arrow,
+    )
+
+    df = _hostile_corpus(spark)
+    jvm = {(r["left_id"], r["right_id"])
+           for r in ivf_knn_self_join(df, k=4, n_cells=4, nprobe=2, refine=1).collect()}
+    arrow = {(r["left_id"], r["right_id"])
+             for r in ivf_knn_self_join_arrow(df, k=4, n_cells=4, nprobe=2, refine=1).collect()}
+    assert arrow == jvm
+
+
 def test_ivf_centroids_refinement_recenter(spark):
     """Lloyd iterations recenter each cell on its members' mean: with
     two tight clusters and 2 cells, refined centroids converge onto the
