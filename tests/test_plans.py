@@ -86,3 +86,36 @@ def test_single_pass_quality_one_agg(spark, sf_small):
     p = plan(spark, "a5_quality_singlepass", sf_small)
     # one scan of lineitem only
     assert p.count("FileScan parquet") == 1, f"quality checks must be one pass\n{p}"
+
+
+# Queries whose plan deliberately contains a BroadcastNestedLoopJoin:
+# each is a crossJoin of a BROADCAST 1-row aggregate (global total /
+# threshold) or a tiny literal table (query vector, probed centroid
+# ids). A 1-row build side makes the "nested loop" a single constant
+# probe per row — the scalar-subquery plan shape, not a pair blow-up.
+_SCALAR_BROADCAST_OK = {
+    "doc_token_doc_freq",      # 1-row corpus doc count
+    "heavy_hitters_event_types",  # 1-row total-events scalar
+    "m2_zscore_outliers",      # 1-row mean/stddev scalar
+    "q11_revenue_concentration",  # 1-row global revenue threshold
+    "q22_idle_wealthy_customers",  # 1-row avg-balance threshold
+    "sim_bruteforce_topk",     # broadcast literal query vector
+    "sim_ivf_topk",            # broadcast query vector + probed cells
+}
+
+
+def test_every_catalog_query_plans_clean(spark, sf_small):
+    """Engine-wide invariant: every catalog query compiles to a physical
+    plan with NO CartesianProduct anywhere and no BroadcastNestedLoopJoin
+    outside the documented scalar-broadcast set. Guards every future
+    query against accidental pair-space blow-ups at 100 TB."""
+    from real_estate_data_pipeline_spark.queries import CATALOG as _ALL
+
+    offenders = {}
+    for name, q in sorted(_ALL.items()):
+        p = plan(spark, name, sf_small)
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in p and name not in _SCALAR_BROADCAST_OK:
+            offenders[name] = "BroadcastNestedLoopJoin (not in scalar allowlist)"
+    assert not offenders, f"pair-space blow-ups: {offenders}"
