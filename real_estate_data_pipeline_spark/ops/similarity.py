@@ -554,3 +554,62 @@ def knn_join(
 
     w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
     return scored.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k).drop("__rk")
+
+
+def ivf_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 32,
+    nprobe: int = 2,
+    refine: int = 1,
+) -> DataFrame:
+    """Two-corpus IVF kNN join: queries (``left``) against an indexed
+    base corpus (``right``). Centroids come from the BASE side (that is
+    the distribution that matters for cell quality); each base vector
+    lands in exactly its nearest cell, each query probes its ``nprobe``
+    nearest cells, and candidates meet in ONE equi-join on cid — the
+    classic IVF index-probe pattern as a shuffle join.
+
+    At 100 TB the base side would be *written partitioned by cid* (see
+    ``ivf_assign``), turning each probe into a partition-pruned scan and
+    leaving only the query side to shuffle."""
+    cent = ivf_centroids(right, right_id, vec_col, n_cells, refine)
+
+    def _assigned(df, id_in, id_out, probes):
+        v = df.select(
+            F.col(id_in).alias(id_out),
+            F.col(vec_col).alias(f"__{id_out}_v"),
+            F.sqrt(l2_norm_sq(F.col(vec_col))).alias(f"__{id_out}_n"),
+        )
+        scored = v.crossJoin(F.broadcast(cent)).withColumn(
+            "__cos",
+            dot(F.col(f"__{id_out}_v"), F.col("cvec")) / (F.col(f"__{id_out}_n") * F.col("cn")),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_out).orderBy(F.desc("__cos"), "cid")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= probes)
+            .select(id_out, f"__{id_out}_v", f"__{id_out}_n", "cid")
+        )
+
+    lb = _assigned(left, left_id, "left_id", nprobe)
+    rb = _assigned(right, right_id, "right_id", 1)
+    pairs = lb.join(rb, "cid").filter(F.col("left_id") != F.col("right_id"))
+    scored = pairs.select(
+        "left_id",
+        "right_id",
+        (
+            dot(F.col("__left_id_v"), F.col("__right_id_v"))
+            / (F.col("__left_id_n") * F.col("__right_id_n"))
+        ).alias("cosine_sim"),
+    ).dropDuplicates(["left_id", "right_id"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
+    return scored.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k).drop("__rk")

@@ -129,6 +129,27 @@ def test_ivf_arrow_matches_jvm_variant(spark):
     assert arrow == jvm
 
 
+def test_ivf_knn_join_two_corpus(spark):
+    """Query-vs-base IVF join: queries find their own cluster in the
+    base corpus; no self-pairs (ids overlap across the two frames)."""
+    from real_estate_data_pipeline_spark.ops.similarity import ivf_knn_join
+
+    base = _hostile_corpus(spark)
+    queries = base.limit(4)  # members of both clusters as queries
+    # 2 cells converge onto the 2 clusters (see the recenter test), so
+    # probing the single nearest cell must surface exactly the query's
+    # own cluster-mates — deterministic even at this toy scale.
+    nn = ivf_knn_join(queries, base, k=3, n_cells=2, nprobe=1, refine=2).collect()
+    assert all(r["left_id"] != r["right_id"] for r in nn)
+    per_left = {}
+    for r in nn:
+        per_left.setdefault(r["left_id"], []).append(r["right_id"])
+    assert len(per_left) == 4
+    for a, v in per_left.items():
+        assert len(v) == 3
+        assert all(b // 5 == a // 5 for b in v)  # own cluster only
+
+
 def test_ivf_centroids_refinement_recenter(spark):
     """Lloyd iterations recenter each cell on its members' mean: with
     two tight clusters and 2 cells, refined centroids converge onto the
