@@ -82,3 +82,45 @@ def test_foreach_batch_scd2(spark, stream_dir, tmp_path):
     q.awaitTermination()
     cur = t.read().filter("is_current")
     assert cur.count() == 4  # one row per distinct event_id
+
+
+DOCS = [
+    {"doc_id": 1, "ingested_at": "2024-01-01T00:01:00", "text": "the quick brown fox jumps over the lazy dog", "lang": "en", "source": "web"},
+    {"doc_id": 2, "ingested_at": "2024-01-01T00:02:00", "text": "The QUICK brown fox jumps over the lazy dog!!", "lang": "en", "source": "crawl"},  # near-exact dup (same fingerprint)
+    {"doc_id": 3, "ingested_at": "2024-01-01T00:03:00", "text": "une phrase en francais pour le test des documents", "lang": "fr", "source": "web"},
+    {"doc_id": 4, "ingested_at": "2024-01-01T00:04:00", "text": "", "lang": "en", "source": "web"},  # invalid: empty
+    {"doc_id": 5, "ingested_at": "2024-01-01T00:05:00", "text": "another english document entirely different content here", "lang": None, "source": "web"},  # invalid: no lang
+]
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    with open(d / "batch1.jsonl", "w") as fh:
+        for doc in DOCS[:2]:
+            fh.write(json.dumps(doc) + "\n")
+    with open(d / "batch2.jsonl", "w") as fh:
+        for doc in DOCS[2:]:
+            fh.write(json.dumps(doc) + "\n")
+    return str(d)
+
+
+def test_document_stream_cleanse(spark, docs_stream_dir):
+    """Streaming corpus cleanse: validation drops empty/lang-less rows,
+    the fingerprint dedup drops the case/punct near-dup even though the
+    two copies may land in different micro-batches, and quality/lang
+    features ride along."""
+    from real_estate_data_pipeline_spark.streaming.documents import (
+        cleanse_document_stream,
+        read_document_stream,
+    )
+
+    src = read_document_stream(spark, docs_stream_dir)
+    out = _run(cleanse_document_stream(src), "t_docs", spark, "append").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {1, 3} or set(by_id) == {2, 3}  # one of the dup pair survives
+    assert len({r["fingerprint"] for r in out}) == len(out)
+    surviving_en = by_id.get(1) or by_id.get(2)
+    assert surviving_en["lang_pred"] == "en"
+    assert surviving_en["n_tokens"] == 9
+    assert 0.0 <= surviving_en["quality_score"] <= 1.0
