@@ -148,3 +148,60 @@ def test_conform_always_exact_schema(spark, present_cols):
         f.name: f.dataType for f in target.fields
     }
     out.collect()  # must also evaluate
+
+
+pair_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2", "g3"]),       # blocking group
+        st.integers(min_value=0, max_value=50),    # member id (dups allowed)
+        st.integers(min_value=-5, max_value=5),    # payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(pair_rows)
+def test_pairs_within_groups_equals_self_join(spark, rows):
+    """The intra-group expansion must emit exactly the pairs a blocked
+    self-join would (same multiset of (group, unordered id pair)) — the
+    skeleton every LSH/blocking operator rests on."""
+    from real_estate_data_pipeline_spark.ops.pairs import pairs_within_groups
+
+    # distinct (g, i): the expansion pairs ARRAY POSITIONS, a self-join
+    # pairs ROWS; they agree on sets, so dedup ids within groups first
+    seen, uniq = set(), []
+    for g, i, p in rows:
+        if (g, i) not in seen:
+            seen.add((g, i))
+            uniq.append((g, i, p))
+    df = spark.createDataFrame(uniq, "g string, i int, p int")
+    got = {
+        (r["g"], r["id_a"], r["id_b"], r["pa"] + r["pb"])
+        for r in pairs_within_groups(
+            df,
+            ["g"],
+            F.struct(F.col("g").alias("g"), F.col("i").alias("i"), F.col("p").alias("p")),
+            lambda x, y: F.struct(
+                x["g"].alias("g"),
+                F.least(x["i"], y["i"]).alias("id_a"),
+                F.greatest(x["i"], y["i"]).alias("id_b"),
+                x["p"].alias("pa"),
+                y["p"].alias("pb"),
+            ),
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    want = {
+        (r["g"], r["id_a"], r["id_b"], r["ps"])
+        for r in a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.i") < F.col("b.i")))
+        .select(
+            F.col("a.g").alias("g"),
+            F.col("a.i").alias("id_a"),
+            F.col("b.i").alias("id_b"),
+            (F.col("a.p") + F.col("b.p")).alias("ps"),
+        )
+        .collect()
+    }
+    assert got == want
