@@ -100,6 +100,65 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+def resize_image(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """'Resize' stand-in: stride-sample the payload down to at most
+    ``target_bytes`` bytes (a real implementation decodes, resamples
+    pixels, re-encodes — PIL's ``Image.resize`` — and changes only the
+    inner function). Arrow-batched like the decode; emits the same
+    media schema so resized tables flow through every downstream op."""
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None or len(p) <= target_bytes:
+                    out.append(p)
+                else:
+                    step = -(-len(p) // target_bytes)  # ceil division
+                    out.append(bytes(p[::step]))
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            pdf["n_bytes"] = [len(p) if p is not None else 0 for p in out]
+            yield pdf
+
+    return media.mapInPandas(shrink, MEDIA_SCHEMA)
+
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
+    """Media -> embedding bridge: a deterministic stub 'encoder' (an
+    L2-normalized hashed byte-bigram histogram — a real encoder would
+    run a vision model over the decoded image) producing the
+    ``array<float>`` column every similarity/dedup operator consumes:
+    ``embedding_dup_pairs``, ``ivf_knn_self_join``, ``lsh_topk``...
+    This is the end-to-end multimodal dedup path: attach_payload ->
+    [resize_image ->] embed_media -> ANN."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            vecs = []
+            for p in pdf["payload"]:
+                v = np.zeros(dim, dtype=np.float64)
+                if p:
+                    a = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                    bigrams = (a[:-1] * 257 + a[1:]) if len(a) > 1 else a
+                    np.add.at(v, bigrams % dim, 1.0)
+                n = np.linalg.norm(v)
+                vecs.append((v / n if n else v).astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
+
+    return media.mapInPandas(encode, EMBED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: slice the payload every N bytes (the
     video analogue would sample every Nth frame). Pure built-ins:
