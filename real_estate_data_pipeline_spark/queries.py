@@ -1485,6 +1485,24 @@ def _simivfknn(spark, sf_dir):
 
 CATALOG["sim_ivf_knn_join"].fn = _simivfknn
 
+register("mm_embed_dup_pairs", oracle=None)
+
+
+def _mmembed(spark, sf_dir):
+    """End-to-end multimodal dedup (rows-only check): binary payloads ->
+    stub encoder embeddings (mapInPandas) -> banded-LSH near-dup pairs.
+    The encoder is a deterministic byte-bigram histogram; swapping in a
+    real vision model changes one inner function, not this plan."""
+    from .ops import multimodal
+
+    d = t(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(d, "text", "doc_id")
+    emb = multimodal.embed_media(media).withColumnRenamed("media_id", "vec_id")
+    return similarity.embedding_dup_pairs(emb, threshold=0.98, bits=6, bands=3)
+
+
+CATALOG["mm_embed_dup_pairs"].fn = _mmembed
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + typed metadata; decode is stubbed)
 # ---------------------------------------------------------------------------
