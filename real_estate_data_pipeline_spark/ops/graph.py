@@ -1,0 +1,84 @@
+"""Connected components over dup-pair edges — the step between a
+pairwise near-dup operator (minhash/simhash/jaccard/embedding) and the
+thing a training pipeline actually wants: ONE representative per
+duplicate cluster.
+
+Label propagation to the component-minimum id: every node starts
+labeled with itself, and each round takes the min of its own and its
+neighbors' labels. Converges in O(component diameter) rounds — dup
+clusters are near-cliques (diameter 1-2), so 3-5 rounds close almost
+any real corpus; ``max_iter`` hard-bounds pathological chains.
+
+Scale notes:
+- each round is one shuffle (join on dst) + one aggregate; edges are
+  re-used as-is, only the slim (id, label) frame iterates;
+- ``localCheckpoint`` truncates the lineage each round — without it
+  the plan doubles per iteration and the job dies on plan size long
+  before it dies on data;
+- convergence is detected with a 1-row ``limit(1).count()`` probe of
+  changed labels, not a full count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(id, cluster) for every id appearing in ``edges``; ``cluster``
+    is the smallest id in the component. Isolated ids never appear in
+    edges, so callers union them back with cluster = own id (see
+    ``keep_cluster_representative``)."""
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), F.col("label")
+        )
+        new = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))
+
+
+def keep_cluster_representative(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Near-dup removal: keep ONE row (the minimum id) per duplicate
+    cluster, plus every row that appears in no dup pair. A left join
+    against the (small) component labels — null label means isolated,
+    kept; labeled rows survive iff they ARE their cluster's minimum."""
+    labels = connected_components(edges, id_a, id_b, max_iter)
+    return (
+        df.join(labels, df[id_col] == labels.id, "left")
+        .filter(F.col("cluster").isNull() | (F.col(id_col) == F.col("cluster")))
+        .drop("id", "cluster")
+    )

@@ -1269,6 +1269,56 @@ def _djac(spark, sf_dir):
 
 CATALOG["ngram_jaccard_pairs"].fn = _djac
 
+register(
+    "dup_clusters_ngram",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, lang, n_chars // 100 AS len_bucket,
+               list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+        FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b
+        ON a.source = b.source AND a.lang = b.lang
+           AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, w.lab FROM edges e JOIN walk w ON e.dst = w.id
+    )
+    SELECT id AS doc_id, MIN(lab) AS cluster FROM walk GROUP BY id
+    """,
+)
+
+
+def _dclust(spark, sf_dir):
+    """Duplicate CLUSTERS from the oracle-able jaccard pair set: an
+    iterative distributed algorithm (label propagation to the component
+    min, lineage-truncated per round — ops/graph.py) checked EXACTLY
+    against DuckDB's recursive-CTE transitive closure. The step between
+    pairwise near-dup output and 'keep one representative per cluster'."""
+    from .ops import graph
+
+    d = t(spark, sf_dir, "documents").withColumn("len_bucket", F.expr("n_chars div 100"))
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", ["source", "lang", "len_bucket"], threshold=0.2
+    )
+    return graph.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("cluster")
+    )
+
+
+CATALOG["dup_clusters_ngram"].fn = _dclust
+
 # Non-SQL-reproducible dedups (xxhash64-based) -> rows-only checks.
 register("minhash_dup_pairs", oracle=None, bench=True)
 

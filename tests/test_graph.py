@@ -1,0 +1,48 @@
+"""Connected-components / cluster-representative tests: exactness on
+known graphs, convergence behavior, and the dedup end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_estate_data_pipeline_spark.ops.graph import (
+    connected_components,
+    keep_cluster_representative,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_components_exact_on_known_graph(spark):
+    # components: {1,2,3} (path), {5,6} (edge), {8,9,10} (triangle)
+    e = _edges(spark, [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (8, 10)])
+    got = {r["id"]: r["cluster"] for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_components_long_chain_converges(spark):
+    # a 9-node path: worst case for propagation (diameter 8 < max_iter)
+    e = _edges(spark, [(i, i + 1) for i in range(1, 9)])
+    got = {r["id"]: r["cluster"] for r in connected_components(e).collect()}
+    assert set(got.values()) == {1} and len(got) == 9
+
+
+def test_components_direction_invariant(spark):
+    a = connected_components(_edges(spark, [(4, 2), (2, 7)]))
+    b = connected_components(_edges(spark, [(2, 4), (7, 2)]))
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_keep_cluster_representative(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 5, 6, 9]], "doc_id long, body string"
+    )
+    e = _edges(spark, [(1, 2), (2, 3), (5, 6)])
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_cluster_representative(df, e, "doc_id").collect()
+    )
+    # cluster {1,2,3} -> keep 1; {5,6} -> keep 5; isolated 9 kept
+    assert kept == [1, 5, 9]
