@@ -1319,6 +1319,58 @@ def _dclust(spark, sf_dir):
 
 CATALOG["dup_clusters_ngram"].fn = _dclust
 
+register(
+    "docs_dedup_representatives",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, lang, n_chars // 100 AS len_bucket,
+               list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+        FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b
+        ON a.source = b.source AND a.lang = b.lang
+           AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, w.lab FROM edges e JOIN walk w ON e.dst = w.id
+    ),
+    clusters AS (SELECT id, MIN(lab) AS cluster FROM walk GROUP BY id)
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+    WHERE c.id IS NULL OR d.doc_id = c.cluster
+    """,
+)
+
+
+def _dreps(spark, sf_dir):
+    """Near-dup REMOVAL end-to-end: jaccard pairs -> connected
+    components -> keep the min-id representative per cluster plus all
+    untouched documents. The full 'dedup a training corpus' flow as one
+    oracle-checked query."""
+    from .ops import graph
+
+    d = t(spark, sf_dir, "documents").withColumn("len_bucket", F.expr("n_chars div 100"))
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", ["source", "lang", "len_bucket"], threshold=0.2
+    )
+    return graph.keep_cluster_representative(d, pairs, "doc_id").select(
+        "doc_id", "source", "lang"
+    )
+
+
+CATALOG["docs_dedup_representatives"].fn = _dreps
+
 # Non-SQL-reproducible dedups (xxhash64-based) -> rows-only checks.
 register("minhash_dup_pairs", oracle=None, bench=True)
 
