@@ -1,0 +1,76 @@
+"""Deterministic, engine-reproducible sampling for corpus curation.
+
+``df.sample``/``sampleBy`` draw from Spark's per-partition RNG: the
+result changes with partitioning, so a re-run on repartitioned data
+(or another engine) selects different rows — useless for a training
+corpus that must be reproducible and auditable. Hash sampling decides
+membership from the ROW KEY alone: ``uniform01(key) < fraction``,
+where uniform01 is the first 8 hex chars of sha2-256 scaled to [0,1).
+Same key + same salt => same decision, on any engine, any partitioning,
+any day. The salt gives independent draws (new salt = fresh sample, and
+disjoint salts give disjoint-enough splits for train/eval carving).
+
+Everything is a scalar Column expression — filters stay JVM-side and
+push down with the rest of the plan. DuckDB oracle equivalent:
+``('0x' || substr(sha256(key || salt), 1, 8))::UBIGINT / 4294967296.0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 4294967296.0  # 2^32: first 8 hex chars span [0, 2^32)
+
+
+def hash_uniform01(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) from a key column (+ salt)."""
+    h = F.conv(
+        F.substring(F.sha2(F.concat(key.cast("string"), F.lit(salt)), 256), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return h / F.lit(_SCALE)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership decided by the key hash."""
+    return df.filter(hash_uniform01(F.col(key_col), salt) < F.lit(float(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum keep fractions (e.g. downsample an overrepresented
+    language): one scalar CASE over the strata column, no shuffle, no
+    per-stratum jobs (``sampleBy`` also samples in one pass but is not
+    reproducible across engines/partitionings)."""
+    frac = F.lit(float(default))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
+    return df.filter(hash_uniform01(F.col(key_col), salt) < frac)
+
+
+def hash_split(
+    df: DataFrame, key_col: str, weights: list[float], salt: str = ""
+) -> list[DataFrame]:
+    """Disjoint, exhaustive train/eval/test splits from ONE hash draw:
+    row r lands in split i iff uniform01(r) falls in i's cumulative
+    band. Unlike ``randomSplit`` the assignment is stable under
+    re-partitioning and re-runs."""
+    total = sum(weights)
+    u = hash_uniform01(F.col(key_col), salt)
+    splits, lo = [], 0.0
+    for i, w in enumerate(weights):
+        hi = lo + w / total
+        upper = u < F.lit(hi) if i < len(weights) - 1 else F.lit(True)
+        splits.append(df.filter((u >= F.lit(lo)) & upper))
+        lo = hi
+    return splits

@@ -1371,6 +1371,67 @@ def _dreps(spark, sf_dir):
 
 CATALOG["docs_dedup_representatives"].fn = _dreps
 
+_HASH01_SQL = (
+    "('0x' || substr(sha256(CAST({key} AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0"
+)
+
+register(
+    "sample_docs_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_HASH01_SQL.format(key="doc_id")}
+          < CASE WHEN lang = 'en' THEN 0.3 WHEN lang = 'zh' THEN 1.0 ELSE 0.5 END
+    """,
+)
+
+
+def _dsample(spark, sf_dir):
+    """Deterministic stratified corpus sampling (downsample the
+    overrepresented language): membership is a pure function of the row
+    key, so the sample is bit-identical across engines, partitionings
+    and re-runs — which is what makes it auditable training data. The
+    DuckDB oracle recomputes the same sha2-based draw."""
+    from .ops import sampling
+
+    d = t(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.3, "zh": 1.0}, default=0.5
+    ).select("doc_id", "lang", "source")
+
+
+CATALOG["sample_docs_stratified"].fn = _dsample
+
+register(
+    "sample_orders_split",
+    oracle=f"""
+    SELECT CASE WHEN {_HASH01_SQL.format(key="o_orderkey")} < 0.8 THEN 'train'
+                WHEN {_HASH01_SQL.format(key="o_orderkey")} < 0.9 THEN 'eval'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM orders GROUP BY split ORDER BY split
+    """,
+)
+
+
+def _dsplit(spark, sf_dir):
+    """Train/eval/test carving from ONE hash draw: disjoint, exhaustive,
+    stable under re-partitioning (randomSplit is none of these)."""
+    from .ops import sampling
+
+    o = t(spark, sf_dir, "orders")
+    parts = sampling.hash_split(o, "o_orderkey", [0.8, 0.1, 0.1])
+    labeled = [
+        p.select(F.lit(name).alias("split"))
+        for p, name in zip(parts, ["train", "eval", "test"])
+    ]
+    out = labeled[0]
+    for p in labeled[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("split").agg(F.count("*").alias("n")).orderBy("split")
+
+
+CATALOG["sample_orders_split"].fn = _dsplit
+
 # Non-SQL-reproducible dedups (xxhash64-based) -> rows-only checks.
 register("minhash_dup_pairs", oracle=None, bench=True)
 

@@ -1,0 +1,69 @@
+"""Deterministic hash sampling: reproducibility across partitionings,
+stratum fractions, split disjointness/exhaustiveness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_estate_data_pipeline_spark.ops.sampling import (
+    hash_sample,
+    hash_split,
+    hash_uniform01,
+    stratified_hash_sample,
+)
+
+
+def _corpus(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+
+
+def test_hash_sample_partitioning_invariant(spark):
+    df = _corpus(spark)
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.25).collect()}
+    b = {r["doc_id"] for r in hash_sample(df.repartition(17), "doc_id", 0.25).collect()}
+    assert a == b  # same rows regardless of layout
+    assert 0.18 < len(a) / 2000 < 0.32  # near the asked fraction
+
+
+def test_hash_sample_salt_changes_draw(spark):
+    df = _corpus(spark)
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.25).collect()}
+    c = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.25, salt="v2").collect()}
+    assert a != c  # independent draw
+    assert 0.18 < len(c) / 2000 < 0.32
+
+
+def test_stratified_fractions(spark):
+    df = _corpus(spark)
+    out = stratified_hash_sample(df, "doc_id", "lang", {"en": 1.0, "de": 0.1}).collect()
+    en = sum(1 for r in out if r["lang"] == "en")
+    de = sum(1 for r in out if r["lang"] == "de")
+    n_en = 2000 // 3 + 1
+    assert en == n_en  # fraction 1.0 keeps every row
+    assert 0.04 < de / (2000 - n_en) < 0.18
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    df = _corpus(spark)
+    tr, ev, te = hash_split(df, "doc_id", [0.8, 0.1, 0.1])
+    s_tr = {r["doc_id"] for r in tr.collect()}
+    s_ev = {r["doc_id"] for r in ev.collect()}
+    s_te = {r["doc_id"] for r in te.collect()}
+    assert s_tr | s_ev | s_te == set(range(2000))
+    assert not (s_tr & s_ev) and not (s_tr & s_te) and not (s_ev & s_te)
+    # stable under repartition
+    tr2 = {r["doc_id"] for r in hash_split(df.repartition(13), "doc_id", [0.8, 0.1, 0.1])[0].collect()}
+    assert tr2 == s_tr
+    assert 0.74 < len(s_tr) / 2000 < 0.86
+
+
+def test_uniform01_range_and_pushdown(spark):
+    df = _corpus(spark)
+    mm = df.select(
+        F.min(hash_uniform01(F.col("doc_id"))).alias("lo"),
+        F.max(hash_uniform01(F.col("doc_id"))).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= mm["lo"] and mm["hi"] < 1.0
