@@ -1,0 +1,91 @@
+"""Context-window preparation: chunking long documents and packing
+short ones — the last mile between a cleaned corpus and a trainer's
+fixed-length sequences.
+
+Both ops are pure DataFrame expressions (explode/slice for chunking, a
+windowed running total for packing), so they stay JVM-side, push down,
+and have exact SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into whitespace-token chunks of
+    ``chunk_tokens`` with ``overlap`` tokens of context carried between
+    consecutive chunks (stride = chunk_tokens - overlap). Emits
+    (id, chunk_id, chunk_text, n_tokens); empty/blank documents yield
+    nothing. One narrow explode — no shuffle, no UDF."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    tk = F.col("__tk")
+    n = F.size(tk)
+    # chunks start at 0, stride, 2*stride, ... while start < n; the last
+    # chunk may be short. ceil((n - overlap) / stride) starts for n > 0.
+    n_chunks = F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ").alias("__tk"),
+    ).filter((n > 0) & (F.element_at(tk, 1) != F.lit("")))
+    chunks = toks.select(
+        F.col(id_col),
+        F.col("__tk"),
+        F.posexplode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)).alias(
+            "chunk_id", "__start_mult"
+        ),
+    )
+    start = F.col("__start_mult") * stride
+    piece = F.slice(F.col("__tk"), start + 1, chunk_tokens)
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+    budget: int = 512,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign documents to fixed-budget training sequences: within each
+    of ``n_buckets`` hash buckets, documents are laid out in id order
+    and a document starts a new sequence whenever its EXCLUSIVE running
+    token total crosses a budget boundary (seq = floor(cumsum_before /
+    budget)). Deterministic, one shuffle (the per-bucket window sort) —
+    and crucially PARALLEL: a single global greedy pack would serialize
+    on one task, so packing is bucket-local by design (each bucket
+    wastes at most one partial sequence, negligible when buckets hold
+    thousands of documents). Documents longer than the budget should be
+    chunked first (``chunk_documents``). Buckets come from the same
+    sha2-based hash as ops/sampling (engine-reproducible, unlike
+    xxhash64), so the full layout is oracle-checkable."""
+    from .sampling import hash_uniform01
+
+    bucket = F.floor(hash_uniform01(F.col(id_col)) * n_buckets).cast("int").alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = df.select(F.col(id_col), F.col(token_count_col).cast("long").alias("__nt"), bucket)
+    cum_before = F.coalesce(F.sum("__nt").over(w), F.lit(0).cast("long"))
+    return b.select(
+        F.col(id_col),
+        F.col("bucket"),
+        (F.col("bucket") * F.lit(1_000_000) + F.floor(cum_before / budget)).alias("seq_id"),
+        F.col("__nt").alias(token_count_col),
+    )

@@ -1432,6 +1432,77 @@ def _dsplit(spark, sf_dir):
 
 CATALOG["sample_orders_split"].fn = _dsplit
 
+register(
+    "doc_chunk_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    ch AS (
+      SELECT doc_id, tk,
+             CAST(unnest(range(CAST(GREATEST(ceil((len(tk) - 8) / 24.0), 1) AS BIGINT))) AS INT)
+                 AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+               AS chunk_text,
+           CAST(len(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT)
+               AS n_tokens
+    FROM ch
+    """,
+)
+
+
+def _dchunk(spark, sf_dir):
+    """Context-window chunking: 32-token windows with 8 tokens of
+    overlap (stride 24); the trainer-facing split of long documents.
+    One narrow explode, no shuffle, exact SQL oracle."""
+    from .ops import packing
+
+    d = t(spark, sf_dir, "documents")
+    return packing.chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+CATALOG["doc_chunk_windows"].fn = _dchunk
+
+register(
+    "doc_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(floor(({_HASH01_SQL.format(key="doc_id")}) * 8) AS INT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           bucket * 1000000 + CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS BIGINT)
+               AS seq_id,
+           n_tokens
+    FROM d
+    """,
+)
+
+
+def _dpack(spark, sf_dir):
+    """Sequence packing: bucket-parallel running-total layout of
+    documents into 256-token training sequences. The whole layout is a
+    deterministic function of (id, token count), so DuckDB reproduces
+    it bit-for-bit — auditability a sampled/greedy packer can't give."""
+    from .ops import packing, text as _text
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", _text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return packing.pack_sequences(d, "doc_id", "n_tokens", budget=256, n_buckets=8)
+
+
+CATALOG["doc_pack_sequences"].fn = _dpack
+
 # Non-SQL-reproducible dedups (xxhash64-based) -> rows-only checks.
 register("minhash_dup_pairs", oracle=None, bench=True)
 
