@@ -116,3 +116,68 @@ def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         quality_score(c).alias("quality_score"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# --- PII scrubbing (corpus-safety pass) -------------------------------------
+# Patterns are deliberately RE2-compatible (no lookarounds) so the same
+# regex runs identically in Spark (Java regex) and the DuckDB oracle.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d .-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace URLs / emails / IPv4s / phone-shaped digit runs with
+    typed placeholder tokens, in a fixed order (URL first so an email
+    inside a URL redacts as part of the URL). A chain of JVM
+    regexp_replace calls — no UDF, pushes through codegen."""
+    out = c
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Boilerplate/repetition detector (the Gopher/Dolma-style filter):
+    fraction of a document's token bigrams taken by its single most
+    frequent bigram, plus distinct-token fraction. High top-bigram
+    fraction or low distinct fraction flags pathological repetition.
+
+    One explode + one (id, bigram) aggregate + one per-id aggregate —
+    entirely JVM-side, partial-aggregated before both shuffles."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ").alias("__tk"),
+    ).filter((F.size("__tk") > 1) & (F.element_at("__tk", 1) != F.lit("")))
+    tk = F.col("__tk")
+    bigrams = toks.select(
+        F.col(id_col),
+        F.size(tk).alias("__n_tok"),
+        F.array_size(F.array_distinct(tk)).alias("__n_distinct"),
+        F.explode(
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("__bg"),
+    )
+    per_bg = bigrams.groupBy(id_col, "__bg").agg(
+        F.count("*").alias("__c"),
+        F.first("__n_tok").alias("__n_tok"),
+        F.first("__n_distinct").alias("__n_distinct"),
+    )
+    return per_bg.groupBy(id_col).agg(
+        (
+            F.max("__c").cast("double")
+            / (F.first("__n_tok") - F.lit(1)).cast("double")
+        ).alias("top_bigram_frac"),
+        (F.first("__n_distinct").cast("double") / F.first("__n_tok").cast("double")).alias(
+            "distinct_token_frac"
+        ),
+    )

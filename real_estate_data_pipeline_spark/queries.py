@@ -1503,6 +1503,70 @@ def _dpack(spark, sf_dir):
 
 CATALOG["doc_pack_sequences"].fn = _dpack
 
+register(
+    "doc_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+?\\d[\\d .-]{7,}\\d', '<PHONE>', 'g') AS redacted
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+
+
+def _dpii(spark, sf_dir):
+    """Corpus-safety pass: URL/email/IP/phone scrubbing as a chain of
+    JVM regexp_replace calls (RE2-compatible patterns, so DuckDB runs
+    the identical regexes). The unit tests exercise each PII class; the
+    oracle proves cross-engine regex parity on the whole corpus."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select("doc_id", text.redact_pii(F.col("text")).alias("redacted"))
+
+
+CATALOG["doc_pii_redact"].fn = _dpii
+
+register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+      WHERE length(trim(text)) > 0
+        AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) > 1
+    ),
+    bg AS (
+      SELECT doc_id, len(tk) AS n_tok, len(list_distinct(tk)) AS n_distinct,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+      FROM toks
+    ),
+    cnt AS (
+      SELECT doc_id, bg, COUNT(*) AS c, FIRST(n_tok) AS n_tok,
+             FIRST(n_distinct) AS n_distinct
+      FROM bg GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           CAST(MAX(c) AS DOUBLE) / CAST(FIRST(n_tok) - 1 AS DOUBLE) AS top_bigram_frac,
+           CAST(FIRST(n_distinct) AS DOUBLE) / CAST(FIRST(n_tok) AS DOUBLE)
+               AS distinct_token_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+
+
+def _drep(spark, sf_dir):
+    """Gopher/Dolma-style repetition filter inputs: top-bigram share and
+    distinct-token share per document, two partial-aggregated shuffles."""
+    d = t(spark, sf_dir, "documents")
+    return text.repetition_stats(d, "doc_id", "text")
+
+
+CATALOG["doc_repetition_stats"].fn = _drep
+
 # Non-SQL-reproducible dedups (xxhash64-based) -> rows-only checks.
 register("minhash_dup_pairs", oracle=None, bench=True)
 

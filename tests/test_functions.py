@@ -186,3 +186,44 @@ def test_stable_bucket_deterministic(spark):
     vals = [r["out"] for r in df.select(X.stable_bucket(F.col("x"), 100).alias("out")).collect()]
     assert vals[0] == vals[1]
     assert 0 <= vals[0] < 100 and 0 <= vals[2] < 100
+
+
+def test_redact_pii_all_classes(spark):
+    from real_estate_data_pipeline_spark.ops.text import redact_pii
+    from pyspark.sql import functions as F
+
+    cases = [
+        (1, "contact me at john.doe+spam@example.co.uk today"),
+        (2, "visit https://example.com/a?b=c#frag for info"),
+        (3, "server at 192.168.0.1 responded"),
+        (4, "call +84 912 345 678 or 0901-234-567 now"),
+        (5, "no pii here at all"),
+        (6, "mail me via https://site.io/contact?email=a@b.com please"),
+    ]
+    df = spark.createDataFrame(cases, "id long, text string")
+    got = {r["id"]: r["red"] for r in df.select("id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "contact me at <EMAIL> today"
+    assert got[2] == "visit <URL> for info"
+    assert got[3] == "server at <IP> responded"
+    assert got[4] == "call <PHONE> or <PHONE> now"
+    assert got[5] == "no pii here at all"
+    assert got[6] == "mail me via <URL> please"  # email inside URL -> one URL token
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from real_estate_data_pipeline_spark.ops.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 20),                    # one bigram dominates
+            (2, "the quick brown fox jumps high"),   # all distinct
+            (3, "x"),                                # single token: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert 3 not in got
+    assert got[1]["top_bigram_frac"] > 0.45   # "now buy"/"buy now" dominate
+    assert got[1]["distinct_token_frac"] < 0.1
+    assert got[2]["top_bigram_frac"] <= 0.25
+    assert got[2]["distinct_token_frac"] == 1.0
