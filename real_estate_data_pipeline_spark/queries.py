@@ -40,16 +40,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracles are tz-naive. Pin UTC (runtime conf, idempotent).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read nanos as long and truncate to micros —
-        # exactly what DuckDB's nanosecond->microsecond coercion does.
-        # Cast to TIMESTAMP_NTZ (like every other parquet timestamp here)
-        # so downstream formatting is timezone-independent.
+        # events.parquet has stored its timestamp as TIMESTAMP(NANOS) in
+        # some testdata generations (Spark's parquet reader rejects nanos;
+        # read nanos-as-long and truncate to micros — exactly DuckDB's
+        # nanosecond->microsecond coercion) and TIMESTAMP(MICROS) in
+        # others (read natively). Handle both, normalizing to
+        # TIMESTAMP_NTZ so downstream formatting is timezone-independent.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
