@@ -46,10 +46,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanosecond->microsecond coercion) and TIMESTAMP(MICROS) in
         # others (read natively). Handle both, normalizing to
         # TIMESTAMP_NTZ so downstream formatting is timezone-independent.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ts_type = df.schema["ts"].dataType.typeName()
-        if ts_type in ("long", "bigint"):
+        ts_is_long = df.schema["ts"].dataType.typeName() == "long"
+        if not ts_is_long:
+            # Micros file: the legacy conf was not needed; restore it so it
+            # doesn't silently apply to other tables' reads. When the file
+            # IS nanos the conf must stay on through execution (the scan
+            # consults it again when building record converters).
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+        if ts_is_long:
             return df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
             )
