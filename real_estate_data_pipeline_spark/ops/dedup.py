@@ -241,10 +241,13 @@ def minhash_dup_pairs(
 # 4 x 16-bit SWAR lanes per long: lane j of sum k counts set bits at
 # signature position k + 16*j across a document's token hashes
 _LANE = 0x0001000100010001
-# lanes are 16-bit: cap shingles per doc so per-lane counts cannot carry
-# into the neighbor lane (documented bias: only the first 65535 distinct
-# shingles of a pathological document vote)
-_MAX_SHINGLES = 65535
+# lanes are 16-bit AND the summed longs must stay under 2^63 in Spark's
+# ANSI mode (SUM on BIGINT throws on overflow): the largest per-term
+# value is 0x0001000100010001 ~ 2.8e14, so the count cap is
+# floor(Long.MAX / 0x0001000100010001) = 32767 — which also keeps every
+# 16-bit lane carry-free. Documented bias: only the first 32767 distinct
+# shingles of a pathological document vote.
+_MAX_SHINGLES = 32767
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str, token_n: int = 2) -> DataFrame:
@@ -285,14 +288,35 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, token_n: int =
         ],
     )
     cnt = F.col("__cnt")
-    packed = F.lit(0).cast("long")
-    for i in range(64):
-        k, j = i % 16, i // 16
-        ones = F.shiftrightunsigned(F.coalesce(F.col(f"__s{k}"), F.lit(0)), 16 * j).bitwiseAND(
-            F.lit(0xFFFF)
-        )
-        bit = F.when(ones * 2 > cnt, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = packed + F.shiftleft(bit, i)
+    # Majority-vote pack. The r2 form chained 64 shiftleft(when(...))
+    # adds into ONE deep expression; Janino compiled it into a method
+    # too large to split well, costing ~10 s of one-shot JIT (the
+    # dominant bench cost — execution itself is ~1 s). Instead: a flat
+    # 64-element lane-count array (CreateArray splits into submethods
+    # cleanly) OR-folded against bit-weight literals by a tiny
+    # higher-order aggregate — 64 interpreted iterations per DOCUMENT,
+    # negligible beside the per-token aggregate upstream.
+    ones_arr = F.array(
+        *[
+            F.shiftrightunsigned(
+                F.coalesce(F.col(f"__s{i % 16}"), F.lit(0)), 16 * (i // 16)
+            ).bitwiseAND(F.lit(0xFFFF))
+            for i in range(64)
+        ]
+    )
+    # bit 63's weight is Long.MIN_VALUE (1L<<63 wraps); OR-folding is
+    # carry-free so the signed value is still the right bit pattern
+    weights = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            ones_arr, weights,
+            lambda o, w: F.when(o * 2 > cnt, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
     return sums.select(F.col(id_col), packed.alias("__sim"))
 
 

@@ -513,6 +513,81 @@ def ivf_knn_self_join_arrow(
     )
 
 
+def knn_self_join_arrow(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    bands: int = 3,
+) -> DataFrame:
+    """``knn_self_join`` with both hot loops moved to Arrow-batched
+    numpy (same banding scheme, same edge semantics):
+
+    - all ``bands x bits`` plane products compute as ONE matrix
+      multiply per Arrow batch (replacing 18 interpreted zip_with/
+      aggregate folds per row — the plan's largest expression);
+    - per-bucket scoring is a BLAS gram matrix in ``applyInPandas``
+      with the per-row top-k taken INSIDE the bucket — sound for the
+      same reason as the IVF Arrow variant: bucket candidates are a
+      subset of a row's global candidates, so a globally top-k edge
+      ranks top-k in every bucket containing both endpoints — and only
+      O(n * k * bands) slim edges leave the Python workers.
+
+    Bucket values are bit-packed ints rather than '0'/'1' strings
+    (identity is all a bucket key needs). A sign that numpy's pairwise
+    summation rounds differently from the sequential JVM fold would
+    need |dot| ~ 1e-15; the recall test tolerates it, the catalog
+    entry is rows-only checked."""
+    fams = band_planes(bits, bands)
+    P = np.array([p for fam in fams for p in fam], dtype=np.float64)  # (bands*bits, dim)
+    pw = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def _band_buckets(v: pd.Series) -> pd.Series:
+        X = np.stack(v.values).astype(np.float64)
+        S = (X @ P.T) >= 0.0  # (n, bands*bits)
+        out = np.empty((len(X), len(fams)), dtype=np.int64)
+        for t in range(len(fams)):
+            out[:, t] = S[:, t * bits : (t + 1) * bits] @ pw
+        return pd.Series(list(out))
+
+    b = df.select(id_col, vec_col).withColumn(
+        "__bb", _band_buckets(F.col(vec_col))
+    ).select(id_col, vec_col, F.posexplode("__bb").alias("__band", "__bkt"))
+
+    def _bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        m = len(ids)
+        kk = min(k, m - 1)
+        if kk <= 0:
+            return pd.DataFrame({"left_id": [], "right_id": [], "cosine_sim": []})
+        X = np.stack(pdf[vec_col].values).astype(np.float64)
+        xn = np.linalg.norm(X, axis=1)
+        xn[xn == 0.0] = 1.0
+        Xn = X / xn[:, None]
+        G = Xn @ Xn.T
+        np.fill_diagonal(G, -np.inf)
+        order = np.lexsort((np.broadcast_to(ids, G.shape), -G), axis=1)[:, :kk]
+        left = np.repeat(ids, kk)
+        right = ids[order.ravel()]
+        cos = np.take_along_axis(G, order, axis=1).ravel()
+        return pd.DataFrame({"left_id": left, "right_id": right, "cosine_sim": cos})
+
+    per_bucket = b.groupBy("__band", "__bkt").applyInPandas(
+        _bucket_knn, "left_id long, right_id long, cosine_sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
+    return (
+        per_bucket.dropDuplicates(["left_id", "right_id"])
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -34,6 +34,32 @@ from .ops import functions as X
 DEC = "decimal(18,2)"
 
 
+_FAN_OUT_CAP = 256 << 20  # bytes
+
+
+def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Balance a scan whose effective split count is below the session's
+    parallelism.
+
+    The driver testdata ships ONE row group per table, and a parquet
+    scan cannot split inside a row group — so without this every
+    map-side pipeline (shingling, hashing, LSH plane products, decimal
+    sums) runs on a single core of local[32]. Bounded by input size:
+    only inputs under 256 MB ever shuffle (a round-robin exchange of a
+    few MB costs ~tens of ms), so a real multi-file 100 TB table — whose
+    scan already yields thousands of splits — never pays it."""
+    try:
+        paths = [p[7:] if p.startswith("file://") else p for p in df.inputFiles()]
+        import os
+
+        size = sum(os.path.getsize(p) for p in paths)
+    except Exception:
+        return df
+    if size < _FAN_OUT_CAP:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver may run these queries in a session with a non-UTC
     # timezone; date_format/window on TIMESTAMP are tz-sensitive, and the
@@ -61,11 +87,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             else:
                 spark.conf.set(key, prior)
         if ts_is_long:
-            return df.withColumn(
+            return _fan_out(spark, df).withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
             )
-        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _fan_out(spark, df).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return _fan_out(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def dsum(col: str, alias: str):
@@ -1775,10 +1801,14 @@ register("sim_knn_join", oracle=None, bench=True)
 
 
 def _simknn(spark, sf_dir):
-    """Banded-LSH approximate kNN self-join (rows-only check); the
-    self-join fast path computes buckets+norms once."""
+    """Banded-LSH approximate kNN self-join (rows-only check), Arrow
+    variant: all 18 plane products are one BLAS matmul per batch and
+    per-bucket scoring is a gram matrix, replacing the engine's
+    largest interpreted expression (the JVM variant remains in
+    ops/similarity for Arrow-less environments and for the
+    equivalence test)."""
     e = t(spark, sf_dir, "embeddings")
-    return similarity.knn_self_join(e, k=3, bits=6, bands=3)
+    return similarity.knn_self_join_arrow(e, k=3, bits=6, bands=3)
 
 
 CATALOG["sim_knn_join"].fn = _simknn

@@ -129,6 +129,24 @@ def test_ivf_arrow_matches_jvm_variant(spark):
     assert arrow == jvm
 
 
+def test_banded_knn_arrow_matches_jvm_variant(spark):
+    """The Arrow banded-LSH kNN (matmul buckets + per-bucket gram
+    top-k) must produce the same edge set as the JVM-expression
+    self-join: identical planes/threshold give identical buckets, and
+    per-bucket top-k provably retains every globally top-k edge."""
+    from real_estate_data_pipeline_spark.ops.similarity import (
+        knn_self_join,
+        knn_self_join_arrow,
+    )
+
+    df = _hostile_corpus(spark)
+    jvm = {(r["left_id"], r["right_id"])
+           for r in knn_self_join(df, k=4, bits=6, bands=3).collect()}
+    arrow = {(r["left_id"], r["right_id"])
+             for r in knn_self_join_arrow(df, k=4, bits=6, bands=3).collect()}
+    assert arrow == jvm
+
+
 def test_ivf_knn_join_two_corpus(spark):
     """Query-vs-base IVF join: queries find their own cluster in the
     base corpus; no self-pairs (ids overlap across the two frames)."""
