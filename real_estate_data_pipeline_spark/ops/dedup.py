@@ -238,6 +238,50 @@ def minhash_dup_pairs(
     ).dropDuplicates(["id_a", "id_b"])
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Train/eval contamination by exact word n-gram overlap — the
+    GPT-3/Dolma-style decontamination primitive: an eval document is
+    contaminated to the degree its n-grams also appear anywhere in the
+    training corpus.
+
+    Returns (id, n_overlap, contam_frac) for eval documents with at
+    least one overlapping n-gram: n_overlap = distinct shared n-grams,
+    contam_frac = n_overlap / the document's distinct n-gram count.
+
+    Plan shape: both sides shingle once (map-side), the train side
+    dedups its gram set (one shuffle — at 100 TB this is the big one,
+    but it is also the one you'd precompute and reuse across eval
+    sets), candidates meet in ONE equi-join on the gram, and the
+    per-eval-doc rollup is a partial-aggregated count. Nothing is ever
+    O(train x eval)."""
+    tr_g = (
+        train.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__g"))
+        .distinct()
+    )
+    ev = eval_df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__gs")
+    )
+    ev_g = ev.select(
+        F.col(id_col), F.size("__gs").alias("__ng"), F.explode("__gs").alias("__g")
+    )
+    return (
+        ev_g.join(tr_g, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_overlap"),
+            (F.count("*").cast("double") / F.max("__ng").cast("double")).alias(
+                "contam_frac"
+            ),
+        )
+    )
+
+
 # 4 x 16-bit SWAR lanes per long: lane j of sum k counts set bits at
 # signature position k + 16*j across a document's token hashes
 _LANE = 0x0001000100010001

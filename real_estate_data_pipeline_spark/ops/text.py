@@ -6,7 +6,7 @@ cross-engine reproducible) — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword seed lists for the n-gram/stopword heuristic.
@@ -180,4 +180,45 @@ def repetition_stats(
         (F.first("__n_distinct").cast("double") / F.first("__n_tok").cast("double")).alias(
             "distinct_token_frac"
         ),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: tf(doc, term) * ln((N+1)/(df+1)),
+    idf rounded to 6 decimals (ln is the one libm-dependent function —
+    see the queries.py exactness rules).
+
+    Plan shape: one (id, term) hash aggregate for tf, one (term)
+    aggregate for document frequency (both partial-aggregated), the
+    corpus size N as a broadcast scalar, a term-keyed equi-join of the
+    two aggregates (co-partitioned on term at scale), and a per-doc
+    top-k window. No driver collection, no O(N^2)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.round(
+                F.log((F.col("__n") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(id_col, "term", "tfidf")
     )

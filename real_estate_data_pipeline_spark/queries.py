@@ -3530,6 +3530,176 @@ def _q21(spark, sf_dir):
 CATALOG["q21_sole_late_supplier"].fn = _q21
 
 # ===========================================================================
+# Corpus curation round 3: decontamination, TF-IDF, quantile banding,
+# cohort retention
+# ===========================================================================
+
+# word-3-gram SQL matching ops/dedup.shingles_from_tokens(tk, 3):
+# cnt = greatest(len-2, 1); gram i joins tokens i..i+2 (slice clamps the
+# tail exactly like try_element_at skips it); '' grams filtered
+_GRAMS3_SQL = (
+    "list_filter(list_distinct(list_transform("
+    "range(1, greatest(len(tk) - 2, 1) + 1), "
+    "i -> array_to_string(tk[i:i+2], ' '))), g -> g <> '')"
+)
+
+register(
+    "decon_eval_overlap",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, {_GRAMS3_SQL} AS gs,
+             {_HASH01_SQL.format(key="doc_id || 'decon'")} AS u
+      FROM tk
+    ),
+    tr AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE u < 0.8),
+    ev AS (SELECT doc_id, len(gs) AS ng, unnest(gs) AS gram FROM g WHERE u >= 0.8)
+    SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MAX(ev.ng) AS DOUBLE) AS contam_frac
+    FROM ev JOIN tr ON ev.gram = tr.gram
+    GROUP BY ev.doc_id
+    """,
+    bench=True,
+)
+
+
+def _decon(spark, sf_dir):
+    """Train/eval decontamination by exact 3-gram overlap (the
+    GPT-3/Dolma primitive): eval docs sharing any word 3-gram with the
+    train split, with the shared-gram count and fraction. The split is
+    the deterministic sha2 hash draw (ops/sampling), so both engines
+    carve identical train/eval sets."""
+    from .ops.sampling import hash_uniform01
+
+    d = t(spark, sf_dir, "documents")
+    u = hash_uniform01(F.col("doc_id"), "decon")
+    train = d.filter(u < 0.8)
+    ev = d.filter(u >= 0.8)
+    return dedup.contamination_report(train, ev, "doc_id", "text", shingle_n=3)
+
+
+CATALOG["decon_eval_overlap"].fn = _decon
+
+register(
+    "doc_tfidf_top3",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE)
+               * round(ln((nd + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+
+
+def _dtfidf(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (idf ln rounded to 6 dp per the
+    exactness rules; term-keyed join of two partial aggregates)."""
+    d = t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+CATALOG["doc_tfidf_top3"].fn = _dtfidf
+
+register(
+    "doc_len_quantile_band",
+    oracle="""
+    WITH nt AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    thr AS (
+      SELECT quantile_cont(n_tokens, 0.05) AS lo, quantile_cont(n_tokens, 0.95) AS hi
+      FROM nt
+    )
+    SELECT doc_id, n_tokens FROM nt, thr
+    WHERE n_tokens >= lo AND n_tokens <= hi
+    """,
+)
+
+
+def _dlenq(spark, sf_dir):
+    """Length-quantile banding (drop the shortest/longest 5% — a
+    standard corpus quality filter): exact interpolated percentiles
+    (both engines use the (n-1)*p linear-interpolation definition)
+    broadcast as a one-row scalar frame; the filter itself is a
+    scan-side predicate."""
+    d = t(spark, sf_dir, "documents")
+    nt = d.select(
+        "doc_id", F.size(dedup.norm_tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    thr = nt.agg(
+        F.percentile("n_tokens", 0.05).alias("lo"),
+        F.percentile("n_tokens", 0.95).alias("hi"),
+    )
+    return (
+        nt.crossJoin(F.broadcast(thr))
+        .filter((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")))
+        .select("doc_id", "n_tokens")
+    )
+
+
+CATALOG["doc_len_quantile_band"].fn = _dlenq
+
+register(
+    "evt_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(day) AS c0 FROM activity GROUP BY user_id)
+    SELECT strftime(c.c0, '%Y-%m-%d') AS cohort_date,
+           CAST(date_diff('day', c.c0, a.day) AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY cohort_date, day_offset
+    """,
+)
+
+
+def _dcohort(spark, sf_dir):
+    """Daily cohort retention over the event stream: first-seen day per
+    user (the cohort), then distinct active (user, day) pairs rolled up
+    by (cohort, day offset). Two partial-aggregated shuffles plus one
+    user-keyed join — the canonical product-analytics rollup."""
+    e = t(spark, sf_dir, "events")
+    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("c0"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("c0", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff(F.col("day"), F.col("c0")).cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("users"))
+    )
+
+
+CATALOG["evt_cohort_retention"].fn = _dcohort
+
+
+# ===========================================================================
 # entry() flagship
 # ===========================================================================
 
