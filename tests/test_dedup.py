@@ -92,3 +92,27 @@ def test_simhash_plan_no_cartesian(spark):
     plan = simhash_dup_pairs(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_report_planted_overlap(spark):
+    from real_estate_data_pipeline_spark.ops.dedup import contamination_report
+
+    train = spark.createDataFrame(
+        [("t1", "the quick brown fox jumps over the lazy dog"),
+         ("t2", "spark structured streaming with watermarks")],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [("e1", "a story where the quick brown fox appears verbatim"),
+         ("e2", "entirely novel sentence sharing no trigram at all"),
+         ("e3", "the quick brown fox jumps over the lazy dog")],  # full copy
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            contamination_report(train, ev, "doc_id", "text", shingle_n=3).collect()}
+    assert "e2" not in rows                       # clean doc absent
+    assert rows["e3"]["contam_frac"] == 1.0       # verbatim copy fully flagged
+    assert 0 < rows["e1"]["n_overlap"] < rows["e3"]["n_overlap"]
+    # plan stays an equi-join (no cross product of the corpora)
+    plan = contamination_report(train, ev, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
