@@ -3662,6 +3662,39 @@ def _dlenq(spark, sf_dir):
 
 CATALOG["doc_len_quantile_band"].fn = _dlenq
 
+register("sketch_kll_price_quantiles", oracle=None)
+
+
+def _dkll(spark, sf_dir):
+    """Mergeable KLL quantile sketch (Spark 4 DataSketches built-in):
+    per-priority partial sketches merge into one, then p50/p95/p99 come
+    off the merged sketch — the re-aggregatable form of percentile
+    monitoring (store partials per day/partition, merge on demand;
+    never a full re-sort). Rows-only check: sketch internals are
+    engine-specific; tests bound the error against exact percentile."""
+    o = t(spark, sf_dir, "orders")
+    partial = o.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("__kll")
+    )
+    # kll_sketch_merge_double is a binary scalar: fold the (tiny, one
+    # per group) partials pairwise
+    arr = F.col("__arr")
+    merged = partial.agg(F.collect_list("__kll").alias("__arr")).select(
+        F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, s: F.kll_sketch_merge_double(acc, s),
+        ).alias("__m")
+    )
+    return merged.select(
+        F.kll_sketch_get_quantile_double("__m", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("__m", F.lit(0.95)).alias("p95"),
+        F.kll_sketch_get_quantile_double("__m", F.lit(0.99)).alias("p99"),
+    )
+
+
+CATALOG["sketch_kll_price_quantiles"].fn = _dkll
+
 register(
     "evt_cohort_retention",
     oracle="""

@@ -130,3 +130,18 @@ def test_stream_stream_join(spark, stream_src):
     # purchase at 00:30 within 1h of signup at 00:00 -> matched;
     # purchase at 03:00 outside the bound -> dropped; user 2 has none
     assert pairs == {(1, 2)}
+
+
+def test_kll_merged_quantiles_error_bound(spark, sf_oracle):
+    """Per-group KLL partials folded into one sketch stay within a few
+    percent of the exact interpolated percentiles."""
+    from real_estate_data_pipeline_spark.queries import CATALOG
+
+    row = CATALOG["sketch_kll_price_quantiles"].fn(spark, sf_oracle).first()
+    o = t(spark, sf_oracle, "orders")
+    exact = o.agg(
+        F.percentile("o_totalprice", 0.5), F.percentile("o_totalprice", 0.95),
+        F.percentile("o_totalprice", 0.99),
+    ).first()
+    for got, want in zip((row["p50"], row["p95"], row["p99"]), exact):
+        assert abs(got - want) / want < 0.05
