@@ -101,6 +101,8 @@ _SCALAR_BROADCAST_OK = {
     "q22_idle_wealthy_customers",  # 1-row avg-balance threshold
     "sim_bruteforce_topk",     # broadcast literal query vector
     "sim_ivf_topk",            # broadcast query vector + probed cells
+    "doc_len_quantile_band",   # 1-row percentile-threshold scalar
+    "doc_tfidf_top3",          # 1-row corpus doc count
 }
 
 
