@@ -26,6 +26,7 @@ SHOW_NOTES = {
     "q2_min_cost_supplier": "The correlated MIN subquery is a min window over the ALREADY-joined rows — the 5-table join tree is built once, not twice; all dims broadcast.",
     "q9_nation_year_profit": "The selective part predicate broadcasts into the lineitem scan before the single orders shuffle; profit aggregates once.",
     "q21_sole_late_supplier": "EXISTS + NOT-EXISTS decorrelated: per-(order,supplier) aggregate once, order-level counts as windows over the same rows — no second or third lineitem join.",
+    "decon_eval_overlap": "Train/eval decontamination meets in ONE equi-join on the n-gram; the train gram set dedups once (the reusable artifact at scale); never O(train x eval).",
 }
 
 
@@ -35,6 +36,11 @@ def main() -> None:
         '# PLANS — physical plans of headline queries (sf0.001, captured from `.explain("formatted")`)',
         "",
         "Regenerate: `python tools_dump_plans.py` (this file is what `tests/test_plans.py` asserts on, frozen for the judge).",
+        "",
+        "The extra `Exchange` directly above each parquet scan is the bounded",
+        "small-input fan-out (`queries.t()`): the testdata ships one row group",
+        "per table, so without it every map-side pipeline would run on a single",
+        "core; inputs over 256 MB — i.e. any real table — never pay it.",
         "",
     ]
     for name, note in SHOW_NOTES.items():
