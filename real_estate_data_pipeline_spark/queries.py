@@ -3662,6 +3662,111 @@ def _dlenq(spark, sf_dir):
 
 CATALOG["doc_len_quantile_band"].fn = _dlenq
 
+register(
+    "f_parse_bundle",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_name,
+             lpad(CAST(c_custkey AS VARCHAR), 10, '7') AS digits,
+             c_custkey % 3 AS m3
+      FROM customer
+    ),
+    syn AS (
+      SELECT c_custkey, c_mktsegment,
+        CASE WHEN m3 = 0 THEN '0' || substr(digits, 1, 9)
+             WHEN m3 = 1 THEN '0' || substr(digits, 1, 10)
+             ELSE '1' || substr(digits, 1, 9) END AS raw_phone,
+        CASE WHEN m3 = 0 THEN CAST(c_custkey % 97 AS VARCHAR) || '.'
+                              || CAST(c_custkey % 10 AS VARCHAR) || ' tỷ'
+             WHEN m3 = 1 THEN CAST(c_custkey % 97 AS VARCHAR) || ' triệu'
+             ELSE CAST(c_custkey % 9000 AS VARCHAR) END AS raw_price,
+        CASE WHEN c_custkey % 2 = 0 THEN 'TP. ' || c_name
+             ELSE c_name END AS raw_name,
+        CAST(c_custkey % 90 AS VARCHAR) || '.' || CAST(c_custkey % 100 AS VARCHAR)
+          || ',' || CAST(c_custkey % 180 AS VARCHAR) AS raw_geo
+      FROM base
+    )
+    SELECT c_custkey,
+      CASE WHEN regexp_matches(regexp_replace(raw_phone, '[^0-9]', '', 'g'),
+                               '^0[0-9]{9,10}$')
+           THEN regexp_replace(raw_phone, '[^0-9]', '', 'g')
+           ELSE '' END AS phone_norm,
+      CASE WHEN regexp_matches(lower(raw_price), 'tỷ|ty\\b')
+             THEN CAST(regexp_replace(raw_price, '[^0-9.]', '', 'g') AS DOUBLE) * 1e9
+           WHEN regexp_matches(lower(raw_price), 'triệu|trieu')
+             THEN CAST(regexp_replace(raw_price, '[^0-9.]', '', 'g') AS DOUBLE) * 1e6
+           WHEN regexp_matches(lower(raw_price), 'nghìn|nghin|[0-9]k\\b')
+             THEN CAST(regexp_replace(raw_price, '[^0-9.]', '', 'g') AS DOUBLE) * 1e3
+           ELSE CAST(regexp_replace(raw_price, '[^0-9.]', '', 'g') AS DOUBLE)
+      END AS price_vnd,
+      regexp_matches(c_mktsegment, '(?i)auto|house') AS f_special,
+      regexp_matches(c_mktsegment, '(?i)build|furn') AS f_final,
+      regexp_replace(raw_name, '^(TP\\.?\\s+|Thành phố\\s+)', '') AS name_clean,
+      CAST(string_split(raw_geo, ',')[1] AS DOUBLE) AS lat,
+      CAST(string_split(raw_geo, ',')[2] AS DOUBLE) AS lng
+    FROM syn
+    """,
+)
+
+
+def _fbundle(spark, sf_dir):
+    """F1/F7/F8/F9/F10 in one driver-checkable pass: phone
+    normalization, VND price parsing, keyword flags, geo split and
+    prefix cleanup over inputs synthesized from customer columns with
+    INTEGER arithmetic only (float->string formatting is the one place
+    two engines may legitimately disagree, so the synthesis never
+    formats a double). Every parse function is the JVM-side Column
+    expression from ops/functions; the oracle re-implements the same
+    regex semantics in DuckDB."""
+    c = t(spark, sf_dir, "customer")
+    digits = F.lpad(F.col("c_custkey").cast("string"), 10, "7")
+    m3 = F.col("c_custkey") % 3
+    raw_phone = (
+        F.when(m3 == 0, F.concat(F.lit("0"), F.substring(digits, 1, 9)))
+        .when(m3 == 1, F.concat(F.lit("0"), F.substring(digits, 1, 10)))
+        .otherwise(F.concat(F.lit("1"), F.substring(digits, 1, 9)))
+    )
+    raw_price = (
+        F.when(
+            m3 == 0,
+            F.concat(
+                (F.col("c_custkey") % 97).cast("string"),
+                F.lit("."),
+                (F.col("c_custkey") % 10).cast("string"),
+                F.lit(" tỷ"),
+            ),
+        )
+        .when(m3 == 1, F.concat((F.col("c_custkey") % 97).cast("string"), F.lit(" triệu")))
+        .otherwise((F.col("c_custkey") % 9000).cast("string"))
+    )
+    raw_name = F.when(
+        F.col("c_custkey") % 2 == 0, F.concat(F.lit("TP. "), F.col("c_name"))
+    ).otherwise(F.col("c_name"))
+    raw_geo = F.concat(
+        (F.col("c_custkey") % 90).cast("string"),
+        F.lit("."),
+        (F.col("c_custkey") % 100).cast("string"),
+        F.lit(","),
+        (F.col("c_custkey") % 180).cast("string"),
+    )
+    flags = X.keyword_flags(
+        F.col("c_mktsegment"), {"f_special": r"(?i)auto|house", "f_final": r"(?i)build|furn"}
+    )
+    lat, lng = X.split_geo(raw_geo)
+    return c.select(
+        "c_custkey",
+        X.normalize_phone(raw_phone).alias("phone_norm"),
+        X.parse_vnd_price(raw_price).alias("price_vnd"),
+        flags["f_special"].alias("f_special"),
+        flags["f_final"].alias("f_final"),
+        X.strip_city_prefix(raw_name).alias("name_clean"),
+        lat.alias("lat"),
+        lng.alias("lng"),
+    )
+
+
+CATALOG["f_parse_bundle"].fn = _fbundle
+
 register("sketch_kll_price_quantiles", oracle=None)
 
 
