@@ -3767,6 +3767,154 @@ def _fbundle(spark, sf_dir):
 
 CATALOG["f_parse_bundle"].fn = _fbundle
 
+# F3 oracle: the same entity chain strip_html applies, generated from
+# the SAME table (ops/functions._HTML_ENTITIES) so the two stay in sync
+def _html_oracle_sql() -> str:
+    s = "CASE WHEN p_partkey % 6 = 0 THEN '&aacute;' WHEN p_partkey % 6 = 1 THEN '&ecirc;' WHEN p_partkey % 6 = 2 THEN '&ugrave;' WHEN p_partkey % 6 = 3 THEN '&amp;' WHEN p_partkey % 6 = 4 THEN '&dstroke;' ELSE '&#233;' END"
+    expr = f"'<b>' || p_name || '</b> ' || {s} || ' <br/> ' || p_brand || ' &nbsp;tail'"
+    expr = f"regexp_replace({expr}, '<br\\s*/?>', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '<[^>]+>', ' ', 'g')"
+    for ent, rep in X._HTML_ENTITIES.items():
+        expr = f"replace({expr}, '{ent}', '{rep.replace(chr(39), chr(39) * 2)}')"
+    expr = f"regexp_replace({expr}, '&#[0-9]+;', ' ', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"SELECT p_partkey, {expr} AS clean FROM part"
+
+
+register("f_html_clean", oracle=_html_oracle_sql())
+
+
+def _fhtml(spark, sf_dir):
+    """F3 HTML strip + full entity decode, driver-checkable: part names
+    wrapped in tags with a rotating entity (incl. Vietnamese-accent and
+    numeric ones). The oracle SQL is GENERATED from the same
+    _HTML_ENTITIES table the Spark expression uses, so the ~38-entry
+    chain cannot drift between engines."""
+    p = t(spark, sf_dir, "part")
+    k = F.col("p_partkey") % 6
+    ent = (
+        F.when(k == 0, F.lit("&aacute;"))
+        .when(k == 1, F.lit("&ecirc;"))
+        .when(k == 2, F.lit("&ugrave;"))
+        .when(k == 3, F.lit("&amp;"))
+        .when(k == 4, F.lit("&dstroke;"))
+        .otherwise(F.lit("&#233;"))
+    )
+    raw = F.concat(
+        F.lit("<b>"), F.col("p_name"), F.lit("</b> "), ent, F.lit(" <br/> "),
+        F.col("p_brand"), F.lit(" &nbsp;tail"),
+    )
+    return p.select("p_partkey", X.strip_html(raw).alias("clean"))
+
+
+CATALOG["f_html_clean"].fn = _fhtml
+
+register(
+    "n_nested_bundle",
+    oracle="""
+    WITH syn AS (
+      SELECT o_orderkey,
+        [struct_pack(xs := [o_orderkey % 7, o_orderkey % 7]),
+         struct_pack(xs := [o_orderkey % 5])] AS lvl2,
+        [struct_pack(name := 'vi-' || CAST(o_orderkey % 3 AS VARCHAR)),
+         struct_pack(name := 'en-' || CAST(o_orderkey % 2 AS VARCHAR))] AS trans,
+        [CAST(o_orderkey % 360 - 180 AS DOUBLE) / 2.0,
+         CAST(o_orderkey % 180 - 90 AS DOUBLE) / 2.0] AS coords
+      FROM orders
+    )
+    SELECT o_orderkey,
+      array_to_string(list_transform(trans, x -> x.name), ',') AS names_n1,
+      array_to_string(list_sort(list_distinct(flatten(
+          list_transform(lvl2, x -> x.xs)))), ',') AS vals_n3,
+      coords[1] AS lon, coords[2] AS lat,
+      trans[1].name AS first_name_n6,
+      struct_pack(src := 'synthetic', ver := CAST(o_orderkey % 9 AS VARCHAR)).ver
+        AS meta_ver_n10,
+      array_to_string(list_transform(trans, x -> CAST(x.name AS VARCHAR)), '|')
+        AS names_n11
+    FROM syn
+    """,
+)
+
+
+def _nnested(spark, sf_dir):
+    """N1/N2/N3/N5/N6 driver-checkable over synthesized nested
+    array<struct> values (the testdata has no nested columns, so both
+    engines build identical structures from o_orderkey and then
+    exercise the SAME traversal semantics: per-element field extract,
+    two-level flatten+distinct, positional GeoJSON split, indexed
+    nested field). Array outputs serialize through concat_ws/sort so
+    the compare is order-stable."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    lvl2 = F.array(
+        F.struct(F.array((k % 7), (k % 7)).alias("xs")),
+        F.struct(F.array((k % 5)).alias("xs")),
+    )
+    trans = F.array(
+        F.struct(F.concat(F.lit("vi-"), (k % 3).cast("string")).alias("name")),
+        F.struct(F.concat(F.lit("en-"), (k % 2).cast("string")).alias("name")),
+    )
+    coords = F.array(
+        (k % 360 - 180).cast("double") / F.lit(2.0),
+        (k % 180 - 90).cast("double") / F.lit(2.0),
+    )
+    lon, lat = X.geojson_lon_lat(coords)
+    return o.select(
+        "o_orderkey",
+        F.concat_ws(",", X.extract_struct_field(trans, "name")).alias("names_n1"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.array_distinct(F.flatten(X.extract_struct_field(lvl2, "xs")))
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("vals_n3"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+        X.indexed_nested_name(trans).alias("first_name_n6"),
+        # N10 struct literal + field access; N11 struct-array -> strings
+        F.struct(
+            F.lit("synthetic").alias("src"), (k % 9).cast("string").alias("ver")
+        )["ver"].alias("meta_ver_n10"),
+        F.concat_ws("|", X.struct_array_to_strings(trans, ("name",))).alias("names_n11"),
+    )
+
+
+CATALOG["n_nested_bundle"].fn = _nnested
+
+register(
+    "m_unit_ratio_bundle",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size IS NULL OR p_size = 0 THEN NULL
+                ELSE p_retailprice / p_size END AS price_per_size,
+           CAST(p_size AS DOUBLE) * 10000.0 AS size_m2,
+           CASE WHEN p_size % 4 = 0 THEN NULL
+                ELSE p_retailprice / (p_size % 4) END AS guarded_ratio
+    FROM part
+    """,
+)
+
+
+def _munit(spark, sf_dir):
+    """M5 guarded ratio + M7 hectare->m2 conversion, driver-checkable:
+    price-per-size with a null-on-zero guard (the second ratio forces
+    the zero branch on every fourth size) and the unit conversion as a
+    pure scalar multiply."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        X.safe_ratio(F.col("p_retailprice"), F.col("p_size")).alias("price_per_size"),
+        X.hectare_to_m2(F.col("p_size").cast("double")).alias("size_m2"),
+        X.safe_ratio(F.col("p_retailprice"), F.col("p_size") % 4).alias("guarded_ratio"),
+    )
+
+
+CATALOG["m_unit_ratio_bundle"].fn = _munit
+
 register("sketch_kll_price_quantiles", oracle=None)
 
 
