@@ -3915,6 +3915,79 @@ def _munit(spark, sf_dir):
 
 CATALOG["m_unit_ratio_bundle"].fn = _munit
 
+register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+def _dskewagg(spark, sf_dir):
+    """Two-phase salted aggregation vs a plain GROUP BY oracle: the
+    result is IDENTICAL because every aggregate is algebraic and the
+    money sum goes through exact decimal (order-independent) — which is
+    precisely why the mitigation is safe to drop into a skewed
+    pipeline. 3 group keys over 600k rows is the hot-key shape."""
+    from .ops.skew import salted_aggregate
+
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "__price_dec", F.col("l_extendedprice").cast(DEC)
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "revenue": ("__price_dec", "sum"),
+            "n": ("*", "count"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("n").cast("bigint").alias("n"),
+        "max_qty",
+    )
+
+
+CATALOG["skew_salted_agg"].fn = _dskewagg
+
+register(
+    "skew_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+
+
+def _dskewjoin(spark, sf_dir):
+    """Salted fact-dim equi-join vs the plain join oracle: salting
+    replicates the dim 16x and joins on (key, salt), so no reducer owns
+    a hot key — and the joined row multiset is unchanged, which the
+    decimal-exact rollup proves."""
+    from .ops.skew import salted_join
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    joined = salted_join(o, c, on="o_custkey", n_salts=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("orders"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+CATALOG["skew_salted_join"].fn = _dskewjoin
+
 register("sketch_kll_price_quantiles", oracle=None)
 
 
