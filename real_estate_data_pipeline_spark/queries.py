@@ -3988,6 +3988,31 @@ def _dskewjoin(spark, sf_dir):
 
 CATALOG["skew_salted_join"].fn = _dskewjoin
 
+register(
+    "f_stable_bucket_histogram",
+    oracle="""
+    SELECT ('0x' || substr(sha256(CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT % 8
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY bucket
+    """,
+)
+
+
+def _dbucket(spark, sf_dir):
+    """F12 portable hash-bucket (sha2-based stable_bucket) histogram:
+    the bucket assignment reproduces bit-identically in any engine with
+    sha256, unlike murmur3 — this is the cross-engine feature-hashing
+    primitive. Output proves the full assignment, not just counts."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy(X.stable_bucket(F.col("c_custkey"), 8).cast("bigint").alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+CATALOG["f_stable_bucket_histogram"].fn = _dbucket
+
 register("sketch_kll_price_quantiles", oracle=None)
 
 
