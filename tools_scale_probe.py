@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Scale probe: derive a 10x dataset from sf0.1 (into /tmp, the driver
+testdata is read-only) and measure how the heaviest operators' wall
+time grows. The derived corpus is deliberately duplicate-heavy (10
+shards of the same documents with remapped ids; embeddings perturbed
+per shard) — the hostile shape for pair-expanding dedup operators,
+since every LSH bucket gets ~10x denser.
+
+Usage: python tools_scale_probe.py  (prints one line per op with the
+1x->10x wall ratio; anything near or below ~5 at 10x data means the
+operator is scan/shuffle-bound, not pair-bound).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb  # noqa: E402
+
+from real_estate_data_pipeline_spark.queries import CATALOG  # noqa: E402
+from real_estate_data_pipeline_spark.session import get_session  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1x10"
+
+HEAVY = [
+    "minhash_dup_pairs",
+    "simhash_dup_pairs",
+    "decon_eval_overlap",
+    "sim_knn_join",
+    "q5_nation_revenue",
+    "skew_salted_agg",
+]
+
+
+def build_derived() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+    COPY (
+      SELECT doc_id + s * 100000 AS doc_id, text, lang, source, n_chars
+      FROM read_parquet('{SRC}/documents.parquet'),
+           (SELECT unnest(range(10)) AS s)
+    ) TO '{DST}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT vec_id + s * 100000 AS vec_id,
+             list_transform(embedding, x -> CAST(x + s * 0.001 AS FLOAT)) AS embedding
+      FROM read_parquet('{SRC}/embeddings.parquet'),
+           (SELECT unnest(range(10)) AS s)
+    ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * REPLACE (l_orderkey + s * 10000000 AS l_orderkey)
+      FROM read_parquet('{SRC}/lineitem.parquet'),
+           (SELECT unnest(range(10)) AS s)
+    ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 500000)
+    """)
+    for tbl in ("orders", "customer", "nation", "region", "supplier", "part", "events"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')) "
+            f"TO '{DST}/{tbl}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)"
+        )
+
+
+def main() -> None:
+    if not os.path.exists(f"{DST}/lineitem.parquet"):
+        build_derived()
+    spark = get_session("scale-probe")
+
+    def mat(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    for n in HEAVY:  # warm codegen at the small sf
+        mat(CATALOG[n].fn(spark, "/root/testdata/sf0.01"))
+    res: dict[str, dict[str, float]] = {}
+    for sf, label in ((SRC, "1x"), (DST, "10x")):
+        for n in HEAVY:
+            t0 = time.perf_counter()
+            mat(CATALOG[n].fn(spark, sf))
+            res.setdefault(n, {})[label] = time.perf_counter() - t0
+    for n, v in res.items():
+        print(
+            f"{n:22s} 1x={v['1x']:6.2f}s 10x={v['10x']:7.2f}s "
+            f"ratio={v['10x'] / v['1x']:5.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
