@@ -46,13 +46,20 @@ def main() -> None:
 
     # Best-of-2 at the target SF: the host is shared, so a single pass
     # can catch a multi-second steal/GC spike on any one query; the min
-    # of two passes reports steady-state throughput.
+    # of two passes reports steady-state throughput. The second pass is
+    # skipped when the first already took long (bigger SF or a very
+    # loaded host) so total bench wall stays bounded.
     timings: dict[str, float] = {}
+    pass1_total = 0.0
     for _pass in range(2):
+        if _pass == 1 and pass1_total > 90.0:
+            break
         for name, q in bench_queries.items():
             start = time.perf_counter()
             materialize(q.fn(spark, sf_dir))
             el = round(time.perf_counter() - start, 3)
+            if _pass == 0:
+                pass1_total += el
             if name not in timings or el < timings[name]:
                 timings[name] = el
 
