@@ -2,12 +2,16 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` operators.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_image_features`` computes deterministic
-fake features from the bytes so the Spark-side plumbing — schema,
-batch iteration, partitioning, output shape — is real and testable.
-Swapping the stub for PIL/torchvision/ffmpeg changes one inner
-function, not the plan.
+Two decode tiers:
+- ``decode_ppm_info`` / ``resize_ppm`` are REAL image operators for
+  P6/PPM payloads (header parse, pixel stats, nearest-neighbor resize,
+  64-bit average-hash) — PPM is numpy-decodable, so this container can
+  prove the full decode->resize->perceptual-hash path end to end.
+- ``decode_image_features`` remains the documented STUB for compressed
+  codecs (no PIL/ffmpeg in this container): deterministic fake features
+  from the bytes so the Spark-side plumbing — schema, batch iteration,
+  partitioning, output shape — is real and testable. Swapping in
+  PIL/torchvision/ffmpeg changes one inner function, not the plan.
 
 Scale notes: mapInPandas streams Arrow batches, so peak memory is one
 batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
@@ -167,3 +171,154 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
     frames = F.transform(idx, lambda i: F.substring(F.col("payload"), i * every_n_bytes + 1, every_n_bytes))
     return media.select("media_id", F.posexplode(frames).alias("frame_no", "frame_bytes"))
+
+
+# --- real decode path (PPM) -------------------------------------------------
+# P6/PPM is a header + raw RGB bytes: decodable with numpy alone, so THIS
+# format gets a real decode/resize/perceptual-hash implementation in this
+# container; JPEG/PNG keep the documented stub until an image lib exists.
+# The operators below are the same mapInPandas shape as the stubs — a real
+# codec library swaps the parser, not the plan.
+
+PPM_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("gray_mean", T.DoubleType()),
+        T.StructField("gray_std", T.DoubleType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def parse_ppm(payload: bytes):
+    """Decode a binary P6 PPM: returns (width, height, HxWx3 uint8
+    array) or None when the payload is not PPM (caller falls back to
+    the stub). Pure numpy; tolerates comments and whitespace runs in
+    the header per the netpbm spec."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    toks: list[bytes] = []
+    i, n = 2, len(payload)
+    while len(toks) < 3 and i < n:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j > i:
+            toks.append(payload[i:j])
+        i = j
+    if len(toks) < 3:
+        return None
+    w, h, maxv = (int(t) for t in toks)
+    if maxv > 255 or w <= 0 or h <= 0:
+        return None
+    i += 1  # exactly one whitespace byte after maxval
+    need = w * h * 3
+    if len(payload) - i < need:
+        return None
+    px = np.frombuffer(payload, np.uint8, count=need, offset=i).reshape(h, w, 3)
+    return w, h, px
+
+
+def encode_ppm(px) -> bytes:
+    """Re-encode an HxWx3 uint8 array as P6 bytes."""
+    h, w = px.shape[0], px.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _nearest_resize(px, tw: int, th: int):
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(th) * h // th).clip(0, h - 1)
+    xs = (np.arange(tw) * w // tw).clip(0, w - 1)
+    return px[ys][:, xs]
+
+
+def _ahash64(px) -> int:
+    """Average-hash: nearest-resize the grayscale to 8x8, bit i is set
+    iff cell i is above the 64-cell mean — the classic perceptual hash;
+    near-identical images differ in few bits."""
+    import numpy as np
+
+    g = px.mean(axis=2)
+    g8 = _nearest_resize(g[..., None], 8, 8)[..., 0]
+    bits = (g8 > g8.mean()).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b and i < 63:
+            v |= 1 << i
+        elif b:
+            v |= -(1 << 63)  # bit 63 via the sign bit, BIGINT-safe
+    return v
+
+
+def decode_ppm_info(media: DataFrame) -> DataFrame:
+    """REAL image decode over PPM payloads (mapInPandas, Arrow batches):
+    dimensions, grayscale statistics, and a 64-bit average-hash. Rows
+    whose payload is not PPM are dropped (the stub path handles them)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_ppm(p)
+                if parsed is None:
+                    continue
+                w, h, px = parsed
+                g = px.mean(axis=2)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "gray_mean": float(g.mean()),
+                        "gray_std": float(g.std()),
+                        "ahash": _ahash64(px),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "gray_mean", "gray_std", "ahash"],
+            )
+
+    return media.mapInPandas(extract, PPM_INFO_SCHEMA)
+
+
+def resize_ppm(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """REAL nearest-neighbor resize for PPM payloads: decode, resample
+    so the longer side is ``max_side`` (aspect preserved), re-encode.
+    Non-PPM payloads pass through untouched. Same media schema out, so
+    resized tables flow into every downstream operator."""
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_p, out_n = [], []
+            for p in pdf["payload"]:
+                parsed = parse_ppm(p)
+                if parsed is None:
+                    out_p.append(p)
+                    out_n.append(len(p) if p is not None else 0)
+                    continue
+                w, h, px = parsed
+                scale = max(w, h) / max_side
+                if scale > 1.0:
+                    tw, th = max(1, round(w / scale)), max(1, round(h / scale))
+                    p = encode_ppm(_nearest_resize(px, tw, th))
+                out_p.append(p)
+                out_n.append(len(p))
+            pdf = pdf.copy()
+            pdf["payload"] = out_p
+            pdf["n_bytes"] = out_n
+            yield pdf
+
+    return media.mapInPandas(shrink, MEDIA_SCHEMA)

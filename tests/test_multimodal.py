@@ -87,3 +87,66 @@ def test_embed_media_feeds_ann_ops(spark):
         emb.withColumnRenamed("media_id", "vec_id"), threshold=0.95, bits=4, bands=2
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def _ppm_bytes(w, h, seed):
+    """A real P6 image: deterministic smooth gradient + seed offset."""
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [(x * 255 // max(w - 1, 1)), (y * 255 // max(h - 1, 1)),
+         ((x + y + seed) % 256)], axis=2
+    ).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _media_df(spark, rows):
+    from real_estate_data_pipeline_spark.ops.multimodal import MEDIA_SCHEMA
+
+    data = [
+        (i, "image/ppm", payload, None, None, len(payload))
+        for i, payload in rows
+    ]
+    return spark.createDataFrame(data, MEDIA_SCHEMA)
+
+
+def test_ppm_real_decode_dimensions_and_stats(spark):
+    from real_estate_data_pipeline_spark.ops.multimodal import decode_ppm_info
+
+    df = _media_df(spark, [(1, _ppm_bytes(16, 12, 0)), (2, b"not an image")])
+    rows = {r["media_id"]: r for r in decode_ppm_info(df).collect()}
+    assert set(rows) == {1}          # non-PPM rows fall to the stub path
+    r = rows[1]
+    assert (r["width"], r["height"]) == (16, 12)
+    assert 0.0 < r["gray_mean"] < 255.0 and r["gray_std"] > 0.0
+
+
+def test_ppm_resize_real_pixels(spark):
+    from real_estate_data_pipeline_spark.ops.multimodal import (
+        decode_ppm_info,
+        parse_ppm,
+        resize_ppm,
+    )
+
+    df = _media_df(spark, [(1, _ppm_bytes(64, 32, 0))])
+    out = resize_ppm(df, max_side=16).collect()[0]
+    w, h, px = parse_ppm(bytes(out["payload"]))
+    assert (w, h) == (16, 8)         # aspect preserved, longer side = 16
+    assert out["n_bytes"] == len(bytes(out["payload"]))
+    # resized image still decodes through the real path
+    assert decode_ppm_info(_media_df(spark, [(1, bytes(out["payload"]))])).count() == 1
+
+
+def test_ppm_ahash_near_duplicates_close(spark):
+    from real_estate_data_pipeline_spark.ops.multimodal import decode_ppm_info
+
+    df = _media_df(
+        spark,
+        [(1, _ppm_bytes(32, 32, 0)), (2, _ppm_bytes(32, 32, 1)),  # near-identical
+         (3, _ppm_bytes(32, 32, 0)[:15] + bytes(255 - b for b in _ppm_bytes(32, 32, 0)[15:]))],  # inverted
+    )
+    h = {r["media_id"]: r["ahash"] for r in decode_ppm_info(df).collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(h[1], h[2]) <= 4      # seed jitter barely moves the hash
+    assert ham(h[1], h[3]) >= 24     # inverted image lands far away
