@@ -4013,6 +4013,64 @@ def _dbucket(spark, sf_dir):
 
 CATALOG["f_stable_bucket_histogram"].fn = _dbucket
 
+register("mm_ppm_ahash_groups", oracle=None)
+
+
+def _dppm(spark, sf_dir):
+    """End-to-end REAL image dedup (rows-only): render a P6/PPM image
+    per document (deterministic gradient keyed by doc_id % 16, so ~16
+    visual classes exist), decode real pixels via mapInPandas, resize,
+    and group by the 64-bit average-hash — the perceptual-hash dedup
+    loop a multimodal corpus runs, with actual pixel math instead of
+    the compressed-codec stub."""
+    import numpy as np
+
+    from .ops import multimodal as MM
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (F.col("doc_id") % 16).cast("int").alias("__cls"),
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for cls in pdf["__cls"]:
+                w = h = 24
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (x * 255 // (w - 1)),
+                        (y * 255 // (h - 1)),
+                        ((x * int(cls) + y) % 256),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(MM.encode_ppm(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "image/ppm",
+                    "payload": payloads,
+                    "width": None,
+                    "height": None,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    media = d.mapInPandas(render, MM.MEDIA_SCHEMA)
+    info = MM.decode_ppm_info(MM.resize_ppm(media, max_side=16))
+    return (
+        info.groupBy("ahash")
+        .agg(F.count("*").cast("bigint").alias("members"), F.min("media_id").alias("rep_id"))
+        .filter(F.col("members") > 1)
+    )
+
+
+CATALOG["mm_ppm_ahash_groups"].fn = _dppm
+
 register("sketch_kll_price_quantiles", oracle=None)
 
 
