@@ -27,6 +27,9 @@ SHOW_NOTES = {
     "q9_nation_year_profit": "The selective part predicate broadcasts into the lineitem scan before the single orders shuffle; profit aggregates once.",
     "q21_sole_late_supplier": "EXISTS + NOT-EXISTS decorrelated: per-(order,supplier) aggregate once, order-level counts as windows over the same rows — no second or third lineitem join.",
     "decon_eval_overlap": "Train/eval decontamination meets in ONE equi-join on the n-gram; the train gram set dedups once (the reusable artifact at scale); never O(train x eval).",
+    "doc_tfidf_top3": "tf and doc-frequency are two partial-aggregated shuffles over the SAME exploded tokens (exchange reuse), joined on the term key; corpus size N broadcasts as a one-row scalar.",
+    "evt_cohort_retention": "First-seen cohort: distinct (user, day) once, min-day aggregate, then a user-keyed join back — both aggregates partial-aggregated, no window over the full stream.",
+    "skew_salted_join": "The salted join is still a plain equi-join — on (key, salt) — with the dim exploded 16x; no hot reducer, no plan-shape change AQE could misread.",
 }
 
 
