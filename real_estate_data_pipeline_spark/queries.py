@@ -35,19 +35,27 @@ DEC = "decimal(18,2)"
 
 
 _FAN_OUT_CAP = 256 << 20  # bytes
+# Tables whose per-row work can dwarf their on-disk size (text explodes
+# into grams, embeddings into plane products, facts into wide aggs).
+# Dimension tables are excluded: they broadcast or reduce in one task,
+# and an exchange would only add a stage to every star join.
+_FAN_OUT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
 
-def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _fan_out(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     """Balance a scan whose effective split count is below the session's
     parallelism.
 
     The driver testdata ships ONE row group per table, and a parquet
     scan cannot split inside a row group — so without this every
     map-side pipeline (shingling, hashing, LSH plane products, decimal
-    sums) runs on a single core of local[32]. Bounded by input size:
-    only inputs under 256 MB ever shuffle (a round-robin exchange of a
-    few MB costs ~tens of ms), so a real multi-file 100 TB table — whose
-    scan already yields thousands of splits — never pays it."""
+    sums) runs on a single core of local[32]. Applied only to the
+    fact/corpus tables (_FAN_OUT_TABLES) whose per-row work explodes
+    past their on-disk size, and only under 256 MB: a real multi-file
+    100 TB table — whose scan already yields thousands of splits —
+    never pays the exchange, and dimension tables never do either."""
+    if name not in _FAN_OUT_TABLES:
+        return df
     try:
         paths = [p[7:] if p.startswith("file://") else p for p in df.inputFiles()]
         import os
@@ -87,11 +95,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             else:
                 spark.conf.set(key, prior)
         if ts_is_long:
-            return _fan_out(spark, df).withColumn(
+            return _fan_out(spark, df, "events").withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
             )
-        return _fan_out(spark, df).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    return _fan_out(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        return _fan_out(spark, df, "events").withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return _fan_out(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 
 
 def dsum(col: str, alias: str):
