@@ -4079,6 +4079,66 @@ def _dppm(spark, sf_dir):
 
 CATALOG["mm_ppm_ahash_groups"].fn = _dppm
 
+register(
+    "evt_funnel_counts",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_v FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_c
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_v
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_p
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS users_clicked_after,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS users_purchased_after
+    """,
+)
+
+
+def _dfunnel(spark, sf_dir):
+    """Strict-order funnel (view -> click -> purchase): each stage is a
+    user-keyed conditional-min aggregate joined back to the stream, so
+    all three stages co-partition on user_id — one shuffle keying, no
+    window over the whole event history, no per-user collect."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    return (
+        v.agg(F.count("*").cast("bigint").alias("users_viewed"))
+        .crossJoin(F.broadcast(c.agg(F.count("*").cast("bigint").alias("users_clicked_after"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").cast("bigint").alias("users_purchased_after"))))
+    )
+
+
+CATALOG["evt_funnel_counts"].fn = _dfunnel
+
 register("sketch_kll_price_quantiles", oracle=None)
 
 

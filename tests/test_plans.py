@@ -103,6 +103,7 @@ _SCALAR_BROADCAST_OK = {
     "sim_ivf_topk",            # broadcast query vector + probed cells
     "doc_len_quantile_band",   # 1-row percentile-threshold scalar
     "doc_tfidf_top3",          # 1-row corpus doc count
+    "evt_funnel_counts",       # three 1-row stage counts combined
 }
 
 
