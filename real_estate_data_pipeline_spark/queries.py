@@ -4139,6 +4139,73 @@ def _dfunnel(spark, sf_dir):
 
 CATALOG["evt_funnel_counts"].fn = _dfunnel
 
+register(
+    "evt_stream_tumbling_now",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+def _dstreamnow(spark, sf_dir):
+    """REAL Structured Streaming execution inside the correctness gate:
+    the events parquet is read as a file STREAM, aggregated with the
+    same tumbling expression as the batch twin, and driven to completion
+    with trigger(availableNow) into a memory sink — complete output
+    mode with no watermark makes the final table equal the batch
+    aggregate exactly, which the oracle checks. This is the
+    one-definition-two-execution-modes contract of Structured
+    Streaming, proven by value hash rather than claimed."""
+    from pyspark.sql import types as T
+
+    name = "evt_stream_tumbling_now_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the file source wants a directory: point it at sf_dir and select
+    # just the events file via the glob filter
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("events"), dsum("value", "total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+CATALOG["evt_stream_tumbling_now"].fn = _dstreamnow
+
 register("sketch_kll_price_quantiles", oracle=None)
 
 
