@@ -4206,6 +4206,121 @@ def _dstreamnow(spark, sf_dir):
 
 CATALOG["evt_stream_tumbling_now"].fn = _dstreamnow
 
+register(
+    "j5_full_outer_reconcile",
+    oracle="""
+    SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN o.o_custkey IS NULL THEN 'customer_only'
+                ELSE 'matched' END AS side,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT DISTINCT o_custkey FROM orders) o
+    FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY side
+    """,
+)
+
+
+def _dfull(spark, sf_dir):
+    """Full-outer reconciliation (the audit join): which customers have
+    no orders, which order keys have no customer row, how many match.
+    One distinct + one full-outer shuffle join, both key-partitioned."""
+    o = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey, "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), F.lit("order_only"))
+        .when(F.col("o_custkey").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("matched"))
+    )
+    return j.groupBy(side.alias("side")).agg(F.count("*").cast("bigint").alias("n"))
+
+
+CATALOG["j5_full_outer_reconcile"].fn = _dfull
+
+register(
+    "evt_stream_stateful_totals",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+
+
+def _dstateful(spark, sf_dir):
+    """REAL stateful streaming (applyInPandasWithState) inside the
+    correctness gate: per-user running totals held in explicit state,
+    driven to completion with availableNow into a memory sink; the
+    final state per user hash-matches a plain GROUP BY oracle. Money
+    accumulates as integer CENTS (value is a 2-dp double, so
+    round(value*100) is exact in both engines) — the float-sum
+    ordering problem never arises."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    name = "evt_stream_stateful_totals_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    totals = src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # a user may emit once per micro-batch; the final (largest) row is
+    # the completed state
+    sink = spark.table(name)
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_cents").alias("total_cents")
+    )
+
+
+CATALOG["evt_stream_stateful_totals"].fn = _dstateful
+
 register("sketch_kll_price_quantiles", oracle=None)
 
 
