@@ -4397,6 +4397,61 @@ def _dstreamsess(spark, sf_dir):
 
 CATALOG["evt_stream_sessions_now"].fn = _dstreamsess
 
+register(
+    "doc_stream_dedup_now",
+    oracle="""
+    SELECT DISTINCT sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                               ' +', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+
+
+def _dstreamdedup(spark, sf_dir):
+    """REAL streaming dedup in the correctness gate: a document file
+    stream deduplicated on the normalized-text fingerprint with
+    streaming ``dropDuplicates`` (exact-once state per key), driven to
+    completion with availableNow. Which physical row survives is
+    engine-dependent, so the query emits only the fingerprint set —
+    deterministic and hash-checked against DISTINCT in DuckDB."""
+    from pyspark.sql import types as T
+
+    name = "doc_stream_dedup_now_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    deduped = (
+        src.select(text.fingerprint(F.col("text")).alias("fingerprint"))
+        .dropDuplicates(["fingerprint"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+CATALOG["doc_stream_dedup_now"].fn = _dstreamdedup
+
 register("sketch_kll_price_quantiles", oracle=None)
 
 
