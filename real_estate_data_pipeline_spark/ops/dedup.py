@@ -282,6 +282,77 @@ def contamination_report(
     )
 
 
+def minhash_dup_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`minhash_dup_pairs` with a CROSS-ENGINE hash family so the
+    whole MinHash->banding->verify pipeline is value-checkable against
+    a SQL oracle: h1/h2 are the first/second 8 hex chars of
+    sha256(shingle) (32-bit values any engine reproduces), and
+    permutation i is Broder's linear mix h1 + i*h2 (< 2^38, so signed
+    and unsigned MIN agree and ANSI arithmetic cannot overflow). Band
+    buckets are sha256 of the band's joined components. ~3x slower than
+    the xxhash64 family (sha256 per shingle) — use the fast variant in
+    production, this one to PROVE the banding algebra."""
+    tk = df.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("__tk"))
+    sh = tk.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("__s")
+    )
+    hx = F.sha2(F.col("__s"), 256)
+    hashed = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("__h1"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("__h2"),
+    )
+    mins = [
+        F.min(F.col("__h1") + F.lit(i) * F.col("__h2")).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    sigs = hashed.groupBy(id_col).agg(*mins)
+
+    rows_per_band = num_perm // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.sha2(F.concat_ws("_", *cols), 256).alias("bh"))
+        )
+    buckets = sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("__sig"),
+        F.explode(F.array(*band_structs)).alias("__b"),
+    ).select(
+        F.col(id_col), F.col("__sig"),
+        F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"),
+    )
+
+    def _pair(x, y):
+        agree = F.aggregate(
+            F.zip_with(x["sig"], y["sig"], lambda u, v: F.when(u == v, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, z: acc + z,
+        )
+        return F.struct(
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
+            (agree.cast("double") / F.lit(float(num_perm))).alias("jaccard_est"),
+        )
+
+    return pairs_within_groups(
+        buckets,
+        ["band", "bh"],
+        F.struct(F.col(id_col).alias("id"), F.col("__sig").alias("sig")),
+        _pair,
+        keep=lambda p: p["jaccard_est"] >= F.lit(jaccard_threshold),
+    ).dropDuplicates(["id_a", "id_b"])
+
+
 # 4 x 16-bit SWAR lanes per long: lane j of sum k counts set bits at
 # signature position k + 16*j across a document's token hashes
 _LANE = 0x0001000100010001

@@ -4452,6 +4452,67 @@ def _dstreamdedup(spark, sf_dir):
 
 CATALOG["doc_stream_dedup_now"].fn = _dstreamdedup
 
+def _minhash_portable_oracle(num_perm: int = 16, bands: int = 4, thr: float = 0.5) -> str:
+    """Oracle for the portable MinHash: the SAME shingles, sha256-derived
+    h1/h2, linear-mix minima, band hashes and agreement estimate, in
+    DuckDB SQL. Generated so num_perm/bands stay in sync with the Spark
+    call."""
+    rpb = num_perm // bands
+    min_cols = ",\n             ".join(
+        f"MIN(h1 + {i} * h2) AS m{i}" for i in range(num_perm)
+    )
+    band_cols = ",\n             ".join(
+        "sha256(concat_ws('_', "
+        + ", ".join(f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + f")) AS bh{b}"
+        for b in range(bands)
+    )
+    band_or = " OR ".join(f"a.bh{b} = c.bh{b}" for b in range(bands))
+    agree = " + ".join(f"CASE WHEN a.m{i} = c.m{i} THEN 1 ELSE 0 END" for i in range(num_perm))
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    g AS (SELECT doc_id, unnest({_GRAMS3_SQL}) AS s FROM tk),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(sha256(s), 9, 8))::BIGINT AS h2
+      FROM g
+    ),
+    sig AS (
+      SELECT doc_id,
+             {min_cols}
+      FROM h GROUP BY doc_id
+    ),
+    b AS (
+      SELECT *,
+             {band_cols}
+      FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           ({agree}) / {float(num_perm)!r} AS jaccard_est
+    FROM b a JOIN b c ON a.doc_id < c.doc_id AND ({band_or})
+    WHERE ({agree}) / {float(num_perm)!r} >= {thr!r}
+    """
+
+
+register("minhash_dup_pairs_portable", oracle=_minhash_portable_oracle())
+
+
+def _dmhp(spark, sf_dir):
+    """MinHash+LSH with the cross-engine sha256 hash family: the ONE
+    minhash whose banding algebra is value-checked end to end (the
+    xxhash64 variant stays rows-only and ~3x faster)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_dup_pairs_portable(
+        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
+    )
+
+
+CATALOG["minhash_dup_pairs_portable"].fn = _dmhp
+
 register("sketch_kll_price_quantiles", oracle=None)
 
 
