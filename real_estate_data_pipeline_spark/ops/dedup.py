@@ -365,7 +365,9 @@ _LANE = 0x0001000100010001
 _MAX_SHINGLES = 32767
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str, token_n: int = 2) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, token_n: int = 2, hash_fn=None
+) -> DataFrame:
     """Deterministic 64-bit SimHash per document.
 
     One pass: tokens -> n-gram hashes -> EXPLODE -> a single hash
@@ -388,8 +390,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, token_n: int =
             shingles_from_tokens(F.col("__tk"), token_n), 1, _MAX_SHINGLES
         ).alias("__g"),
     )
+    hash_fn = hash_fn or F.xxhash64
     hashed = grams.select(
-        F.col(id_col), F.transform(F.col("__g"), lambda g: F.xxhash64(g)).alias("__h")
+        F.col(id_col), F.transform(F.col("__g"), hash_fn).alias("__h")
     )
     # explode_outer keeps token-less documents (they get the all-zero
     # signature: zero lane counts never win a majority vote)
@@ -509,3 +512,25 @@ def simhash_pairs_from_signatures(
     # a pair can agree on several segments -> one candidate per segment;
     # hamming is deterministic per pair, so distinct() collapses them
     return pairs.distinct()
+
+
+def portable_token_hash(g):
+    """Cross-engine 60-bit token hash: first 15 hex chars of sha256.
+    Non-negative and below 2^60, so signed/unsigned bit ops agree in
+    every engine; signature bits 60-63 are always zero (harmless — the
+    pigeonhole segments still cover them)."""
+    return F.conv(F.substring(F.sha2(g, 256), 1, 15), 16, 10).cast("long")
+
+
+def simhash_dup_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """:func:`simhash_dup_pairs` with the cross-engine sha256-derived
+    token hash, so the whole SimHash->pigeonhole->Hamming pipeline is
+    value-checkable against a SQL oracle (the xxhash64 variant stays
+    the fast production path)."""
+    sh = simhash_signatures(df, id_col, text_col, hash_fn=portable_token_hash)
+    return simhash_pairs_from_signatures(sh, id_col, max_hamming)

@@ -4513,6 +4513,74 @@ def _dmhp(spark, sf_dir):
 
 CATALOG["minhash_dup_pairs_portable"].fn = _dmhp
 
+# word-2-gram SQL matching shingles_from_tokens(tk, 2) (simhash tokens)
+_GRAMS2_SQL = (
+    "list_filter(list_distinct(list_transform("
+    "range(1, greatest(len(tk) - 1, 1) + 1), "
+    "i -> array_to_string(tk[i:i+1], ' '))), g -> g <> '')"
+)
+
+
+def _simhash_portable_oracle(max_hamming: int = 3) -> str:
+    """Oracle for the portable SimHash: 60-bit sha256 token hashes,
+    per-bit majority votes, pigeonhole segment blocking, exact Hamming
+    verify — semantically identical to the Spark SWAR implementation
+    (which packs the same votes through 16-lane popcounts)."""
+    bits = 60
+    sums = ",\n             ".join(
+        f"SUM((h >> {k}) & 1) AS b{k}" for k in range(bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{k} * 2 > c THEN {1 << k} ELSE 0 END)" for k in range(bits)
+    )
+    k = max_hamming + 1
+    width = 64 // k
+    segs = " OR ".join(
+        f"((a.sim >> {i * width}) & {(1 << (width if i < k - 1 else 64 - (k - 1) * width)) - 1})"
+        f" = ((c.sim >> {i * width}) & {(1 << (width if i < k - 1 else 64 - (k - 1) * width)) - 1})"
+        for i in range(k)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    g AS (SELECT doc_id, unnest({_GRAMS2_SQL}) AS s FROM tk),
+    h AS (
+      SELECT doc_id, ('0x' || substr(sha256(s), 1, 15))::BIGINT AS h FROM g
+    ),
+    sums AS (
+      SELECT doc_id, COUNT(*) AS c,
+             {sums}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {pack} AS sim FROM sums),
+    allsig AS (
+      SELECT d.doc_id, COALESCE(s.sim, 0) AS sim
+      FROM documents d LEFT JOIN sig s USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, c.sim)) AS BIGINT) AS hamming
+    FROM allsig a JOIN allsig c ON a.doc_id < c.doc_id AND ({segs})
+    WHERE bit_count(xor(a.sim, c.sim)) <= {max_hamming}
+    """
+
+
+register("simhash_dup_pairs_portable", oracle=_simhash_portable_oracle())
+
+
+def _dshp(spark, sf_dir):
+    """SimHash near-dup pairs with the cross-engine 60-bit sha256 token
+    hash: signature votes, pigeonhole blocking and Hamming verify all
+    hash-match the SQL oracle (the xxhash64 variant stays rows-only
+    and faster)."""
+    d = t(spark, sf_dir, "documents")
+    out = dedup.simhash_dup_pairs_portable(d, "doc_id", "text", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+CATALOG["simhash_dup_pairs_portable"].fn = _dshp
+
 register("sketch_kll_price_quantiles", oracle=None)
 
 
