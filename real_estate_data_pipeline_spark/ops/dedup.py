@@ -390,7 +390,9 @@ def simhash_signatures(
             shingles_from_tokens(F.col("__tk"), token_n), 1, _MAX_SHINGLES
         ).alias("__g"),
     )
-    hash_fn = hash_fn or F.xxhash64
+    # a bare F.xxhash64 is var-positional, which the higher-order
+    # function validator rejects — wrap in a unary lambda
+    hash_fn = hash_fn or (lambda g: F.xxhash64(g))
     hashed = grams.select(
         F.col(id_col), F.transform(F.col("__g"), hash_fn).alias("__h")
     )
