@@ -152,6 +152,7 @@ def minhash_signatures(
     text_col: str,
     num_perm: int = 32,
     shingle_n: int = 3,
+    perm_fns=None,
 ) -> DataFrame:
     """Deterministic MinHash signatures via a two-hash mixing family
     (m_i = min over shingles of h1 XOR rotl(h2, r_i) — Broder's
@@ -165,13 +166,23 @@ def minhash_signatures(
     sh = tk.select(
         F.col(id_col), F.explode(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("__s")
     )
-    hashed = sh.select(
-        F.col(id_col),
-        F.xxhash64(F.col("__s"), F.lit(1)).alias("__h1"),
-        F.xxhash64(F.col("__s"), F.lit(2)).alias("__h2"),
-    )
+    if perm_fns is None:
+        hashed = sh.select(
+            F.col(id_col),
+            F.xxhash64(F.col("__s"), F.lit(1)).alias("__h1"),
+            F.xxhash64(F.col("__s"), F.lit(2)).alias("__h2"),
+        )
+        mins = [
+            F.min(
+                F.col("__h1").bitwiseXOR(_rotl64(F.col("__h2"), (i * 23 + 1) % 64))
+            ).alias(f"m{i}")
+            for i in range(num_perm)
+        ]
+        return hashed.groupBy(id_col).agg(*mins)
+    h1, h2 = perm_fns(F.col("__s"))
+    hashed = sh.select(F.col(id_col), h1.alias("__h1"), h2.alias("__h2"))
     mins = [
-        F.min(F.col("__h1").bitwiseXOR(_rotl64(F.col("__h2"), (i * 23 + 1) % 64))).alias(f"m{i}")
+        F.min(F.col("__h1") + F.lit(i) * F.col("__h2")).alias(f"m{i}")
         for i in range(num_perm)
     ]
     return hashed.groupBy(id_col).agg(*mins)
@@ -185,6 +196,8 @@ def minhash_dup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    perm_fns=None,
+    band_hash_fn=None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, fully deterministic (fixed
     hash constants, no RNG) and expressed with built-in functions.
@@ -193,14 +206,19 @@ def minhash_dup_pairs(
     shuffle, never the O(n^2) pair space. Similarity is the standard LSH
     signature-agreement estimate (fraction of matching minhash
     components), so the join carries num_perm longs per row rather than
-    the raw shingle sets; at 100 TB that keeps the shuffle narrow."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    the raw shingle sets; at 100 TB that keeps the shuffle narrow.
+
+    ``perm_fns`` / ``band_hash_fn`` swap the hash family (see
+    :func:`minhash_dup_pairs_portable`); the banding algebra is shared,
+    so proving it on the portable family proves it for both."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, perm_fns)
+    band_hash_fn = band_hash_fn or (lambda cols: F.xxhash64(*cols))
 
     rows_per_band = num_perm // bands
     band_structs = []
     for b in range(bands):
         cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
+        band_structs.append(F.struct(F.lit(b).alias("band"), band_hash_fn(cols).alias("bh")))
     buckets = sigs.select(
         F.col(id_col),
         F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("__sig"),
@@ -299,58 +317,30 @@ def minhash_dup_pairs_portable(
     and unsigned MIN agree and ANSI arithmetic cannot overflow). Band
     buckets are sha256 of the band's joined components. ~3x slower than
     the xxhash64 family (sha256 per shingle) — use the fast variant in
-    production, this one to PROVE the banding algebra."""
-    tk = df.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("__tk"))
-    sh = tk.select(
-        F.col(id_col), F.explode(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("__s")
-    )
-    hx = F.sha2(F.col("__s"), 256)
-    hashed = sh.select(
-        F.col(id_col),
-        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("__h1"),
-        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("__h2"),
-    )
-    mins = [
-        F.min(F.col("__h1") + F.lit(i) * F.col("__h2")).alias(f"m{i}")
-        for i in range(num_perm)
-    ]
-    sigs = hashed.groupBy(id_col).agg(*mins)
+    production, this one to PROVE the banding algebra (which both
+    variants share via the hash-family parameters)."""
 
-    rows_per_band = num_perm // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.sha2(F.concat_ws("_", *cols), 256).alias("bh"))
-        )
-    buckets = sigs.select(
-        F.col(id_col),
-        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("__sig"),
-        F.explode(F.array(*band_structs)).alias("__b"),
-    ).select(
-        F.col(id_col), F.col("__sig"),
-        F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"),
-    )
-
-    def _pair(x, y):
-        agree = F.aggregate(
-            F.zip_with(x["sig"], y["sig"], lambda u, v: F.when(u == v, 1).otherwise(0)),
-            F.lit(0),
-            lambda acc, z: acc + z,
-        )
-        return F.struct(
-            F.least(x["id"], y["id"]).alias("id_a"),
-            F.greatest(x["id"], y["id"]).alias("id_b"),
-            (agree.cast("double") / F.lit(float(num_perm))).alias("jaccard_est"),
+    def _sha_pair(s_col):
+        hx = F.sha2(s_col, 256)
+        return (
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"),
+            F.conv(F.substring(hx, 9, 8), 16, 10).cast("long"),
         )
 
-    return pairs_within_groups(
-        buckets,
-        ["band", "bh"],
-        F.struct(F.col(id_col).alias("id"), F.col("__sig").alias("sig")),
-        _pair,
-        keep=lambda p: p["jaccard_est"] >= F.lit(jaccard_threshold),
-    ).dropDuplicates(["id_a", "id_b"])
+    def _sha_band(cols):
+        return F.sha2(F.concat_ws("_", *[c.cast("string") for c in cols]), 256)
+
+    return minhash_dup_pairs(
+        df,
+        id_col,
+        text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        perm_fns=_sha_pair,
+        band_hash_fn=_sha_band,
+    )
 
 
 # 4 x 16-bit SWAR lanes per long: lane j of sum k counts set bits at

@@ -218,7 +218,10 @@ def parse_ppm(payload: bytes):
         i = j
     if len(toks) < 3:
         return None
-    w, h, maxv = (int(t) for t in toks)
+    try:
+        w, h, maxv = (int(t) for t in toks)
+    except ValueError:
+        return None  # corrupt header token: not PPM, fall to the stub path
     if maxv > 255 or w <= 0 or h <= 0:
         return None
     i += 1  # exactly one whitespace byte after maxval
@@ -302,23 +305,30 @@ def resize_ppm(media: DataFrame, max_side: int = 32) -> DataFrame:
 
     def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_p, out_n = [], []
-            for p in pdf["payload"]:
+            out_p, out_n, out_w, out_h = [], [], [], []
+            for p, w0, h0 in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 parsed = parse_ppm(p)
                 if parsed is None:
                     out_p.append(p)
                     out_n.append(len(p) if p is not None else 0)
+                    out_w.append(w0)
+                    out_h.append(h0)
                     continue
                 w, h, px = parsed
                 scale = max(w, h) / max_side
                 if scale > 1.0:
-                    tw, th = max(1, round(w / scale)), max(1, round(h / scale))
-                    p = encode_ppm(_nearest_resize(px, tw, th))
+                    w, h = max(1, round(w / scale)), max(1, round(h / scale))
+                    p = encode_ppm(_nearest_resize(px, w, h))
                 out_p.append(p)
                 out_n.append(len(p))
+                # keep the metadata columns true to the new payload
+                out_w.append(w)
+                out_h.append(h)
             pdf = pdf.copy()
             pdf["payload"] = out_p
             pdf["n_bytes"] = out_n
+            pdf["width"] = pd.array(out_w, dtype="Int32")
+            pdf["height"] = pd.array(out_h, dtype="Int32")
             yield pdf
 
     return media.mapInPandas(shrink, MEDIA_SCHEMA)

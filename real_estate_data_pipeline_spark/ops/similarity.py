@@ -52,6 +52,14 @@ def l2_norm_sq(a: Column) -> Column:
     )
 
 
+def safe_norm(a: Column) -> Column:
+    """L2 norm with zero mapped to 1, so a zero vector scores cosine 0
+    against everything instead of NaN (0/0) — matching the numpy-side
+    ``xn[xn == 0] = 1`` convention in the Arrow variants."""
+    n = F.sqrt(l2_norm_sq(a))
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
 
@@ -287,7 +295,7 @@ def knn_self_join(
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.sqrt(l2_norm_sq(F.col(vec_col))).alias("__n"),
+        safe_norm(F.col(vec_col)).alias("__n"),
         F.posexplode(bucket_arr).alias("__band", "__bkt"),
     )
     und = _scored_pairs_within(b, ["__band", "__bkt"], id_col, vec_col)
@@ -372,7 +380,7 @@ def ivf_centroids(
 
     for _ in range(refine):
         c = cent.withColumn("cn", F.sqrt(l2_norm_sq(F.col("cvec"))))
-        v = df.select(id_col, vec_col, F.sqrt(l2_norm_sq(F.col(vec_col))).alias("__n"))
+        v = df.select(id_col, vec_col, safe_norm(F.col(vec_col)).alias("__n"))
         scored = v.crossJoin(F.broadcast(c)).withColumn(
             "__cos", dot(F.col(vec_col), F.col("cvec")) / (F.col("__n") * F.col("cn"))
         )
@@ -414,7 +422,7 @@ def ivf_knn_self_join(
     linear) — the recenter aggregate and broadcast stay tiny either way.
     """
     cent = ivf_centroids(df, id_col, vec_col, n_cells, refine)
-    v = df.select(id_col, vec_col, F.sqrt(l2_norm_sq(F.col(vec_col))).alias("__n"))
+    v = df.select(id_col, vec_col, safe_norm(F.col(vec_col)).alias("__n"))
     scored = v.crossJoin(F.broadcast(cent)).withColumn(
         "__cos", dot(F.col(vec_col), F.col("cvec")) / (F.col("__n") * F.col("cn"))
     )
@@ -611,7 +619,7 @@ def knn_join(
         return df.select(
             F.col(id_in).alias(id_out),
             F.col(vec_col).alias(v_alias),
-            F.sqrt(l2_norm_sq(F.col(vec_col))).alias(n_alias),
+            safe_norm(F.col(vec_col)).alias(n_alias),
             F.posexplode(barr).alias("__band", "__bkt"),
         )
 

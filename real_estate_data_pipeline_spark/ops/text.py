@@ -195,11 +195,10 @@ def tfidf_top_terms(
     corpus size N as a broadcast scalar, a term-keyed equi-join of the
     two aggregates (co-partitioned on term at scale), and a per-doc
     top-k window. No driver collection, no O(N^2)."""
+    from .dedup import norm_tokens
+
     toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " ")).alias(
-            "term"
-        ),
+        F.col(id_col), F.explode(norm_tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -4139,6 +4139,65 @@ def _dfunnel(spark, sf_dir):
 
 CATALOG["evt_funnel_counts"].fn = _dfunnel
 
+
+_EVENTS_STREAM_FIELDS = [
+    ("event_id", "long"), ("ts", None), ("user_id", "long"),
+    ("event_type", "string"), ("value", "double"), ("props", "string"),
+]
+
+
+def _events_stream_schema(ts_ntz: bool):
+    """Streaming twin of t()'s events handling. NOTE: assumes the
+    events parquet stores ts as TIMESTAMP(MICROS) — true for every
+    driver-generated SF; a nanos file (which batch t() tolerates via
+    the legacy conf) would fail the streaming scan."""
+    from pyspark.sql import types as T
+
+    ts_type = T.TimestampNTZType() if ts_ntz else T.TimestampType()
+    m = {"long": T.LongType(), "string": T.StringType(), "double": T.DoubleType()}
+    return T.StructType(
+        [
+            T.StructField(n, ts_type if t_ is None else m[t_])
+            for n, t_ in _EVENTS_STREAM_FIELDS
+        ]
+    )
+
+
+def _stream_file_source(spark, sf_dir, file_name, schema):
+    """File-stream source over one table of the testdata dir. Pins the
+    session to UTC first — each catalog fn must be self-sufficient
+    because the driver samples queries individually, and the streaming
+    path never goes through t()."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", file_name)
+        .load(sf_dir)
+    )
+
+
+def _run_stream_to_memory(df, name, mode):
+    """Drive a streaming frame to completion into a memory sink and
+    return the sink table; raises if the stream missed the deadline
+    (a partial table must never reach the correctness gate)."""
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"stream {name} did not finish within 300s")
+    return spark.table(name)
+
+
 register(
     "evt_stream_tumbling_now",
     oracle="""
@@ -4159,29 +4218,8 @@ def _dstreamnow(spark, sf_dir):
     aggregate exactly, which the oracle checks. This is the
     one-definition-two-execution-modes contract of Structured
     Streaming, proven by value hash rather than claimed."""
-    from pyspark.sql import types as T
-
-    name = "evt_stream_tumbling_now_sink"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampNTZType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    # the file source wants a directory: point it at sf_dir and select
-    # just the events file via the glob filter
-    src = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    src = _stream_file_source(
+        spark, sf_dir, "events.parquet", _events_stream_schema(ts_ntz=True)
     )
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -4193,15 +4231,7 @@ def _dstreamnow(spark, sf_dir):
             "total_value",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    return spark.table(name)
+    return _run_stream_to_memory(agg, "evt_stream_tumbling_now_sink", "complete")
 
 
 CATALOG["evt_stream_tumbling_now"].fn = _dstreamnow
@@ -4259,25 +4289,8 @@ def _dstateful(spark, sf_dir):
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    name = "evt_stream_stateful_totals_sink"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampNTZType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    src = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    src = _stream_file_source(
+        spark, sf_dir, "events.parquet", _events_stream_schema(ts_ntz=True)
     )
     out_schema = T.StructType(
         [
@@ -4303,19 +4316,13 @@ def _dstateful(spark, sf_dir):
     totals = src.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    # a user may emit once per micro-batch; the final (largest) row is
-    # the completed state
-    sink = spark.table(name)
+    sink = _run_stream_to_memory(totals, "evt_stream_stateful_totals_sink", "update")
+    # a user may emit once per micro-batch; the final state is the row
+    # with the highest event count (max_by, NOT max(total) — totals
+    # would not be monotonic if values could go negative)
     return sink.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"), F.max("total_cents").alias("total_cents")
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_cents", "n_events").alias("total_cents"),
     )
 
 
@@ -4348,31 +4355,14 @@ def _dstreamsess(spark, sf_dir):
     """REAL streaming session windows (Spark's native session_window
     state merge) driven to completion with availableNow in complete
     output mode: the final table equals batch gaps-and-islands
-    sessionization, and the oracle hash-checks it. (Append mode under
-    the same watermark emits 9515 of 9549 sessions at sf0.01 — the
-    last 2 h stay in state; complete mode emits the full final state,
-    which is what equals the batch twin.)"""
-    from pyspark.sql import types as T
-
-    name = "evt_stream_sessions_now_sink"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    src = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    sessionization, and the oracle hash-checks it. Watermarks require a
+    tz-aware TIMESTAMP column, so the source pins the session to UTC
+    (via the shared helper) before reading — date_format then renders
+    the same naive strings the oracle computes. (Append mode under the
+    same watermark emits 9515 of 9549 sessions at sf0.01 — the last
+    2 h stay in state; complete mode emits the full final state.)"""
+    src = _stream_file_source(
+        spark, sf_dir, "events.parquet", _events_stream_schema(ts_ntz=False)
     )
     agg = (
         src.withWatermark("ts", "2 hours")
@@ -4384,15 +4374,7 @@ def _dstreamsess(spark, sf_dir):
         )
         .select("user_id", "n_events", "session_start_s", "duration_secs")
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    return spark.table(name)
+    return _run_stream_to_memory(agg, "evt_stream_sessions_now_sink", "complete")
 
 
 CATALOG["evt_stream_sessions_now"].fn = _dstreamsess
@@ -4416,10 +4398,6 @@ def _dstreamdedup(spark, sf_dir):
     deterministic and hash-checked against DISTINCT in DuckDB."""
     from pyspark.sql import types as T
 
-    name = "doc_stream_dedup_now_sink"
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -4429,25 +4407,12 @@ def _dstreamdedup(spark, sf_dir):
             T.StructField("n_chars", T.LongType()),
         ]
     )
-    src = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    src = _stream_file_source(spark, sf_dir, "documents.parquet", schema)
     deduped = (
         src.select(text.fingerprint(F.col("text")).alias("fingerprint"))
         .dropDuplicates(["fingerprint"])
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    return spark.table(name)
+    return _run_stream_to_memory(deduped, "doc_stream_dedup_now_sink", "append")
 
 
 CATALOG["doc_stream_dedup_now"].fn = _dstreamdedup
