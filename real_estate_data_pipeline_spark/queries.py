@@ -4546,6 +4546,48 @@ def _dshp(spark, sf_dir):
 
 CATALOG["simhash_dup_pairs_portable"].fn = _dshp
 
+def _minhash_clusters_oracle() -> str:
+    """Recursive-CTE transitive closure over the PORTABLE minhash pair
+    set: the end-to-end fuzzy-dedup pipeline (hash family -> banding ->
+    verify -> clustering) value-checked in one query."""
+    pairs_sql = _minhash_portable_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, w.lab FROM edges e JOIN walk w ON e.dst = w.id
+    )
+    SELECT id AS doc_id, MIN(lab) AS cluster FROM walk GROUP BY id
+    """
+
+
+register("dup_clusters_minhash", oracle=_minhash_clusters_oracle())
+
+
+def _dclustmh(spark, sf_dir):
+    """Duplicate clusters over the PORTABLE MinHash pair set: the full
+    fuzzy-dedup pipeline — cross-engine hash family, LSH banding,
+    agreement verify, then distributed label propagation — checked
+    exactly against DuckDB's recursive-CTE closure of the same pairs."""
+    from .ops import graph
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dup_pairs_portable(
+        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
+    )
+    return graph.connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("doc_id"), F.col("cluster")
+    )
+
+
+CATALOG["dup_clusters_minhash"].fn = _dclustmh
+
 register("sketch_kll_price_quantiles", oracle=None)
 
 
