@@ -40,6 +40,7 @@ _FAN_OUT_CAP = 256 << 20  # bytes
 # Dimension tables are excluded: they broadcast or reduce in one task,
 # and an exchange would only add a stage to every star join.
 _FAN_OUT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+_FAN_OUT_WARNED = False
 
 
 def _fan_out(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
@@ -57,11 +58,27 @@ def _fan_out(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     if name not in _FAN_OUT_TABLES:
         return df
     try:
-        paths = [p[7:] if p.startswith("file://") else p for p in df.inputFiles()]
         import os
+        from urllib.parse import urlparse
 
+        paths = []
+        for p in df.inputFiles():
+            # Hadoop Path.toString renders local URIs as either
+            # file:///path or file:/path — urlparse handles both.
+            parsed = urlparse(p)
+            paths.append(parsed.path if parsed.scheme == "file" else p)
         size = sum(os.path.getsize(p) for p in paths)
-    except Exception:
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        global _FAN_OUT_WARNED
+        if not _FAN_OUT_WARNED:
+            _FAN_OUT_WARNED = True
+            import sys
+
+            print(
+                f"[queries._fan_out] size probe failed for {name!r} ({exc!r}); "
+                "scan fan-out disabled for this table",
+                file=sys.stderr,
+            )
         return df
     if size < _FAN_OUT_CAP:
         return df.repartition(spark.sparkContext.defaultParallelism)
@@ -4330,10 +4347,16 @@ CATALOG["evt_stream_stateful_totals"].fn = _dstateful
 
 register(
     "evt_stream_sessions_now",
+    # Boundary convention: Spark's session_window spans [ts, ts+gap) and
+    # merges only on strict overlap, so an inter-event gap of EXACTLY
+    # 30:00 starts a new session. The oracle therefore uses >= (gap >=
+    # 30 min => new session). The batch evt_sessionization query keeps
+    # its own, different convention (strictly-greater) consistently on
+    # both sides — the two are separate, each internally aligned.
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

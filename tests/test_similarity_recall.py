@@ -140,11 +140,26 @@ def test_banded_knn_arrow_matches_jvm_variant(spark):
     )
 
     df = _hostile_corpus(spark)
-    jvm = {(r["left_id"], r["right_id"])
-           for r in knn_self_join(df, k=4, bits=6, bands=3).collect()}
-    arrow = {(r["left_id"], r["right_id"])
-             for r in knn_self_join_arrow(df, k=4, bits=6, bands=3).collect()}
-    assert arrow == jvm
+    jvm_rows = knn_self_join(df, k=4, bits=6, bands=3).collect()
+    arrow_rows = knn_self_join_arrow(df, k=4, bits=6, bands=3).collect()
+    jvm = {(r["left_id"], r["right_id"]): r["cosine_sim"] for r in jvm_rows}
+    arrow = {(r["left_id"], r["right_id"]): r["cosine_sim"] for r in arrow_rows}
+    # The two variants compute cosine differently (sequential fold vs
+    # normalized BLAS gram), so scores can diverge by ~1e-15; an edge
+    # disagreement is acceptable ONLY as a near-tie at the k boundary
+    # (the swapped-in edge's score within FP tolerance of the k-th
+    # score for that left_id). Everything else must match exactly.
+    kth_jvm = {}
+    for (left, _), s in jvm.items():
+        kth_jvm[left] = min(s, kth_jvm.get(left, float("inf")))
+    for edge in set(jvm) ^ set(arrow):
+        score = jvm.get(edge, arrow.get(edge))
+        assert abs(score - kth_jvm[edge[0]]) < 1e-9, (
+            f"edge {edge} differs between variants and is not a k-boundary tie"
+        )
+    # Shared edges must agree on score to FP tolerance.
+    for edge in set(jvm) & set(arrow):
+        assert abs(jvm[edge] - arrow[edge]) < 1e-9
 
 
 def test_ivf_knn_join_two_corpus(spark):

@@ -37,19 +37,33 @@ HEAVY = [
 ]
 
 
+def _stride(con, table: str, id_col: str) -> int:
+    """Shard stride = MAX(id)+1 of the source table, so shard id ranges
+    can never collide regardless of the source sf (hardcoded strides
+    silently corrupted the duplicate-heavy corpus once ids outgrew
+    them)."""
+    (mx,) = con.execute(
+        f"SELECT MAX({id_col}) FROM read_parquet('{SRC}/{table}.parquet')"
+    ).fetchone()
+    return int(mx) + 1
+
+
 def build_derived() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    doc_stride = _stride(con, "documents", "doc_id")
+    vec_stride = _stride(con, "embeddings", "vec_id")
+    ord_stride = _stride(con, "lineitem", "l_orderkey")
     con.execute(f"""
     COPY (
-      SELECT doc_id + s * 100000 AS doc_id, text, lang, source, n_chars
+      SELECT doc_id + s * {doc_stride} AS doc_id, text, lang, source, n_chars
       FROM read_parquet('{SRC}/documents.parquet'),
            (SELECT unnest(range(10)) AS s)
     ) TO '{DST}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)
     """)
     con.execute(f"""
     COPY (
-      SELECT vec_id + s * 100000 AS vec_id,
+      SELECT vec_id + s * {vec_stride} AS vec_id,
              list_transform(embedding, x -> CAST(x + s * 0.001 AS FLOAT)) AS embedding
       FROM read_parquet('{SRC}/embeddings.parquet'),
            (SELECT unnest(range(10)) AS s)
@@ -57,7 +71,7 @@ def build_derived() -> None:
     """)
     con.execute(f"""
     COPY (
-      SELECT * REPLACE (l_orderkey + s * 10000000 AS l_orderkey)
+      SELECT * REPLACE (l_orderkey + s * {ord_stride} AS l_orderkey)
       FROM read_parquet('{SRC}/lineitem.parquet'),
            (SELECT unnest(range(10)) AS s)
     ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 500000)
