@@ -18,6 +18,15 @@ import shutil
 from pyspark.sql import SparkSession
 
 
+def _fsync_dir(path: str) -> None:
+    """Make directory entries (renames) durable before depending on them."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -26,7 +35,20 @@ def compact(
 ) -> int:
     """Rewrite ``path`` sorted by ``cluster_by`` into size-targeted files.
     Returns the resulting file count. Sorting by the cluster keys gives
-    parquet row-group min/max stats their selectivity (data skipping)."""
+    parquet row-group min/max stats their selectivity (data skipping).
+
+    Crash-safe swap: the new data is fully written (with parquet's
+    ``_SUCCESS`` marker) and the parent dir fsynced BEFORE the live path
+    is touched; the backup (``_old``) is retained until the new data is
+    in place, and every intermediate state is repairable by
+    ``recover_compact`` (complete forward when the new data carries
+    ``_SUCCESS``, roll back otherwise) — matching the atomicity Delta's
+    OPTIMIZE gets from its transaction log."""
+    base = path.rstrip("/")
+    tmp, bak = base + "_compacting", base + "_old"
+    # Stale leftovers from a previous crashed run must be resolved first,
+    # or the renames below would collide.
+    recover_compact(path)
     df = spark.read.parquet(path)
     total_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -35,15 +57,47 @@ def compact(
         if f.endswith(".parquet")
     )
     n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
-    tmp = path.rstrip("/") + "_compacting"
     df.repartitionByRange(int(n_files), *cluster_by).sortWithinPartitions(
         *cluster_by
     ).write.mode("overwrite").parquet(tmp)
-    bak = path.rstrip("/") + "_old"
+    parent = os.path.dirname(base) or "."
+    _fsync_dir(parent)
     os.rename(path, bak)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(bak, path)  # roll the live name back, keep tmp for forensics
+        raise
+    _fsync_dir(parent)
     shutil.rmtree(bak)
     return int(n_files)
+
+
+def recover_compact(path: str) -> str:
+    """Repair an interrupted ``compact`` swap. Returns the action taken:
+    ``'completed'`` (live path was missing, new data had ``_SUCCESS`` —
+    finish the swap), ``'rolled_back'`` (live path missing, new data
+    incomplete — restore the backup), or ``'clean'`` (live path present —
+    only drop leftover tmp/backup dirs)."""
+    base = path.rstrip("/")
+    tmp, bak = base + "_compacting", base + "_old"
+    if os.path.exists(path):
+        # Live table intact: any leftovers are strictly garbage.
+        for d in (tmp, bak):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        return "clean"
+    if os.path.exists(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, path)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+        return "completed"
+    if os.path.exists(bak):
+        os.rename(bak, path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        return "rolled_back"
+    raise FileNotFoundError(f"no table, backup, or complete tmp at {path}")
 
 
 def vacuum_snapshots(table_path: str, keep: int = 2) -> list[str]:

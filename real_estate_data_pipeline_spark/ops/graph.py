@@ -15,8 +15,11 @@ Scale notes:
 - ``localCheckpoint`` truncates the lineage each round — without it
   the plan doubles per iteration and the job dies on plan size long
   before it dies on data;
-- convergence is detected with a 1-row ``limit(1).count()`` probe of
-  changed labels, not a full count.
+- convergence detection rides the label aggregate itself: the round's
+  ``groupBy`` also emits a per-id ``changed`` flag (new min label !=
+  the id's prior label), so the probe is a join-free ``limit(1)`` scan
+  of the just-checkpointed frame instead of a second shuffle join per
+  iteration.
 """
 
 from __future__ import annotations
@@ -45,21 +48,27 @@ def connected_components(
         neigh = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), F.col("label")
         )
+        # Every id has exactly ONE row from `labels` (its prior label,
+        # is_old) and any number of neighbor rows; min over the old rows
+        # recovers the prior label inside the same aggregate, so the
+        # changed flag costs no extra join.
+        combined = labels.withColumn("is_old", F.lit(True)).unionByName(
+            neigh.withColumn("is_old", F.lit(False))
+        )
         new = (
-            labels.unionByName(neigh)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            combined.groupBy("id")
+            .agg(
+                F.min("label").alias("label"),
+                (
+                    F.min("label")
+                    != F.min(F.when(F.col("is_old"), F.col("label")))
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        any_changed = new.filter(F.col("changed")).limit(1).count()
+        labels = new.drop("changed")
+        if any_changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
 

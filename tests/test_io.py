@@ -32,6 +32,44 @@ def test_compact(spark, tmp_path):
     assert back.count() == 10000 and back.agg(F.sum("id")).first()[0] == 49995000
 
 
+def test_compact_crash_between_renames(spark, tmp_path):
+    """Process death in the swap window (old table renamed away, new one
+    not yet in place) must lose nothing: recover_compact completes the
+    swap forward off the _SUCCESS-marked tmp dir."""
+    import shutil
+
+    from real_estate_data_pipeline_spark.io.maintenance import recover_compact
+
+    p = str(tmp_path / "t")
+    spark.range(0, 1000).withColumn("k", F.col("id") % 5).write.parquet(p)
+    # Simulate compact dying between its two renames: complete tmp
+    # written, live path renamed to _old, tmp NOT yet renamed to live.
+    spark.read.parquet(p).coalesce(1).write.parquet(p + "_compacting")
+    os.rename(p, p + "_old")
+    assert not os.path.exists(p)
+    assert recover_compact(p) == "completed"
+    assert os.path.exists(p) and not os.path.exists(p + "_old")
+    assert spark.read.parquet(p).count() == 1000
+
+    # Same window but the tmp write itself was interrupted (no _SUCCESS):
+    # recovery must roll back to the backup, not promote partial data.
+    os.rename(p, p + "_old")
+    os.makedirs(p + "_compacting_partial")
+    os.rename(p + "_compacting_partial", p + "_compacting")
+    assert recover_compact(p) == "rolled_back"
+    assert spark.read.parquet(p).count() == 1000
+    assert not os.path.exists(p + "_compacting")
+
+    # Live path intact: leftovers are garbage-collected, data untouched.
+    os.makedirs(p + "_old")
+    assert recover_compact(p) == "clean"
+    assert not os.path.exists(p + "_old")
+    assert spark.read.parquet(p).count() == 1000
+    shutil.rmtree(p)
+    with pytest.raises(FileNotFoundError):
+        recover_compact(p)
+
+
 def test_vacuum_snapshots(spark, tmp_path):
     t = Scd2Table(spark, str(tmp_path / "t"), key="k", tracked=["v"], order_col="ts")
     for i in range(4):
