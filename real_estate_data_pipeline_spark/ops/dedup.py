@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .pairs import pairs_within_groups
+from .pairs import DEFAULT_MAX_BLOCK, pairs_within_groups
 
 
 def keep_latest(
@@ -102,6 +102,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     block_cols: list[str],
     threshold: float = 0.0,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by token-set Jaccard within blocking
     keys. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -135,6 +136,7 @@ def ngram_jaccard_pairs(
         ),
         _pair,
         keep=keep,
+        max_block=max_block,
     )
 
 
@@ -198,6 +200,7 @@ def minhash_dup_pairs(
     jaccard_threshold: float = 0.5,
     perm_fns=None,
     band_hash_fn=None,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, fully deterministic (fixed
     hash constants, no RNG) and expressed with built-in functions.
@@ -253,6 +256,7 @@ def minhash_dup_pairs(
         F.struct(F.col(id_col).alias("id"), F.col("__sig").alias("sig")),
         _pair,
         keep=lambda p: p["jaccard_est"] >= F.lit(jaccard_threshold),
+        max_block=max_block,
     ).dropDuplicates(["id_a", "id_b"])
 
 
@@ -452,7 +456,11 @@ def simhash_dup_pairs(
 
 
 def simhash_pairs_from_signatures(
-    sh: DataFrame, id_col: str, max_hamming: int = 3, sim_col: str = "__sim"
+    sh: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    sim_col: str = "__sim",
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """Pigeonhole blocking + Hamming verify over precomputed signatures
     (``sh`` has ``id_col`` and a long ``sim_col``). Split out so the
@@ -486,10 +494,9 @@ def simhash_pairs_from_signatures(
     )
     # Intra-bucket pair expansion, not a self-join (see ops/pairs.py):
     # signatures compute ONCE and only slim (id, sim) structs shuffle.
-    # A pathological bucket (thousands of identical signatures)
-    # materializes its member array in one task — at ~16 bytes/member
-    # harmless until buckets reach millions, at which point the data
-    # needs exact-dedup first anyway.
+    # A pathological bucket (millions of identical signatures) degrades
+    # to the max_block smallest members instead of OOMing the task; an
+    # exact-dedup pre-pass remains the right fix for such corpora.
     pairs = pairs_within_groups(
         blocked,
         ["__seg", "__val"],
@@ -500,6 +507,7 @@ def simhash_pairs_from_signatures(
             F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
         ),
         keep=lambda p: p["hamming"] <= F.lit(max_hamming),
+        max_block=max_block,
     )
     # a pair can agree on several segments -> one candidate per segment;
     # hamming is deterministic per pair, so distinct() collapses them

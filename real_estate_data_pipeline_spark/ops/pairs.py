@@ -24,12 +24,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+DEFAULT_MAX_BLOCK = 8192
+
+
 def pairs_within_groups(
     df: DataFrame,
     group_cols: list[str],
     member: Column,
     pair_fn: Callable[[Column, Column], Column],
     keep: Callable[[Column], Column] | None = None,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """All unordered (i<j by array position) member pairs within each
     group.
@@ -39,12 +43,33 @@ def pairs_within_groups(
     pair structs BEFORE the explode (cheaper than a post-explode
     filter: rejected pairs never become rows). Output columns are the
     fields of the struct ``pair_fn`` returns.
+
+    ``max_block`` caps the per-group member array: groups larger than
+    the cap degrade to the pairs among their ``max_block`` smallest
+    members (by the member struct's natural order — every caller here
+    leads the struct with a distinct id, so the kept subset is
+    deterministic) instead of expanding O(n^2) pairs and OOMing the
+    task. At the default 8192 the worst-case pair array is ~33M
+    structs (~1 GB) — survivable; a pathological corpus (millions of
+    identical signatures in one LSH bucket) signals the need for an
+    exact-dedup pre-pass rather than killing the job. ``None`` removes
+    the cap. The cap only changes results for groups that exceed it.
     """
     grouped = (
         df.groupBy(*group_cols)
         .agg(F.collect_list(member).alias("__m"))
         .filter(F.size("__m") > 1)
     )
+    if max_block is not None:
+        # Sort before slicing: collect_list order is nondeterministic,
+        # array_sort makes the kept top-N (and thus the output) stable.
+        grouped = grouped.withColumn(
+            "__m",
+            F.when(
+                F.size("__m") > max_block,
+                F.slice(F.array_sort("__m"), 1, max_block),
+            ).otherwise(F.col("__m")),
+        )
     arr = F.col("__m")
     tail_len = lambda i: F.greatest(F.size(arr) - i - F.lit(1), F.lit(0))  # noqa: E731
     pair_lists = F.transform(

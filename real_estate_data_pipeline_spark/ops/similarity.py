@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .pairs import pairs_within_groups
+from .pairs import DEFAULT_MAX_BLOCK, pairs_within_groups
 
 # Deterministic hyperplane family: both the Spark expression and the
 # DuckDB oracle SQL are generated from THESE literals, so the two
@@ -232,6 +232,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     bits: int = 6,
     bands: int = 3,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded sign-LSH candidates
     (a pair is a candidate when ANY of the ``bands`` disjoint plane
@@ -270,6 +271,7 @@ def embedding_dup_pairs(
             (dot(x["v"], y["v"]) / (x["n"] * y["n"])).alias("cosine_sim"),
         ),
         keep=lambda p: p["cosine_sim"] >= F.lit(threshold),
+        max_block=max_block,
     )
     # a pair matching in several bands appears once per band; cosine is
     # identical in each, so dropDuplicates is value-deterministic

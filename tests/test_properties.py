@@ -205,3 +205,39 @@ def test_pairs_within_groups_equals_self_join(spark, rows):
         .collect()
     }
     assert got == want
+
+
+def test_pairs_hot_bucket_cap(spark):
+    """A pathological bucket (100k members with one blocking key) must
+    degrade to the pairs among the max_block smallest members — bounded
+    output, no O(n^2) expansion — while buckets under the cap are
+    untouched. Uncapped, this bucket would expand ~5e9 pair structs and
+    OOM the task; capped it completes in seconds."""
+    from real_estate_data_pipeline_spark.ops.pairs import pairs_within_groups
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.lit("hot").alias("g"), F.col("id").cast("int").alias("i")
+    ).unionByName(
+        spark.createDataFrame([("cold", 1_000_000), ("cold", 1_000_001)], "g string, i int")
+    )
+    out = pairs_within_groups(
+        df,
+        ["g"],
+        F.struct(F.col("g").alias("g"), F.col("i").alias("i")),
+        lambda x, y: F.struct(
+            x["g"].alias("g"),
+            F.least(x["i"], y["i"]).alias("id_a"),
+            F.greatest(x["i"], y["i"]).alias("id_b"),
+        ),
+        max_block=64,
+    )
+    rows = out.collect()
+    hot = [(r["id_a"], r["id_b"]) for r in rows if r["g"] == "hot"]
+    cold = [(r["id_a"], r["id_b"]) for r in rows if r["g"] == "cold"]
+    # Deterministic degrade: the 64 SMALLEST members survive (array_sort
+    # before slice), giving exactly C(64,2) pairs over ids 0..63.
+    assert len(hot) == 64 * 63 // 2
+    assert set(hot) == {(a, b) for a in range(64) for b in range(64) if a < b}
+    # The under-cap bucket is exact.
+    assert cold == [(1_000_000, 1_000_001)]
