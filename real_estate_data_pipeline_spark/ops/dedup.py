@@ -260,12 +260,32 @@ def minhash_dup_pairs(
     ).dropDuplicates(["id_a", "id_b"])
 
 
+def train_gram_set(
+    train: DataFrame, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Distinct word ``shingle_n``-grams of the training corpus — the
+    precomputable half of :func:`contamination_report`. At 100 TB the
+    train-side distinct is the dominant decontamination cost and it is
+    identical across eval sets, so compute it ONCE, write it to parquet
+    (ideally sorted by gram so scans of it are splittable and
+    run-length-friendly), and pass the re-read frame to
+    ``contamination_report(train_grams=...)`` for every eval set.
+
+    Returns a single-column frame ``(gram string)``."""
+    return (
+        train.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("gram"))
+        .distinct()
+    )
+
+
 def contamination_report(
-    train: DataFrame,
+    train: DataFrame | None,
     eval_df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
+    train_grams: DataFrame | None = None,
+    prefilter_mod: int | None = None,
 ) -> DataFrame:
     """Train/eval contamination by exact word n-gram overlap — the
     GPT-3/Dolma-style decontamination primitive: an eval document is
@@ -278,20 +298,45 @@ def contamination_report(
 
     Plan shape: both sides shingle once (map-side), the train side
     dedups its gram set (one shuffle — at 100 TB this is the big one,
-    but it is also the one you'd precompute and reuse across eval
-    sets), candidates meet in ONE equi-join on the gram, and the
-    per-eval-doc rollup is a partial-aggregated count. Nothing is ever
-    O(train x eval)."""
-    tr_g = (
-        train.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__g"))
-        .distinct()
-    )
+    so precompute it with :func:`train_gram_set` and pass it via
+    ``train_grams`` to amortize across eval sets), candidates meet in
+    ONE equi-join on the gram, and the per-eval-doc rollup is a
+    partial-aggregated count. Nothing is ever O(train x eval).
+
+    ``prefilter_mod``: optional one-hash bloom prefilter. The distinct
+    ``pmod(xxhash64(gram), prefilter_mod)`` position set of the train
+    grams (bounded by the modulus, NOT by corpus size — at most
+    ``prefilter_mod`` longs ~ 8 bytes each) is broadcast and left-semi
+    joined against eval grams BEFORE the big equi-join, so eval grams
+    that cannot possibly match never enter the shuffle. False positives
+    just fall through to the exact join — the result is unchanged, only
+    the shuffled volume shrinks. Size the modulus ~64x the expected
+    train-gram count for ~1.5% pass-through noise; Spark's own
+    `might_contain`/`bloom_filter_agg` exist only as optimizer-internal
+    expressions in this build, hence the explicit formulation."""
+    if train_grams is None:
+        if train is None:
+            raise ValueError("pass either train or train_grams")
+        train_grams = train_gram_set(train, text_col, shingle_n)
+    # train_grams MUST be distinct (train_gram_set guarantees it); the
+    # join multiplies per-gram match counts otherwise. Not re-distincted
+    # here — skipping that shuffle is the point of the precomputed path.
+    tr_g = train_grams.select(F.col(train_grams.columns[0]).alias("__g"))
     ev = eval_df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__gs")
     )
     ev_g = ev.select(
         F.col(id_col), F.size("__gs").alias("__ng"), F.explode("__gs").alias("__g")
     )
+    if prefilter_mod is not None:
+        pos = tr_g.select(
+            F.pmod(F.xxhash64("__g"), F.lit(prefilter_mod)).alias("__pos")
+        ).distinct()
+        ev_g = ev_g.join(
+            F.broadcast(pos),
+            F.pmod(F.xxhash64("__g"), F.lit(prefilter_mod)) == F.col("__pos"),
+            "left_semi",
+        )
     return (
         ev_g.join(tr_g, "__g")
         .groupBy(id_col)

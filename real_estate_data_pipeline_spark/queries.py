@@ -22,6 +22,7 @@ compare passes bit-for-bit):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -1822,33 +1823,152 @@ def _embdup(spark, sf_dir):
 
 CATALOG["emb_dup_pairs"].fn = _embdup
 
-register("sim_knn_join", oracle=None, bench=True)
+# Generic 6-dp cosine between two aliased embedding rows with
+# precomputed norms — the rounding is what makes BLAS-computed Spark
+# scores and fold-computed DuckDB scores hash-identical (raw doubles
+# differ at ~1e-15 between summation orders).
+def _cos6_sql(a: str, b: str, na: str, nb: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, 65), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / ({na} * {nb}), 6)"
+    )
+
+
+_EN_NORM_SQL = (
+    "SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+register(
+    "sim_knn_join",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_EMB_BAND_SQL[0]} AS bkt0,
+             {_EMB_BAND_SQL[1]} AS bkt1,
+             {_EMB_BAND_SQL[2]} AS bkt2,
+             {_EN_NORM_SQL} AS n
+      FROM embeddings
+    ),
+    und AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {_cos6_sql('a.embedding', 'c.embedding', 'a.n', 'c.n')} AS cosine_sim
+      FROM b a JOIN b c
+        ON a.vec_id < c.vec_id
+       AND (a.bkt0 = c.bkt0 OR a.bkt1 = c.bkt1 OR a.bkt2 = c.bkt2)
+    ),
+    o AS (
+      SELECT id_a AS left_id, id_b AS right_id, cosine_sim FROM und
+      UNION ALL
+      SELECT id_b AS left_id, id_a AS right_id, cosine_sim FROM und
+    )
+    SELECT left_id, right_id, cosine_sim FROM (
+      SELECT o.*, ROW_NUMBER() OVER (PARTITION BY left_id
+                                     ORDER BY cosine_sim DESC, right_id) AS rn
+      FROM o
+    ) WHERE rn <= 3
+    """,
+    bench=True,
+)
 
 
 def _simknn(spark, sf_dir):
-    """Banded-LSH approximate kNN self-join (rows-only check), Arrow
-    variant: all 18 plane products are one BLAS matmul per batch and
-    per-bucket scoring is a gram matrix, replacing the engine's
-    largest interpreted expression (the JVM variant remains in
-    ops/similarity for Arrow-less environments and for the
-    equivalence test)."""
+    """Banded-LSH approximate kNN self-join, Arrow variant: all 18
+    plane products are one BLAS matmul per batch and per-bucket scoring
+    is a gram matrix, replacing the engine's largest interpreted
+    expression (the JVM variant remains in ops/similarity for
+    Arrow-less environments and for the equivalence test). Scores round
+    to 6 dp BEFORE ranking, so the edge set and values hash-match the
+    SQL oracle (candidates = pairs sharing any of the 3 band buckets;
+    per-left top-3 by rounded cosine desc, right_id)."""
     e = t(spark, sf_dir, "embeddings")
-    return similarity.knn_self_join_arrow(e, k=3, bits=6, bands=3)
+    return similarity.knn_self_join_arrow(e, k=3, bits=6, bands=3, score_dp=6)
 
 
 CATALOG["sim_knn_join"].fn = _simknn
 
-register("sim_ivf_knn_join", oracle=None, bench=True)
+register(
+    "sim_ivf_knn_join",
+    oracle=f"""
+    WITH en AS (
+      SELECT vec_id, embedding, {_EN_NORM_SQL} AS n FROM embeddings
+    ),
+    sn AS (
+      SELECT vec_id AS cid, embedding AS cvec,
+             {_EN_NORM_SQL} AS cn
+      FROM embeddings ORDER BY vec_id LIMIT 32
+    ),
+    assign0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i ->
+                   CAST(e.embedding[i] AS DOUBLE) * CAST(s.cvec[i] AS DOUBLE)))
+                   / (e.n * s.cn) DESC, s.cid) AS rn
+        FROM en e CROSS JOIN sn s
+      ) WHERE rn = 1
+    ),
+    cent AS (
+      SELECT cid, list(m ORDER BY pos) AS cvec FROM (
+        SELECT assign0.cid, p.pos, round(AVG(CAST(e.embedding[p.pos] AS DOUBLE)), 6) AS m
+        FROM assign0 JOIN embeddings e USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+        GROUP BY assign0.cid, p.pos
+      ) GROUP BY cid
+    ),
+    cn2 AS (
+      SELECT cid, cvec, SQRT(list_sum(list_transform(cvec, x -> x * x))) AS cn
+      FROM cent
+    ),
+    probe AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i ->
+                   CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) / (e.n * c.cn) DESC,
+                 c.cid) AS rn
+        FROM en e CROSS JOIN cn2 c
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS id_a, q.vec_id AS id_b
+      FROM probe p JOIN probe q ON p.cid = q.cid AND p.vec_id < q.vec_id
+    ),
+    und AS (
+      SELECT cand.id_a, cand.id_b,
+             {_cos6_sql('a.embedding', 'c.embedding', 'a.n', 'c.n')} AS cosine_sim
+      FROM cand JOIN en a ON cand.id_a = a.vec_id
+                JOIN en c ON cand.id_b = c.vec_id
+    ),
+    o AS (
+      SELECT id_a AS left_id, id_b AS right_id, cosine_sim FROM und
+      UNION ALL
+      SELECT id_b AS left_id, id_a AS right_id, cosine_sim FROM und
+    )
+    SELECT left_id, right_id, cosine_sim FROM (
+      SELECT o.*, ROW_NUMBER() OVER (PARTITION BY left_id
+                                     ORDER BY cosine_sim DESC, right_id) AS rn
+      FROM o
+    ) WHERE rn <= 3
+    """,
+    bench=True,
+)
 
 
 def _simivfknn(spark, sf_dir):
-    """IVF approximate kNN self-join (rows-only check): data-dependent
-    centroid cells recall mid-cosine neighbors that random-hyperplane
-    sign-LSH misses (~0.47 vs ~0.18 recall@3 on this corpus at the
-    same candidate budget). Arrow variant: BLAS gram matrices per cell
-    instead of interpreted per-pair dot folds (~2x at sf0.1)."""
+    """IVF approximate kNN self-join: data-dependent centroid cells
+    recall mid-cosine neighbors that random-hyperplane sign-LSH misses
+    (~0.47 vs ~0.18 recall@3 on this corpus at the same candidate
+    budget). Arrow variant: BLAS gram matrices per cell instead of
+    interpreted per-pair dot folds (~2x at sf0.1). Value-verified: the
+    one Lloyd refinement's recentered means round to 6 dp (engine-
+    independent, oracle reproduces the identical centroid table in
+    SQL), and pair scores round to 6 dp before ranking — candidates =
+    pairs co-probed into a common cell (nprobe=2), per-left top-3 by
+    rounded cosine desc, right_id."""
     e = t(spark, sf_dir, "embeddings")
-    return similarity.ivf_knn_self_join_arrow(e, k=3, n_cells=32, nprobe=2, refine=1)
+    return similarity.ivf_knn_self_join_arrow(
+        e, k=3, n_cells=32, nprobe=2, refine=1, score_dp=6, centroid_dp=6
+    )
 
 
 CATALOG["sim_ivf_knn_join"].fn = _simivfknn
@@ -3607,6 +3727,61 @@ def _decon(spark, sf_dir):
 
 
 CATALOG["decon_eval_overlap"].fn = _decon
+
+register(
+    "decon_reuse_gram_index",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, {_GRAMS3_SQL} AS gs,
+             {_HASH01_SQL.format(key="doc_id || 'decon'")} AS u
+      FROM tk
+    ),
+    tr AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE u < 0.8),
+    ev AS (SELECT doc_id, len(gs) AS ng, unnest(gs) AS gram FROM g WHERE u >= 0.8)
+    SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MAX(ev.ng) AS DOUBLE) AS contam_frac
+    FROM ev JOIN tr ON ev.gram = tr.gram
+    GROUP BY ev.doc_id
+    """,
+    bench=True,
+)
+
+
+def _decon_reuse(spark, sf_dir):
+    """Decontamination with the REUSABLE precomputed gram index (the
+    100 TB shape): the train-side distinct gram set is built once with
+    train_gram_set, persisted to parquet, re-read, and passed to
+    contamination_report — which then also broadcast-prefilters eval
+    grams on the bounded pmod(xxhash64, m) position set so non-matching
+    grams never enter the join shuffle. Same oracle as
+    decon_eval_overlap: the precomputed + prefiltered path must be
+    value-identical to the recompute-every-time path."""
+    import tempfile
+
+    from .ops.sampling import hash_uniform01
+
+    d = t(spark, sf_dir, "documents")
+    u = hash_uniform01(F.col("doc_id"), "decon")
+    train = d.filter(u < 0.8)
+    ev = d.filter(u >= 0.8)
+    # fixed scratch path (not mkdtemp-per-run): repeated driver/bench
+    # invocations overwrite instead of accumulating temp dirs
+    idx_path = os.path.join(tempfile.gettempdir(), "redp_gram_index")
+    dedup.train_gram_set(train, "text", shingle_n=3).write.mode("overwrite").parquet(
+        idx_path
+    )
+    grams = spark.read.parquet(idx_path)
+    return dedup.contamination_report(
+        None, ev, "doc_id", "text", shingle_n=3,
+        train_grams=grams, prefilter_mod=1 << 22,
+    )
+
+
+CATALOG["decon_reuse_gram_index"].fn = _decon_reuse
 
 register(
     "doc_tfidf_top3",

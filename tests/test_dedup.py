@@ -116,3 +116,42 @@ def test_contamination_report_planted_overlap(spark):
     # plan stays an equi-join (no cross product of the corpora)
     plan = contamination_report(train, ev, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_precomputed_grams_and_prefilter_match(spark, tmp_path):
+    """The persisted train_gram_set path (+ broadcast hash prefilter)
+    must be value-identical to the recompute-every-time path, and the
+    prefilter's position set must be bounded by the modulus."""
+    from real_estate_data_pipeline_spark.ops.dedup import (
+        contamination_report,
+        train_gram_set,
+    )
+
+    train = spark.createDataFrame(
+        [("t1", "the quick brown fox jumps over the lazy dog"),
+         ("t2", "spark structured streaming with watermarks")],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [("e1", "a story where the quick brown fox appears verbatim"),
+         ("e2", "entirely novel sentence sharing no trigram at all"),
+         ("e3", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string",
+    )
+    base = sorted(
+        map(tuple, contamination_report(train, ev, "doc_id", "text", 3).collect())
+    )
+    idx = str(tmp_path / "grams")
+    train_gram_set(train, "text", 3).write.parquet(idx)
+    grams = spark.read.parquet(idx)
+    # tiny modulus (8) forces real false positives through the prefilter;
+    # the exact join must still absorb them
+    for mod in (8, 1 << 20):
+        reused = sorted(map(tuple, contamination_report(
+            None, ev, "doc_id", "text", 3, train_grams=grams, prefilter_mod=mod
+        ).collect()))
+        assert reused == base
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        contamination_report(None, ev, "doc_id", "text", 3)

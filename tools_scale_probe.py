@@ -31,6 +31,7 @@ HEAVY = [
     "minhash_dup_pairs",
     "simhash_dup_pairs",
     "decon_eval_overlap",
+    "decon_reuse_query",
     "sim_knn_join",
     "q5_nation_revenue",
     "skew_salted_agg",
@@ -83,6 +84,43 @@ def build_derived() -> None:
         )
 
 
+def _decon_reuse_query(spark, sf_dir):
+    """The REPEAT cost of decontamination with a precomputed gram index:
+    the index build (amortized across eval sets in production) happens
+    untimed in main(); this measures only the prefiltered overlap query
+    — the number the reusable-index API actually changes."""
+    from pyspark.sql import functions as F
+
+    from real_estate_data_pipeline_spark.ops import dedup
+    from real_estate_data_pipeline_spark.ops.sampling import hash_uniform01
+    from real_estate_data_pipeline_spark.queries import t
+
+    d = t(spark, sf_dir, "documents")
+    ev = d.filter(hash_uniform01(F.col("doc_id"), "decon") >= 0.8)
+    grams = spark.read.parquet(f"/tmp/redp_gram_index{sf_dir.replace('/', '_')}")
+    return dedup.contamination_report(
+        None, ev, "doc_id", "text", 3, train_grams=grams, prefilter_mod=1 << 22
+    )
+
+
+def _prebuild_gram_index(spark, sf_dir) -> None:
+    from pyspark.sql import functions as F
+
+    from real_estate_data_pipeline_spark.ops import dedup
+    from real_estate_data_pipeline_spark.ops.sampling import hash_uniform01
+    from real_estate_data_pipeline_spark.queries import t
+
+    d = t(spark, sf_dir, "documents")
+    train = d.filter(hash_uniform01(F.col("doc_id"), "decon") < 0.8)
+    dedup.train_gram_set(train, "text", 3).write.mode("overwrite").parquet(
+        f"/tmp/redp_gram_index{sf_dir.replace('/', '_')}"
+    )
+
+
+def _fn(name):
+    return _decon_reuse_query if name == "decon_reuse_query" else CATALOG[name].fn
+
+
 def main() -> None:
     if not os.path.exists(f"{DST}/lineitem.parquet"):
         build_derived()
@@ -91,13 +129,15 @@ def main() -> None:
     def mat(df):
         df.write.format("noop").mode("overwrite").save()
 
+    for d in ("/root/testdata/sf0.01", SRC, DST):
+        _prebuild_gram_index(spark, d)
     for n in HEAVY:  # warm codegen at the small sf
-        mat(CATALOG[n].fn(spark, "/root/testdata/sf0.01"))
+        mat(_fn(n)(spark, "/root/testdata/sf0.01"))
     res: dict[str, dict[str, float]] = {}
     for sf, label in ((SRC, "1x"), (DST, "10x")):
         for n in HEAVY:
             t0 = time.perf_counter()
-            mat(CATALOG[n].fn(spark, sf))
+            mat(_fn(n)(spark, sf))
             res.setdefault(n, {})[label] = time.perf_counter() - t0
     for n, v in res.items():
         print(
