@@ -285,13 +285,19 @@ def knn_self_join(
     vec_col: str = "embedding",
     bits: int = 6,
     bands: int = 3,
+    score_dp: int | None = None,
 ) -> DataFrame:
     """Self-kNN over one corpus: banded-LSH candidates expanded
     intra-bucket (buckets+norms computed ONCE — ``knn_join(df, df)``
     computes them twice, once per join side). Cosine is symmetric, so
     each unordered pair's dot product computes ONCE; both kNN-edge
     orientations then come from a cheap two-struct explode after the
-    cross-band dedup has already halved the row count."""
+    cross-band dedup has already halved the row count.
+
+    ``score_dp``: round cosine to this many decimals BEFORE ranking.
+    With rounding, the (score, right_id) ranking key is identical across
+    engines/BLAS paths whose raw cosines differ by ~1e-15 — what makes
+    the catalog entry value-verifiable against a SQL oracle."""
     fams = band_planes(bits, bands)
     bucket_arr = F.array(*[_bucket_from_planes(F.col(vec_col), p) for p in fams])
     b = df.select(
@@ -300,12 +306,16 @@ def knn_self_join(
         safe_norm(F.col(vec_col)).alias("__n"),
         F.posexplode(bucket_arr).alias("__band", "__bkt"),
     )
-    und = _scored_pairs_within(b, ["__band", "__bkt"], id_col, vec_col)
+    und = _scored_pairs_within(b, ["__band", "__bkt"], id_col, vec_col, score_dp)
     return _orient_and_rank(und, k)
 
 
 def _scored_pairs_within(
-    b: DataFrame, group_cols: list[str], id_col: str, vec_col: str
+    b: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    vec_col: str,
+    score_dp: int | None = None,
 ) -> DataFrame:
     """Unordered cosine-scored candidate pairs within each group.
     least/greatest ids, not positional (x, y): collect_list order
@@ -313,6 +323,11 @@ def _scored_pairs_within(
     group and (y, x) in another and survive the dedup twice — duplicate
     edges would then occupy two of the k ranks. Expects a ``__n``
     precomputed-norm column."""
+
+    def _score(x, y):
+        c = dot(x["v"], y["v"]) / (x["n"] * y["n"])
+        return F.round(c, score_dp) if score_dp is not None else c
+
     return pairs_within_groups(
         b,
         group_cols,
@@ -322,7 +337,7 @@ def _scored_pairs_within(
         lambda x, y: F.struct(
             F.least(x["id"], y["id"]).alias("id_a"),
             F.greatest(x["id"], y["id"]).alias("id_b"),
-            (dot(x["v"], y["v"]) / (x["n"] * y["n"])).alias("cosine_sim"),
+            _score(x, y).alias("cosine_sim"),
         ),
     ).dropDuplicates(["id_a", "id_b"])
 
@@ -363,11 +378,18 @@ def ivf_centroids(
     vec_col: str = "embedding",
     n_cells: int = 32,
     refine: int = 1,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Deterministic IVF centroids: seeded from the ``n_cells``
     lowest-id vectors, then ``refine`` Lloyd iterations (assign to
     nearest centroid by cosine, recenter on the elementwise mean).
     Returns (cid, cvec, cn) with the norm precomputed.
+
+    ``round_dp``: round each recentered component to this many decimals.
+    A float mean depends on aggregation ORDER (Spark's partial-agg tree
+    vs a SQL engine's sequential sum differ at ~1e-15); rounding makes
+    the refined centroids bit-identical across engines so downstream
+    assignments are oracle-reproducible.
 
     Each iteration is fully distributed: one broadcast of the tiny
     centroid table against the corpus, a per-row argmax window, and the
@@ -388,10 +410,13 @@ def ivf_centroids(
         )
         w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), "cid")
         assign = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+        mean = F.avg("__x")
+        if round_dp is not None:
+            mean = F.round(mean, round_dp)
         cent = (
             assign.select("cid", F.posexplode(vec_col).alias("__pos", "__x"))
             .groupBy("cid", "__pos")
-            .agg(F.avg("__x").alias("__mx"))
+            .agg(mean.alias("__mx"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("__pos", "__mx"))).alias("__s"))
             .select("cid", F.transform("__s", lambda s: s["__mx"]).alias("cvec"))
@@ -407,6 +432,8 @@ def ivf_knn_self_join(
     n_cells: int = 32,
     nprobe: int = 2,
     refine: int = 1,
+    score_dp: int | None = None,
+    centroid_dp: int | None = None,
 ) -> DataFrame:
     """Self-kNN via IVF cells instead of sign-LSH buckets: every vector
     multi-assigns to its ``nprobe`` nearest centroids, candidates are
@@ -423,7 +450,7 @@ def ivf_knn_self_join(
     n_cells with corpus size (cells ~ sqrt(n) keeps expected pair work
     linear) — the recenter aggregate and broadcast stay tiny either way.
     """
-    cent = ivf_centroids(df, id_col, vec_col, n_cells, refine)
+    cent = ivf_centroids(df, id_col, vec_col, n_cells, refine, round_dp=centroid_dp)
     v = df.select(id_col, vec_col, safe_norm(F.col(vec_col)).alias("__n"))
     scored = v.crossJoin(F.broadcast(cent)).withColumn(
         "__cos", dot(F.col(vec_col), F.col("cvec")) / (F.col("__n") * F.col("cn"))
@@ -436,7 +463,7 @@ def ivf_knn_self_join(
         .filter(F.col("__rn") <= nprobe)
         .select(id_col, vec_col, "__n", "cid")
     )
-    und = _scored_pairs_within(assign, ["cid"], id_col, vec_col)
+    und = _scored_pairs_within(assign, ["cid"], id_col, vec_col, score_dp)
     return _orient_and_rank(und, k)
 
 
@@ -448,6 +475,8 @@ def ivf_knn_self_join_arrow(
     n_cells: int = 32,
     nprobe: int = 2,
     refine: int = 1,
+    score_dp: int | None = None,
+    centroid_dp: int | None = None,
 ) -> DataFrame:
     """``ivf_knn_self_join`` with the two dot-product hot loops moved
     to Arrow-batched numpy (same candidates, same edges — verified
@@ -469,7 +498,9 @@ def ivf_knn_self_join_arrow(
     the same \"model broadcast\" pattern spark.ml uses)."""
     from pyspark.sql.functions import pandas_udf
 
-    cent_rows = ivf_centroids(df, id_col, vec_col, n_cells, refine).collect()
+    cent_rows = ivf_centroids(
+        df, id_col, vec_col, n_cells, refine, round_dp=centroid_dp
+    ).collect()
     C = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cn = np.linalg.norm(C, axis=1)
@@ -501,6 +532,10 @@ def ivf_knn_self_join_arrow(
         xn[xn == 0.0] = 1.0
         Xn = X / xn[:, None]
         G = Xn @ Xn.T
+        if score_dp is not None:
+            # rounded scores make the (score, right_id) ranking key
+            # BLAS-blocking- and engine-independent (oracle-matchable)
+            G = np.round(G, score_dp)
         np.fill_diagonal(G, -np.inf)
         # deterministic per-row top-kk: (-cos, right_id) lexicographic
         order = np.lexsort((np.broadcast_to(ids, G.shape), -G), axis=1)[:, :kk]
@@ -530,6 +565,7 @@ def knn_self_join_arrow(
     vec_col: str = "embedding",
     bits: int = 6,
     bands: int = 3,
+    score_dp: int | None = None,
 ) -> DataFrame:
     """``knn_self_join`` with both hot loops moved to Arrow-batched
     numpy (same banding scheme, same edge semantics):
@@ -577,6 +613,8 @@ def knn_self_join_arrow(
         xn[xn == 0.0] = 1.0
         Xn = X / xn[:, None]
         G = Xn @ Xn.T
+        if score_dp is not None:
+            G = np.round(G, score_dp)
         np.fill_diagonal(G, -np.inf)
         order = np.lexsort((np.broadcast_to(ids, G.shape), -G), axis=1)[:, :kk]
         left = np.repeat(ids, kk)
