@@ -4578,6 +4578,66 @@ def _dstreamsess(spark, sf_dir):
 CATALOG["evt_stream_sessions_now"].fn = _dstreamsess
 
 register(
+    "evt_stream_sessions_append",
+    # Append-mode emission semantics, pinned by a planted-boundary probe
+    # (tests/test_streaming.py::test_append_session_watermark_boundary):
+    # the watermark is the MILLISECOND-floored max event time minus the
+    # delay, and a session is emitted iff session_window.end <= that
+    # watermark (equality EMITS; 1 ms short does not). The oracle is the
+    # batch gaps-and-islands result filtered to exactly those sessions.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
+             CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_secs,
+             MAX(ts) + INTERVAL 30 MINUTE AS w_end
+      FROM sess GROUP BY user_id, session_id
+    ), wm AS (
+      SELECT date_trunc('millisecond', MAX(ts)) - INTERVAL 2 HOUR AS w FROM events
+    )
+    SELECT user_id, n_events, session_start_s, duration_secs
+    FROM agg, wm WHERE agg.w_end <= wm.w
+    """,
+)
+
+
+def _dstreamsessappend(spark, sf_dir):
+    """Streaming session windows in APPEND mode — the production shape:
+    only sessions the watermark has CLOSED are emitted (at sf0.01 that
+    is 9515 of 9549; the final 2 h of event time stay in state, exactly
+    as a live pipeline would hold them awaiting late data). The oracle
+    reproduces the watermark cutoff to the millisecond, so this is the
+    append-emission semantics value-verified, not just demonstrated."""
+    src = _stream_file_source(
+        spark, sf_dir, "events.parquet", _events_stream_schema(ts_ntz=False)
+    )
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start_s"),
+            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_secs"),
+        )
+        .select("user_id", "n_events", "session_start_s", "duration_secs")
+    )
+    return _run_stream_to_memory(agg, "evt_stream_sessions_append_sink", "append")
+
+
+CATALOG["evt_stream_sessions_append"].fn = _dstreamsessappend
+
+register(
     "doc_stream_dedup_now",
     oracle="""
     SELECT DISTINCT sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),

@@ -124,3 +124,55 @@ def test_document_stream_cleanse(spark, docs_stream_dir):
     assert surviving_en["lang_pred"] == "en"
     assert surviving_en["n_tokens"] == 9
     assert 0.0 <= surviving_en["quality_score"] <= 1.0
+
+
+def test_append_session_watermark_boundary(spark, tmp_path):
+    """Pin the append-mode emission semantics the evt_stream_sessions_append
+    oracle depends on: the watermark is the MILLISECOND-floored max event
+    time minus the delay, and a session whose window end EQUALS the
+    watermark is emitted (<=, not <). Three planted corpora: end == wm
+    (emit), end == wm via a +999us max ts (ms floor makes them equal:
+    emit), end 1 ms past wm (hold in state)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    cases = [
+        ("exact", datetime.timedelta(minutes=150), True),
+        ("us_floor", datetime.timedelta(minutes=150, microseconds=999), True),
+        ("short1ms", datetime.timedelta(minutes=150) - datetime.timedelta(milliseconds=1), False),
+    ]
+    for name, delta, expect_emitted in cases:
+        d = str(tmp_path / name)
+        rows = [(1, t0, 1, "a", 1.0, ""), (2, t0 + delta, 2, "a", 1.0, "")]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        src = spark.readStream.schema(schema).format("parquet").load(d)
+        agg = (
+            src.withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+            .agg(F.count("*").alias("n"))
+            .select("user_id")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"wmb_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        emitted = {r["user_id"] for r in spark.table(f"wmb_{name}").collect()}
+        assert (1 in emitted) == expect_emitted, (name, emitted)
