@@ -4916,6 +4916,81 @@ def _dcohort(spark, sf_dir):
 CATALOG["evt_cohort_retention"].fn = _dcohort
 
 
+register(
+    "scd2_two_run_versions",
+    # DuckDB replica of io/scd2.py's two-merge semantics (the reference's
+    # Delta MERGE flow, silver_etl_script.py:916-966): day-1 load then a
+    # day-2 batch that changes some tracked values, drops some keys, and
+    # introduces new ones. Four row classes: closed (matched+changed),
+    # re-inserted current versions, untouched day-1 rows (unchanged match
+    # or no match), brand-new day-2 keys.
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_mktsegment FROM customer),
+    d1 AS (SELECT * FROM c WHERE c_custkey % 3 <> 0),
+    d2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+      FROM c WHERE c_custkey % 2 = 0
+    )
+    SELECT d1.c_custkey, d1.c_mktsegment, FALSE AS is_current,
+           '2024-01-01' AS valid_from_d, '2024-01-02' AS valid_to_d
+    FROM d1 JOIN d2 USING (c_custkey) WHERE d1.c_mktsegment <> d2.c_mktsegment
+    UNION ALL
+    SELECT d2.c_custkey, d2.c_mktsegment, TRUE, '2024-01-02', NULL
+    FROM d1 JOIN d2 USING (c_custkey) WHERE d1.c_mktsegment <> d2.c_mktsegment
+    UNION ALL
+    SELECT d1.c_custkey, d1.c_mktsegment, TRUE, '2024-01-01', NULL
+    FROM d1 LEFT JOIN d2 USING (c_custkey)
+    WHERE d2.c_custkey IS NULL OR d1.c_mktsegment = d2.c_mktsegment
+    UNION ALL
+    SELECT d2.c_custkey, d2.c_mktsegment, TRUE, '2024-01-02', NULL
+    FROM d2 LEFT JOIN d1 USING (c_custkey) WHERE d1.c_custkey IS NULL
+    """,
+)
+
+
+def _scd2gate(spark, sf_dir):
+    """S6 SCD2 MERGE, oracle-verified: the real Scd2Table.merge runs
+    TWICE on deterministic customer snapshots (day 2 changes the
+    tracked c_mktsegment for custkey%5==0, drops odd keys, adds keys
+    day 1 lacked), with pinned batch timestamps; the full version table
+    — close-changed, append-new, untouched-unchanged, is_current flags,
+    validity range — must hash-match a pure-SQL replica of the merge
+    semantics. This moves the reference's Delta MERGE flow
+    (silver_etl_script.py:916-966, emulated in io/scd2.py) from
+    local-e2e-tested into the driver correctness gate."""
+    import shutil
+    import tempfile
+
+    from .io.scd2 import Scd2Table
+
+    base = os.path.join(tempfile.gettempdir(), "redp_scd2_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    day1 = c.filter(F.col("c_custkey") % 3 != 0)
+    day2 = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    tbl = Scd2Table(
+        spark, base, key="c_custkey", tracked=["c_mktsegment"], order_col="c_acctbal"
+    )
+    tbl.merge(day1, batch_ts=F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    tbl.merge(day2, batch_ts=F.to_timestamp(F.lit("2024-01-02 00:00:00")))
+    return tbl.read().select(
+        "c_custkey",
+        "c_mktsegment",
+        "is_current",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from_d"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to_d"),
+    )
+
+
+CATALOG["scd2_two_run_versions"].fn = _scd2gate
+
+
 # ===========================================================================
 # entry() flagship
 # ===========================================================================
