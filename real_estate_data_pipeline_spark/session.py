@@ -46,3 +46,49 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def s3a_conf(
+    endpoint: str,
+    access_key: str,
+    secret_key: str,
+    path_style: bool = True,
+    ssl: bool = False,
+) -> dict[str, str]:
+    """The exact ``extra_conf`` recipe for an S3/MinIO-backed deployment
+    (reference: silver_etl_script.py:99-104, pipelines.py:60-101 write
+    bronze/silver through S3A). Usage::
+
+        spark = get_session(extra_conf=s3a_conf(
+            "http://minio:9000", "minioadmin", "minioadmin"))
+        df = spark.read.parquet("s3a://bronze/listings/date=2024-01-01")
+
+    ``path_style=True`` + ``ssl=False`` are the MinIO/moto local-stack
+    settings; against real AWS S3 drop the endpoint, use virtual-host
+    style and SSL, and swap the static provider for
+    ``InstanceProfileCredentialsProvider`` / IRSA. Requires the
+    ``hadoop-aws`` + ``aws-java-sdk-bundle`` jars on the classpath
+    (``spark.jars.packages=org.apache.hadoop:hadoop-aws:<hadoop ver>``)
+    — NOT bundled with the pip pyspark this sandbox ships, which is why
+    tests/test_io.py's round-trip skips here and runs on a real
+    cluster."""
+    return {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.access.key": access_key,
+        "spark.hadoop.fs.s3a.secret.key": secret_key,
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.aws.credentials.provider": (
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        ),
+        # committer: directory-staging avoids the O(files) rename-based
+        # commit that plain FileOutputCommitter pays on object stores
+        "spark.hadoop.fs.s3a.committer.name": "directory",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+    }
