@@ -4990,6 +4990,142 @@ def _scd2gate(spark, sf_dir):
 
 CATALOG["scd2_two_run_versions"].fn = _scd2gate
 
+# ===========================================================================
+# Corpus curation round 4: per-source caps, incremental dedup, entropy
+# ===========================================================================
+
+register(
+    "doc_source_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 100
+    """,
+)
+
+
+def _dsrccap(spark, sf_dir):
+    """Per-source document caps — the pretraining-mix primitive that
+    stops one crawl domain from dominating the corpus: keep the top-N
+    docs per source by a quality criterion (length here), drop the
+    rest. One hash-partitioned window per source; at 100 TB a skewed
+    source is the classic hot key — the rank is per-partition-heap-able
+    and AQE splits oversized partitions, or pre-aggregate with the
+    salted-agg family if one source is pathological."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 100)
+        .select("doc_id", "source")
+    )
+
+
+CATALOG["doc_source_cap"].fn = _dsrccap
+
+register(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                        ' +', ' ', 'g'))) AS fingerprint,
+             {_HASH01_SQL.format(key="doc_id || 'incr'")} AS u
+      FROM documents
+    )
+    SELECT n.doc_id, n.fingerprint
+    FROM fp n
+    WHERE n.u >= 0.7
+      AND NOT EXISTS (SELECT 1 FROM fp c
+                      WHERE c.u < 0.7 AND c.fingerprint = n.fingerprint)
+    """,
+)
+
+
+def _dincr(spark, sf_dir):
+    """Incremental corpus dedup — the daily-ingest shape: new documents
+    are kept only when their normalized fingerprint is absent from the
+    existing corpus. One LEFT ANTI equi-join on the 256-bit key; at
+    scale the corpus side is the persisted fingerprint index (compute
+    once, append daily — the same amortization pattern as
+    train_gram_set), so each increment shuffles only its own batch plus
+    an index probe."""
+    from .ops.sampling import hash_uniform01
+
+    d = t(spark, sf_dir, "documents")
+    u = hash_uniform01(F.col("doc_id"), "incr")
+    fp = d.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fingerprint"), u.alias("__u")
+    )
+    corpus = fp.filter(F.col("__u") < 0.7).select("fingerprint")
+    incoming = fp.filter(F.col("__u") >= 0.7)
+    return incoming.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+CATALOG["dedup_incremental_new_docs"].fn = _dincr
+
+register(
+    "doc_token_entropy",
+    # Cross-engine exactness: ln(c) rounds to 6 dp (libm convention),
+    # each term then scales to an INTEGER micro-nat count so the
+    # per-doc SUM is order-independent (the integer-cents trick from
+    # evt_stream_stateful_totals); only then does float arithmetic
+    # produce the final entropy, identically on both engines.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(c * round(ln(c), 6) * 1000000) AS BIGINT)) AS BIGINT) AS s
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, round(round(ln(n), 6) - (s / 1000000.0) / n, 6) AS token_entropy
+    FROM agg
+    """,
+)
+
+
+def _dentropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per document — the
+    cheap perplexity proxy for quality filtering: repetitive/spammy
+    docs score low, diverse text scores high. H = ln(n) - (1/n)*sum
+    c*ln(c) from the per-token counts — two partial-aggregated
+    shuffles, no UDF. Summation uses integer micro-nats so the result
+    is aggregation-order-independent (see oracle comment)."""
+    d = t(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    tf = (
+        d.select("doc_id", tok)
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    term = F.round(F.col("c") * F.round(F.log("c"), 6) * F.lit(1000000.0)).cast("long")
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.sum(term).alias("s")
+    )
+    return agg.select(
+        "doc_id",
+        F.round(
+            F.round(F.log("n"), 6) - (F.col("s") / F.lit(1000000.0)) / F.col("n"), 6
+        ).alias("token_entropy"),
+    )
+
+
+CATALOG["doc_token_entropy"].fn = _dentropy
+
 
 # ===========================================================================
 # entry() flagship
