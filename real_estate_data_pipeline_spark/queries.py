@@ -3747,7 +3747,11 @@ register(
     FROM ev JOIN tr ON ev.gram = tr.gram
     GROUP BY ev.doc_id
     """,
-    bench=True,
+    # not bench-flagged: the self-contained gate entry rebuilds its gram
+    # index every run (build + parquet write + query), which is the
+    # WRONG number for the reuse path — tools_scale_probe's
+    # decon_amortization isolates the real repeat cost (4.5x faster
+    # than rebuild at 10x train, fixed eval)
 )
 
 

@@ -30,6 +30,12 @@ SHOW_NOTES = {
     "doc_tfidf_top3": "tf and doc-frequency are two partial-aggregated shuffles over the SAME exploded tokens (exchange reuse), joined on the term key; corpus size N broadcasts as a one-row scalar.",
     "evt_cohort_retention": "First-seen cohort: distinct (user, day) once, min-day aggregate, then a user-keyed join back — both aggregates partial-aggregated, no window over the full stream.",
     "skew_salted_join": "The salted join is still a plain equi-join — on (key, salt) — with the dim exploded 16x; no hot reducer, no plan-shape change AQE could misread.",
+    "decon_reuse_gram_index": "The precomputed-gram path: the train side is a plain parquet scan of the persisted index (no re-shingle, no re-distinct); eval grams pass a broadcast left-semi prefilter on the bounded pmod(xxhash64) position set before the one exact equi-join.",
+    "sim_knn_join": "Banded-LSH kNN: Arrow pandas_udf computes all 18 plane products as one BLAS matmul; per-bucket gram top-k in applyInPandas; only O(n*k*bands) slim edges shuffle to the final rank window — no cartesian anywhere.",
+    "sim_ivf_knn_join": "IVF kNN: the k-row centroid table is the only collect; probing is one matmul per Arrow batch (no 32-way crossJoin row blow-up); per-cell gram top-k keeps the shuffle at O(n*k*nprobe) edges.",
+    "dedup_incremental_new_docs": "Incremental dedup is one LEFT ANTI equi-join on the sha2 fingerprint; both sides project to the hash before the shuffle, so the join carries 32-byte keys, never text.",
+    "doc_token_entropy": "Two partial-aggregated shuffles (doc+token counts, then per-doc rollup); the integer micro-nat encoding keeps the entropy aggregation-order-independent with zero extra plan cost.",
+    "doc_source_cap": "Per-source cap is a single hash-partitioned rank window; with a pathological hot source this becomes the documented salted-agg fallback, but the plan itself has no cartesian or driver materialization.",
 }
 
 
