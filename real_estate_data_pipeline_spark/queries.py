@@ -4642,6 +4642,53 @@ def _dstreamsessappend(spark, sf_dir):
 CATALOG["evt_stream_sessions_append"].fn = _dstreamsessappend
 
 register(
+    "evt_stream_join_now",
+    # Inner stream-stream joins emit matches as both sides arrive (the
+    # watermark only bounds join STATE, not emission), so availableNow
+    # over the full file yields exactly the batch join — which the
+    # oracle is.
+    oracle="""
+    SELECT l.user_id, l.event_id AS click_event, r.event_id AS purchase_event,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
+)
+
+
+def _dstreamjoin(spark, sf_dir):
+    """REAL stream-stream join in the correctness gate: click and
+    purchase event STREAMS correlated per user within a 1-hour
+    event-time bound (streaming/events.correlate_streams — both sides
+    watermarked so join state evicts; without the time bound state
+    would grow forever). Driven with availableNow into a memory sink;
+    the emitted matches hash-match the batch interval join."""
+    from .streaming.events import correlate_streams
+
+    schema = _events_stream_schema(ts_ntz=False)
+    clicks = _stream_file_source(spark, sf_dir, "events.parquet", schema).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = _stream_file_source(spark, sf_dir, "events.parquet", schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    j = correlate_streams(clicks, purchases, key="user_id", within="1 hour")
+    out = j.select(
+        "user_id",
+        F.col("left_event").alias("click_event"),
+        F.col("right_event").alias("purchase_event"),
+        F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts_s"),
+    )
+    return _run_stream_to_memory(out, "evt_stream_join_now_sink", "append")
+
+
+CATALOG["evt_stream_join_now"].fn = _dstreamjoin
+
+register(
     "doc_stream_dedup_now",
     oracle="""
     SELECT DISTINCT sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
