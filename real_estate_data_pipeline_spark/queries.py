@@ -5041,6 +5041,87 @@ def _scd2gate(spark, sf_dir):
 
 CATALOG["scd2_two_run_versions"].fn = _scd2gate
 
+register(
+    "io_partitioned_roundtrip",
+    # S4/S5 in the gate: append + dynamic partitioned overwrite must be
+    # lossless and overwrite ONLY the partitions present in the batch.
+    # Day-2 rewrites priority '1-URGENT' rows with doubled totalprice;
+    # every other partition must keep its day-1 rows untouched.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                * CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END
+                AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+
+
+def _diopart(spark, sf_dir):
+    """S4 append + S5 dynamic partitioned overwrite, oracle-verified:
+    write orders partitioned by priority, then overwrite ONE partition
+    with modified rows (doubled totalprice). Dynamic mode must leave
+    the other four partitions intact — static overwrite would delete
+    them (the 100 TB footgun write_parquet guards against). Decimal
+    sum so the re-read aggregate is bit-exact."""
+    import shutil
+    import tempfile
+
+    from .io.writers import write_parquet
+
+    base = os.path.join(tempfile.gettempdir(), "redp_io_part_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    write_parquet(o, base, mode="append", partition_by=["o_orderpriority"])
+    day2 = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", (F.col("o_totalprice").cast("decimal(18,2)") * 2).cast("double")
+    )
+    write_parquet(day2, base, mode="overwrite", partition_by=["o_orderpriority"])
+    back = spark.read.parquet(base)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+CATALOG["io_partitioned_roundtrip"].fn = _diopart
+
+register(
+    "io_compact_roundtrip",
+    # S7 in the gate: compaction (cluster-sorted rewrite + crash-safe
+    # swap) must preserve the table EXACTLY.
+    oracle="SELECT c_custkey, c_nationkey, c_acctbal FROM customer",
+)
+
+
+def _diocompact(spark, sf_dir):
+    """S7 OPTIMIZE-equivalent, oracle-verified: fragment customer into
+    32 tiny files, compact (sorted by nation for row-group data
+    skipping, crash-safe atomic swap), and prove the re-read table is
+    value-identical to the source — compaction changes layout, never
+    data. Asserts the file count actually dropped so the gate cannot
+    pass on a no-op."""
+    import shutil
+    import tempfile
+
+    from .io.maintenance import compact
+
+    base = os.path.join(tempfile.gettempdir(), "redp_compact_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    c.repartition(32).write.parquet(base)
+    n_before = sum(1 for f in os.listdir(base) if f.endswith(".parquet"))
+    compact(spark, base, cluster_by=["c_nationkey"], target_file_mb=128)
+    n_after = sum(1 for f in os.listdir(base) if f.endswith(".parquet"))
+    assert n_after < n_before, (n_before, n_after)
+    return spark.read.parquet(base).select("c_custkey", "c_nationkey", "c_acctbal")
+
+
+CATALOG["io_compact_roundtrip"].fn = _diocompact
+
 # ===========================================================================
 # Corpus curation round 4: per-source caps, incremental dedup, entropy
 # ===========================================================================
