@@ -645,6 +645,7 @@ def knn_join(
     vec_col: str = "embedding",
     bits: int = 6,
     bands: int = 3,
+    score_dp: int | None = None,
 ) -> DataFrame:
     """Banded-LSH approximate kNN join: a pair is a candidate when ANY
     of the ``bands`` disjoint plane families agrees on all ``bits``
@@ -668,10 +669,12 @@ def knn_join(
     lb = _sides(left, left_id, "left_id", "__lv", "__ln")
     rb = _sides(right, right_id, "right_id", "__rv", "__rn")
     pairs = lb.join(rb, ["__band", "__bkt"]).filter(F.col("left_id") != F.col("right_id"))
+    cos = dot(F.col("__lv"), F.col("__rv")) / (F.col("__ln") * F.col("__rn"))
+    if score_dp is not None:
+        # rounded ranking key -> engine-exact edges (see knn_self_join)
+        cos = F.round(cos, score_dp)
     scored = pairs.select(
-        "left_id",
-        "right_id",
-        (dot(F.col("__lv"), F.col("__rv")) / (F.col("__ln") * F.col("__rn"))).alias("cosine_sim"),
+        "left_id", "right_id", cos.alias("cosine_sim")
     ).dropDuplicates(["left_id", "right_id"])
     from pyspark.sql import Window
 

@@ -1954,6 +1954,47 @@ register(
 )
 
 
+register(
+    "sim_knn_query_corpus",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_EMB_BAND_SQL[0]} AS bkt0,
+             {_EMB_BAND_SQL[1]} AS bkt1,
+             {_EMB_BAND_SQL[2]} AS bkt2,
+             {_EN_NORM_SQL} AS n
+      FROM embeddings
+    ),
+    l AS (SELECT * FROM b WHERE vec_id % 10 = 0),
+    r AS (SELECT * FROM b WHERE vec_id % 10 <> 0),
+    cand AS (
+      SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+             {_cos6_sql('l.embedding', 'r.embedding', 'l.n', 'r.n')} AS cosine_sim
+      FROM l JOIN r ON (l.bkt0 = r.bkt0 OR l.bkt1 = r.bkt1 OR l.bkt2 = r.bkt2)
+    )
+    SELECT left_id, right_id, cosine_sim FROM (
+      SELECT cand.*, ROW_NUMBER() OVER (PARTITION BY left_id
+                                        ORDER BY cosine_sim DESC, right_id) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    """,
+)
+
+
+def _simknnqc(spark, sf_dir):
+    """Two-corpus kNN join (query set vs corpus — the retrieval shape,
+    distinct from the self-join dedup shape): banded-LSH equi-join on
+    (band, bucket), per-query top-3 by 6-dp-rounded cosine. One shuffle
+    keyed on the bucket; neither side ever cross-joins the other."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    return similarity.knn_join(q, corpus, k=3, bits=6, bands=3, score_dp=6)
+
+
+CATALOG["sim_knn_query_corpus"].fn = _simknnqc
+
+
 def _simivfknn(spark, sf_dir):
     """IVF approximate kNN self-join: data-dependent centroid cells
     recall mid-cosine neighbors that random-hyperplane sign-LSH misses
