@@ -5163,6 +5163,65 @@ def _diocompact(spark, sf_dir):
 
 CATALOG["io_compact_roundtrip"].fn = _diocompact
 
+register(
+    "m2b_sequential_outlier_filter",
+    # Faithful replica of the reference's SEQUENTIAL stateful outlier
+    # pass (silver_etl_script.py:668-693, SURVEY hard-part 4): each
+    # column's mean/stddev is computed over the rows SURVIVING the
+    # previous column's filter, so loop order matters. Stats round to
+    # 6 dp (the exactness convention) so the keep-band edges are
+    # engine-identical; sigma=1.5 because the synthetic columns are
+    # near-uniform (max |z| ~1.73) — a wider band would drop nothing
+    # and the statefulness would be untested.
+    oracle="""
+    WITH s1 AS (
+      SELECT round(AVG(l_extendedprice), 6) AS m, round(STDDEV_SAMP(l_extendedprice), 6) AS s
+      FROM lineitem
+    ),
+    f1 AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, l.l_quantity
+      FROM lineitem l, s1
+      WHERE l_extendedprice >= m - 1.5 * s AND l_extendedprice <= m + 1.5 * s
+    ),
+    s2 AS (
+      SELECT round(AVG(l_quantity), 6) AS m, round(STDDEV_SAMP(l_quantity), 6) AS s
+      FROM f1
+    )
+    SELECT f1.* FROM f1, s2
+    WHERE l_quantity >= m - 1.5 * s AND l_quantity <= m + 1.5 * s
+    """,
+)
+
+
+def _dseqoutlier(spark, sf_dir):
+    """Sequential two-column outlier cleanse, reference-faithful: the
+    second column's stats shift because the first filter already
+    removed rows. Each round is one scalar aggregate broadcast back
+    over the rows (no driver collect, unlike the reference's per-column
+    .collect() loop) — the single-pass variant (m2_zscore_outliers,
+    pipeline/silver.py) remains the recommended shape; this one exists
+    for exact behavioral parity."""
+    df = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    for c in ("l_extendedprice", "l_quantity"):
+        stats = df.agg(
+            F.round(F.avg(c), 6).alias("__m"),
+            F.round(F.stddev_samp(c), 6).alias("__s"),
+        )
+        df = (
+            df.crossJoin(F.broadcast(stats))
+            .filter(
+                (F.col(c) >= F.col("__m") - 1.5 * F.col("__s"))
+                & (F.col(c) <= F.col("__m") + 1.5 * F.col("__s"))
+            )
+            .drop("__m", "__s")
+        )
+    return df
+
+
+CATALOG["m2b_sequential_outlier_filter"].fn = _dseqoutlier
+
 # ===========================================================================
 # Corpus curation round 4: per-source caps, incremental dedup, entropy
 # ===========================================================================
