@@ -261,7 +261,7 @@ def minhash_dup_pairs(
 
 
 def train_gram_set(
-    train: DataFrame, text_col: str, shingle_n: int = 3
+    train: DataFrame, text_col: str, shingle_n: int = 3, hashed: bool = False
 ) -> DataFrame:
     """Distinct word ``shingle_n``-grams of the training corpus — the
     precomputable half of :func:`contamination_report`. At 100 TB the
@@ -271,11 +271,20 @@ def train_gram_set(
     run-length-friendly), and pass the re-read frame to
     ``contamination_report(train_grams=...)`` for every eval set.
 
-    Returns a single-column frame ``(gram string)``."""
-    return (
-        train.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("gram"))
-        .distinct()
-    )
+    ``hashed=True`` stores xxhash64 longs instead of gram strings: the
+    persisted index shrinks 3-5x (8 bytes vs ~20-char grams) and the
+    overlap join shuffles fixed-width longs. Collision risk is the
+    birthday bound on 64 bits (~n²/2⁶⁵ — ~3e-7 even at 100 B distinct
+    grams), and a collision only inflates one doc's overlap count by
+    one; fine for contamination SCREENING, use strings when counts
+    must be provably exact.
+
+    Returns a single-column frame: ``(gram string)`` or
+    ``(gram_h bigint)``."""
+    g = train.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("gram"))
+    if hashed:
+        g = g.select(F.xxhash64("gram").alias("gram_h"))
+    return g.distinct()
 
 
 def contamination_report(
@@ -321,6 +330,14 @@ def contamination_report(
     # train_grams MUST be distinct (train_gram_set guarantees it); the
     # join multiplies per-gram match counts otherwise. Not re-distincted
     # here — skipping that shuffle is the point of the precomputed path.
+    # A LongType gram column means the hashed index (train_gram_set
+    # hashed=True): eval grams map through the same xxhash64 before the
+    # join, so the shuffle carries 8-byte keys instead of strings.
+    from pyspark.sql import types as T
+
+    hashed = isinstance(
+        train_grams.schema[train_grams.columns[0]].dataType, T.LongType
+    )
     tr_g = train_grams.select(F.col(train_grams.columns[0]).alias("__g"))
     ev = eval_df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__gs")
@@ -328,14 +345,16 @@ def contamination_report(
     ev_g = ev.select(
         F.col(id_col), F.size("__gs").alias("__ng"), F.explode("__gs").alias("__g")
     )
+    if hashed:
+        ev_g = ev_g.select(id_col, "__ng", F.xxhash64("__g").alias("__g"))
     if prefilter_mod is not None:
-        pos = tr_g.select(
-            F.pmod(F.xxhash64("__g"), F.lit(prefilter_mod)).alias("__pos")
-        ).distinct()
+
+        def _pos(c):
+            return F.pmod(c if hashed else F.xxhash64(c), F.lit(prefilter_mod))
+
+        pos = tr_g.select(_pos(F.col("__g")).alias("__pos")).distinct()
         ev_g = ev_g.join(
-            F.broadcast(pos),
-            F.pmod(F.xxhash64("__g"), F.lit(prefilter_mod)) == F.col("__pos"),
-            "left_semi",
+            F.broadcast(pos), _pos(F.col("__g")) == F.col("__pos"), "left_semi"
         )
     return (
         ev_g.join(tr_g, "__g")

@@ -3814,11 +3814,15 @@ def _decon_reuse(spark, sf_dir):
     train = d.filter(u < 0.8)
     ev = d.filter(u >= 0.8)
     # fixed scratch path (not mkdtemp-per-run): repeated driver/bench
-    # invocations overwrite instead of accumulating temp dirs
+    # invocations overwrite instead of accumulating temp dirs. hashed
+    # index: 8-byte xxhash64 keys in the store AND in the join shuffle
+    # (3-5x smaller than gram strings; collision odds are the 64-bit
+    # birthday bound — the oracle's exact string join proving the
+    # hashed path value-identical on this corpus).
     idx_path = os.path.join(tempfile.gettempdir(), "redp_gram_index")
-    dedup.train_gram_set(train, "text", shingle_n=3).write.mode("overwrite").parquet(
-        idx_path
-    )
+    dedup.train_gram_set(train, "text", shingle_n=3, hashed=True).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
     grams = spark.read.parquet(idx_path)
     return dedup.contamination_report(
         None, ev, "doc_id", "text", shingle_n=3,

@@ -141,16 +141,17 @@ def test_contamination_precomputed_grams_and_prefilter_match(spark, tmp_path):
     base = sorted(
         map(tuple, contamination_report(train, ev, "doc_id", "text", 3).collect())
     )
-    idx = str(tmp_path / "grams")
-    train_gram_set(train, "text", 3).write.parquet(idx)
-    grams = spark.read.parquet(idx)
-    # tiny modulus (8) forces real false positives through the prefilter;
-    # the exact join must still absorb them
-    for mod in (8, 1 << 20):
-        reused = sorted(map(tuple, contamination_report(
-            None, ev, "doc_id", "text", 3, train_grams=grams, prefilter_mod=mod
-        ).collect()))
-        assert reused == base
+    for hashed in (False, True):
+        idx = str(tmp_path / f"grams_{hashed}")
+        train_gram_set(train, "text", 3, hashed=hashed).write.parquet(idx)
+        grams = spark.read.parquet(idx)
+        # tiny modulus (8) forces real false positives through the
+        # prefilter; the exact join must still absorb them
+        for mod in (None, 8, 1 << 20):
+            reused = sorted(map(tuple, contamination_report(
+                None, ev, "doc_id", "text", 3, train_grams=grams, prefilter_mod=mod
+            ).collect()))
+            assert reused == base, (hashed, mod)
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
