@@ -1030,6 +1030,39 @@ def _n9(spark, sf_dir):
 CATALOG["n9_json_extract"].fn = _n9
 
 register(
+    "n12_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def _n12(spark, sf_dir):
+    """Semi-structured JSON via Spark 4's VARIANT type (parse_json +
+    variant_get) instead of per-path get_json_object string re-parsing
+    (n9): one parse per row, typed sub-field access, and on real tables
+    the open-ended schema can be stored shredded. Rolled up per
+    event_type so the extraction is value-verified end to end."""
+    ev = t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("__k").cast("bigint").alias("k_sum"),
+            F.max("__k").cast("bigint").alias("k_max"),
+        )
+    )
+
+
+CATALOG["n12_variant_extract"].fn = _n12
+
+register(
     "n_array_access",
     oracle="""
     SELECT vec_id,
