@@ -4767,6 +4767,44 @@ def _dstreamjoin(spark, sf_dir):
 CATALOG["evt_stream_join_now"].fn = _dstreamjoin
 
 register(
+    "evt_stream_sliding_now",
+    oracle="""
+    WITH g AS (SELECT unnest(range(0, 4)) AS s)
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts - s * INTERVAL 15 MINUTE)
+                    + s * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS events
+    FROM events, g
+    GROUP BY 1, 2
+    """,
+)
+
+
+def _dstreamslide(spark, sf_dir):
+    """Streaming SLIDING windows (1 h window, 15 min slide) driven to
+    completion in complete mode: every event lands in 4 overlapping
+    windows; the final table equals the batch sliding aggregate, which
+    the oracle expresses as 4 shifted tumbling assignments per row
+    (exactly how Spark's window() expands slides internally)."""
+    src = _stream_file_source(
+        spark, sf_dir, "events.parquet", _events_stream_schema(ts_ntz=True)
+    )
+    agg = (
+        src.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").cast("bigint").alias("events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "events",
+        )
+    )
+    return _run_stream_to_memory(agg, "evt_stream_sliding_now_sink", "complete")
+
+
+CATALOG["evt_stream_sliding_now"].fn = _dstreamslide
+
+register(
     "doc_stream_dedup_now",
     oracle="""
     SELECT DISTINCT sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -5258,6 +5296,42 @@ def _dseqoutlier(spark, sf_dir):
 
 
 CATALOG["m2b_sequential_outlier_filter"].fn = _dseqoutlier
+
+register(
+    "quarantine_report_customer",
+    # first-matching-rule priority: negative balance outranks phone
+    # format outranks short comment — the CASE order IS the rule order
+    oracle="""
+    SELECT COALESCE(CASE
+             WHEN c_acctbal < 0 THEN 'negative_balance'
+             WHEN NOT regexp_full_match(c_name, 'Customer#[0-9]{9}') THEN 'bad_name_format'
+             WHEN c_custkey % 7 = 0 AND c_acctbal < 500 THEN 'audit_sample'
+           END, 'clean') AS quarantine_reason,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+
+
+def _dquarantine(spark, sf_dir):
+    """Quarantine-rule family made real (the reference declares
+    QUARANTINE_RULES, schema_config.py:380-401, but never enforces
+    them): ordered first-match-wins rules tag rows in ONE map-side
+    pass; this report is the per-reason rollup
+    (quality/quarantine.quarantine_report). quarantine_split gives the
+    (clean, quarantined) frames for routing to separate sinks."""
+    from .quality.quarantine import quarantine_report
+
+    c = t(spark, sf_dir, "customer")
+    rules = [
+        ("negative_balance", F.col("c_acctbal") < 0),
+        ("bad_name_format", ~F.col("c_name").rlike(r"^Customer#[0-9]{9}$")),
+        ("audit_sample", (F.col("c_custkey") % 7 == 0) & (F.col("c_acctbal") < 500)),
+    ]
+    return quarantine_report(c, rules)
+
+
+CATALOG["quarantine_report_customer"].fn = _dquarantine
 
 # ===========================================================================
 # Corpus curation round 4: per-source caps, incremental dedup, entropy

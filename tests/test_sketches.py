@@ -145,3 +145,33 @@ def test_kll_merged_quantiles_error_bound(spark, sf_oracle):
     ).first()
     for got, want in zip((row["p50"], row["p95"], row["p99"]), exact):
         assert abs(got - want) / want < 0.05
+
+
+def test_quarantine_split_first_match_priority(spark):
+    """quarantine_split partitions the frame exactly; a row matching two
+    rules carries the FIRST rule's reason (priority = list order)."""
+    from pyspark.sql import functions as F
+
+    from real_estate_data_pipeline_spark.quality.quarantine import (
+        quarantine_report,
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, -5.0, "ok"), (2, 10.0, "bad"), (3, -1.0, "bad"), (4, 3.0, "ok")],
+        "id long, bal double, tag string",
+    )
+    rules = [
+        ("neg_bal", F.col("bal") < 0),
+        ("bad_tag", F.col("tag") == "bad"),
+    ]
+    clean, quar = quarantine_split(df, rules)
+    assert {r["id"] for r in clean.collect()} == {4}
+    got = {r["id"]: r["quarantine_reason"] for r in quar.collect()}
+    # id 3 matches BOTH rules -> first rule wins
+    assert got == {1: "neg_bal", 2: "bad_tag", 3: "neg_bal"}
+    rep = {r["quarantine_reason"]: r["n"] for r in quarantine_report(df, rules).collect()}
+    assert rep == {"neg_bal": 2, "bad_tag": 1, "clean": 1}
+    # empty rule list: everything clean
+    c2, q2 = quarantine_split(df, [])
+    assert c2.count() == 4 and q2.count() == 0
