@@ -27,39 +27,30 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
-def compact(
-    spark: SparkSession,
-    path: str,
-    cluster_by: list[str],
-    target_file_mb: int = 128,
-) -> int:
-    """Rewrite ``path`` sorted by ``cluster_by`` into size-targeted files.
-    Returns the resulting file count. Sorting by the cluster keys gives
-    parquet row-group min/max stats their selectivity (data skipping).
-
-    Crash-safe swap: the new data is fully written (with parquet's
-    ``_SUCCESS`` marker) and the parent dir fsynced BEFORE the live path
-    is touched; the backup (``_old``) is retained until the new data is
-    in place, and every intermediate state is repairable by
-    ``recover_compact`` (complete forward when the new data carries
-    ``_SUCCESS``, roll back otherwise) — matching the atomicity Delta's
-    OPTIMIZE gets from its transaction log."""
-    base = path.rstrip("/")
-    tmp, bak = base + "_compacting", base + "_old"
-    # Stale leftovers from a previous crashed run must be resolved first,
-    # or the renames below would collide.
-    recover_compact(path)
-    df = spark.read.parquet(path)
+def _target_file_count(path: str, target_file_mb: int) -> int:
     total_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
         for f in fs
         if f.endswith(".parquet")
     )
-    n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
-    df.repartitionByRange(int(n_files), *cluster_by).sortWithinPartitions(
-        *cluster_by
-    ).write.mode("overwrite").parquet(tmp)
+    return max(1, int(total_bytes // (target_file_mb * 1024 * 1024)))
+
+
+def _swap_rewrite(path: str, write_tmp) -> None:
+    """Crash-safe table rewrite: ``write_tmp(tmp_dir)`` produces the new
+    data (with parquet's ``_SUCCESS`` marker) and the parent dir is
+    fsynced BEFORE the live path is touched; the backup (``_old``) is
+    retained until the new data is in place, and every intermediate
+    state is repairable by ``recover_compact`` (complete forward when
+    the new data carries ``_SUCCESS``, roll back otherwise) — matching
+    the atomicity Delta's OPTIMIZE gets from its transaction log."""
+    base = path.rstrip("/")
+    tmp, bak = base + "_compacting", base + "_old"
+    # Stale leftovers from a previous crashed run must be resolved first,
+    # or the renames below would collide.
+    recover_compact(path)
+    write_tmp(tmp)
     parent = os.path.dirname(base) or "."
     _fsync_dir(parent)
     os.rename(path, bak)
@@ -70,7 +61,93 @@ def compact(
         raise
     _fsync_dir(parent)
     shutil.rmtree(bak)
-    return int(n_files)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str],
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite ``path`` sorted by ``cluster_by`` into size-targeted files.
+    Returns the resulting file count. Sorting by the cluster keys gives
+    parquet row-group min/max stats their selectivity (data skipping);
+    swap atomicity per :func:`_swap_rewrite`."""
+    n_files = _target_file_count(path, target_file_mb)
+    df = spark.read.parquet(path)
+
+    def write_tmp(tmp: str) -> None:
+        df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        ).write.mode("overwrite").parquet(tmp)
+
+    _swap_rewrite(path, write_tmp)
+    return n_files
+
+
+def zorder_compact(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    target_file_mb: int = 128,
+    n_files: int | None = None,
+) -> int:
+    """Multi-dimensional clustering — the OPTIMIZE ZORDER analog the
+    reference gets from Delta (silver_etl_script.py:979-982): rows sort
+    by the Morton (bit-interleaved) code of their min-max-normalized
+    ``cols``, so EVERY clustered column gets bounded per-file min/max
+    ranges and parquet row-group skipping prunes on any of them — a
+    linear sort serves only its leading column. All JVM-side: one
+    stats aggregate broadcast back over the rows, a shiftleft/OR
+    expression for the interleave, repartitionByRange on the code.
+
+    ``bits`` per dimension (``bits * len(cols)`` must be < 63). Min-max
+    normalization is outlier-sensitive: a single extreme value squashes
+    the rest of the grid into few cells — at 100 TB prefer a prior
+    bounded-range cleanse (M2/m2b) or widen ``bits``. Crash-safe swap
+    as :func:`compact`."""
+    from pyspark.sql import functions as F
+
+    if bits * len(cols) >= 63:
+        raise ValueError("bits * len(cols) must stay below 63 (long Morton code)")
+    if n_files is None:
+        n_files = _target_file_count(path, target_file_mb)
+    df = spark.read.parquet(path)
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn{j}") for j, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx{j}") for j, c in enumerate(cols)],
+    )
+    grid = float((1 << bits) - 1)
+    aug = df.crossJoin(F.broadcast(stats))
+    norm = []
+    for j, c in enumerate(cols):
+        mn, mx = F.col(f"__mn{j}"), F.col(f"__mx{j}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        norm.append(
+            F.least(
+                F.lit(grid),
+                F.greatest(F.lit(0.0), (F.col(c).cast("double") - mn) / span * grid),
+            ).cast("long")
+        )
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, nc in enumerate(norm):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(nc, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    zed = aug.withColumn("__z", z).drop(
+        *[f"__mn{j}" for j in range(k)], *[f"__mx{j}" for j in range(k)]
+    )
+
+    def write_tmp(tmp: str) -> None:
+        zed.repartitionByRange(n_files, "__z").sortWithinPartitions("__z").drop(
+            "__z"
+        ).write.mode("overwrite").parquet(tmp)
+
+    _swap_rewrite(path, write_tmp)
+    return n_files
 
 
 def recover_compact(path: str) -> str:

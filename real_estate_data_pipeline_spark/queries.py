@@ -5239,6 +5239,36 @@ def _diocompact(spark, sf_dir):
 CATALOG["io_compact_roundtrip"].fn = _diocompact
 
 register(
+    "io_zorder_roundtrip",
+    # OPTIMIZE ZORDER analog in the gate: the Morton-code rewrite must
+    # be lossless. The SKIPPING property (bounded per-file min/max on
+    # EVERY clustered column) is asserted on real parquet footers in
+    # tests/test_io.py::test_zorder_skips_on_both_dims.
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+)
+
+
+def _diozorder(spark, sf_dir):
+    """S7's second half — multi-dimensional clustering (io/maintenance.
+    zorder_compact, the Delta OPTIMIZE ZORDER analog): fragment orders,
+    Z-order-rewrite on (o_custkey, o_totalprice), prove the re-read
+    table value-identical. Layout changes, data never does."""
+    import shutil
+    import tempfile
+
+    from .io.maintenance import zorder_compact
+
+    base = os.path.join(tempfile.gettempdir(), "redp_zorder_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    o.repartition(16).write.parquet(base)
+    zorder_compact(spark, base, ["o_custkey", "o_totalprice"], bits=12, n_files=4)
+    return spark.read.parquet(base).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+CATALOG["io_zorder_roundtrip"].fn = _diozorder
+
+register(
     "m2b_sequential_outlier_filter",
     # Faithful replica of the reference's SEQUENTIAL stateful outlier
     # pass (silver_etl_script.py:668-693, SURVEY hard-part 4): each

@@ -179,3 +179,57 @@ def test_s3a_parquet_roundtrip(spark, tmp_path):
         assert back.agg(F.sum("id")).collect()[0][0] == 4950
     finally:
         server.stop()
+
+
+def test_zorder_skips_on_both_dims(spark, tmp_path):
+    """Z-order vs linear sort, measured on the actual parquet footers:
+    after clustering on (x, y), a band filter on y alone overlaps FEWER
+    files' min/max ranges than under an x-linear layout (where every
+    file spans the full y range). This is the data-skipping property
+    OPTIMIZE ZORDER exists for."""
+    import pyarrow.parquet as pq
+
+    from real_estate_data_pipeline_spark.io.maintenance import zorder_compact
+
+    n = 100_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % n).alias("y"),  # deterministic scatter
+    )
+
+    def y_overlaps(path, lo, hi):
+        hits, total = 0, 0
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "y"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            total += 1
+            if min(mins) <= hi and max(maxs) >= lo:
+                hits += 1
+        return hits, total
+
+    linear = str(tmp_path / "linear")
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(linear)
+    zordered = str(tmp_path / "zordered")
+    df.repartition(8).write.parquet(zordered)
+    zorder_compact(spark, zordered, ["x", "y"], bits=12, n_files=8)
+
+    lo, hi = n // 2, n // 2 + n // 50  # narrow y band
+    lin_hits, lin_total = y_overlaps(linear, lo, hi)
+    z_hits, z_total = y_overlaps(zordered, lo, hi)
+    assert lin_hits == lin_total  # x-linear layout cannot prune on y
+    assert z_hits < z_total, (z_hits, z_total)
+    assert z_hits / z_total < lin_hits / lin_total
+    # and the rewrite is lossless
+    back = spark.read.parquet(zordered)
+    assert back.count() == n
+    assert back.agg(F.sum("x")).collect()[0][0] == n * (n - 1) // 2
