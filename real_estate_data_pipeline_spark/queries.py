@@ -5363,6 +5363,130 @@ def _dquarantine(spark, sf_dir):
 
 CATALOG["quarantine_report_customer"].fn = _dquarantine
 
+register(
+    "scd2_stream_upsert",
+    # Same two-run semantics (and oracle) as scd2_two_run_versions, but
+    # driven through Structured Streaming: each micro-batch lands via
+    # foreachBatch -> Scd2Table.merge — the streaming upsert pipeline
+    # the reference runs as daily Delta MERGE Airflow jobs.
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_mktsegment FROM customer),
+    d1 AS (SELECT * FROM c WHERE c_custkey % 3 <> 0),
+    d2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+      FROM c WHERE c_custkey % 2 = 0
+    )
+    SELECT d1.c_custkey, d1.c_mktsegment, FALSE AS is_current,
+           '2024-01-01' AS valid_from_d, '2024-01-02' AS valid_to_d
+    FROM d1 JOIN d2 USING (c_custkey) WHERE d1.c_mktsegment <> d2.c_mktsegment
+    UNION ALL
+    SELECT d2.c_custkey, d2.c_mktsegment, TRUE, '2024-01-02', NULL
+    FROM d1 JOIN d2 USING (c_custkey) WHERE d1.c_mktsegment <> d2.c_mktsegment
+    UNION ALL
+    SELECT d1.c_custkey, d1.c_mktsegment, TRUE, '2024-01-01', NULL
+    FROM d1 LEFT JOIN d2 USING (c_custkey)
+    WHERE d2.c_custkey IS NULL OR d1.c_mktsegment = d2.c_mktsegment
+    UNION ALL
+    SELECT d2.c_custkey, d2.c_mktsegment, TRUE, '2024-01-02', NULL
+    FROM d2 LEFT JOIN d1 USING (c_custkey) WHERE d1.c_custkey IS NULL
+    """,
+)
+
+
+def _dscd2stream(spark, sf_dir):
+    """Streaming SCD2 upsert in the gate: the day-1 and day-2 customer
+    snapshots are written as two files whose mtimes order them, read
+    back as a FILE STREAM one file per micro-batch, and applied through
+    foreachBatch -> Scd2Table.merge (streaming/events.scd2_foreach_batch
+    shape) with the batch id mapping to a pinned batch timestamp. The
+    final version table must hash-match the same pure-SQL merge replica
+    as the batch twin — one merge definition, two execution modes."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from .io.scd2 import Scd2Table
+
+    scratch = os.path.join(tempfile.gettempdir(), "redp_scd2_stream_gate")
+    shutil.rmtree(scratch, ignore_errors=True)
+    src_dir = os.path.join(scratch, "incoming")
+    os.makedirs(src_dir)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    day1 = c.filter(F.col("c_custkey") % 3 != 0).withColumn("batch_day", F.lit(1))
+    day2 = (
+        c.filter(F.col("c_custkey") % 2 == 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .withColumn("batch_day", F.lit(2))
+    )
+    # one single-part file per day; mtime gap orders the micro-batches
+    for i, day in enumerate((day1, day2)):
+        p = os.path.join(src_dir, f"day{i + 1}")
+        day.coalesce(1).write.parquet(p)
+        now = _time.time()
+        for dp, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(dp, f), (now + i * 10, now + i * 10))
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("batch_day", T.IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir + "/day*")
+    )
+    tbl = Scd2Table(
+        spark,
+        os.path.join(scratch, "table"),
+        key="c_custkey",
+        tracked=["c_mktsegment"],
+        order_col="c_acctbal",
+    )
+
+    def apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        # the planted batch_day column pins the merge timestamp even if
+        # the source ever coalesced both files into one trigger
+        day = batch_df.agg(F.max("batch_day")).collect()[0][0]
+        tbl.merge(
+            batch_df.drop("batch_day"),
+            batch_ts=F.to_timestamp(F.lit(f"2024-01-0{day} 00:00:00")),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("scd2 stream did not finish in 300s")
+    return tbl.read().select(
+        "c_custkey",
+        "c_mktsegment",
+        "is_current",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from_d"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to_d"),
+    )
+
+
+CATALOG["scd2_stream_upsert"].fn = _dscd2stream
+
 # ===========================================================================
 # Corpus curation round 4: per-source caps, incremental dedup, entropy
 # ===========================================================================
