@@ -5206,6 +5206,84 @@ def _diopart(spark, sf_dir):
 CATALOG["io_partitioned_roundtrip"].fn = _diopart
 
 register(
+    "io_jsonl_corrupt_scan",
+    # S1 + N7 in the gate: every customer row goes out as a NESTED JSON
+    # line, three corrupt lines are planted, and the explicit-schema
+    # PERMISSIVE read must (a) recover every valid row through dot-path
+    # struct access, (b) capture exactly the corrupt lines — never
+    # silently drop or null-bleed them into the data.
+    oracle="""
+    SELECT c_custkey AS id, c_mktsegment AS segment, c_acctbal AS bal,
+           FALSE AS is_corrupt
+    FROM customer
+    UNION ALL
+    SELECT NULL, NULL, NULL, TRUE FROM range(3)
+    """,
+)
+
+
+def _diojsonl(spark, sf_dir):
+    """S1 Bronze JSONL scan, oracle-verified end to end: serialize
+    customer to nested JSON lines ({id, info:{segment, bal}}), plant 3
+    malformed lines, re-read with the explicit schema + PERMISSIVE
+    corrupt capture (io/readers.read_bronze_json), and project the
+    nested fields back flat via dot paths (N7). The oracle is the
+    source table itself plus exactly 3 corrupt markers — proving the
+    JSONL round-trip is lossless AND that bad lines land in
+    _corrupt_record instead of vanishing (the reference's inferred-
+    schema read silently drops or re-types them, SURVEY §7.4.5)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .io.readers import read_bronze_json
+
+    scratch = os.path.join(tempfile.gettempdir(), "redp_jsonl_gate")
+    shutil.rmtree(scratch, ignore_errors=True)
+    c = t(spark, sf_dir, "customer")
+    lines = c.select(
+        F.to_json(
+            F.struct(
+                F.col("c_custkey").alias("id"),
+                F.struct(
+                    F.col("c_mktsegment").alias("segment"),
+                    F.col("c_acctbal").alias("bal"),
+                ).alias("info"),
+            )
+        ).alias("value")
+    )
+    lines.coalesce(1).write.text(scratch + "/good")
+    bad = spark.createDataFrame(
+        [("{not json",), ('{"id": "also-not-a-long"',), ("}{",)], "value string"
+    )
+    bad.coalesce(1).write.text(scratch + "/bad")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "info",
+                T.StructType(
+                    [
+                        T.StructField("segment", T.StringType()),
+                        T.StructField("bal", T.DoubleType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    back = read_bronze_json(spark, [scratch + "/good", scratch + "/bad"], schema)
+    return back.select(
+        F.col("id"),
+        F.col("info.segment").alias("segment"),
+        F.col("info.bal").alias("bal"),
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
+CATALOG["io_jsonl_corrupt_scan"].fn = _diojsonl
+
+register(
     "io_compact_roundtrip",
     # S7 in the gate: compaction (cluster-sorted rewrite + crash-safe
     # swap) must preserve the table EXACTLY.
