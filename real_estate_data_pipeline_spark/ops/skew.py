@@ -90,3 +90,36 @@ def salted_join(
     d = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     out = f.join(d, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def salted_top_n(
+    df: DataFrame,
+    part_cols: list[str],
+    order_by: list[Column],
+    n: int,
+    n_salts: int = 16,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Skew-safe per-group top-N — the third shape AQE cannot fix: a
+    rank WINDOW over a hot partition key runs one task per key no
+    matter how big the key is. Two phases: rank within (key, salt) and
+    keep n per salted sub-partition (any global top-n row is top-n in
+    its own salt bucket, so nothing is lost), then rank the surviving
+    <= n * n_salts rows per key. Result-identical to the plain window
+    PROVIDED ``order_by`` is a total order (include a unique
+    tiebreaker column) — otherwise which of the tied rows survives
+    phase 1 is salt-dependent.
+
+    Returns the original columns of the kept rows."""
+    from pyspark.sql import Window
+
+    salted = df.withColumn("__salt", _salt(df, n_salts, salt_from, part_cols))
+    w1 = Window.partitionBy(*part_cols, "__salt").orderBy(*order_by)
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_by)
+    return (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= n)
+        .withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") <= n)
+        .drop("__rn", "__rn2", "__salt")
+    )

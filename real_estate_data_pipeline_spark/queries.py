@@ -5602,6 +5602,44 @@ def _dsrccap(spark, sf_dir):
 CATALOG["doc_source_cap"].fn = _dsrccap
 
 register(
+    "skew_salted_top_n",
+    # same oracle shape as doc_source_cap: the salted two-phase rank
+    # must be RESULT-IDENTICAL to the plain window (order_by is a
+    # total order via the doc_id tiebreaker)
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 100
+    """,
+)
+
+
+def _dskewtopn(spark, sf_dir):
+    """Skew-safe per-group top-N (ops/skew.salted_top_n) — the window
+    shape AQE cannot split: one hot source key = one giant window task.
+    Phase 1 ranks within (source, salt), phase 2 ranks the <= n*salts
+    survivors; proven result-identical to the plain window by sharing
+    doc_source_cap's oracle. Completes the skew family: aggregate,
+    join, and now rank windows."""
+    from .ops.skew import salted_top_n
+
+    d = t(spark, sf_dir, "documents")
+    return salted_top_n(
+        d,
+        ["source"],
+        [F.desc("n_chars"), F.col("doc_id")],
+        n=100,
+        n_salts=8,
+        salt_from="doc_id",
+    ).select("doc_id", "source")
+
+
+CATALOG["skew_salted_top_n"].fn = _dskewtopn
+
+register(
     "dedup_incremental_new_docs",
     oracle=f"""
     WITH fp AS (
