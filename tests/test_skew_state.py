@@ -124,3 +124,20 @@ def test_scd2_time_travel(spark, tmp_path):
     assert t.read().filter("is_current").first()["v"] == 3.0
     with pytest.raises(FileNotFoundError):
         t.read(version=99)
+
+
+def test_salted_top_n_hot_key_exact(spark):
+    """One key holds 90% of rows; the salted two-phase rank must return
+    exactly the plain-window top-N (order_by is total via id)."""
+    from pyspark.sql import Window
+
+    from real_estate_data_pipeline_spark.ops.skew import salted_top_n
+
+    rows = [(i, "hot" if i % 10 != 0 else f"cold{i}", float(i * 37 % 1000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, k string, score double")
+    got = salted_top_n(df, ["k"], [F.desc("score"), F.col("id")], n=5, n_salts=8,
+                       salt_from="id").select("id", "k")
+    w = Window.partitionBy("k").orderBy(F.desc("score"), F.col("id"))
+    want = (df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+            .select("id", "k"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
