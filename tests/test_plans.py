@@ -104,6 +104,7 @@ _SCALAR_BROADCAST_OK = {
     "doc_len_quantile_band",   # 1-row percentile-threshold scalar
     "doc_tfidf_top3",          # 1-row corpus doc count
     "evt_funnel_counts",       # three 1-row stage counts combined
+    "m2b_sequential_outlier_filter",  # two 1-row mean/stddev scalars, one per pass
 }
 
 
