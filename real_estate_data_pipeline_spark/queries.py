@@ -4842,11 +4842,14 @@ def _dstreamdedup(spark, sf_dir):
 
 CATALOG["doc_stream_dedup_now"].fn = _dstreamdedup
 
-def _minhash_portable_oracle(num_perm: int = 16, bands: int = 4, thr: float = 0.5) -> str:
+def _minhash_portable_oracle(
+    num_perm: int = 16, bands: int = 4, thr: float = 0.5, src: str = "documents"
+) -> str:
     """Oracle for the portable MinHash: the SAME shingles, sha256-derived
     h1/h2, linear-mix minima, band hashes and agreement estimate, in
     DuckDB SQL. Generated so num_perm/bands stay in sync with the Spark
-    call."""
+    call; ``src`` lets composed pipelines run it over a CTE of
+    survivors instead of the base table."""
     rpb = num_perm // bands
     min_cols = ",\n             ".join(
         f"MIN(h1 + {i} * h2) AS m{i}" for i in range(num_perm)
@@ -4862,7 +4865,7 @@ def _minhash_portable_oracle(num_perm: int = 16, bands: int = 4, thr: float = 0.
     return f"""
     WITH tk AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
-      FROM documents
+      FROM {src}
     ),
     g AS (SELECT doc_id, unnest({_GRAMS3_SQL}) AS s FROM tk),
     h AS (
@@ -5012,6 +5015,94 @@ def _dclustmh(spark, sf_dir):
 
 
 CATALOG["dup_clusters_minhash"].fn = _dclustmh
+
+def _corpus_curation_oracle() -> str:
+    """The composed curation pipeline in one SQL query: exact
+    fingerprint dedup -> portable-MinHash near-dup clustering with a
+    recursive-CTE closure over the SURVIVORS -> representative pick ->
+    quality filter. Every fragment is a proven standalone oracle."""
+    pairs_sql = _minhash_portable_oracle(src="docs1")
+    return f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                        ' +', ' ', 'g'))) AS f
+      FROM documents
+    ),
+    keep1 AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+    docs1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+    pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, w.lab FROM edges e JOIN walk w ON e.dst = w.id
+    ),
+    labels AS (SELECT id AS doc_id, MIN(lab) AS cluster FROM walk GROUP BY id),
+    reps AS (
+      SELECT d.doc_id, d.text FROM docs1 d LEFT JOIN labels l USING (doc_id)
+      WHERE l.doc_id IS NULL OR l.cluster = d.doc_id
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+             CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|a|is)\\b')) AS BIGINT) AS stop,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM reps
+    )
+    SELECT doc_id,
+           LEAST(CAST(toks AS DOUBLE) / 50.0, 1.0) * 0.4
+           + LEAST((CAST(stop AS DOUBLE) / toks) * 5.0, 1.0) * 0.3
+           + GREATEST(1.0 - (CAST(punct AS DOUBLE) / n_chars) * 10.0, 0.0) * 0.3
+               AS quality_score
+    FROM q
+    WHERE LEAST(CAST(toks AS DOUBLE) / 50.0, 1.0) * 0.4
+           + LEAST((CAST(stop AS DOUBLE) / toks) * 5.0, 1.0) * 0.3
+           + GREATEST(1.0 - (CAST(punct AS DOUBLE) / n_chars) * 10.0, 0.0) * 0.3 >= 0.5
+    """
+
+
+register("corpus_curation_pipeline", oracle=_corpus_curation_oracle())
+
+
+def _dcorpus(spark, sf_dir):
+    """The END-TO-END training-corpus curation pipeline as ONE composed
+    query — what a user actually runs nightly, not isolated operators:
+    (1) exact dedup on the normalized fingerprint (keep lowest doc_id),
+    (2) near-dup clustering over the SURVIVORS (portable MinHash-LSH ->
+    distributed connected components), keeping each cluster's
+    representative, (3) quality-score filter (>= 0.5). Hash-matched
+    against a single SQL query composing the same proven fragments —
+    the operators compose without value drift. Plan shape: every stage
+    is equi-join/aggregate-only, so the composition inherits each
+    stage's scale properties unchanged."""
+    from .ops import graph
+
+    d = t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", text.fingerprint(F.col("text")).alias("__f"))
+    keep1 = fp.groupBy("__f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    docs1 = d.join(keep1, "doc_id")
+    pairs = dedup.minhash_dup_pairs_portable(
+        docs1, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
+    )
+    labels = graph.connected_components(pairs.select("id_a", "id_b")).withColumnRenamed(
+        "id", "doc_id"
+    )
+    reps = docs1.join(labels, "doc_id", "left").filter(
+        F.col("cluster").isNull() | (F.col("cluster") == F.col("doc_id"))
+    )
+    scored = reps.select(
+        "doc_id", text.quality_score(F.col("text")).alias("quality_score")
+    )
+    return scored.filter(F.col("quality_score") >= 0.5)
+
+
+CATALOG["corpus_curation_pipeline"].fn = _dcorpus
 
 register("sketch_kll_price_quantiles", oracle=None)
 
