@@ -1063,6 +1063,44 @@ def _n12(spark, sf_dir):
 CATALOG["n12_variant_extract"].fn = _n12
 
 register(
+    "f14_ansi_safe_parse",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS priority_no,
+           TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+           CAST(o_totalprice AS DOUBLE)
+             / NULLIF(CAST(o_custkey % 100 AS DOUBLE), 0.0) AS price_ratio
+    FROM orders
+    """,
+)
+
+
+def _df14(spark, sf_dir):
+    """ANSI-safe parsing family: Spark 4 runs in ANSI mode, where a bad
+    CAST or a divide-by-zero THROWS mid-job instead of yielding NULL —
+    the classic 100 TB footgun (one malformed row kills an 8-hour run).
+    try_cast / try_divide are the engine's sanctioned escape hatches:
+    priority numbers parse from '1-URGENT', a non-numeric column
+    try_casts to NULL (never throws), and try_divide NULLs out on the
+    zero-denominator rows (custkey %% 100 == 0) instead of aborting.
+    Oracle: DuckDB's TRY_CAST / NULLIF equivalents."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.split(F.col("o_orderpriority"), "-")[0].try_cast("bigint").alias(
+            "priority_no"
+        ),
+        F.col("o_orderstatus").try_cast("bigint").alias("status_num"),
+        F.try_divide(
+            F.col("o_totalprice").cast("double"),
+            (F.col("o_custkey") % 100).cast("double"),
+        ).alias("price_ratio"),
+    )
+
+
+CATALOG["f14_ansi_safe_parse"].fn = _df14
+
+register(
     "n_array_access",
     oracle="""
     SELECT vec_id,
@@ -4803,6 +4841,39 @@ def _dstreamslide(spark, sf_dir):
 
 
 CATALOG["evt_stream_sliding_now"].fn = _dstreamslide
+
+register(
+    "evt_stream_dedup_watermark_now",
+    # the union duplicates EVERY event (two file-stream reads of the
+    # same data); watermarked dedup must collapse them exactly back to
+    # the distinct event set
+    oracle="SELECT DISTINCT event_id FROM events",
+)
+
+
+def _dstreamdedupwm(spark, sf_dir):
+    """Watermark-bounded streaming dedup in the gate
+    (dropDuplicatesWithinWatermark — the production form whose state
+    EVICTS beyond the horizon, unlike plain dropDuplicates' unbounded
+    state): two file-stream reads of the events table union into a
+    stream where every event arrives twice; the deduped output must
+    equal DISTINCT event_id. Within one availableNow horizon nothing is
+    evicted, so the semantics are exact-once per key — the eviction
+    behavior itself is bounded-state by construction and unit-tested in
+    test_streaming."""
+    schema = _events_stream_schema(ts_ntz=False)
+    a = _stream_file_source(spark, sf_dir, "events.parquet", schema)
+    b = _stream_file_source(spark, sf_dir, "events.parquet", schema)
+    doubled = a.unionByName(b)
+    deduped = (
+        doubled.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    return _run_stream_to_memory(deduped, "evt_stream_dedup_wm_sink", "append")
+
+
+CATALOG["evt_stream_dedup_watermark_now"].fn = _dstreamdedupwm
 
 register(
     "doc_stream_dedup_now",
