@@ -74,3 +74,32 @@ def hash_split(
         splits.append(df.filter((u >= F.lit(lo)) & upper))
         lo = hi
     return splits
+
+
+def shuffled_shards(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "shard"
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` — the training-
+    export primitive: SGD wants examples in pseudo-random order, and a
+    100 TB corpus cannot be orderBy(rand())-ed (non-reproducible AND a
+    full global sort). Here shard assignment AND within-shard position
+    both derive from sha2 hash draws of the id, so the export is
+    bit-reproducible across runs/engines, shards are balanced in
+    expectation, and the only shuffle is the per-shard rank window.
+
+    Adds (shard int, pos bigint). Write with
+    ``write_parquet(out, path, partition_by=["shard"])`` and trainers
+    stream shard files in pos order; re-shuffling between epochs is a
+    new ``salt``, not a new data copy."""
+    u = hash_uniform01(F.col(id_col), salt)
+    # u = h/2^32 with h < 2^32 exact: u*n stays exact in a double for
+    # any sane shard count, so floor() is engine-independent
+    shard = F.floor(u * n_shards).cast("int")
+    pos_u = hash_uniform01(F.col(id_col), salt + ":pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(pos_u, F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+    )

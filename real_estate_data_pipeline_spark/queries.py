@@ -5901,6 +5901,37 @@ def _dentropy(spark, sf_dir):
 
 CATALOG["doc_token_entropy"].fn = _dentropy
 
+register(
+    "export_shuffled_shards",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(floor({_HASH01_SQL.format(key="doc_id || 'shard'")} * 8) AS INT) AS shard,
+             {_HASH01_SQL.format(key="doc_id || 'shard:pos'")} AS pu
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY pu, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+
+
+def _dshards(spark, sf_dir):
+    """Training-export global shuffle (ops/sampling.shuffled_shards):
+    deterministic sha2-draw shard assignment + within-shard pseudo-
+    random positions — bit-reproducible across runs AND engines (the
+    oracle reproduces every shard and position), no orderBy(rand())
+    global sort, one rank-window shuffle. Changing the salt re-shuffles
+    for the next epoch without copying data."""
+    from .ops.sampling import shuffled_shards
+
+    d = t(spark, sf_dir, "documents")
+    return shuffled_shards(d, "doc_id", 8).select("doc_id", "shard", "pos")
+
+
+CATALOG["export_shuffled_shards"].fn = _dshards
+
 
 # ===========================================================================
 # entry() flagship
