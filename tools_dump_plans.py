@@ -36,6 +36,9 @@ SHOW_NOTES = {
     "dedup_incremental_new_docs": "Incremental dedup is one LEFT ANTI equi-join on the sha2 fingerprint; both sides project to the hash before the shuffle, so the join carries 32-byte keys, never text.",
     "doc_token_entropy": "Two partial-aggregated shuffles (doc+token counts, then per-doc rollup); the integer micro-nat encoding keeps the entropy aggregation-order-independent with zero extra plan cost.",
     "doc_source_cap": "Per-source cap is a single hash-partitioned rank window; with a pathological hot source this becomes the documented salted-agg fallback, but the plan itself has no cartesian or driver materialization.",
+    "skew_salted_top_n": "The hot-key-safe variant of the rank window: phase 1 ranks within (key, salt) — no single task owns a hot key — and phase 2 ranks only the <= n*salts survivors; both windows are plain hash-partitioned exchanges.",
+    "corpus_curation_pipeline": "Exact dedup, MinHash banding, connected components and the quality filter compose into one DAG of equi-joins and partial aggregates; no stage introduces a cartesian, and the pair space stays banded even inside the composition.",
+    "export_shuffled_shards": "The training-export shuffle is ONE rank-window exchange on the sha2-derived shard key; no orderBy(rand()) global sort, and determinism comes from the plan's expressions, not from runtime state.",
 }
 
 
