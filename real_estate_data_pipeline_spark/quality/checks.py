@@ -152,3 +152,24 @@ class QualityChecker:
         failed = [r.name for r in results if not r.passed]
         lines.append(f"failed: {failed or 'none'}")
         return "\n".join(lines)
+
+
+def observed_metrics(
+    df: DataFrame, metrics: dict[str, Column]
+):
+    """ZERO-extra-scan data quality: attach the metric aggregates to the
+    frame with Spark's Observation API — they compute DURING whatever
+    action materializes the frame (the production write), not in a
+    second job over the table. The QualityChecker above costs one extra
+    scan; this costs none, which at 100 TB is the difference between
+    monitoring being free and being a second pass over the lake.
+
+    Returns ``(observed_df, observation)``: materialize ``observed_df``
+    (write/count/...), then ``observation.get`` yields the metric dict.
+    Batch-only (streaming queries surface the same expressions through
+    ``observe`` + ``QueryProgressEvent.observedMetrics``)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    return out, obs

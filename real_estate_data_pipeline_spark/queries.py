@@ -5568,6 +5568,48 @@ def _dseqoutlier(spark, sf_dir):
 CATALOG["m2b_sequential_outlier_filter"].fn = _dseqoutlier
 
 register(
+    "dq_observed_singlepass",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returns,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    """,
+)
+
+
+def _dqobs(spark, sf_dir):
+    """ZERO-extra-scan DQ metrics (quality/checks.observed_metrics):
+    the counters attach to the frame via Spark's Observation API and
+    compute DURING the production materialization (a noop write here) —
+    no second job over the table, unlike the reference's one-job-per-
+    check AND unlike our own QualityChecker's one extra aggregate pass.
+    The observed values are then surfaced as a 1-row frame and must
+    hash-match the direct SQL aggregate."""
+    from .quality.checks import observed_metrics
+
+    li = t(spark, sf_dir, "lineitem")
+    observed, obs = observed_metrics(
+        li,
+        {
+            "rows": F.count(F.lit(1)),
+            "returns": F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("bigint"),
+            "total_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+        },
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["rows"]), int(m["returns"]), float(m["total_qty"]))],
+        "rows bigint, returns bigint, total_qty double",
+    )
+
+
+CATALOG["dq_observed_singlepass"].fn = _dqobs
+
+register(
     "quarantine_report_customer",
     # first-matching-rule priority: negative balance outranks phone
     # format outranks short comment — the CASE order IS the rule order

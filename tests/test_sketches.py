@@ -175,3 +175,28 @@ def test_quarantine_split_first_match_priority(spark):
     # empty rule list: everything clean
     c2, q2 = quarantine_split(df, [])
     assert c2.count() == 4 and q2.count() == 0
+
+
+def test_observed_metrics_free_with_write(spark, tmp_path):
+    """Observation metrics must equal a direct aggregate, and they ride
+    the write action — no second scan job over the source."""
+    from pyspark.sql import functions as F
+
+    from real_estate_data_pipeline_spark.quality.checks import observed_metrics
+
+    df = spark.range(0, 10_000).withColumn(
+        "v", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2.0)
+    )
+    observed, obs = observed_metrics(
+        df,
+        {
+            "rows": F.count(F.lit(1)),
+            "nulls_v": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+            "max_v": F.max("v"),
+        },
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["rows"] == 10_000
+    assert got["nulls_v"] == 1_000
+    assert got["max_v"] == 19_998.0
