@@ -221,3 +221,55 @@ def tfidf_top_terms(
         .filter(F.col("__rk") <= k)
         .select(id_col, "term", "tfidf")
     )
+
+
+def hashing_trick_embedding(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", dim: int = 64
+) -> DataFrame:
+    """Text -> dense vector WITHOUT a model: the hashing trick
+    (Weinberger et al.) — each token maps to ``pmod(hash(token), dim)``
+    and the L2-normalized bucket-count histogram is the embedding. The
+    cheap, deterministic featurizer that slots straight into the ANN /
+    near-dup operators when no learned encoder is available (the text
+    analogue of multimodal.embed_media's byte-bigram stub, but exact
+    and cross-engine reproducible: the token hash is the first 8 hex
+    chars of sha256, so a SQL engine derives identical vectors).
+
+    Plan: explode tokens (map-side), ONE (id, bucket) partial-agg
+    count, one per-id rollup building the dense array via
+    map_from_entries + a sequence transform — no UDF, no collect.
+    Returns (id_col, embedding array<double>)."""
+    tok = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok")
+    h = F.pmod(
+        F.conv(F.substring(F.sha2(F.col("__tok"), 256), 1, 8), 16, 10).cast("bigint"),
+        F.lit(dim),
+    ).cast("int")
+    counts = (
+        df.select(F.col(id_col), tok)
+        .filter(F.col("__tok") != "")
+        .select(id_col, h.alias("__h"))
+        .groupBy(id_col, "__h")
+        .agg(F.count("*").alias("__c"))
+    )
+    dense = (
+        counts.groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("__h", "__c"))).alias("__m"))
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__m", i.cast("int")), F.lit(0)
+                ).cast("double"),
+            ).alias("__cnt"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("__cnt", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    return dense.select(
+        id_col, F.transform("__cnt", lambda x: x / safe).alias("embedding")
+    )

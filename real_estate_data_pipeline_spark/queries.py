@@ -5944,6 +5944,53 @@ def _dentropy(spark, sf_dir):
 CATALOG["doc_token_entropy"].fn = _dentropy
 
 register(
+    "doc_hash_embedding",
+    # weight exactness needs NO rounding: bucket counts are integers,
+    # c*c sums are exact in doubles (< 2^53) in any order, and the
+    # final division is one IEEE op both engines do identically
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    hb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(sha256(tok), 1, 8))::BIGINT % 64 AS INT) AS h
+      FROM toks WHERE tok <> ''
+    ),
+    c AS (SELECT doc_id, h, CAST(COUNT(*) AS DOUBLE) AS c FROM hb GROUP BY doc_id, h),
+    n AS (SELECT doc_id, SQRT(SUM(c * c)) AS nrm FROM c GROUP BY doc_id),
+    grid AS (
+      SELECT d.doc_id, g.pos
+      FROM (SELECT DISTINCT doc_id FROM documents) d,
+           (SELECT unnest(range(0, 64)) AS pos) g
+    )
+    SELECT grid.doc_id, CAST(grid.pos AS INT) AS pos,
+           COALESCE(c.c, 0.0) / n.nrm AS weight
+    FROM grid JOIN n USING (doc_id)
+    LEFT JOIN c ON c.doc_id = grid.doc_id AND c.h = grid.pos
+    """,
+)
+
+
+def _dhashembed(spark, sf_dir):
+    """Hashing-trick text embedding (text.hashing_trick_embedding):
+    text -> 64-dim L2-normalized vector with no model — tokens hash
+    into buckets (portable sha256 family), the bucket histogram
+    normalizes into the embedding every ANN/near-dup operator consumes.
+    Emitted exploded as (doc_id, pos, weight) so all 64 components of
+    every vector hash-check against the SQL replica — the full text ->
+    vector featurization value-verified, not spot-checked."""
+    d = t(spark, sf_dir, "documents")
+    emb = text.hashing_trick_embedding(d, "doc_id", "text", dim=64)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "weight")
+    )
+
+
+CATALOG["doc_hash_embedding"].fn = _dhashembed
+
+register(
     "export_shuffled_shards",
     oracle=f"""
     WITH s AS (
