@@ -5990,6 +5990,84 @@ def _dhashembed(spark, sf_dir):
 
 CATALOG["doc_hash_embedding"].fn = _dhashembed
 
+_HEMB_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    hb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(sha256(tok), 1, 8))::BIGINT % 64 AS INT) AS h
+      FROM toks WHERE tok <> ''
+    ),
+    cc AS (SELECT doc_id, h, CAST(COUNT(*) AS DOUBLE) AS c FROM hb GROUP BY doc_id, h),
+    nn AS (SELECT doc_id, SQRT(SUM(c * c)) AS nrm FROM cc GROUP BY doc_id),
+    grid AS (
+      SELECT nn.doc_id, g.pos
+      FROM nn, (SELECT unnest(range(0, 64)) AS pos) g
+    ),
+    w AS (
+      SELECT grid.doc_id, grid.pos, COALESCE(cc.c, 0.0) / nn.nrm AS wt
+      FROM grid JOIN nn USING (doc_id)
+      LEFT JOIN cc ON cc.doc_id = grid.doc_id AND cc.h = grid.pos
+    ),
+    emb AS (SELECT doc_id, list(wt ORDER BY pos) AS embedding FROM w GROUP BY doc_id)
+"""
+
+register(
+    "doc_hash_embed_knn",
+    # the embedding CTE is shared verbatim with doc_hash_embedding's
+    # oracle; the banded-kNN tail is the sim_knn_join oracle retargeted
+    # at it (DuckDB arrays are 1-indexed, hence embedding[i+1])
+    oracle=(
+        _HEMB_SQL
+        + f""",
+    b AS (
+      SELECT doc_id, embedding,
+             {similarity.banded_bucket_sql("embedding", bits=6, bands=3)[0]} AS bkt0,
+             {similarity.banded_bucket_sql("embedding", bits=6, bands=3)[1]} AS bkt1,
+             {similarity.banded_bucket_sql("embedding", bits=6, bands=3)[2]} AS bkt2
+      FROM emb
+    ),
+    und AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+             round(list_sum(list_transform(range(0, 64), i ->
+                 a.embedding[i + 1] * c.embedding[i + 1])), 6) AS cosine_sim
+      FROM b a JOIN b c
+        ON a.doc_id < c.doc_id
+       AND (a.bkt0 = c.bkt0 OR a.bkt1 = c.bkt1 OR a.bkt2 = c.bkt2)
+    ),
+    o AS (
+      SELECT id_a AS left_id, id_b AS right_id, cosine_sim FROM und
+      UNION ALL
+      SELECT id_b AS left_id, id_a AS right_id, cosine_sim FROM und
+    )
+    SELECT left_id, right_id, cosine_sim FROM (
+      SELECT o.*, ROW_NUMBER() OVER (PARTITION BY left_id
+                                     ORDER BY cosine_sim DESC, right_id) AS rn
+      FROM o
+    ) WHERE rn <= 3
+    """
+    ),
+)
+
+
+def _dhashknn(spark, sf_dir):
+    """Text -> vector -> ANN, composed and value-verified: the hashing-
+    trick embeddings feed straight into the banded-LSH kNN self-join
+    (same op as sim_knn_join, 6-dp rounded scores). Vectors are already
+    L2-normalized so the dot IS the cosine. A model-free semantic-ish
+    dedup/retrieval path the engine runs end to end with no external
+    dependency — swap in learned embeddings and the plan is unchanged."""
+    d = t(spark, sf_dir, "documents")
+    emb = text.hashing_trick_embedding(d, "doc_id", "text", dim=64)
+    return similarity.knn_self_join_arrow(
+        emb, k=3, id_col="doc_id", vec_col="embedding", bits=6, bands=3, score_dp=6
+    )
+
+
+CATALOG["doc_hash_embed_knn"].fn = _dhashknn
+
 register(
     "export_shuffled_shards",
     oracle=f"""
