@@ -5568,6 +5568,77 @@ def _dseqoutlier(spark, sf_dir):
 CATALOG["m2b_sequential_outlier_filter"].fn = _dseqoutlier
 
 register(
+    "incr_rollup_events",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def _dincrroll(spark, sf_dir):
+    """Incremental aggregate maintenance (ops/incremental): the events
+    table splits into a 'historical' span and a 'new day' delta; the
+    persisted rollup state merges with the delta's partial state and
+    must equal the full-table aggregate EXACTLY (the oracle) — the
+    maintain-don't-recompute contract. Money merges as integer cents
+    so float order can never drift; min/max/count re-fold."""
+    from .ops.incremental import merge_rollups, mergeable_rollup
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "__cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    cutoff = F.lit("2024-01-25")
+    aggs = {
+        "n": ("*", "count"),
+        "total_cents": ("__cents", "sum"),
+        "min_value": ("value", "min"),
+        "max_value": ("value", "max"),
+    }
+    hist = mergeable_rollup(ev.filter(F.col("ts") < cutoff), ["event_type"], aggs)
+    delta = mergeable_rollup(ev.filter(F.col("ts") >= cutoff), ["event_type"], aggs)
+    return merge_rollups([hist, delta], ["event_type"], aggs)
+
+
+CATALOG["incr_rollup_events"].fn = _dincrroll
+
+register(
+    "table_diff_customer",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 2 <> 0 THEN 'removed'
+                WHEN c_custkey % 10 = 0 THEN 'changed'
+                ELSE 'unchanged' END AS diff_status
+    FROM customer
+    """,
+)
+
+
+def _dtdiff(spark, sf_dir):
+    """Table-version diff (ops/incremental.table_diff) — migration /
+    replication / SCD2-audit reconciliation: customer vs a derived v2
+    that drops odd keys and rewrites the segment for custkey%10==0.
+    Every key's added/removed/changed/unchanged status hash-matches the
+    rule-based oracle; one full-outer key join, null-safe compares."""
+    from .ops.incremental import table_diff
+
+    c = t(spark, sf_dir, "customer")
+    v2 = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    return table_diff(c, v2, "c_custkey", compare_cols=["c_mktsegment", "c_acctbal"])
+
+
+CATALOG["table_diff_customer"].fn = _dtdiff
+
+register(
     "dq_observed_singlepass",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS rows,
