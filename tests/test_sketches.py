@@ -200,3 +200,40 @@ def test_observed_metrics_free_with_write(spark, tmp_path):
     assert got["rows"] == 10_000
     assert got["nulls_v"] == 1_000
     assert got["max_v"] == 19_998.0
+
+
+def test_merge_rollups_multi_batch_equals_full(spark):
+    from pyspark.sql import functions as F
+
+    from real_estate_data_pipeline_spark.ops.incremental import (
+        merge_rollups,
+        mergeable_rollup,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 13 % 997).alias("v")
+    )
+    aggs = {"n": ("*", "count"), "s": ("v", "sum"), "lo": ("v", "min"), "hi": ("v", "max")}
+    parts = [
+        mergeable_rollup(df.filter(F.col("id") % 3 == i), ["k"], aggs) for i in range(3)
+    ]
+    merged = {r["k"]: r for r in merge_rollups(parts, ["k"], aggs).collect()}
+    full = {r["k"]: r for r in mergeable_rollup(df, ["k"], aggs).collect()}
+    assert set(merged) == set(full)
+    for k in full:
+        for c in ("n", "s", "lo", "hi"):
+            assert merged[k][c] == full[k][c], (k, c)
+
+
+def test_table_diff_null_safe_compare(spark):
+    from real_estate_data_pipeline_spark.ops.incremental import table_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "y")], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, "z")], "id long, v string"
+    )
+    got = {r["id"]: r["diff_status"] for r in table_diff(old, new, "id").collect()}
+    # null <=> null is UNCHANGED; 'x' -> null is CHANGED (not a silent match)
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
