@@ -176,3 +176,33 @@ def test_append_session_watermark_boundary(spark, tmp_path):
         assert q.awaitTermination(120)
         emitted = {r["user_id"] for r in spark.table(f"wmb_{name}").collect()}
         assert (1 in emitted) == expect_emitted, (name, emitted)
+
+
+def test_streaming_observed_metrics(spark, stream_dir):
+    """DQ metrics ride a STREAMING query too: observe() expressions
+    surface per micro-batch in the progress events — monitoring without
+    a second pass, the streaming twin of quality.checks.observed_metrics."""
+    from pyspark.sql import functions as F
+
+    from real_estate_data_pipeline_spark.streaming.events import (
+        EVENT_SCHEMA,
+        read_event_stream,
+    )
+
+    src = read_event_stream(spark, stream_dir)
+    observed = src.observe(
+        "dq", F.count(F.lit(1)).alias("rows"), F.sum("value").alias("total")
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", stream_dir + "/_ckpt_obs")
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = 0
+    for p in q.recentProgress:
+        m = p["observedMetrics"].get("dq") if p["observedMetrics"] else None
+        if m:
+            rows += m["rows"]
+    assert rows == sum(1 for _ in open(f"{stream_dir}/part1.jsonl"))
