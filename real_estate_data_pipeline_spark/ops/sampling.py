@@ -103,3 +103,41 @@ def shuffled_shards(
         df.withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    k: int,
+    strata: list[str] | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res, derandomized): each row's priority is
+    ``ln(u)/w`` with ``u`` the sha2 hash draw of its key — maximizing
+    it is equivalent to maximizing ``u^(1/w)``, so the top-k have
+    inclusion probability proportional to weight — and the whole draw
+    replays bit-identically across runs and engines (``ln(u)`` rounds
+    to 6 dp per the exactness convention; ties break on the key).
+
+    The curation use: sample documents proportionally to a quality or
+    domain weight instead of uniformly. ``strata`` makes it top-k per
+    group (one rank window) instead of global (TakeOrdered). Zero or
+    negative weights are excluded (P(select) = 0)."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = hash_uniform01(F.col(key_col), salt)
+    # u in [0,1): ln(0) would be -inf; the hash draw never returns
+    # exactly 0 for real keys (P = 2^-32 per key) but guard anyway
+    priority = F.round(F.log(F.greatest(u, F.lit(1e-12))), 6) / w
+    cand = df.filter(w > 0).withColumn("__pri", priority)
+    if strata:
+        win = Window.partitionBy(*strata).orderBy(F.desc("__pri"), F.col(key_col))
+        return (
+            cand.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn", "__pri")
+        )
+    return cand.orderBy(F.desc("__pri"), F.col(key_col)).limit(k).drop("__pri")

@@ -6140,6 +6140,44 @@ def _dhashknn(spark, sf_dir):
 CATALOG["doc_hash_embed_knn"].fn = _dhashknn
 
 register(
+    "sample_docs_weighted",
+    # A-Res priority = round(ln(u), 6) / w; w = n_chars (longer docs
+    # proportionally likelier). Top-30 per lang stratum.
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, lang,
+             round(ln(GREATEST({_HASH01_SQL.format(key="doc_id || 'wsample'")}, 1e-12)), 6)
+               / CAST(n_chars AS DOUBLE) AS p
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY p DESC, doc_id) AS rn
+      FROM pri
+    ) WHERE rn <= 30
+    """,
+)
+
+
+def _dwsample(spark, sf_dir):
+    """Deterministic weighted sampling (ops/sampling.weighted_sample —
+    derandomized Efraimidis-Spirakis A-Res): 30 docs per language with
+    inclusion probability proportional to length, replaying
+    bit-identically across engines (the oracle reproduces every
+    priority and pick). The curation sampler for building weighted
+    training mixes without RNG state."""
+    from .ops.sampling import weighted_sample
+
+    d = t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        d, "doc_id", F.col("n_chars").cast("double"), k=30, strata=["lang"]
+    )
+    return out.select("doc_id", "lang")
+
+
+CATALOG["sample_docs_weighted"].fn = _dwsample
+
+register(
     "export_shuffled_shards",
     oracle=f"""
     WITH s AS (
