@@ -67,3 +67,28 @@ def test_uniform01_range_and_pushdown(spark):
         F.max(hash_uniform01(F.col("doc_id"))).alias("hi"),
     ).collect()[0]
     assert 0.0 <= mm["lo"] and mm["hi"] < 1.0
+
+
+def test_weighted_sample_proportional_inclusion(spark):
+    """A weight-10 minority (10% of rows) should win ~half of a
+    weighted draw (10x weight x 10% of population ~= the weight-1
+    majority's total mass); a uniform sampler would give it ~10%."""
+    from pyspark.sql import functions as F
+
+    from real_estate_data_pipeline_spark.ops.sampling import weighted_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, 10.0).otherwise(1.0).alias("w"),
+    )
+    heavy = 0
+    for s in range(5):
+        picked = weighted_sample(df, "id", "w", k=100, salt=f"s{s}").collect()
+        assert len(picked) == 100
+        heavy += sum(1 for r in picked if r["id"] < 100)
+    frac = heavy / 500.0
+    assert 0.30 < frac < 0.75, frac
+    # deterministic: same salt -> identical draw
+    a = sorted(r["id"] for r in weighted_sample(df, "id", "w", 50, salt="x").collect())
+    b = sorted(r["id"] for r in weighted_sample(df, "id", "w", 50, salt="x").collect())
+    assert a == b
