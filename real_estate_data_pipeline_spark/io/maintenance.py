@@ -57,7 +57,9 @@ def _swap_rewrite(path: str, write_tmp) -> None:
     try:
         os.rename(tmp, path)
     except BaseException:
-        os.rename(bak, path)  # roll the live name back, keep tmp for forensics
+        # roll the live name back; tmp survives only until the next
+        # compact/recover run cleans it (inspect immediately, or move it)
+        os.rename(bak, path)
         raise
     _fsync_dir(parent)
     shutil.rmtree(bak)
@@ -73,6 +75,11 @@ def compact(
     Returns the resulting file count. Sorting by the cluster keys gives
     parquet row-group min/max stats their selectivity (data skipping);
     swap atomicity per :func:`_swap_rewrite`."""
+    # A crash mid-swap leaves the LIVE path missing; repair BEFORE the
+    # read/size probes below, or a re-run fails instead of completing
+    # the interrupted swap (the call inside _swap_rewrite is too late
+    # for that state and stays only as an idempotent second guard).
+    recover_compact(path)
     n_files = _target_file_count(path, target_file_mb)
     df = spark.read.parquet(path)
 
@@ -111,6 +118,7 @@ def zorder_compact(
 
     if bits * len(cols) >= 63:
         raise ValueError("bits * len(cols) must stay below 63 (long Morton code)")
+    recover_compact(path)  # repair any interrupted swap first (see compact)
     if n_files is None:
         n_files = _target_file_count(path, target_file_mb)
     df = spark.read.parquet(path)

@@ -69,16 +69,20 @@ def table_diff(
     compare_cols = compare_cols or [
         c for c in old.columns if c != key and c in new.columns
     ]
-    o = old.select(key, *compare_cols).alias("o")
-    n = new.select(key, *compare_cols).alias("n")
+    # presence markers, NOT key-null checks: the join is null-safe on
+    # the key precisely so a NULL key is a legal value, which makes
+    # "o.key IS NULL" unable to distinguish 'row absent' from 'row
+    # present with NULL key'
+    o = old.select(key, *compare_cols).withColumn("__in_old", F.lit(True)).alias("o")
+    n = new.select(key, *compare_cols).withColumn("__in_new", F.lit(True)).alias("n")
     j = o.join(n, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), "full_outer")
     same = None
     for c in compare_cols:
         eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
         same = eq if same is None else (same & eq)
     status = (
-        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
-        .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
         .when(same if same is not None else F.lit(True), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )

@@ -286,6 +286,7 @@ def knn_self_join(
     bits: int = 6,
     bands: int = 3,
     score_dp: int | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Self-kNN over one corpus: banded-LSH candidates expanded
     intra-bucket (buckets+norms computed ONCE — ``knn_join(df, df)``
@@ -306,7 +307,7 @@ def knn_self_join(
         safe_norm(F.col(vec_col)).alias("__n"),
         F.posexplode(bucket_arr).alias("__band", "__bkt"),
     )
-    und = _scored_pairs_within(b, ["__band", "__bkt"], id_col, vec_col, score_dp)
+    und = _scored_pairs_within(b, ["__band", "__bkt"], id_col, vec_col, score_dp, max_block)
     return _orient_and_rank(und, k)
 
 
@@ -316,13 +317,21 @@ def _scored_pairs_within(
     id_col: str,
     vec_col: str,
     score_dp: int | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Unordered cosine-scored candidate pairs within each group.
     least/greatest ids, not positional (x, y): collect_list order
     differs per group, so the same pair could surface as (x, y) in one
     group and (y, x) in another and survive the dedup twice — duplicate
     edges would then occupy two of the k ranks. Expects a ``__n``
-    precomputed-norm column."""
+    precomputed-norm column.
+
+    ``max_block`` defaults to NONE here (unlike the dedup ops): kNN
+    answers are silently WRONG if a bucket/cell truncates its members
+    — a capped cell drops true neighbors with no signal — so the
+    caller must opt into capping explicitly (and should instead raise
+    n_cells / bits so buckets stay small, per ivf_knn_self_join's
+    scale note)."""
 
     def _score(x, y):
         c = dot(x["v"], y["v"]) / (x["n"] * y["n"])
@@ -339,6 +348,7 @@ def _scored_pairs_within(
             F.greatest(x["id"], y["id"]).alias("id_b"),
             _score(x, y).alias("cosine_sim"),
         ),
+        max_block=max_block,
     ).dropDuplicates(["id_a", "id_b"])
 
 
@@ -467,6 +477,7 @@ def ivf_knn_self_join(
     refine: int = 1,
     score_dp: int | None = None,
     centroid_dp: int | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Self-kNN via IVF cells instead of sign-LSH buckets: every vector
     multi-assigns to its ``nprobe`` nearest centroids, candidates are
@@ -496,7 +507,7 @@ def ivf_knn_self_join(
         .filter(F.col("__rn") <= nprobe)
         .select(id_col, vec_col, "__n", "cid")
     )
-    und = _scored_pairs_within(assign, ["cid"], id_col, vec_col, score_dp)
+    und = _scored_pairs_within(assign, ["cid"], id_col, vec_col, score_dp, max_block)
     return _orient_and_rank(und, k)
 
 

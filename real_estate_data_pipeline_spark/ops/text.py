@@ -264,6 +264,18 @@ def hashing_trick_embedding(
             ).alias("__cnt"),
         )
     )
+    # docs with NO non-empty tokens have no count rows; re-join them so
+    # they surface as zero vectors (norm-guarded below) instead of
+    # silently vanishing from composed pipelines
+    dense = (
+        df.select(id_col)
+        .distinct()
+        .join(dense, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__cnt", F.array(*[F.lit(0.0)] * dim)).alias("__cnt"),
+        )
+    )
     norm = F.sqrt(
         F.aggregate(
             F.transform("__cnt", lambda x: x * x), F.lit(0.0), lambda a, x: a + x

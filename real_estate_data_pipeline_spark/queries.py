@@ -5812,13 +5812,20 @@ def _dscd2stream(spark, sf_dir):
     def apply(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        # the planted batch_day column pins the merge timestamp even if
-        # the source ever coalesced both files into one trigger
-        day = batch_df.agg(F.max("batch_day")).collect()[0][0]
-        tbl.merge(
-            batch_df.drop("batch_day"),
-            batch_ts=F.to_timestamp(F.lit(f"2024-01-0{day} 00:00:00")),
+        # one merge PER planted day, in day order: even if the source
+        # ever coalesced both files into one trigger, the two-merge
+        # semantics (close day-1 versions, then apply day-2) are
+        # preserved — merging a mixed batch once would let keep_latest
+        # pick an arbitrary winner between same-key day rows
+        days = sorted(
+            r["batch_day"]
+            for r in batch_df.select("batch_day").distinct().collect()
         )
+        for day in days:
+            tbl.merge(
+                batch_df.filter(F.col("batch_day") == day).drop("batch_day"),
+                batch_ts=F.to_timestamp(F.lit(f"2024-01-0{day} 00:00:00")),
+            )
 
     q = (
         stream.writeStream.foreachBatch(apply)
@@ -6014,12 +6021,16 @@ def _dentropy(spark, sf_dir):
 
 CATALOG["doc_token_entropy"].fn = _dentropy
 
-register(
-    "doc_hash_embedding",
-    # weight exactness needs NO rounding: bucket counts are integers,
-    # c*c sums are exact in doubles (< 2^53) in any order, and the
-    # final division is one IEEE op both engines do identically
-    oracle="""
+# ONE definition of the hashing-trick embedding in SQL, shared verbatim
+# by doc_hash_embedding and doc_hash_embed_knn (same pattern as
+# _minhash_portable_oracle(src=...)): a tokenizer/hash tweak edited in
+# one oracle but not the other would silently test two different
+# featurizations. Token-less docs surface as zero vectors (the op's
+# norm guard), hence the LEFT JOIN + CASE. Weight exactness needs NO
+# rounding: bucket counts are integers, c*c sums are exact in doubles
+# (< 2^53) in any order, and the final division is one IEEE op both
+# engines do identically.
+_HEMB_CTES = """
     WITH toks AS (
       SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
       FROM documents
@@ -6029,17 +6040,28 @@ register(
              CAST(('0x' || substr(sha256(tok), 1, 8))::BIGINT % 64 AS INT) AS h
       FROM toks WHERE tok <> ''
     ),
-    c AS (SELECT doc_id, h, CAST(COUNT(*) AS DOUBLE) AS c FROM hb GROUP BY doc_id, h),
-    n AS (SELECT doc_id, SQRT(SUM(c * c)) AS nrm FROM c GROUP BY doc_id),
+    cc AS (SELECT doc_id, h, CAST(COUNT(*) AS DOUBLE) AS c FROM hb GROUP BY doc_id, h),
+    nn AS (SELECT doc_id, SQRT(SUM(c * c)) AS nrm FROM cc GROUP BY doc_id),
     grid AS (
       SELECT d.doc_id, g.pos
       FROM (SELECT DISTINCT doc_id FROM documents) d,
            (SELECT unnest(range(0, 64)) AS pos) g
-    )
-    SELECT grid.doc_id, CAST(grid.pos AS INT) AS pos,
-           COALESCE(c.c, 0.0) / n.nrm AS weight
-    FROM grid JOIN n USING (doc_id)
-    LEFT JOIN c ON c.doc_id = grid.doc_id AND c.h = grid.pos
+    ),
+    w AS (
+      SELECT grid.doc_id, grid.pos,
+             CASE WHEN nn.nrm IS NULL THEN 0.0
+                  ELSE COALESCE(cc.c, 0.0) / nn.nrm END AS wt
+      FROM grid LEFT JOIN nn USING (doc_id)
+      LEFT JOIN cc ON cc.doc_id = grid.doc_id AND cc.h = grid.pos
+    ),
+    emb AS (SELECT doc_id, list(wt ORDER BY pos) AS embedding FROM w GROUP BY doc_id)
+"""
+
+register(
+    "doc_hash_embedding",
+    oracle=_HEMB_CTES
+    + """
+    SELECT doc_id, CAST(pos AS INT) AS pos, wt AS weight FROM w
     """,
 )
 
@@ -6061,37 +6083,12 @@ def _dhashembed(spark, sf_dir):
 
 CATALOG["doc_hash_embedding"].fn = _dhashembed
 
-_HEMB_SQL = """
-    WITH toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-      FROM documents
-    ),
-    hb AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(sha256(tok), 1, 8))::BIGINT % 64 AS INT) AS h
-      FROM toks WHERE tok <> ''
-    ),
-    cc AS (SELECT doc_id, h, CAST(COUNT(*) AS DOUBLE) AS c FROM hb GROUP BY doc_id, h),
-    nn AS (SELECT doc_id, SQRT(SUM(c * c)) AS nrm FROM cc GROUP BY doc_id),
-    grid AS (
-      SELECT nn.doc_id, g.pos
-      FROM nn, (SELECT unnest(range(0, 64)) AS pos) g
-    ),
-    w AS (
-      SELECT grid.doc_id, grid.pos, COALESCE(cc.c, 0.0) / nn.nrm AS wt
-      FROM grid JOIN nn USING (doc_id)
-      LEFT JOIN cc ON cc.doc_id = grid.doc_id AND cc.h = grid.pos
-    ),
-    emb AS (SELECT doc_id, list(wt ORDER BY pos) AS embedding FROM w GROUP BY doc_id)
-"""
-
 register(
     "doc_hash_embed_knn",
-    # the embedding CTE is shared verbatim with doc_hash_embedding's
-    # oracle; the banded-kNN tail is the sim_knn_join oracle retargeted
-    # at it (DuckDB arrays are 1-indexed, hence embedding[i+1])
+    # _HEMB_CTES is the SAME string as doc_hash_embedding's oracle; the
+    # banded-kNN tail is the sim_knn_join oracle retargeted at it
     oracle=(
-        _HEMB_SQL
+        _HEMB_CTES
         + f""",
     b AS (
       SELECT doc_id, embedding,

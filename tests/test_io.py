@@ -233,3 +233,25 @@ def test_zorder_skips_on_both_dims(spark, tmp_path):
     back = spark.read.parquet(zordered)
     assert back.count() == n
     assert back.agg(F.sum("x")).collect()[0][0] == n * (n - 1) // 2
+
+
+def test_compact_rerun_completes_interrupted_swap(spark, tmp_path):
+    """A compact() re-run after a mid-swap crash must self-repair (not
+    demand a manual recover_compact): plant the crashed state — live
+    path missing, complete new data in _compacting — and call compact
+    again."""
+    from real_estate_data_pipeline_spark.io.maintenance import compact
+
+    p = str(tmp_path / "tbl")
+    df = spark.range(0, 5000).withColumn("k", F.col("id") % 5)
+    df.repartition(16).write.parquet(p)
+    # simulate: swap started, new data fully written, live renamed away
+    import shutil
+
+    df.coalesce(2).write.parquet(p + "_compacting")
+    os.rename(p, p + "_old")
+    compact(spark, p, ["k"], target_file_mb=1)
+    back = spark.read.parquet(p)
+    assert back.count() == 5000
+    assert not os.path.exists(p + "_old") and not os.path.exists(p + "_compacting")
+    assert shutil is not None

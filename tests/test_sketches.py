@@ -237,3 +237,9 @@ def test_table_diff_null_safe_compare(spark):
     got = {r["id"]: r["diff_status"] for r in table_diff(old, new, "id").collect()}
     # null <=> null is UNCHANGED; 'x' -> null is CHANGED (not a silent match)
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # NULL KEY rows are legal values under the null-safe key join: a
+    # NULL-key row present on both sides is matched, not 'added'
+    old2 = spark.createDataFrame([(None, "a"), (7, "b")], "id long, v string")
+    new2 = spark.createDataFrame([(None, "a")], "id long, v string")
+    got2 = {r["id"]: r["diff_status"] for r in table_diff(old2, new2, "id").collect()}
+    assert got2 == {None: "unchanged", 7: "removed"}
