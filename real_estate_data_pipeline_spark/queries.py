@@ -6137,6 +6137,83 @@ def _dhashknn(spark, sf_dir):
 CATALOG["doc_hash_embed_knn"].fn = _dhashknn
 
 register(
+    "doc_bigram_logprob",
+    # avg log P(w_i | w_{i-1}) under the corpus's own bigram LM (the
+    # CCNet/KenLM perplexity-filter shape, self-trained): terms round
+    # to 6 dp then scale to INTEGER micro-nats so the per-doc sum is
+    # aggregation-order-independent (cf. doc_token_entropy)
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM tk, (SELECT unnest(range(1, 10000)) AS i) g
+      WHERE i < len(tk) AND tk[i] <> '' AND tk[i + 1] <> ''
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
+    terms AS (
+      SELECT bg.doc_id,
+             CAST(round(round(ln(CAST(c2.c AS DOUBLE) / c1.c), 6) * 1000000) AS BIGINT) AS t
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id,
+           round((CAST(SUM(t) AS DOUBLE) / 1000000.0) / COUNT(*), 6) AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM terms GROUP BY doc_id
+    """,
+)
+
+
+def _dbglm(spark, sf_dir):
+    """Self-trained bigram language-model scoring — the perplexity
+    filter (CCNet-style) without an external model: P(w2|w1) =
+    count(w1 w2)/count(w1 _) from the corpus itself, each document
+    scored by its average log-probability (low = unnatural/spammy
+    against the corpus distribution). Two count aggregates + two
+    equi-joins back to the exploded bigrams; at 100 TB the bigram count
+    table is the train-once artifact to persist, exactly like
+    train_gram_set."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bg = (
+        d.select("doc_id", F.posexplode(toks).alias("__p", "__w"))
+        .filter(F.col("__w") != "")
+        .select("doc_id", F.col("__p").alias("p"), F.col("__w").alias("w1"))
+    )
+    # \s+ split leaves empties only at the string edges, so lead() over
+    # the filtered positions pairs exactly the oracle's adjacent
+    # non-empty array slots — one window shuffle, no self-join
+    wnd = Window.partitionBy("doc_id").orderBy("p")
+    pairs = (
+        bg.withColumn("w2", F.lead("w1").over(wnd))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("__c1"))
+    term = (
+        F.round(
+            F.round(F.log(F.col("__c2").cast("double") / F.col("__c1")), 6)
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("__t")
+    )
+    scored = pairs.join(c2, ["w1", "w2"]).join(c1, ["w1"]).select("doc_id", term)
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            (F.sum("__t").cast("double") / F.lit(1000000.0)) / F.count("*"), 6
+        ).alias("avg_logprob"),
+        F.count("*").cast("bigint").alias("n_bigrams"),
+    )
+
+
+CATALOG["doc_bigram_logprob"].fn = _dbglm
+
+register(
     "sample_docs_weighted",
     # A-Res priority = round(ln(u), 6) / w; w = n_chars (longer docs
     # proportionally likelier). Top-30 per lang stratum.
