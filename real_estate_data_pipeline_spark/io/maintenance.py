@@ -172,13 +172,16 @@ def recover_compact(path: str) -> str:
             if os.path.exists(d):
                 shutil.rmtree(d)
         return "clean"
+    parent = os.path.dirname(base) or "."
     if os.path.exists(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
         os.rename(tmp, path)
+        _fsync_dir(parent)  # repair must be as durable as the swap it finishes
         if os.path.exists(bak):
             shutil.rmtree(bak)
         return "completed"
     if os.path.exists(bak):
         os.rename(bak, path)
+        _fsync_dir(parent)
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         return "rolled_back"

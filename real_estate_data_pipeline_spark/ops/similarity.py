@@ -301,7 +301,10 @@ def knn_self_join(
     the catalog entry value-verifiable against a SQL oracle."""
     fams = band_planes(bits, bands)
     bucket_arr = F.array(*[_bucket_from_planes(F.col(vec_col), p) for p in fams])
-    b = df.select(
+    # zero vectors have no direction: every plane dot is 0, so they ALL
+    # land in the same bucket of every band (a degenerate hot bucket)
+    # while their cosine to anything is 0 — exclude them from the ANN
+    b = df.filter(l2_norm_sq(F.col(vec_col)) > 0).select(
         F.col(id_col),
         F.col(vec_col),
         safe_norm(F.col(vec_col)).alias("__n"),
@@ -642,7 +645,9 @@ def knn_self_join_arrow(
             out[:, t] = S[:, t * bits : (t + 1) * bits] @ pw
         return pd.Series(list(out))
 
-    b = df.select(id_col, vec_col).withColumn(
+    # zero vectors excluded for the same hot-bucket/no-direction reason
+    # as knn_self_join
+    b = df.filter(l2_norm_sq(F.col(vec_col)) > 0).select(id_col, vec_col).withColumn(
         "__bb", _band_buckets(F.col(vec_col))
     ).select(id_col, vec_col, F.posexplode("__bb").alias("__band", "__bkt"))
 

@@ -244,16 +244,23 @@ def hashing_trick_embedding(
         F.conv(F.substring(F.sha2(F.col("__tok"), 256), 1, 8), 16, 10).cast("bigint"),
         F.lit(dim),
     ).cast("int")
+    # empty tokens hash to NULL instead of being filtered out: every doc
+    # then keeps >= 1 count row (token-less docs keep exactly the NULL
+    # row), so zero-vector docs survive the pipeline WITHOUT a second
+    # scan + distinct + re-join; the NULL entries drop during the dense
+    # build below
     counts = (
         df.select(F.col(id_col), tok)
-        .filter(F.col("__tok") != "")
-        .select(id_col, h.alias("__h"))
+        .select(id_col, F.when(F.col("__tok") != "", h).alias("__h"))
         .groupBy(id_col, "__h")
         .agg(F.count("*").alias("__c"))
     )
+    entries = F.filter(
+        F.collect_list(F.struct("__h", "__c")), lambda s: s["__h"].isNotNull()
+    )
     dense = (
         counts.groupBy(id_col)
-        .agg(F.map_from_entries(F.collect_list(F.struct("__h", "__c"))).alias("__m"))
+        .agg(F.map_from_entries(entries).alias("__m"))
         .select(
             id_col,
             F.transform(
@@ -262,18 +269,6 @@ def hashing_trick_embedding(
                     F.element_at("__m", i.cast("int")), F.lit(0)
                 ).cast("double"),
             ).alias("__cnt"),
-        )
-    )
-    # docs with NO non-empty tokens have no count rows; re-join them so
-    # they surface as zero vectors (norm-guarded below) instead of
-    # silently vanishing from composed pipelines
-    dense = (
-        df.select(id_col)
-        .distinct()
-        .join(dense, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("__cnt", F.array(*[F.lit(0.0)] * dim)).alias("__cnt"),
         )
     )
     norm = F.sqrt(

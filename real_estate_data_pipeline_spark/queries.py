@@ -6096,6 +6096,9 @@ register(
              {similarity.banded_bucket_sql("embedding", bits=6, bands=3)[1]} AS bkt1,
              {similarity.banded_bucket_sql("embedding", bits=6, bands=3)[2]} AS bkt2
       FROM emb
+      -- mirror the op: zero vectors (token-less docs) are excluded
+      -- from the ANN, they have no direction
+      WHERE list_sum(list_transform(embedding, x -> x * x)) > 0
     ),
     und AS (
       SELECT a.doc_id AS id_a, c.doc_id AS id_b,
@@ -6148,8 +6151,10 @@ register(
       FROM documents
     ),
     bg AS (
+      -- position grid sized from the data (a fixed literal cap would
+      -- silently truncate long documents' bigrams)
       SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
-      FROM tk, (SELECT unnest(range(1, 10000)) AS i) g
+      FROM tk, (SELECT unnest(range(1, (SELECT MAX(len(tk)) FROM tk) + 1)) AS i) g
       WHERE i < len(tk) AND tk[i] <> '' AND tk[i + 1] <> ''
     ),
     c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),

@@ -246,12 +246,9 @@ def test_compact_rerun_completes_interrupted_swap(spark, tmp_path):
     df = spark.range(0, 5000).withColumn("k", F.col("id") % 5)
     df.repartition(16).write.parquet(p)
     # simulate: swap started, new data fully written, live renamed away
-    import shutil
-
     df.coalesce(2).write.parquet(p + "_compacting")
     os.rename(p, p + "_old")
     compact(spark, p, ["k"], target_file_mb=1)
     back = spark.read.parquet(p)
     assert back.count() == 5000
     assert not os.path.exists(p + "_old") and not os.path.exists(p + "_compacting")
-    assert shutil is not None

@@ -210,3 +210,28 @@ def test_bucket_deterministic_across_calls(spark):
     b2 = {r["vec_id"]: r["b"] for r in df.select("vec_id", sign_bucket(F.col("embedding"), 8).alias("b")).collect()}
     assert b1 == b2
     assert gaussian_planes(4) == gaussian_planes(4)  # seeded, stable
+
+
+def test_zero_vectors_survive_featurizer_but_skip_ann(spark):
+    """Token-less docs featurize to zero vectors (not dropped), and the
+    banded kNN excludes zero vectors from bucketing — they have no
+    direction, and a zero-vector population would otherwise collide
+    into one degenerate hot bucket in every band."""
+    from pyspark.sql import functions as F
+
+    from real_estate_data_pipeline_spark.ops.similarity import knn_self_join
+    from real_estate_data_pipeline_spark.ops.text import hashing_trick_embedding
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"), (3, "   "), (4, "")],
+        "doc_id long, text string",
+    )
+    emb = hashing_trick_embedding(docs, "doc_id", "text", dim=16)
+    rows = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert set(rows) == {1, 2, 3, 4}          # nothing silently dropped
+    assert all(v == 0.0 for v in rows[3]) and all(v == 0.0 for v in rows[4])
+    edges = knn_self_join(emb, k=2, id_col="doc_id", vec_col="embedding",
+                          bits=4, bands=2).collect()
+    ids_in_edges = {r["left_id"] for r in edges} | {r["right_id"] for r in edges}
+    assert 3 not in ids_in_edges and 4 not in ids_in_edges
+    assert {1, 2} <= ids_in_edges
