@@ -643,11 +643,14 @@ def knn_self_join_arrow(
         out = np.empty((len(X), len(fams)), dtype=np.int64)
         for t in range(len(fams)):
             out[:, t] = S[:, t * bits : (t + 1) * bits] @ pw
-        return pd.Series(list(out))
+        # zero vectors have no direction and would all collide into one
+        # degenerate hot bucket per band: emit NO buckets for them (the
+        # posexplode below then drops the row) — same exclusion as
+        # knn_self_join, but free here since the batch is already in hand
+        nz = np.linalg.norm(X, axis=1) > 0.0
+        return pd.Series([row.tolist() if keep else [] for row, keep in zip(out, nz)])
 
-    # zero vectors excluded for the same hot-bucket/no-direction reason
-    # as knn_self_join
-    b = df.filter(l2_norm_sq(F.col(vec_col)) > 0).select(id_col, vec_col).withColumn(
+    b = df.select(id_col, vec_col).withColumn(
         "__bb", _band_buckets(F.col(vec_col))
     ).select(id_col, vec_col, F.posexplode("__bb").alias("__band", "__bkt"))
 

@@ -230,8 +230,11 @@ def test_zero_vectors_survive_featurizer_but_skip_ann(spark):
     rows = {r["doc_id"]: r["embedding"] for r in emb.collect()}
     assert set(rows) == {1, 2, 3, 4}          # nothing silently dropped
     assert all(v == 0.0 for v in rows[3]) and all(v == 0.0 for v in rows[4])
-    edges = knn_self_join(emb, k=2, id_col="doc_id", vec_col="embedding",
-                          bits=4, bands=2).collect()
-    ids_in_edges = {r["left_id"] for r in edges} | {r["right_id"] for r in edges}
-    assert 3 not in ids_in_edges and 4 not in ids_in_edges
-    assert {1, 2} <= ids_in_edges
+    from real_estate_data_pipeline_spark.ops.similarity import knn_self_join_arrow
+
+    for fn in (knn_self_join, knn_self_join_arrow):
+        edges = fn(emb, k=2, id_col="doc_id", vec_col="embedding",
+                   bits=4, bands=2).collect()
+        ids_in_edges = {r["left_id"] for r in edges} | {r["right_id"] for r in edges}
+        assert 3 not in ids_in_edges and 4 not in ids_in_edges, fn.__name__
+        assert {1, 2} <= ids_in_edges, fn.__name__
