@@ -223,10 +223,15 @@ def test_zero_vectors_survive_featurizer_but_skip_ann(spark):
     from real_estate_data_pipeline_spark.ops.text import hashing_trick_embedding
 
     docs = spark.createDataFrame(
-        [(1, "alpha beta gamma"), (2, "alpha beta delta"), (3, "   "), (4, "")],
+        # docs 1 and 2 identical -> identical embeddings -> guaranteed
+        # same bucket in every band (the pairing must not depend on
+        # random-plane luck at tiny scale)
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "   "), (4, "")],
         "doc_id long, text string",
     )
-    emb = hashing_trick_embedding(docs, "doc_id", "text", dim=16)
+    # dim=64: the banded plane family is generated at the engine's
+    # fixed 64-dim (the Arrow variant matmuls against it strictly)
+    emb = hashing_trick_embedding(docs, "doc_id", "text", dim=64)
     rows = {r["doc_id"]: r["embedding"] for r in emb.collect()}
     assert set(rows) == {1, 2, 3, 4}          # nothing silently dropped
     assert all(v == 0.0 for v in rows[3]) and all(v == 0.0 for v in rows[4])
