@@ -5681,6 +5681,89 @@ def _dqobs(spark, sf_dir):
 CATALOG["dq_observed_singlepass"].fn = _dqobs
 
 register(
+    "dq_referential_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS orphans
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS (
+      SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+
+
+def _dfkaudit(spark, sf_dir):
+    """Whole-schema referential-integrity audit: every foreign-key edge
+    of the star schema checked as a LEFT ANTI count in one result
+    (J3 generalized from one edge to the graph). Each anti-join is
+    key-partitioned; the dim sides broadcast. The report a nightly DQ
+    job would alert on."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphans(fact, dim, cond, name):
+        return (
+            fact.join(dim, cond, "left_anti")
+            .agg(F.count("*").cast("bigint").alias("orphans"))
+            .select(F.lit(name).alias("fk"), "orphans")
+        )
+
+    return (
+        orphans(li, o, li.l_orderkey == o.o_orderkey, "lineitem->orders")
+        .unionByName(orphans(o, c, o.o_custkey == c.c_custkey, "orders->customer"))
+        .unionByName(orphans(c, n, c.c_nationkey == n.n_nationkey, "customer->nation"))
+    )
+
+
+CATALOG["dq_referential_audit"].fn = _dfkaudit
+
+register(
+    "evt_error_rate_hourly",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+           round(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS error_rate
+    FROM events GROUP BY 1
+    """,
+)
+
+
+def _derrrate(spark, sf_dir):
+    """Operational monitoring rollup: hourly event volume + error rate
+    in one conditional aggregate (the alerting query a pipeline SLO
+    dashboard polls). Rate rounds to 6 dp; the counts are exact."""
+    ev = t(spark, sf_dir, "events")
+    errs = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("bigint")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("events"),
+            errs.alias("errors"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "events",
+            "errors",
+            F.round(F.col("errors").cast("double") / F.col("events"), 6).alias(
+                "error_rate"
+            ),
+        )
+    )
+
+
+CATALOG["evt_error_rate_hourly"].fn = _derrrate
+
+register(
     "quarantine_report_customer",
     # first-matching-rule priority: negative balance outranks phone
     # format outranks short comment — the CASE order IS the rule order
