@@ -204,3 +204,29 @@ def vacuum_snapshots(table_path: str, keep: int = 2) -> list[str]:
                 shutil.rmtree(os.path.join(table_path, entry))
                 removed.append(entry)
     return removed
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    keep_cond,
+    target_file_mb: int = 128,
+) -> int:
+    """Targeted delete — the GDPR/right-to-be-forgotten rewrite Delta
+    expresses as ``DELETE FROM t WHERE ...``: rows NOT matching
+    ``keep_cond`` are removed by rewriting the table through the same
+    crash-safe swap as compact (no in-place mutation, the old data
+    survives as ``_old`` until the new table is live). Returns the file
+    count written. On Delta/Iceberg this becomes the one-line DELETE
+    and the format rewrites only affected files; here the whole table
+    rewrites — fine for the snapshot-store scale this backend targets,
+    and the interface is what swaps."""
+    recover_compact(path)
+    n_files = _target_file_count(path, target_file_mb)
+    df = spark.read.parquet(path).filter(keep_cond)
+
+    def write_tmp(tmp: str) -> None:
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+
+    _swap_rewrite(path, write_tmp)
+    return n_files

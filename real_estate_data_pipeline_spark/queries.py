@@ -5479,6 +5479,38 @@ def _diocompact(spark, sf_dir):
 CATALOG["io_compact_roundtrip"].fn = _diocompact
 
 register(
+    "io_targeted_delete",
+    # right-to-be-forgotten: all events of user_ids divisible by 10 are
+    # erased by rewrite; the surviving table must equal the filtered
+    # source exactly — no over- or under-deletion
+    oracle="""
+    SELECT event_id, user_id FROM events WHERE user_id % 10 <> 0
+    """,
+)
+
+
+def _diodelete(spark, sf_dir):
+    """Targeted delete (io/maintenance.delete_rows — the GDPR DELETE
+    FROM rewrite): a scratch copy of events drops every row of the
+    forgotten users through the same crash-safe swap as compact, and
+    the surviving table hash-matches the filtered source. The
+    compliance op a lakehouse cannot ship without."""
+    import shutil
+    import tempfile
+
+    from .io.maintenance import delete_rows
+
+    base = os.path.join(tempfile.gettempdir(), "redp_delete_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    ev.repartition(8).write.parquet(base)
+    delete_rows(spark, base, F.col("user_id") % 10 != 0)
+    return spark.read.parquet(base).select("event_id", "user_id")
+
+
+CATALOG["io_targeted_delete"].fn = _diodelete
+
+register(
     "io_zorder_roundtrip",
     # OPTIMIZE ZORDER analog in the gate: the Morton-code rewrite must
     # be lossless. The SKIPPING property (bounded per-file min/max on
