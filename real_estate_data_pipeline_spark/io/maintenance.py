@@ -220,10 +220,16 @@ def delete_rows(
     count written. On Delta/Iceberg this becomes the one-line DELETE
     and the format rewrites only affected files; here the whole table
     rewrites — fine for the snapshot-store scale this backend targets,
-    and the interface is what swaps."""
+    and the interface is what swaps.
+
+    Three-valued logic matches SQL DELETE: ``DELETE WHERE p`` removes
+    only rows where ``p`` is TRUE, so rows where the delete predicate
+    (and hence ``keep_cond``) evaluates to NULL are KEPT — a plain
+    ``filter(keep_cond)`` would silently over-delete every NULL-key
+    row, which is exactly wrong for a compliance-grade op."""
     recover_compact(path)
     n_files = _target_file_count(path, target_file_mb)
-    df = spark.read.parquet(path).filter(keep_cond)
+    df = spark.read.parquet(path).filter(keep_cond | keep_cond.isNull())
 
     def write_tmp(tmp: str) -> None:
         df.coalesce(n_files).write.mode("overwrite").parquet(tmp)

@@ -58,6 +58,7 @@ def table_diff(
     new: DataFrame,
     key: str,
     compare_cols: list[str] | None = None,
+    assert_unique_key: bool = True,
 ) -> DataFrame:
     """Row-level diff of two table versions — the reconciliation
     primitive behind migration validation, replication checks, and
@@ -65,7 +66,34 @@ def table_diff(
     comparison (``<=>``) of the tracked columns, and a status per key:
     'added' (new only), 'removed' (old only), 'changed' (both, any
     tracked column differs), 'unchanged'. Returns (key, diff_status);
-    both shuffles are key-partitioned, nothing collects."""
+    both shuffles are key-partitioned, nothing collects.
+
+    PRECONDITION — ``key`` must be unique within each version, and
+    NULL counts as one joinable key value (the join is null-safe):
+    duplicate keys would fan out m x n through the full-outer join and
+    multiple NULL-key rows would cross-join each other, yielding
+    multiple (possibly conflicting) statuses per key. Enforced with a
+    cheap count-vs-distinct assertion (one partial-agg pass per side)
+    rather than silently emitting garbage; pre-aggregate to one row
+    per key before calling if your table legitimately has duplicates.
+    At 100 TB the assertion is two extra scans — callers who already
+    guarantee uniqueness (e.g. diffing primary-keyed snapshots) can
+    pass ``assert_unique_key=False`` to skip it.
+    """
+    for name, side in (("old", old), ("new", new)) if assert_unique_key else ():
+        # count_distinct treats NULL as a value here because the join
+        # does too: count over a 1-col struct wrapper never drops NULLs
+        stats = side.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(key)).alias("d"),
+        ).collect()[0]
+        if stats["n"] != stats["d"]:
+            raise ValueError(
+                f"table_diff precondition violated: key '{key}' is not "
+                f"unique in the {name} version ({stats['n']} rows, "
+                f"{stats['d']} distinct keys incl. NULL); pre-aggregate "
+                "to one row per key first"
+            )
     compare_cols = compare_cols or [
         c for c in old.columns if c != key and c in new.columns
     ]

@@ -239,7 +239,12 @@ def hashing_trick_embedding(
     count, one per-id rollup building the dense array via
     map_from_entries + a sequence transform — no UDF, no collect.
     Returns (id_col, embedding array<double>)."""
-    tok = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok")
+    # coalesce first: a NULL text splits to a NULL array, which explode
+    # drops entirely — NULL-text docs must survive as zero vectors just
+    # like empty-string docs do
+    tok = F.explode(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    ).alias("__tok")
     h = F.pmod(
         F.conv(F.substring(F.sha2(F.col("__tok"), 256), 1, 8), 16, 10).cast("bigint"),
         F.lit(dim),

@@ -120,6 +120,28 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _fan_out(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 
 
+def _scratch(name: str) -> str:
+    """Per-user (and optionally per-run) scratch dir for gate queries
+    that materialize state. A fixed world-readable /tmp name lets two
+    concurrent gate runs rmtree each other mid-run and is a symlink/
+    squat footgun on multi-user hosts; namespacing by user — plus
+    ``SPARK_GRAFT_RUN_ID`` when the driver sets one — keeps the
+    deliberate overwrite-not-accumulate behavior within one owner's
+    runs only."""
+    import getpass
+    import tempfile
+
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = f"uid{os.getuid()}" if hasattr(os, "getuid") else "unknown"
+    run_id = os.environ.get("SPARK_GRAFT_RUN_ID", "")
+    ns = f"redp_{user}" + (f"_{run_id}" if run_id else "")
+    root = os.path.join(tempfile.gettempdir(), ns)
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, name)
+
+
 def dsum(col: str, alias: str):
     """Exact decimal sum of a 2-dp money column, emitted as double."""
     return F.sum(F.col(col).cast(DEC)).cast("double").alias(alias)
@@ -3890,7 +3912,7 @@ def _decon_reuse(spark, sf_dir):
     # (3-5x smaller than gram strings; collision odds are the 64-bit
     # birthday bound — the oracle's exact string join proving the
     # hashed path value-identical on this corpus).
-    idx_path = os.path.join(tempfile.gettempdir(), "redp_gram_index")
+    idx_path = _scratch("redp_gram_index")
     dedup.train_gram_set(train, "text", shingle_n=3, hashed=True).write.mode(
         "overwrite"
     ).parquet(idx_path)
@@ -5293,7 +5315,7 @@ def _scd2gate(spark, sf_dir):
 
     from .io.scd2 import Scd2Table
 
-    base = os.path.join(tempfile.gettempdir(), "redp_scd2_gate")
+    base = _scratch("redp_scd2_gate")
     shutil.rmtree(base, ignore_errors=True)
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
     day1 = c.filter(F.col("c_custkey") % 3 != 0)
@@ -5348,7 +5370,7 @@ def _diopart(spark, sf_dir):
 
     from .io.writers import write_parquet
 
-    base = os.path.join(tempfile.gettempdir(), "redp_io_part_gate")
+    base = _scratch("redp_io_part_gate")
     shutil.rmtree(base, ignore_errors=True)
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
@@ -5401,7 +5423,7 @@ def _diojsonl(spark, sf_dir):
 
     from .io.readers import read_bronze_json
 
-    scratch = os.path.join(tempfile.gettempdir(), "redp_jsonl_gate")
+    scratch = _scratch("redp_jsonl_gate")
     shutil.rmtree(scratch, ignore_errors=True)
     c = t(spark, sf_dir, "customer")
     lines = c.select(
@@ -5465,7 +5487,7 @@ def _diocompact(spark, sf_dir):
 
     from .io.maintenance import compact
 
-    base = os.path.join(tempfile.gettempdir(), "redp_compact_gate")
+    base = _scratch("redp_compact_gate")
     shutil.rmtree(base, ignore_errors=True)
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
     c.repartition(32).write.parquet(base)
@@ -5482,9 +5504,13 @@ register(
     "io_targeted_delete",
     # right-to-be-forgotten: all events of user_ids divisible by 10 are
     # erased by rewrite; the surviving table must equal the filtered
-    # source exactly — no over- or under-deletion
+    # source exactly — no over- or under-deletion. DELETE three-valued
+    # logic: a NULL-key row is NOT deleted (predicate is NULL, not
+    # TRUE), so the oracle keeps NULL user_ids too (none in testdata,
+    # but the semantics must match delete_rows either way).
     oracle="""
-    SELECT event_id, user_id FROM events WHERE user_id % 10 <> 0
+    SELECT event_id, user_id FROM events
+    WHERE user_id % 10 <> 0 OR user_id IS NULL
     """,
 )
 
@@ -5500,7 +5526,7 @@ def _diodelete(spark, sf_dir):
 
     from .io.maintenance import delete_rows
 
-    base = os.path.join(tempfile.gettempdir(), "redp_delete_gate")
+    base = _scratch("redp_delete_gate")
     shutil.rmtree(base, ignore_errors=True)
     ev = t(spark, sf_dir, "events").select("event_id", "user_id")
     ev.repartition(8).write.parquet(base)
@@ -5530,7 +5556,7 @@ def _diozorder(spark, sf_dir):
 
     from .io.maintenance import zorder_compact
 
-    base = os.path.join(tempfile.gettempdir(), "redp_zorder_gate")
+    base = _scratch("redp_zorder_gate")
     shutil.rmtree(base, ignore_errors=True)
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     o.repartition(16).write.parquet(base)
@@ -5878,7 +5904,7 @@ def _dscd2stream(spark, sf_dir):
 
     from .io.scd2 import Scd2Table
 
-    scratch = os.path.join(tempfile.gettempdir(), "redp_scd2_stream_gate")
+    scratch = _scratch("redp_scd2_stream_gate")
     shutil.rmtree(scratch, ignore_errors=True)
     src_dir = os.path.join(scratch, "incoming")
     os.makedirs(src_dir)

@@ -48,12 +48,33 @@ def get_session(
     return spark
 
 
+def _cloud_committer_available() -> bool:
+    """True when the spark-hadoop-cloud artifact (which ships
+    PathOutputCommitProtocol / BindingParquetOutputCommitter) is on the
+    local pyspark classpath. A jar-name scan, not a JVM class-load, so
+    it works before any SparkSession exists."""
+    try:
+        import pyspark
+
+        jars_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        candidates = [jars_dir, *os.environ.get("SPARK_CLASSPATH", "").split(":")]
+        for d in candidates:
+            if d and os.path.isdir(d):
+                for f in os.listdir(d):
+                    if f.startswith("spark-hadoop-cloud") and f.endswith(".jar"):
+                        return True
+    except Exception:
+        pass
+    return False
+
+
 def s3a_conf(
     endpoint: str,
     access_key: str,
     secret_key: str,
     path_style: bool = True,
     ssl: bool = False,
+    force_committer: bool = False,
 ) -> dict[str, str]:
     """The exact ``extra_conf`` recipe for an S3/MinIO-backed deployment
     (reference: silver_etl_script.py:99-104, pipelines.py:60-101 write
@@ -66,13 +87,22 @@ def s3a_conf(
     ``path_style=True`` + ``ssl=False`` are the MinIO/moto local-stack
     settings; against real AWS S3 drop the endpoint, use virtual-host
     style and SSL, and swap the static provider for
-    ``InstanceProfileCredentialsProvider`` / IRSA. Requires the
-    ``hadoop-aws`` + ``aws-java-sdk-bundle`` jars on the classpath
-    (``spark.jars.packages=org.apache.hadoop:hadoop-aws:<hadoop ver>``)
-    — NOT bundled with the pip pyspark this sandbox ships, which is why
-    tests/test_io.py's round-trip skips here and runs on a real
+    ``InstanceProfileCredentialsProvider`` / IRSA. Classpath needs
+    THREE artifacts, not two: ``hadoop-aws`` + ``aws-java-sdk-bundle``
+    for the S3A filesystem itself, AND ``spark-hadoop-cloud`` (same
+    Spark version) for the ``PathOutputCommitProtocol`` /
+    ``BindingParquetOutputCommitter`` classes the committer overrides
+    below reference — without it every WRITE dies with
+    ClassNotFoundException even though reads work
+    (``spark.jars.packages=org.apache.hadoop:hadoop-aws:<hadoop ver>,
+    org.apache.spark:spark-hadoop-cloud_2.13:<spark ver>``). The
+    committer keys are emitted only when the class is resolvable (or
+    ``force_committer=True``), so following the two-jar recipe
+    degrades to the classic committer instead of breaking writes.
+    None of these jars ship with pip pyspark in this sandbox, which is
+    why tests/test_io.py's round-trip skips here and runs on a real
     cluster."""
-    return {
+    conf = {
         "spark.hadoop.fs.s3a.endpoint": endpoint,
         "spark.hadoop.fs.s3a.access.key": access_key,
         "spark.hadoop.fs.s3a.secret.key": secret_key,
@@ -82,13 +112,22 @@ def s3a_conf(
         "spark.hadoop.fs.s3a.aws.credentials.provider": (
             "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
         ),
-        # committer: directory-staging avoids the O(files) rename-based
-        # commit that plain FileOutputCommitter pays on object stores
-        "spark.hadoop.fs.s3a.committer.name": "directory",
-        "spark.sql.sources.commitProtocolClass": (
-            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
-        ),
-        "spark.sql.parquet.output.committer.class": (
-            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
-        ),
     }
+    # committer: directory-staging avoids the O(files) rename-based
+    # commit that plain FileOutputCommitter pays on object stores —
+    # but the protocol classes live in spark-hadoop-cloud, so only
+    # emit the overrides when that jar is actually present (else every
+    # write would die with ClassNotFoundException)
+    if force_committer or _cloud_committer_available():
+        conf.update(
+            {
+                "spark.hadoop.fs.s3a.committer.name": "directory",
+                "spark.sql.sources.commitProtocolClass": (
+                    "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+                ),
+                "spark.sql.parquet.output.committer.class": (
+                    "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+                ),
+            }
+        )
+    return conf

@@ -126,9 +126,15 @@ def test_n11_conform_struct_array_to_strings(spark):
 
 def test_s3a_conf_recipe():
     """The object-store recipe (session.s3a_conf) must carry the four
-    settings a MinIO/S3 deployment cannot work without, and the cloud
-    committer override that avoids rename-based commits."""
-    from real_estate_data_pipeline_spark.session import s3a_conf
+    settings a MinIO/S3 deployment cannot work without; the cloud
+    committer override is emitted only when spark-hadoop-cloud is on
+    the classpath (or forced) — its protocol classes live in that
+    separate artifact, so emitting it unconditionally would break every
+    write on a two-jar (hadoop-aws + sdk-bundle) classpath."""
+    from real_estate_data_pipeline_spark.session import (
+        _cloud_committer_available,
+        s3a_conf,
+    )
 
     conf = s3a_conf("http://minio:9000", "ak", "sk")
     assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
@@ -136,7 +142,15 @@ def test_s3a_conf_recipe():
     assert conf["spark.hadoop.fs.s3a.secret.key"] == "sk"
     assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
     assert conf["spark.hadoop.fs.s3a.impl"].endswith("S3AFileSystem")
-    assert conf["spark.hadoop.fs.s3a.committer.name"] == "directory"
+    # committer keys track jar availability; force_committer pins them on
+    assert ("spark.hadoop.fs.s3a.committer.name" in conf) == (
+        _cloud_committer_available()
+    )
+    forced = s3a_conf("http://minio:9000", "ak", "sk", force_committer=True)
+    assert forced["spark.hadoop.fs.s3a.committer.name"] == "directory"
+    assert forced["spark.sql.sources.commitProtocolClass"].endswith(
+        "PathOutputCommitProtocol"
+    )
     # real-AWS variant flips the local-stack toggles
     aws = s3a_conf("ignored", "ak", "sk", path_style=False, ssl=True)
     assert aws["spark.hadoop.fs.s3a.path.style.access"] == "false"
