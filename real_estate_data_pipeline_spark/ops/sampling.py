@@ -77,31 +77,107 @@ def hash_split(
 
 
 def shuffled_shards(
-    df: DataFrame, id_col: str, n_shards: int, salt: str = "shard"
+    df: DataFrame,
+    id_col: str,
+    n_shards: int | None = None,
+    salt: str = "shard",
+    target_rows_per_shard: int | None = None,
+    max_rows_per_task: int | None = 8_000_000,
+    n_sub: int | None = None,
 ) -> DataFrame:
-    """Deterministic global shuffle into ``n_shards`` — the training-
-    export primitive: SGD wants examples in pseudo-random order, and a
-    100 TB corpus cannot be orderBy(rand())-ed (non-reproducible AND a
-    full global sort). Here shard assignment AND within-shard position
-    both derive from sha2 hash draws of the id, so the export is
-    bit-reproducible across runs/engines, shards are balanced in
-    expectation, and the only shuffle is the per-shard rank window.
+    """Deterministic global shuffle into shards — the training-export
+    primitive: SGD wants examples in pseudo-random order, and a 100 TB
+    corpus cannot be orderBy(rand())-ed (non-reproducible AND a full
+    global sort). Shard assignment AND within-shard position both
+    derive from sha2 hash draws of the id, so the export is
+    bit-reproducible across runs/engines and shards are balanced in
+    expectation.
+
+    Scale safety — a naive ``Window.partitionBy(shard)`` rank forces
+    each whole shard through ONE task (8 shards over 100 TB = 12.5 TB
+    per task: a scale-killer), so the rank runs TWO-LEVEL: each shard
+    splits into ``n_sub`` sub-buckets by the leading bits of the
+    position hash, rows rank within (shard, sub), and a broadcast of
+    per-(shard, sub) counts supplies the offset of every sub-bucket.
+    Because the sub-bucket is a monotone prefix of the same position
+    draw that orders rows, offset + local rank IS the global per-shard
+    rank — ``pos`` is bit-identical to the single-window result (the
+    DuckDB oracle for the gate query proves this on the two-level
+    path). Extra cost: one count per (shard, sub) — a partial-agg pass
+    over ~n_shards x n_sub rows — and a broadcast join; no task ever
+    sorts more than ~``max_rows_per_task`` rows.
+
+    Sizing: pass ``n_shards`` directly or let it derive from
+    ``target_rows_per_shard``; ``n_sub`` derives from
+    ``max_rows_per_task`` (both derivations cost one count()). Set
+    ``max_rows_per_task=None`` to force the legacy single-window path.
 
     Adds (shard int, pos bigint). Write with
     ``write_parquet(out, path, partition_by=["shard"])`` and trainers
     stream shard files in pos order; re-shuffling between epochs is a
     new ``salt``, not a new data copy."""
+    import math
+
+    from pyspark.sql import Window
+
+    n_total: int | None = None
+    if n_shards is None:
+        if target_rows_per_shard is None:
+            raise ValueError("pass n_shards or target_rows_per_shard")
+        n_total = df.count()
+        n_shards = max(1, math.ceil(n_total / target_rows_per_shard))
+    if n_sub is None:
+        if max_rows_per_task is None:
+            n_sub = 1
+        else:
+            if n_total is None:
+                n_total = df.count()
+            n_sub = max(1, math.ceil(n_total / n_shards / max_rows_per_task))
+
     u = hash_uniform01(F.col(id_col), salt)
     # u = h/2^32 with h < 2^32 exact: u*n stays exact in a double for
     # any sane shard count, so floor() is engine-independent
     shard = F.floor(u * n_shards).cast("int")
     pos_u = hash_uniform01(F.col(id_col), salt + ":pos")
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("shard").orderBy(pos_u, F.col(id_col))
-    return (
+    if n_sub <= 1:
+        w = Window.partitionBy("shard").orderBy(pos_u, F.col(id_col))
+        return df.withColumn("shard", shard).withColumn(
+            "pos", F.row_number().over(w).cast("bigint")
+        )
+
+    # two-level: sub = floor(pos_u * n_sub) is monotone in pos_u, and
+    # equal pos_u always lands in the same sub, so ordering by
+    # (sub, pos_u, id) == ordering by (pos_u, id)
+    tagged = (
         df.withColumn("shard", shard)
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .withColumn("__pu", pos_u)
+        .withColumn("__sub", F.floor(F.col("__pu") * n_sub).cast("int"))
+    )
+    offsets = (
+        tagged.groupBy("shard", "__sub")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.partitionBy("shard")
+                    .orderBy("__sub")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard", "__sub", "__off")
+    )
+    w = Window.partitionBy("shard", "__sub").orderBy("__pu", F.col(id_col))
+    return (
+        tagged.join(F.broadcast(offsets), ["shard", "__sub"])
+        .withColumn(
+            "pos", (F.col("__off") + F.row_number().over(w)).cast("bigint")
+        )
+        .drop("__pu", "__sub", "__off")
+        .select(*df.columns, "shard", "pos")
     )
 
 

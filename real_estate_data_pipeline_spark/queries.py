@@ -6418,12 +6418,18 @@ def _dshards(spark, sf_dir):
     deterministic sha2-draw shard assignment + within-shard pseudo-
     random positions — bit-reproducible across runs AND engines (the
     oracle reproduces every shard and position), no orderBy(rand())
-    global sort, one rank-window shuffle. Changing the salt re-shuffles
-    for the next epoch without copying data."""
+    global sort. The deliberately tiny ``max_rows_per_task`` forces the
+    TWO-LEVEL (shard, sub-bucket) rank — the 100 TB-safe path where no
+    single window task sorts a whole shard — and the oracle (a plain
+    per-shard ROW_NUMBER) proves the two-level pos is bit-identical to
+    the single-window semantics. Changing the salt re-shuffles for the
+    next epoch without copying data."""
     from .ops.sampling import shuffled_shards
 
     d = t(spark, sf_dir, "documents")
-    return shuffled_shards(d, "doc_id", 8).select("doc_id", "shard", "pos")
+    return shuffled_shards(d, "doc_id", 8, max_rows_per_task=64).select(
+        "doc_id", "shard", "pos"
+    )
 
 
 CATALOG["export_shuffled_shards"].fn = _dshards

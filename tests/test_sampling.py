@@ -92,3 +92,67 @@ def test_weighted_sample_proportional_inclusion(spark):
     a = sorted(r["id"] for r in weighted_sample(df, "id", "w", 50, salt="x").collect())
     b = sorted(r["id"] for r in weighted_sample(df, "id", "w", 50, salt="x").collect())
     assert a == b
+
+
+def test_shuffled_shards_two_level_identical_pos(spark):
+    """The scale-safe two-level (shard, sub-bucket) rank must produce
+    bit-identical (shard, pos) to the legacy single-window path — the
+    sub-bucket is a monotone prefix of the position draw, so offset +
+    local rank IS the global per-shard rank."""
+    from real_estate_data_pipeline_spark.ops.sampling import shuffled_shards
+
+    df = _corpus(spark)
+    legacy = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffled_shards(df, "doc_id", 4, max_rows_per_task=None).collect()
+    }
+    two_level = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffled_shards(df, "doc_id", 4, max_rows_per_task=50).collect()
+    }
+    assert legacy == two_level
+
+
+def test_shuffled_shards_task_budget_enforced(spark):
+    """No (shard, sub-bucket) window partition may exceed the task
+    budget by more than hash-imbalance slack: with budget B and n_sub =
+    ceil(n/shards/B), the expected bucket size is <= B and the observed
+    max must stay within 2x of it."""
+    from pyspark.sql import functions as F
+
+    from real_estate_data_pipeline_spark.ops.sampling import (
+        hash_uniform01,
+        shuffled_shards,
+    )
+
+    df = _corpus(spark, 2000)
+    budget = 40
+    out = shuffled_shards(df, "doc_id", 4, max_rows_per_task=budget)
+    # reconstruct the sub-bucket the op used: n_sub = ceil(2000/4/40) = 13
+    n_sub = 13
+    pu = hash_uniform01(F.col("doc_id"), "shard:pos")
+    sizes = (
+        out.withColumn("__sub", F.floor(pu * n_sub))
+        .groupBy("shard", "__sub")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert sizes <= 2 * budget, sizes
+    # pos is a dense 1..n_shard permutation per shard
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    for r in per.collect():
+        assert r["mn"] == 1 and r["mx"] == r["n"]
+
+
+def test_shuffled_shards_derives_shard_count(spark):
+    """target_rows_per_shard sizes the shard count from the data —
+    nothing at 100 TB should depend on a human guessing n_shards."""
+    from real_estate_data_pipeline_spark.ops.sampling import shuffled_shards
+
+    df = _corpus(spark, 2000)
+    out = shuffled_shards(df, "doc_id", target_rows_per_shard=250)
+    n_shards = out.select("shard").distinct().count()
+    assert n_shards == 8  # ceil(2000/250)
