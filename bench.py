@@ -25,6 +25,32 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def preexisting_jvms() -> list[str]:
+    """Other java/SparkSubmit processes already running on this host.
+
+    A leftover idle JVM (documented round-4 incident) steals cores and
+    inflates every timing 5-35% uniformly — exactly the signature that
+    cost a round of noise-archaeology. Detect it BEFORE starting our own
+    session and surface it in the bench JSON as ``dirty_host`` so a
+    drifted number is attributable at a glance. /proc scan, no psutil
+    dependency; returns short descriptions of the offending pids."""
+    out: list[str] = []
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == os.getpid():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    cmd = fh.read().decode("utf-8", "replace").replace("\x00", " ")
+            except OSError:
+                continue
+            if "java" in cmd and ("spark" in cmd.lower() or "SparkSubmit" in cmd):
+                out.append(f"pid {pid}: {cmd[:120].strip()}")
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.isdir(sf_dir):
@@ -33,6 +59,13 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
+    stale = preexisting_jvms()
+    if stale:
+        print(
+            f"bench: WARNING — {len(stale)} pre-existing Spark JVM(s) on this "
+            f"host will contend for cores: {stale}",
+            file=sys.stderr,
+        )
     spark = get_session("bench")
 
     bench_queries = {n: q for n, q in CATALOG.items() if q.bench}
@@ -72,6 +105,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "dirty_host": bool(stale),
+                "preexisting_jvms": len(stale),
             }
         )
     )
