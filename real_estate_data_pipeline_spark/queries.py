@@ -2403,16 +2403,62 @@ def _ddf(spark, sf_dir):
 CATALOG["doc_token_doc_freq"].fn = _ddf
 
 
-register("sketch_cardinality_profile", oracle=None)
+register(
+    "sketch_cardinality_profile",
+    # Bounded-error contract instead of rows-only: sketch internals are
+    # engine-specific so the ESTIMATE can never hash-match, but the
+    # exact distinct count can, and "estimate within 5x rsd of exact"
+    # is a hard boolean both engines agree on. The oracle asserts the
+    # exact values AND within_bound = TRUE — a red row now means the
+    # sketch actually broke its bound, not that sketches are sketches.
+    oracle="""
+    SELECT col_name, exact_distinct, TRUE AS within_bound FROM (
+      SELECT 'l_orderkey' AS col_name,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) FROM lineitem
+    ) ORDER BY col_name
+    """,
+)
 
 
 def _sketch(spark, sf_dir):
-    """HLL++ cardinality profile (rows-only: sketch internals differ per
-    engine; error bounds tested in tests/test_sketches.py)."""
-    from .ops.sketches import cardinality_profile
-
+    """HLL++ cardinality profile as a bounded-error gate query: one agg
+    pass computes the approx (rsd=0.02) AND exact distinct per column,
+    then each column becomes a row (col_name, exact_distinct,
+    within_bound) with within_bound = relative error <= 0.10 (5x rsd —
+    HLL++ lives within 3 sigma in practice, so the slack never flakes
+    while still catching a broken sketch). At 100 TB you run ONLY the
+    approx side (ops/sketches.cardinality_profile); the exact twin here
+    is what makes the sketch's error claim driver-verifiable."""
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
     li = t(spark, sf_dir, "lineitem")
-    return cardinality_profile(li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"])
+    row = li.agg(
+        *[F.approx_count_distinct(c, 0.02).alias(f"a_{c}") for c in cols],
+        *[F.count_distinct(F.col(c)).alias(f"e_{c}") for c in cols],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"e_{c}").cast("bigint").alias("exact_distinct"),
+                (
+                    F.abs(F.col(f"a_{c}") - F.col(f"e_{c}"))
+                    / F.col(f"e_{c}")
+                    <= F.lit(0.10)
+                ).alias("within_bound"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("r")).select("r.*").orderBy("col_name")
+    )
 
 
 CATALOG["sketch_cardinality_profile"].fn = _sketch
@@ -2443,21 +2489,40 @@ def _sketch_topk(spark, sf_dir):
 
 CATALOG["sketch_topk_priorities"].fn = _sketch_topk
 
-register("sketch_hll_mergeable_daily", oracle=None)
+register(
+    "sketch_hll_mergeable_daily",
+    # bounded-error contract (see sketch_cardinality_profile): the
+    # merged-sketch ESTIMATE is engine-specific, the exact count and
+    # the error-bound boolean are not
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+           TRUE AS within_bound
+    FROM events
+    """,
+)
 
 
 def _sketch_hll(spark, sf_dir):
-    """Re-aggregatable distinct users: per-day DataSketches HLL binaries
-    union-merged into one estimate (rows-only: sketch estimates differ
-    per engine; error bound tested in tests/test_sketches.py). The
-    two-level shape — store per-partition sketch bytes, merge on
-    demand — is what replaces full-table COUNT(DISTINCT) rescans at
-    100 TB."""
+    """Re-aggregatable distinct users, driver-verifiable: per-day
+    DataSketches HLL binaries (lgK=12, rsd ~1.6%) union-merge into one
+    estimate; the gate row carries the EXACT distinct count plus
+    within_bound = |est - exact|/exact <= 0.08 (5x rsd). The two-level
+    shape — store per-partition sketch bytes, merge on demand — is what
+    replaces full-table COUNT(DISTINCT) rescans at 100 TB; the exact
+    twin exists only to make the sketch's error claim checkable."""
     from .ops.sketches import hll_merge_estimate, hll_partial_sketches
 
     e = t(spark, sf_dir, "events").withColumn("__day", F.to_date("ts"))
     daily = hll_partial_sketches(e, "__day", "user_id")
-    return hll_merge_estimate(daily)
+    est = hll_merge_estimate(daily)  # 1 row
+    exact = e.agg(F.count_distinct("user_id").alias("__exact"))  # 1 row
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("__exact").cast("bigint").alias("exact_distinct_users"),
+        (
+            F.abs(F.col("distinct_estimate") - F.col("__exact")) / F.col("__exact")
+            <= F.lit(0.08)
+        ).alias("within_bound"),
+    )
 
 
 CATALOG["sketch_hll_mergeable_daily"].fn = _sketch_hll
@@ -5197,35 +5262,84 @@ def _dcorpus(spark, sf_dir):
 
 CATALOG["corpus_curation_pipeline"].fn = _dcorpus
 
-register("sketch_kll_price_quantiles", oracle=None)
+register(
+    "sketch_kll_price_quantiles",
+    # bounded-error contract: the KLL ESTIMATE can't hash-match across
+    # engines, but (a) the exact interpolated percentile can (both
+    # engines define it at index q*(n-1), rounded 4dp) and (b) "the
+    # estimate's empirical rank is within 0.05 of q" is a hard boolean
+    # (KLL k=200 guarantees ~1.65% rank error at 99% confidence)
+    oracle="""
+    SELECT q, ROUND(exact_value, 4) AS exact_value, TRUE AS within_bound FROM (
+      SELECT 0.50 AS q, quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50) AS exact_value FROM orders
+      UNION ALL
+      SELECT 0.95, quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) FROM orders
+      UNION ALL
+      SELECT 0.99, quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) FROM orders
+    ) ORDER BY q
+    """,
+)
 
 
 def _dkll(spark, sf_dir):
-    """Mergeable KLL quantile sketch (Spark 4 DataSketches built-in):
-    per-priority partial sketches merge into one, then p50/p95/p99 come
-    off the merged sketch — the re-aggregatable form of percentile
-    monitoring (store partials per day/partition, merge on demand;
-    never a full re-sort). Rows-only check: sketch internals are
-    engine-specific; tests bound the error against exact percentile."""
-    o = t(spark, sf_dir, "orders")
+    """Mergeable KLL quantile sketch (Spark 4 DataSketches built-in),
+    driver-verifiable: per-priority partial sketches merge into one —
+    the re-aggregatable form of percentile monitoring (store partials
+    per day/partition, merge on demand; never a full re-sort) — and
+    each gate row carries the EXACT percentile (rounded 4dp; same
+    q*(n-1) interpolation in both engines) plus within_bound = the
+    sketch estimate's empirical CDF position is within 0.05 of q
+    (rank-space is where KLL's guarantee lives; a value-space bound
+    would be data-dependent). One extra pass computes exact + CDF
+    together; at 100 TB you run only the sketch side."""
+    qs = [0.50, 0.95, 0.99]
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("__v")
+    )
     partial = o.groupBy("o_orderpriority").agg(
-        F.kll_sketch_agg_double("o_totalprice").alias("__kll")
+        F.kll_sketch_agg_double("__v").alias("__kll")
     )
     # kll_sketch_merge_double is a binary scalar: fold the (tiny, one
     # per group) partials pairwise
     arr = F.col("__arr")
-    merged = partial.agg(F.collect_list("__kll").alias("__arr")).select(
-        F.aggregate(
-            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-            F.element_at(arr, 1),
-            lambda acc, s: F.kll_sketch_merge_double(acc, s),
-        ).alias("__m")
+    ests = (
+        partial.agg(F.collect_list("__kll").alias("__arr"))
+        .select(
+            F.aggregate(
+                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                F.element_at(arr, 1),
+                lambda acc, s: F.kll_sketch_merge_double(acc, s),
+            ).alias("__m")
+        )
+        .select(
+            *[
+                F.kll_sketch_get_quantile_double("__m", F.lit(q)).alias(f"__est{i}")
+                for i, q in enumerate(qs)
+            ]
+        )
     )
-    return merged.select(
-        F.kll_sketch_get_quantile_double("__m", F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double("__m", F.lit(0.95)).alias("p95"),
-        F.kll_sketch_get_quantile_double("__m", F.lit(0.99)).alias("p99"),
+    stats = o.crossJoin(F.broadcast(ests)).agg(
+        *[F.percentile("__v", q).alias(f"__ex{i}") for i, q in enumerate(qs)],
+        *[
+            F.avg((F.col("__v") <= F.col(f"__est{i}")).cast("double")).alias(
+                f"__cdf{i}"
+            )
+            for i in range(len(qs))
+        ],
     )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.round(F.col(f"__ex{i}"), 4).alias("exact_value"),
+                (F.abs(F.col(f"__cdf{i}") - F.lit(q)) <= F.lit(0.05)).alias(
+                    "within_bound"
+                ),
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    return stats.select(F.explode(rows).alias("r")).select("r.*").orderBy("q")
 
 
 CATALOG["sketch_kll_price_quantiles"].fn = _dkll
