@@ -81,6 +81,40 @@ class Scd2Table:
             fh.write(str(v))
         os.replace(tmp, marker)  # atomic pointer swap
 
+    def _write_changes(self, changes: DataFrame, version: int) -> None:
+        """Persist one merge's change rows under ``_cdf/_v<N>`` — the
+        Change Data Feed analog (Delta's ``delta.enableChangeDataFeed``
+        table feature): downstream incremental consumers read per-commit
+        deltas instead of diffing whole snapshots."""
+        changes.write.mode("overwrite").parquet(
+            os.path.join(self.path, "_cdf", f"_v{version}")
+        )
+
+    def read_changes(
+        self, starting_version: int = 1, ending_version: int | None = None
+    ) -> DataFrame:
+        """Per-merge change rows, Delta-CDF-shaped: the batch's data
+        columns plus ``_change_type`` ('insert' | 'update_preimage' |
+        'update_postimage') and ``_commit_version``. Delta exposes the
+        same via ``spark.read.option("readChangeFeed", "true")
+        .option("startingVersion", N)``; a rollup maintained from this
+        feed (subtract preimages, add postimages/inserts — see
+        ops/incremental.py) equals the rollup over the current
+        snapshot, without ever rescanning it."""
+        end = ending_version if ending_version is not None else (
+            self._current_version() or 0
+        )
+        dirs = [
+            os.path.join(self.path, "_cdf", f"_v{v}")
+            for v in range(starting_version, end + 1)
+            if os.path.isdir(os.path.join(self.path, "_cdf", f"_v{v}"))
+        ]
+        if not dirs:
+            raise FileNotFoundError(
+                f"no change data between versions {starting_version} and {end}"
+            )
+        return self.spark.read.parquet(*dirs)
+
     # -- merge --------------------------------------------------------------
     def _changed_cond(self) -> Column:
         """NOT (all tracked attributes null-safe-equal). With no tracked
@@ -101,12 +135,20 @@ class Scd2Table:
             *[F.col(c) for c in batch.columns]
         )
 
+        data_cols = list(incoming.columns)
+
         existing = self.read()
         if existing is None:
             first = incoming.withColumn("is_current", F.lit(True)).withColumn(
                 "valid_from", batch_ts.cast("timestamp")
             ).withColumn("valid_to", F.lit(None).cast("timestamp"))
             self._write_snapshot(first)
+            self._write_changes(
+                incoming.select(data_cols)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(1)),
+                1,
+            )
             n = first.count()
             return {"closed": 0, "inserted": n, "unchanged": 0}
 
@@ -167,6 +209,32 @@ class Scd2Table:
                 .unionByName(inserts.select(cols))
             )
             self._write_snapshot(result)
+            # CDF rows off the SAME cached join: brand-new keys ->
+            # insert; changed keys -> old current row as
+            # update_preimage + new row as update_postimage; unchanged
+            # keys emit nothing (Delta CDF semantics)
+            version = self._current_version() or 0
+            brand_new = joined.filter(
+                F.col(f"new.{self.key}").isNotNull()
+                & F.col(f"cur.{self.key}").isNull()
+            )
+            change_frames = [
+                brand_new.select([F.col(f"new.{c}") for c in data_cols]).withColumn(
+                    "_change_type", F.lit("insert")
+                ),
+                matched.filter(changed)
+                .select([F.col(f"cur.{c}") for c in data_cols])
+                .withColumn("_change_type", F.lit("update_preimage")),
+                matched.filter(changed)
+                .select([F.col(f"new.{c}") for c in data_cols])
+                .withColumn("_change_type", F.lit("update_postimage")),
+            ]
+            cdf = change_frames[0]
+            for frame in change_frames[1:]:
+                cdf = cdf.unionByName(frame)
+            self._write_changes(
+                cdf.withColumn("_commit_version", F.lit(version)), version
+            )
         finally:
             joined.unpersist()
         return {

@@ -5456,6 +5456,91 @@ def _scd2gate(spark, sf_dir):
 CATALOG["scd2_two_run_versions"].fn = _scd2gate
 
 register(
+    "scd2_cdf_rollup",
+    # Change-Data-Feed analog in the gate: a per-segment rollup
+    # maintained ONLY from the per-merge change feed (subtract
+    # update_preimage, add insert/update_postimage) must equal the
+    # rollup over the final current snapshot — which this oracle
+    # derives in pure SQL from the same deterministic day-1/day-2
+    # batches as scd2_two_run_versions. Decimal sums, so the signed
+    # cancellation (+old -old +new) is exact, not approximate.
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    d1 AS (SELECT * FROM c WHERE c_custkey % 3 <> 0),
+    d2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment,
+             c_acctbal
+      FROM c WHERE c_custkey % 2 = 0
+    ),
+    final_current AS (
+      -- changed keys: day-2 version is current
+      SELECT d2.c_custkey, d2.c_mktsegment, d2.c_acctbal
+      FROM d1 JOIN d2 USING (c_custkey) WHERE d1.c_mktsegment <> d2.c_mktsegment
+      UNION ALL
+      -- unmatched or unchanged day-1 keys stay current
+      SELECT d1.c_custkey, d1.c_mktsegment, d1.c_acctbal
+      FROM d1 LEFT JOIN d2 USING (c_custkey)
+      WHERE d2.c_custkey IS NULL OR d1.c_mktsegment = d2.c_mktsegment
+      UNION ALL
+      -- brand-new day-2 keys
+      SELECT d2.c_custkey, d2.c_mktsegment, d2.c_acctbal
+      FROM d2 LEFT JOIN d1 USING (c_custkey) WHERE d1.c_custkey IS NULL
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_current,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+    FROM final_current GROUP BY c_mktsegment
+    """,
+)
+
+
+def _scd2cdf(spark, sf_dir):
+    """Delta Change Data Feed analog (io/scd2.Scd2Table.read_changes):
+    two real merges emit per-commit change rows (insert /
+    update_preimage / update_postimage + _commit_version), and a
+    per-segment rollup is maintained from the FEED ALONE — preimages
+    contribute -1/-balance, inserts and postimages +1/+balance — never
+    touching the snapshot. Equals the snapshot rollup because the feed
+    is a complete account of every current-row transition; this is what
+    downstream incremental consumers (ops/incremental.merge_rollups)
+    read instead of diffing 100 TB snapshots. delta-spark jars remain
+    absent in this env (re-probed; see README), so the feed rides the
+    same snapshot-versioned parquet store as the merges themselves."""
+    import shutil
+
+    from .io.scd2 import Scd2Table
+
+    base = _scratch("redp_scd2_cdf_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    day1 = c.filter(F.col("c_custkey") % 3 != 0)
+    day2 = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    tbl = Scd2Table(
+        spark, base, key="c_custkey", tracked=["c_mktsegment"], order_col="c_acctbal"
+    )
+    tbl.merge(day1, batch_ts=F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    tbl.merge(day2, batch_ts=F.to_timestamp(F.lit("2024-01-02 00:00:00")))
+    feed = tbl.read_changes(starting_version=1)
+    sign = F.when(F.col("_change_type") == "update_preimage", F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    return feed.groupBy("c_mktsegment").agg(
+        F.sum(sign).cast("bigint").alias("n_current"),
+        F.sum(sign.cast("decimal(18,2)") * F.col("c_acctbal").cast(DEC))
+        .cast("double")
+        .alias("acctbal_sum"),
+    )
+
+
+CATALOG["scd2_cdf_rollup"].fn = _scd2cdf
+
+register(
     "io_partitioned_roundtrip",
     # S4/S5 in the gate: append + dynamic partitioned overwrite must be
     # lossless and overwrite ONLY the partitions present in the batch.

@@ -82,6 +82,50 @@ def test_vacuum_snapshots(spark, tmp_path):
     assert t.read().filter("is_current").first()["v"] == 3.0  # current unharmed
 
 
+def test_scd2_change_data_feed(spark, tmp_path):
+    """CDF analog: every merge persists its change rows; the feed
+    replays the table's history (insert / update_preimage /
+    update_postimage + _commit_version) and a signed rollup over the
+    feed equals the current snapshot."""
+    t = Scd2Table(spark, str(tmp_path / "t"), key="k", tracked=["v"], order_col="ts")
+    d1 = spark.createDataFrame(
+        [("a", 1.0, "d1"), ("b", 2.0, "d1")], "k string, v double, ts string"
+    )
+    d2 = spark.createDataFrame(
+        [("a", 9.0, "d2"), ("c", 3.0, "d2")], "k string, v double, ts string"
+    )
+    t.merge(d1, batch_ts=F.lit("2024-01-01 12:00:00"))
+    t.merge(d2, batch_ts=F.lit("2024-01-02 12:00:00"))
+
+    feed = t.read_changes(starting_version=1)
+    by_type = {
+        (r["_commit_version"], r["_change_type"], r["k"]): r["v"]
+        for r in feed.collect()
+    }
+    assert by_type == {
+        (1, "insert", "a"): 1.0,
+        (1, "insert", "b"): 2.0,
+        (2, "insert", "c"): 3.0,
+        (2, "update_preimage", "a"): 1.0,
+        (2, "update_postimage", "a"): 9.0,
+    }
+    # version-bounded read: only commit 2's changes
+    v2 = t.read_changes(starting_version=2)
+    assert {r["_commit_version"] for r in v2.collect()} == {2}
+    # signed rollup over the feed == rollup over current snapshot
+    sign = F.when(F.col("_change_type") == "update_preimage", -1).otherwise(1)
+    fed = feed.agg(
+        F.sum(sign).alias("n"), F.sum(sign * F.col("v")).alias("s")
+    ).first()
+    cur = (
+        t.read()
+        .filter("is_current")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .first()
+    )
+    assert (fed["n"], fed["s"]) == (cur["n"], cur["s"])
+
+
 def test_haversine_pandas_udf(spark):
     df = spark.createDataFrame([(10.7769, 106.7009, 21.0285, 105.8542)], "a double, b double, c double, d double")
     km = df.select(haversine_km("a", "b", "c", "d").alias("km")).first()["km"]
