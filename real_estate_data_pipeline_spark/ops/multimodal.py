@@ -7,11 +7,16 @@ Two decode tiers:
   P6/PPM payloads (header parse, pixel stats, nearest-neighbor resize,
   64-bit average-hash) — PPM is numpy-decodable, so this container can
   prove the full decode->resize->perceptual-hash path end to end.
-- ``decode_image_features`` remains the documented STUB for compressed
-  codecs (no PIL/ffmpeg in this container): deterministic fake features
-  from the bytes so the Spark-side plumbing — schema, batch iteration,
-  partitioning, output shape — is real and testable. Swapping in
-  PIL/torchvision/ffmpeg changes one inner function, not the plan.
+- ``parse_png`` / ``decode_png_info`` / ``resize_png`` are REAL too:
+  8-bit RGB/RGBA non-interlaced PNG via stdlib zlib + numpy scanline
+  filter reconstruction (all five filters) — a genuine compressed
+  codec with no image library.
+- ``decode_image_features`` remains the documented STUB for the
+  remaining codecs (JPEG/WebP/video: no PIL/ffmpeg in this container):
+  deterministic fake features from the bytes so the Spark-side
+  plumbing — schema, batch iteration, partitioning, output shape — is
+  real and testable. Swapping in PIL/torchvision/ffmpeg changes one
+  inner function, not the plan.
 
 Scale notes: mapInPandas streams Arrow batches, so peak memory is one
 batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
@@ -176,7 +181,8 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 # --- real decode path (PPM) -------------------------------------------------
 # P6/PPM is a header + raw RGB bytes: decodable with numpy alone, so THIS
 # format gets a real decode/resize/perceptual-hash implementation in this
-# container; JPEG/PNG keep the documented stub until an image lib exists.
+# container; PNG gets one above (zlib + filter reconstruction); JPEG keeps
+# the documented stub until an image lib exists.
 # The operators below are the same mapInPandas shape as the stubs — a real
 # codec library swaps the parser, not the plan.
 
@@ -263,6 +269,229 @@ def _ahash64(px) -> int:
         elif b:
             v |= -(1 << 63)  # bit 63 via the sign bit, BIGINT-safe
     return v
+
+
+# --- real decode path #2 (PNG, stdlib-only) ---------------------------------
+# PNG = zlib (stdlib) + per-scanline filter reconstruction (numpy) for
+# 8-bit RGB/RGBA, non-interlaced: a REAL second codec, no PIL. The encoder
+# below exists so the container can round-trip its own payloads; it can
+# apply any of the five PNG filters, which is how the decoder's full
+# filter reconstruction gets pixel-exact test coverage.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_line(ftype: int, line, prev, bpp: int):
+    """Apply PNG filter ``ftype`` to one raw scanline (encode side)."""
+    import numpy as np
+
+    cur = line.astype(np.int32)
+    a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+    b = prev.astype(np.int32)
+    c = np.concatenate([np.zeros(bpp, np.int32), b[:-bpp]])
+    if ftype == 0:
+        out = cur
+    elif ftype == 1:
+        out = cur - a
+    elif ftype == 2:
+        out = cur - b
+    elif ftype == 3:
+        out = cur - ((a + b) >> 1)
+    else:  # Paeth
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        out = cur - pred
+    return (out & 255).astype(np.uint8)
+
+
+def encode_png(px, filter_type: int = 0) -> bytes:
+    """Encode an HxWx3 (RGB) or HxWx4 (RGBA) uint8 array as 8-bit PNG.
+    ``filter_type`` picks the per-scanline filter (0-4) — sub-optimal
+    compression is fine; the point is a spec-correct payload that
+    exercises the decoder's filter reconstruction."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+    color_type = {3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.uint8)
+    for y in range(h):
+        line = px[y].reshape(-1)
+        raw.append(filter_type)
+        raw += _png_filter_line(filter_type, line, prev, ch).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes):
+    """Decode an 8-bit RGB/RGBA non-interlaced PNG: signature + chunk
+    walk, concatenated-IDAT zlib inflate, then per-scanline filter
+    reconstruction (all five filter types; Sub/Average/Paeth are
+    sequential within a line, so those lanes run a per-byte loop —
+    lines our own encoder emits are filter 0/2 and stay vectorized).
+    Returns (width, height, HxWxC uint8) or None when the payload is
+    not a PNG this decoder covers (caller falls back to the stub)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        return None
+    pos, n = len(_PNG_SIG), len(payload)
+    w = h = ch = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if tag == b"IHDR":
+            if len(body) != 13:
+                return None
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+                return None  # outside the 8-bit RGB/RGBA truecolor subset
+            ch = 3 if color == 2 else 4
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        return None
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(data) != h * (stride + 1):
+        return None
+    arr = np.frombuffer(data, np.uint8).reshape(h, stride + 1)
+    ftypes, lines = arr[:, 0], arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f, rec = int(ftypes[y]), lines[y].copy()
+        if f == 0:
+            pass
+        elif f == 2:
+            rec = (rec + prev) & 255
+        elif f == 1:
+            for x in range(ch, stride):
+                rec[x] = (rec[x] + rec[x - ch]) & 255
+        elif f == 3:
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + ((a + prev[x]) >> 1)) & 255
+        elif f == 4:
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 255
+        else:
+            return None
+        out[y] = rec
+        prev = rec
+    return w, h, out.astype(np.uint8).reshape(h, w, ch)
+
+
+def decode_png_info(media: DataFrame) -> DataFrame:
+    """REAL PNG decode over binary payloads (mapInPandas, Arrow
+    batches): dimensions, grayscale statistics over the RGB channels,
+    and the same 64-bit average-hash as the PPM path — so PNG payloads
+    flow into the identical perceptual-dedup loop. Non-PNG payloads
+    are dropped (the stub path handles them)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_png(p)
+                if parsed is None:
+                    continue
+                w, h, px = parsed
+                rgb = px[..., :3]
+                g = rgb.mean(axis=2)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "gray_mean": float(g.mean()),
+                        "gray_std": float(g.std()),
+                        "ahash": _ahash64(rgb),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "gray_mean", "gray_std", "ahash"],
+            )
+
+    return media.mapInPandas(extract, PPM_INFO_SCHEMA)
+
+
+def resize_png(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """REAL nearest-neighbor resize for PNG payloads: decode, resample
+    so the longer side is ``max_side`` (aspect preserved), re-encode.
+    Non-PNG payloads pass through untouched; same media schema out."""
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_p, out_n, out_w, out_h = [], [], [], []
+            for p, w0, h0 in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                parsed = parse_png(p)
+                if parsed is None:
+                    out_p.append(p)
+                    out_n.append(len(p) if p is not None else 0)
+                    out_w.append(w0)
+                    out_h.append(h0)
+                    continue
+                w, h, px = parsed
+                scale = max(w, h) / max_side
+                if scale > 1.0:
+                    w, h = max(1, round(w / scale)), max(1, round(h / scale))
+                    px = _nearest_resize(px, w, h)
+                p = encode_png(px)
+                out_p.append(p)
+                out_n.append(len(p))
+                out_w.append(w)
+                out_h.append(h)
+            pdf = pdf.copy()
+            pdf["payload"] = out_p
+            pdf["n_bytes"] = out_n
+            pdf["width"] = pd.array(out_w, dtype="Int32")
+            pdf["height"] = pd.array(out_h, dtype="Int32")
+            yield pdf
+
+    return media.mapInPandas(shrink, MEDIA_SCHEMA)
 
 
 def decode_ppm_info(media: DataFrame) -> DataFrame:

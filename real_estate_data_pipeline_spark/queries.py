@@ -4478,6 +4478,67 @@ def _dppm(spark, sf_dir):
 
 CATALOG["mm_ppm_ahash_groups"].fn = _dppm
 
+register("mm_png_ahash_groups", oracle=None)
+
+
+def _dpng(spark, sf_dir):
+    """End-to-end COMPRESSED-codec image dedup (rows-only): render the
+    same deterministic gradient classes as mm_ppm_ahash_groups but
+    encoded as real 8-bit RGB PNG (stdlib zlib + scanline filters, no
+    PIL — ops/multimodal.parse_png reconstructs all five PNG filters),
+    decode real pixels via mapInPandas, resize, group by the 64-bit
+    average-hash. Unit tests prove the PNG render is pixel-exact vs the
+    PPM render of the same gradient, so the two gate entries must find
+    the same duplicate structure."""
+    import numpy as np
+
+    from .ops import multimodal as MM
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (F.col("doc_id") % 16).cast("int").alias("__cls"),
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for cls in pdf["__cls"]:
+                w = h = 24
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (x * 255 // (w - 1)),
+                        (y * 255 // (h - 1)),
+                        ((x * int(cls) + y) % 256),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                # filter 2 (Up) exercises a non-trivial decode lane
+                payloads.append(MM.encode_png(px, filter_type=2))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                    "width": None,
+                    "height": None,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    media = d.mapInPandas(render, MM.MEDIA_SCHEMA)
+    info = MM.decode_png_info(MM.resize_png(media, max_side=16))
+    return (
+        info.groupBy("ahash")
+        .agg(F.count("*").cast("bigint").alias("members"), F.min("media_id").alias("rep_id"))
+        .filter(F.col("members") > 1)
+    )
+
+
+CATALOG["mm_png_ahash_groups"].fn = _dpng
+
 register(
     "evt_funnel_counts",
     oracle="""
