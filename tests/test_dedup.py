@@ -147,11 +147,17 @@ def test_contamination_precomputed_grams_and_prefilter_match(spark, tmp_path):
         grams = spark.read.parquet(idx)
         # tiny modulus (8) forces real false positives through the
         # prefilter; the exact join must still absorb them
+        # tiny modulus (8) forces real false positives through the
+        # prefilter, and every k (1 = legacy single-hash shape, 3 =
+        # default bloom, 5 = extra hashes) must stay value-identical —
+        # the exact join absorbs whatever the bloom passes
         for mod in (None, 8, 1 << 20):
-            reused = sorted(map(tuple, contamination_report(
-                None, ev, "doc_id", "text", 3, train_grams=grams, prefilter_mod=mod
-            ).collect()))
-            assert reused == base, (hashed, mod)
+            for k in (1, 3, 5):
+                reused = sorted(map(tuple, contamination_report(
+                    None, ev, "doc_id", "text", 3,
+                    train_grams=grams, prefilter_mod=mod, prefilter_k=k,
+                ).collect()))
+                assert reused == base, (hashed, mod, k)
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
