@@ -6484,6 +6484,8 @@ def _dhashembed(spark, sf_dir):
 
 CATALOG["doc_hash_embedding"].fn = _dhashembed
 
+_HEMB_BANDS = similarity.banded_bucket_sql("embedding", bits=6, bands=3)
+
 register(
     "doc_hash_embed_knn",
     # _HEMB_CTES is the SAME string as doc_hash_embedding's oracle; the
@@ -6493,9 +6495,9 @@ register(
         + f""",
     b AS (
       SELECT doc_id, embedding,
-             {similarity.banded_bucket_sql("embedding", bits=6, bands=3)[0]} AS bkt0,
-             {similarity.banded_bucket_sql("embedding", bits=6, bands=3)[1]} AS bkt1,
-             {similarity.banded_bucket_sql("embedding", bits=6, bands=3)[2]} AS bkt2
+             {_HEMB_BANDS[0]} AS bkt0,
+             {_HEMB_BANDS[1]} AS bkt1,
+             {_HEMB_BANDS[2]} AS bkt2
       FROM emb
       -- mirror the op: zero vectors (token-less docs) are excluded
       -- from the ANN, they have no direction
@@ -6715,3 +6717,72 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ===========================================================================
+# catalog ordering: the driver's evidence window
+# ===========================================================================
+# The correctness driver samples the FIRST 50 catalog entries each round.
+# Rounds 1-4 sampled an identical window, so by round 4 the 100+ queries
+# added later — kNN joins, all streaming runs, SCD2/CDF, decontamination,
+# the io_* family, the curation tier — had only local parity evidence.
+# This block rotates the window: the 50 entries below are all
+# oracle-backed and (as of round 5) never driver-sampled, so one driver
+# run converts them to hard cross-engine evidence. Rows-only entries
+# (minhash/simhash fast paths, multimodal pixel ops) stay OUT of the
+# window; their oracle-exact portable twins are in it. Every consumer
+# (driver queries()/oracle_sql(), bench, parity tests) iterates CATALOG,
+# so reordering here is the single source of truth.
+
+_DRIVER_WINDOW = [
+    # ANN / kNN joins (round 2-3 flagships, value-oracled via 6-dp scores)
+    "sim_ivf_knn_join", "sim_knn_query_corpus",
+    # near-dup: oracle-exact portable twins + graph closure
+    "minhash_dup_pairs_portable", "simhash_dup_pairs_portable",
+    "dup_clusters_minhash",
+    # decontamination (incl. the reusable gram index + bloom prefilter)
+    "decon_eval_overlap", "decon_reuse_gram_index",
+    # SCD2 / lakehouse maintenance family
+    "scd2_two_run_versions", "scd2_stream_upsert", "scd2_cdf_rollup",
+    "io_partitioned_roundtrip", "io_jsonl_corrupt_scan",
+    "io_compact_roundtrip", "io_targeted_delete", "io_zorder_roundtrip",
+    # all streaming gate runs (each executes a real streaming query)
+    "evt_stream_tumbling_now", "evt_stream_sliding_now",
+    "evt_stream_sessions_now", "evt_stream_sessions_append",
+    "evt_stream_stateful_totals", "evt_stream_join_now",
+    "evt_stream_dedup_watermark_now", "doc_stream_dedup_now",
+    # curation tier (round 4)
+    "doc_hash_embedding", "doc_hash_embed_knn", "doc_bigram_logprob",
+    "sample_docs_weighted", "export_shuffled_shards",
+    "corpus_curation_pipeline", "doc_token_entropy",
+    # skew-proof forms
+    "skew_salted_agg", "skew_salted_join", "skew_salted_top_n",
+    # incremental / DQ / quality
+    "incr_rollup_events", "table_diff_customer", "dq_observed_singlepass",
+    "dq_referential_audit", "evt_error_rate_hourly",
+    "quarantine_report_customer", "m2b_sequential_outlier_filter",
+    "dedup_incremental_new_docs", "doc_source_cap",
+    # sketches, now bounded-error oracled (round 5)
+    "sketch_cardinality_profile", "sketch_hll_mergeable_daily",
+    "sketch_kll_price_quantiles",
+    # temporal joins + text bundles never yet sampled
+    "asof_latest_event", "range_join_day_window",
+    "doc_tfidf_top3", "f_parse_bundle", "f_html_clean",
+]
+
+
+def _reorder_catalog() -> None:
+    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    missing = [n for n in _DRIVER_WINDOW if n not in CATALOG]
+    assert not missing, missing
+    unoracled = [n for n in _DRIVER_WINDOW if CATALOG[n].oracle is None]
+    assert not unoracled, unoracled
+    ordered = {n: CATALOG[n] for n in _DRIVER_WINDOW}
+    for n, q in list(CATALOG.items()):
+        if n not in ordered:
+            ordered[n] = q
+    CATALOG.clear()
+    CATALOG.update(ordered)
+
+
+_reorder_catalog()

@@ -210,7 +210,18 @@ def test_s3a_parquet_roundtrip(spark, tmp_path):
     try:
         spark._jvm.java.lang.Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem")
     except Exception:
-        pytest.skip("hadoop-aws jar not on classpath (pip pyspark ships without it)")
+        # exact artifacts this env lacks (pip pyspark 4.1.2 bundles
+        # hadoop-client-*-3.4.2, so the matching versions are):
+        #   org.apache.hadoop:hadoop-aws:3.4.2
+        #   com.amazonaws:aws-java-sdk-bundle:1.12.720 (hadoop-aws 3.4.x dep)
+        #   org.apache.spark:spark-hadoop-cloud_2.13:4.1.2 (cloud committers)
+        # Drop them in $SPARK_HOME/jars or pass spark.jars.packages with
+        # those coordinates and this test runs unmodified.
+        pytest.skip(
+            "S3A jars not on classpath — needs hadoop-aws:3.4.2 + "
+            "aws-java-sdk-bundle:1.12.720 (+ spark-hadoop-cloud_2.13:4.1.2 "
+            "for the directory committer); pip pyspark ships without them"
+        )
     moto_server = pytest.importorskip("moto.server")
     boto3 = pytest.importorskip("boto3")
 

@@ -105,6 +105,8 @@ _SCALAR_BROADCAST_OK = {
     "doc_tfidf_top3",          # 1-row corpus doc count
     "evt_funnel_counts",       # three 1-row stage counts combined
     "m2b_sequential_outlier_filter",  # two 1-row mean/stddev scalars, one per pass
+    "sketch_hll_mergeable_daily",  # 1-row merged-sketch estimate joined to 1-row exact
+    "sketch_kll_price_quantiles",  # 1-row sketch-quantile estimates vs CDF pass
 }
 
 

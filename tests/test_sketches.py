@@ -133,18 +133,28 @@ def test_stream_stream_join(spark, stream_src):
 
 
 def test_kll_merged_quantiles_error_bound(spark, sf_oracle):
-    """Per-group KLL partials folded into one sketch stay within a few
-    percent of the exact interpolated percentiles."""
+    """Per-group KLL partials folded into one sketch: the gate query now
+    carries its own bounded-error contract — one row per quantile with
+    the exact interpolated percentile and a within_bound boolean (the
+    sketch estimate's empirical rank within 0.05 of q). All bounds must
+    hold and the exact values must match an independent percentile()."""
     from real_estate_data_pipeline_spark.queries import CATALOG
 
-    row = CATALOG["sketch_kll_price_quantiles"].fn(spark, sf_oracle).first()
+    rows = {
+        r["q"]: r
+        for r in CATALOG["sketch_kll_price_quantiles"].fn(spark, sf_oracle).collect()
+    }
+    assert set(rows) == {0.50, 0.95, 0.99}
+    assert all(r["within_bound"] for r in rows.values()), rows
     o = t(spark, sf_oracle, "orders")
     exact = o.agg(
-        F.percentile("o_totalprice", 0.5), F.percentile("o_totalprice", 0.95),
-        F.percentile("o_totalprice", 0.99),
+        *[
+            F.round(F.percentile(F.col("o_totalprice").cast("double"), q), 4).alias(str(q))
+            for q in (0.5, 0.95, 0.99)
+        ]
     ).first()
-    for got, want in zip((row["p50"], row["p95"], row["p99"]), exact):
-        assert abs(got - want) / want < 0.05
+    for q in (0.5, 0.95, 0.99):
+        assert rows[q]["exact_value"] == exact[str(q)]
 
 
 def test_quarantine_split_first_match_priority(spark):
