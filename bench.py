@@ -41,10 +41,16 @@ def preexisting_jvms() -> list[str]:
                 continue
             try:
                 with open(f"/proc/{pid}/cmdline", "rb") as fh:
-                    cmd = fh.read().decode("utf-8", "replace").replace("\x00", " ")
+                    argv = fh.read().decode("utf-8", "replace").split("\x00")
             except OSError:
                 continue
-            if "java" in cmd and ("spark" in cmd.lower() or "SparkSubmit" in cmd):
+            # the EXECUTABLE must be java — matching substrings anywhere
+            # in the cmdline false-positives on shells whose command
+            # text merely mentions java/spark (e.g. this script's own
+            # invocation wrapper)
+            exe = os.path.basename(argv[0]) if argv and argv[0] else ""
+            cmd = " ".join(argv)
+            if exe == "java" and ("spark" in cmd.lower()):
                 out.append(f"pid {pid}: {cmd[:120].strip()}")
     except OSError:
         pass
@@ -74,6 +80,23 @@ def main() -> None:
     for name, q in bench_queries.items():
         try:
             materialize(q.fn(spark, "/root/testdata/sf0.001"))
+        except Exception:
+            pass
+
+    # Page-cache warmup at the TARGET SF: decode every table once so the
+    # first timed query over each table doesn't pay the cold-disk read
+    # (count() alone won't do it — parquet count is metadata-only). The
+    # round-5 catalog reorder exposed this: whichever query now runs
+    # first over documents.parquet absorbed ~2 s of one-time IO that
+    # best-of-2 couldn't amortize when pass 2 was skipped.
+    from real_estate_data_pipeline_spark.queries import t as _t
+
+    for tbl in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        try:
+            materialize(_t(spark, sf_dir, tbl))
         except Exception:
             pass
 

@@ -5441,6 +5441,71 @@ def _dcohort(spark, sf_dir):
 
 CATALOG["evt_cohort_retention"].fn = _dcohort
 
+register(
+    "evt_resample_ffill_hourly",
+    # dense hourly grid per user with forward fill: Spark has window
+    # aggregation but no native gap filling — buckets without events
+    # simply don't exist in a groupBy result. The oracle rebuilds the
+    # same grid with generate_series + IGNORE NULLS last_value; the
+    # last-in-bucket pick is deterministic via (ts DESC, event_id DESC)
+    # so both engines choose identical observations.
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) * INTERVAL 1 SECOND AS bkt,
+             value AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    obs AS (SELECT user_id, bkt, v FROM ranked WHERE rn = 1),
+    span AS (SELECT user_id, MIN(bkt) AS lo, MAX(bkt) AS hi FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bkt
+      FROM span
+    )
+    SELECT g.user_id,
+           strftime(g.bkt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value,
+           o.v IS NOT NULL AS observed
+    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bkt = o.bkt
+    """,
+)
+
+
+def _dresample(spark, sf_dir):
+    """Per-user hourly resample + forward fill (ops/timeseries.
+    resample_ffill): one row per (user, hour) from the user's first to
+    last active hour, carrying the last observed event value across
+    silent hours, with an `observed` flag separating readings from
+    fills. The gap-filling primitive feature snapshots and rate
+    dashboards need; event volume collapses to one row per bucket
+    BEFORE any window runs, and the per-key fill window carries
+    span/interval rows regardless of event count."""
+    from .ops.timeseries import resample_ffill
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value"
+    )
+    out = resample_ffill(
+        e, "user_id", "ts", "value", interval_seconds=3600, tiebreaker_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "value",
+        "observed",
+    )
+
+
+CATALOG["evt_resample_ffill_hourly"].fn = _dresample
+
 
 register(
     "scd2_two_run_versions",
