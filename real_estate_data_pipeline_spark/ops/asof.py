@@ -30,11 +30,32 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: every left row + the value columns of the most
-    recent right row (right_ts <= left_ts) with the same key; nulls when
-    no prior right row exists. Right side should be unique per
-    (key, ts) — pre-aggregate otherwise."""
+    """Left as-of join (pandas ``merge_asof`` parity, distributed):
+    every left row + the value columns of the matched right row with
+    the same key; nulls when no match exists.
+
+    ``direction``:
+    - ``"backward"`` (default): most recent right with rts <= lts;
+    - ``"forward"``: earliest right with rts >= lts (same union trick
+      over a DESCENDING window — at equal ts the right row stays
+      visible, so >= holds exactly);
+    - ``"nearest"``: whichever of the two is closer in time; equal
+      distance breaks BACKWARD (matches pandas).
+
+    ``tolerance_seconds``: maximum |lts - matched rts|; a match beyond
+    it becomes null (the match is still the NEAREST candidate first,
+    then the tolerance nulls it — identical to pandas semantics, and
+    NOT the same as "nearest within window").
+
+    Still ONE shuffle on the key per direction (nearest = the same
+    union windowed twice, no extra shuffle: both windows partition by
+    the key, and the second sort rides the first's exchange). Right
+    side should be unique per (key, ts) — pre-aggregate otherwise."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     lt = left.withColumn("__ts", F.col(left_ts).cast("timestamp")).withColumn(
         "__side", F.lit(1)
     )
@@ -51,21 +72,73 @@ def asof_join(
             rt = rt.withColumn(c, F.lit(None))
     for c in value_cols:
         lt = lt.withColumn(c, F.lit(None))
+    # carry the right row's own timestamp too: tolerance and nearest
+    # need the matched rts, not just its values
+    rt = rt.withColumn("__rts", F.col("__ts"))
+    lt = lt.withColumn("__rts", F.lit(None).cast("timestamp"))
     unioned = lt.select(rt.columns).unionByName(rt)
 
-    # right rows (side=0) sort before left rows at equal ts -> a right
-    # row at exactly left_ts is visible to that left row ("<=")
-    w = (
+    # right rows (side=0) sort before left rows at equal ts in BOTH
+    # orderings -> a right row at exactly left_ts is visible ("<="/">=")
+    w_back = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__side")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    windows = {"backward": [("b", w_back)], "forward": [("f", w_fwd)]}.get(
+        direction, [("b", w_back), ("f", w_fwd)]
+    )
     carried = unioned
-    for c in value_cols:
-        carried = carried.withColumn(
-            f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w)
+    for tag, w in windows:
+        for c in [*value_cols, "__rts"]:
+            carried = carried.withColumn(
+                f"__{tag}_{c}", F.last(F.col(c), ignorenulls=True).over(w)
+            )
+
+    out = carried.filter(F.col("__side") == 1)
+    tol = None if tolerance_seconds is None else F.lit(float(tolerance_seconds))
+
+    def _dist(rts):
+        # cast-to-double keeps sub-second precision (unix_timestamp
+        # truncates to whole seconds, misjudging tolerance edges)
+        return F.abs(F.col("__ts").cast("double") - rts.cast("double"))
+
+    if direction in ("backward", "forward"):
+        tag = "b" if direction == "backward" else "f"
+        keep = (
+            F.lit(True)
+            if tol is None
+            else _dist(F.col(f"__{tag}___rts")) <= tol
         )
-    return carried.filter(F.col("__side") == 1).drop("__side", "__ts", *value_cols)
+        sel = {c: F.when(keep, F.col(f"__{tag}_{c}")) for c in value_cols}
+    else:
+        db, df_ = _dist(F.col("__b___rts")), _dist(F.col("__f___rts"))
+        # nearest: pick the closer side; ties and missing-forward fall
+        # back to backward (pandas tie-break)
+        use_back = F.col("__f___rts").isNull() | (
+            F.col("__b___rts").isNotNull() & (db <= df_)
+        )
+        chosen_dist = F.when(use_back, db).otherwise(df_)
+        keep = F.lit(True) if tol is None else chosen_dist <= tol
+        sel = {
+            c: F.when(
+                keep,
+                F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")),
+            )
+            for c in value_cols
+        }
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", sel[c])
+    drop = [
+        "__side", "__ts", "__rts", *value_cols,
+        *[f"__{t}_{c}" for t, _ in windows for c in [*value_cols, "__rts"]],
+    ]
+    return out.drop(*drop)
 
 
 def range_join_bucketed(

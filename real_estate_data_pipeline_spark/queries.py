@@ -3070,6 +3070,59 @@ def _asof(spark, sf_dir):
 CATALOG["asof_latest_event"].fn = _asof
 
 register(
+    "asof_next_event_tolerance",
+    # FORWARD as-of with a 72 h tolerance (pandas merge_asof
+    # direction='forward'): DuckDB's native ASOF only looks backward,
+    # so the oracle negates the time axis (epoch seconds * -1) — ASOF
+    # "most recent nts' <= nts" on the negated axis IS "earliest
+    # ts' >= ts" — then the tolerance nulls matches beyond the window
+    # (match-then-null, the pandas semantics, NOT nearest-within-window).
+    oracle="""
+    WITH l AS (SELECT o_orderkey, o_custkey % 20 AS k,
+                      o_orderdate + INTERVAL 29 YEAR AS ts
+               FROM orders),
+         r AS (SELECT user_id % 20 AS k, ts, MAX(value) AS ev_value
+               FROM events GROUP BY 1, 2),
+         ln AS (SELECT *, -epoch(ts) AS nts FROM l),
+         rn AS (SELECT *, -epoch(ts) AS nts FROM r)
+    SELECT ln.o_orderkey, ln.k,
+           CASE WHEN epoch(rn.ts) - epoch(ln.ts) <= 72 * 3600
+                THEN rn.ev_value END AS ev_value_next
+    FROM ln ASOF LEFT JOIN rn ON ln.k = rn.k AND rn.nts <= ln.nts
+    """,
+)
+
+
+def _asof_fwd(spark, sf_dir):
+    """Forward as-of with tolerance (ops/asof.asof_join
+    direction='forward', tolerance_seconds=72h): each shifted order
+    matched to the NEXT event value for its key, nulled when the next
+    event is more than 72 h out — the lead-time join behind
+    time-to-conversion and next-reading features. Same union-trick
+    shuffle as backward, descending window."""
+    from .ops.asof import asof_join
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 29 YEARS")).alias("ts"),
+    )
+    e = (
+        t(spark, sf_dir, "events")
+        .select((F.col("user_id") % 20).alias("k"), "ts", "value")
+        .groupBy("k", "ts")
+        .agg(F.max("value").alias("ev_value"))
+    )
+    out = asof_join(
+        o, e, on="k", left_ts="ts", right_ts="ts", value_cols=["ev_value"],
+        suffix="_next", direction="forward", tolerance_seconds=72 * 3600,
+    )
+    return out.select("o_orderkey", "k", "ev_value_next")
+
+
+CATALOG["asof_next_event_tolerance"].fn = _asof_fwd
+
+register(
     "range_join_day_window",
     oracle="""
     WITH l AS (SELECT event_id AS probe_id, user_id % 10 AS k, ts AS start_ts,

@@ -61,3 +61,75 @@ def test_runaway_span_guard(spark):
         df, "k", "ts", "value", 3600, max_buckets_per_key=None
     ).count()
     assert n > 400_000
+
+
+# --- asof_join direction/tolerance (pandas merge_asof parity) ---------------
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 1), ("a", "2024-01-01 12:00:00", 2),
+         ("b", "2024-01-01 10:00:00", 3)],
+        "k string, ts string, lid int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 09:00:00", 9.0), ("a", "2024-01-01 11:30:00", 11.5),
+         ("b", "2024-01-01 10:00:00", 10.0)],
+        "k string, rts string, v double",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    return left, right
+
+
+def _collect(out):
+    return {r["lid"]: r["v_asof"] for r in out.collect()}
+
+
+def test_asof_directions(spark):
+    from real_estate_data_pipeline_spark.ops.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    back = _collect(asof_join(left, right, "k", "ts", "rts", ["v"]))
+    # lid 1 @10:00 -> 09:00 (9.0); lid 2 @12:00 -> 11:30; lid 3 exact-ts match
+    assert back == {1: 9.0, 2: 11.5, 3: 10.0}
+    fwd = _collect(
+        asof_join(left, right, "k", "ts", "rts", ["v"], direction="forward")
+    )
+    # lid 1 @10:00 -> next is 11:30; lid 2 @12:00 -> none ahead; lid 3 exact
+    assert fwd == {1: 11.5, 2: None, 3: 10.0}
+    near = _collect(
+        asof_join(left, right, "k", "ts", "rts", ["v"], direction="nearest")
+    )
+    # lid 1: back 1h vs fwd 1.5h -> 9.0; lid 2: only back; lid 3 exact
+    assert near == {1: 9.0, 2: 11.5, 3: 10.0}
+
+
+def test_asof_tolerance_and_tie(spark):
+    from real_estate_data_pipeline_spark.ops.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    # 45 min tolerance: lid 1's backward match (1 h away) nulls out —
+    # match-then-null, NOT nearest-within-window (pandas semantics)
+    back = _collect(
+        asof_join(left, right, "k", "ts", "rts", ["v"], tolerance_seconds=2700)
+    )
+    assert back == {1: None, 2: 11.5, 3: 10.0}
+    # nearest tie breaks backward: a left row equidistant from both
+    tie_left = spark.createDataFrame(
+        [("a", "2024-01-01 10:15:00", 1)], "k string, ts string, lid int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    tie_right = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 1.0), ("a", "2024-01-01 10:30:00", 2.0)],
+        "k string, rts string, v double",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    near = _collect(
+        asof_join(tie_left, tie_right, "k", "ts", "rts", ["v"], direction="nearest")
+    )
+    assert near == {1: 1.0}
+
+
+def test_asof_invalid_direction(spark):
+    from real_estate_data_pipeline_spark.ops.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", "ts", "rts", ["v"], direction="sideways")
