@@ -140,6 +140,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.0,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by token-set CONTAINMENT within
+    blocking keys: containment = |A∩B| / min(|A|, |B|) — the asymmetric
+    cousin of Jaccard that catches SUBSET duplication (a short document
+    quoted whole inside a longer one scores ~1.0 here but low on
+    Jaccard, because the union is dominated by the longer side). The
+    measure used for quote/boilerplate detection and
+    partial-scrape dedup in web-corpus curation.
+
+    Returns (id_a, id_b, containment) with id_a < id_b; same blocked
+    pair skeleton as :func:`ngram_jaccard_pairs` (one tokenize, pairs
+    only within blocks, bounded by the hot-block cap)."""
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(b) for b in block_cols],
+        token_set(F.col(text_col)).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+
+    def _pair(x, y):
+        inter = F.size(F.array_intersect(x["toks"], y["toks"]))
+        cont = inter.cast("double") / F.least(x["n"], y["n"])
+        return F.struct(
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
+            cont.alias("containment"),
+        )
+
+    keep = (lambda p: p["containment"] >= F.lit(threshold)) if threshold > 0.0 else None
+    return pairs_within_groups(
+        toks,
+        block_cols,
+        F.struct(
+            F.col(id_col).alias("id"),
+            F.col("__toks").alias("toks"),
+            F.col("__n").alias("n"),
+        ),
+        _pair,
+        keep=keep,
+        max_block=max_block,
+    )
+
+
 def _rotl64(c, r: int):
     """Overflow-free 64-bit rotate-left (ANSI mode forbids wrapping + / *)."""
     r = r % 64

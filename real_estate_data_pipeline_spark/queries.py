@@ -1430,6 +1430,45 @@ def _djac(spark, sf_dir):
 CATALOG["ngram_jaccard_pairs"].fn = _djac
 
 register(
+    "ngram_containment_pairs",
+    # containment = |A∩B| / min(|A|,|B|): the asymmetric near-dup
+    # measure that catches SUBSET duplication (a short doc quoted whole
+    # inside a longer one scores ~1 here, low on Jaccard). Blocks drop
+    # the length bucket deliberately — containment pairs docs of very
+    # different lengths, which is exactly what length-blocking assumes
+    # away for Jaccard.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+             / least(len(a.tk), len(b.tk)) AS containment
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+             / least(len(a.tk), len(b.tk)) >= 0.6
+    """,
+)
+
+
+def _dcont(spark, sf_dir):
+    """Token-set containment near-dup pairs (ops/dedup.
+    ngram_containment_pairs) within (source, lang) blocks at >= 0.6 —
+    quote/boilerplate/partial-scrape detection, the asymmetric
+    complement to the Jaccard entry (NO length-bucket blocking: subset
+    duplication pairs short docs with long ones)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        d, "doc_id", "text", ["source", "lang"], threshold=0.6
+    )
+
+
+CATALOG["ngram_containment_pairs"].fn = _dcont
+
+register(
     "dup_clusters_ngram",
     oracle="""
     WITH RECURSIVE toks AS (

@@ -146,8 +146,6 @@ def test_contamination_precomputed_grams_and_prefilter_match(spark, tmp_path):
         train_gram_set(train, "text", 3, hashed=hashed).write.parquet(idx)
         grams = spark.read.parquet(idx)
         # tiny modulus (8) forces real false positives through the
-        # prefilter; the exact join must still absorb them
-        # tiny modulus (8) forces real false positives through the
         # prefilter, and every k (1 = legacy single-hash shape, 3 =
         # default bloom, 5 = extra hashes) must stay value-identical —
         # the exact join absorbs whatever the bloom passes
@@ -162,3 +160,33 @@ def test_contamination_precomputed_grams_and_prefilter_match(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         contamination_report(None, ev, "doc_id", "text", 3)
+
+
+def test_containment_catches_subset_duplication(spark):
+    """A short doc quoted whole inside a longer one: containment ~1.0,
+    Jaccard low — the asymmetric measure finds what Jaccard misses."""
+    from real_estate_data_pipeline_spark.ops.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            ("s", quote),
+            ("l", quote + " padded with many extra unrelated words " * 5),
+            ("x", "entirely different content with no shared tokens here"),
+        ],
+        "doc_id string, text string",
+    ).withColumn("blk", F.lit(1))
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, "doc_id", "text", ["blk"]).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", ["blk"]).collect()
+    }
+    assert cont[("l", "s")] == 1.0          # full containment of the quote
+    assert jac[("l", "s")] < 0.6            # Jaccard diluted by the padding
+    assert cont[("s", "x")] < 0.2           # unrelated docs stay unrelated
