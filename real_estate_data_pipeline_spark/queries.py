@@ -6846,7 +6846,10 @@ def _dshards(spark, sf_dir):
     from .ops.sampling import shuffled_shards
 
     d = t(spark, sf_dir, "documents")
-    return shuffled_shards(d, "doc_id", 8, max_rows_per_task=64).select(
+    # budget 32 forces >= 2 sub-buckets even at sf0.001 (500 docs / 8
+    # shards), so the two-level plan is what every SF executes and what
+    # PLANS.md captures
+    return shuffled_shards(d, "doc_id", 8, max_rows_per_task=32).select(
         "doc_id", "shard", "pos"
     )
 

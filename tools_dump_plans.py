@@ -38,7 +38,10 @@ SHOW_NOTES = {
     "doc_source_cap": "Per-source cap is a single hash-partitioned rank window; with a pathological hot source this becomes the documented salted-agg fallback, but the plan itself has no cartesian or driver materialization.",
     "skew_salted_top_n": "The hot-key-safe variant of the rank window: phase 1 ranks within (key, salt) — no single task owns a hot key — and phase 2 ranks only the <= n*salts survivors; both windows are plain hash-partitioned exchanges.",
     "corpus_curation_pipeline": "Exact dedup, MinHash banding, connected components and the quality filter compose into one DAG of equi-joins and partial aggregates; no stage introduces a cartesian, and the pair space stays banded even inside the composition.",
-    "export_shuffled_shards": "The training-export shuffle is ONE rank-window exchange on the sha2-derived shard key; no orderBy(rand()) global sort, and determinism comes from the plan's expressions, not from runtime state.",
+    "export_shuffled_shards": "Two-level training-export shuffle: rank windows partition by (shard, sub-bucket) so no task sorts a whole shard; the per-bucket offsets arrive via a BroadcastHashJoin of a tiny count aggregate; no orderBy(rand()) global sort, determinism from the plan's expressions alone.",
+    "evt_resample_ffill_hourly": "Gap filling: event volume collapses to one row per (key, bucket) in a rank window BEFORE the grid join; the dense grid comes from sequence+explode of a per-key span aggregate (no driver loop); the forward fill is one more window on the same key partitioning.",
+    "ngram_containment_pairs": "Containment pairs ride the same blocked-pair skeleton as Jaccard: tokenize once, intra-block expansion bounded by the hot-block cap, plain equi-join on the block key — no cartesian even though short docs pair with long ones.",
+    "asof_next_event_tolerance": "Forward as-of is the same union-trick single shuffle as backward, over a DESCENDING window; the tolerance is a scalar null-out projection, not a join.",
 }
 
 
