@@ -140,6 +140,42 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4x memory/shuffle
+    cut a 100 TB embedding corpus takes before ANN: scale =
+    max|x| / 127 (1.0 for the zero vector), q_i = floor(x_i/scale +
+    0.5) clamped to [-127, 127], stored as array<tinyint>. Dequantize
+    as q*scale; for COSINE the per-vector scale cancels entirely, so
+    scoring runs directly on the int8 arrays with no dequantization
+    pass, and the only quality loss is the <= 0.4% rounding error of
+    8-bit lattice points.
+
+    ``floor(x + 0.5)`` rather than round(): HALF_UP vs banker's
+    rounding differs across engines; floor(+0.5) is identical
+    everywhere, which is what lets a SQL oracle reproduce the
+    quantized lattice bit-for-bit. Returns (id, q8 array<tinyint>,
+    scale double)."""
+    ax = F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    mx = F.array_max(ax)
+    scale = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
+    df = df.withColumn("__scale", scale)
+    q8 = F.transform(
+        F.col(vec_col),
+        lambda x: F.least(
+            F.lit(127),
+            F.greatest(
+                F.lit(-127),
+                F.floor(x.cast("double") / F.col("__scale") + F.lit(0.5)).cast("int"),
+            ),
+        ).cast("byte"),
+    )
+    return df.select(
+        F.col(id_col), q8.alias("q8"), F.col("__scale").alias("scale")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: Column,

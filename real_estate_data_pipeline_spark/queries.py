@@ -1826,6 +1826,67 @@ def _simbf(spark, sf_dir):
 
 CATALOG["sim_bruteforce_topk"].fn = _simbf
 
+register(
+    "sim_quantized_topk",
+    # int8-quantized ANN: the corpus quantizes to 8-bit lattice points
+    # (floor(x/scale + 0.5), clamped — floor(+0.5) because HALF_UP vs
+    # banker's round() differs across engines) and cosine runs directly
+    # on the int arrays (per-vector scale cancels in cosine). The
+    # oracle reproduces the exact lattice, so this is value-checked,
+    # not recall-checked — the recall-vs-float comparison lives in
+    # tests/test_similarity_recall.py.
+    oracle="""
+    WITH qz AS (
+      SELECT vec_id, embedding,
+             CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+             END AS scale
+      FROM embeddings
+    ),
+    qi AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> LEAST(127, GREATEST(-127,
+                      CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)))) AS q8
+      FROM qz
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           list_sum(list_transform(range(1, 65),
+               i -> CAST(e.q8[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+           / (CASE WHEN list_sum(list_transform(e.q8, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+                   THEN 1.0
+                   ELSE SQRT(list_sum(list_transform(e.q8, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              END
+              * SQRT(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine_sim_q8
+    FROM qi e, q
+    ORDER BY cosine_sim_q8 DESC, e.vec_id LIMIT 10
+    """,
+)
+
+
+def _simq8(spark, sf_dir):
+    """Cosine top-k over the int8-QUANTIZED corpus (ops/similarity.
+    quantize_embeddings): 4x smaller vectors in storage and shuffle,
+    cosine scored directly on the int arrays (scale cancels), exact
+    same TakeOrdered plan as the float baseline. The oracle reproduces
+    the quantized lattice bit-for-bit; recall vs float is bounded in
+    tests (int8 on 64-dim unit vectors costs <1 of the top-10)."""
+    e = t(spark, sf_dir, "embeddings")
+    qz = similarity.quantize_embeddings(e, "vec_id", "embedding")
+    q = e.filter(F.col("vec_id") == 0).agg(F.first("embedding").alias("qv"))
+    joined = qz.crossJoin(F.broadcast(q))
+    scored = joined.select(
+        "vec_id",
+        similarity.cosine(F.col("q8"), F.col("qv")).alias("cosine_sim_q8"),
+    )
+    return scored.orderBy(F.desc("cosine_sim_q8"), "vec_id").limit(10)
+
+
+CATALOG["sim_quantized_topk"].fn = _simq8
+
 # generated from the SAME seeded Gaussian plane literals as the Spark
 # expression (ops/similarity.sign_bucket), so both engines bucket alike
 _BUCKET_SQL_E = similarity.sign_bucket_sql("e.embedding", 8)

@@ -243,3 +243,57 @@ def test_zero_vectors_survive_featurizer_but_skip_ann(spark):
         ids_in_edges = {r["left_id"] for r in edges} | {r["right_id"] for r in edges}
         assert 3 not in ids_in_edges and 4 not in ids_in_edges, fn.__name__
         assert {1, 2} <= ids_in_edges, fn.__name__
+
+
+def test_int8_quantization_recall_and_invariants(spark, sf_oracle):
+    """int8 quantization: (a) cosine over the int arrays tracks float
+    cosine within the 8-bit lattice error, (b) float top-10 and q8
+    top-10 overlap on >= 8 ids, (c) the zero vector quantizes to the
+    zero lattice point with scale 1."""
+    from real_estate_data_pipeline_spark.ops.similarity import (
+        brute_force_topk,
+        cosine,
+        quantize_embeddings,
+    )
+
+    e = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).agg(F.first("embedding").alias("qv"))
+    qz = quantize_embeddings(e, "vec_id", "embedding")
+    # (a) score drift bounded by lattice error
+    drift = (
+        e.join(qz, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.abs(
+                cosine(F.col("embedding"), F.col("qv"))
+                - cosine(F.col("q8"), F.col("qv"))
+            ).alias("d")
+        )
+        .agg(F.max("d"))
+        .collect()[0][0]
+    )
+    assert drift < 0.01, drift
+    # (b) top-10 overlap
+    qvec = F.first(F.col("embedding"))
+    qrow = e.filter(F.col("vec_id") == 0).agg(qvec.alias("qv"))
+    top_f = {
+        r["vec_id"]
+        for r in e.crossJoin(F.broadcast(qrow))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    top_q = {
+        r["vec_id"]
+        for r in qz.crossJoin(F.broadcast(qrow))
+        .select("vec_id", cosine(F.col("q8"), F.col("qv")).alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert len(top_f & top_q) >= 8, (top_f, top_q)
+    # (c) zero vector
+    z = spark.createDataFrame([(1, [0.0] * 64)], "vec_id long, embedding array<float>")
+    row = quantize_embeddings(z).collect()[0]
+    assert row["scale"] == 1.0 and all(v == 0 for v in row["q8"])
