@@ -189,6 +189,53 @@ def ngram_containment_pairs(
     )
 
 
+def fuzzy_string_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    block_cols: list[str],
+    max_distance: int = 2,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Fuzzy string-match candidate pairs by Levenshtein distance
+    within blocking keys — entity-resolution dedup for names/titles/
+    addresses where token-set measures are too coarse (a one-letter
+    typo is distance 1 here but can flip a whole token). Returns
+    (id_a, id_b, distance) with id_a < id_b, distance <= max_distance.
+
+    ``levenshtein`` is a built-in in Spark AND DuckDB with the same
+    unit-cost edit definition, so the gate oracle is exact. Blocking
+    carries the usual contract: candidate recall is bounded by the
+    blocking scheme (two strings in different blocks are never
+    compared) — standard practice is blocking on phonetic keys,
+    prefixes, or length buckets, and the length-difference bound
+    |len(a)-len(b)| <= max_distance means a length bucket of width
+    >= max_distance loses no true pairs ACROSS adjacent buckets only
+    when paired with an overlapping scheme; choose blocks accordingly.
+    Same intra-block pair skeleton as the other blocked ops (hot-block
+    cap included)."""
+    base = df.select(
+        F.col(id_col), *[F.col(b) for b in block_cols], F.col(str_col).alias("__s")
+    )
+
+    def _pair(x, y):
+        dist = F.levenshtein(x["s"], y["s"])
+        return F.struct(
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
+            dist.alias("distance"),
+        )
+
+    return pairs_within_groups(
+        base,
+        block_cols,
+        F.struct(F.col(id_col).alias("id"), F.col("__s").alias("s")),
+        _pair,
+        keep=lambda p: p["distance"] <= F.lit(max_distance),
+        max_block=max_block,
+    )
+
+
 def _rotl64(c, r: int):
     """Overflow-free 64-bit rotate-left (ANSI mode forbids wrapping + / *)."""
     r = r % 64

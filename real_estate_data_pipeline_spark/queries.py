@@ -1469,6 +1469,55 @@ def _dcont(spark, sf_dir):
 CATALOG["ngram_containment_pairs"].fn = _dcont
 
 register(
+    "fuzzy_part_name_pairs",
+    # entity-resolution fuzzy match: parts + planted one-character typo
+    # twins (first char -> 'z' for partkey%7==0), blocked on (brand,
+    # name length) — a substitution typo preserves both — and paired at
+    # Levenshtein <= 1. Both engines ship the same unit-cost
+    # levenshtein built-in, so distances hash-match exactly.
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey AS pid, p_name, p_brand FROM part
+      UNION ALL
+      SELECT p_partkey + 1000000, 'z' || substr(p_name, 2), p_brand
+      FROM part WHERE p_partkey % 7 = 0
+    )
+    SELECT a.pid AS id_a, b.pid AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+    FROM base a JOIN base b
+      ON a.p_brand = b.p_brand AND len(a.p_name) = len(b.p_name)
+         AND a.pid < b.pid
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+
+
+def _dfuzzy(spark, sf_dir):
+    """Blocked Levenshtein fuzzy-match pairs (ops/dedup.
+    fuzzy_string_pairs): the entity-resolution dedup for names/titles
+    where token-set measures are too coarse. Typo twins are planted
+    (first char swapped) so distance-1 recovery is actually exercised,
+    not just distance-0 duplicates; blocking on (brand, length) keeps
+    the pair space bounded while guaranteeing the planted pairs stay
+    co-blocked."""
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"), "p_name", "p_brand"
+    )
+    twins = p.filter(F.col("pid") % 7 == 0).select(
+        (F.col("pid") + 1000000).alias("pid"),
+        F.concat(F.lit("z"), F.substring("p_name", 2, 1000)).alias("p_name"),
+        "p_brand",
+    )
+    base = p.unionByName(twins).withColumn("__len", F.length("p_name"))
+    out = dedup.fuzzy_string_pairs(
+        base, "pid", "p_name", ["p_brand", "__len"], max_distance=1
+    )
+    return out.select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
+
+
+CATALOG["fuzzy_part_name_pairs"].fn = _dfuzzy
+
+register(
     "dup_clusters_ngram",
     oracle="""
     WITH RECURSIVE toks AS (
@@ -6215,6 +6264,79 @@ def _dqobs(spark, sf_dir):
 
 
 CATALOG["dq_observed_singlepass"].fn = _dqobs
+
+register(
+    "dq_psi_drift_report",
+    # PSI drift between a deterministic hash-split "training" sample
+    # and a deliberately shifted "serving" sample (value*1.15 + 5):
+    # bucket edges are the EXPECTED side's exact deciles, proportions
+    # are exact ratios, and the one libm call (ln) rounds to 6 dp —
+    # the engine-wide convention — so every per-bucket term hash-matches.
+    oracle=f"""
+    WITH sp AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             {_HASH01_SQL.format(key="event_id || 'psi'")} AS u
+      FROM events
+    ),
+    expd AS (SELECT v FROM sp WHERE u < 0.5),
+    actd AS (SELECT v * 1.15 + 5 AS v FROM sp WHERE u >= 0.5),
+    edges AS (
+      SELECT [quantile_cont(v, 0.1), quantile_cont(v, 0.2), quantile_cont(v, 0.3),
+              quantile_cont(v, 0.4), quantile_cont(v, 0.5), quantile_cont(v, 0.6),
+              quantile_cont(v, 0.7), quantile_cont(v, 0.8), quantile_cont(v, 0.9)] AS es
+      FROM expd
+    ),
+    ec AS (
+      SELECT len(list_filter(es, e -> v >= e)) AS bucket, COUNT(*) AS n_expected
+      FROM expd, edges GROUP BY 1
+    ),
+    ac AS (
+      SELECT len(list_filter(es, e -> v >= e)) AS bucket, COUNT(*) AS n_actual
+      FROM actd, edges GROUP BY 1
+    ),
+    tot AS (SELECT (SELECT COUNT(*) FROM expd) AS ne, (SELECT COUNT(*) FROM actd) AS na),
+    filled AS (
+      SELECT r.range AS bucket,
+             COALESCE(ec.n_expected, 0) AS n_expected,
+             COALESCE(ac.n_actual, 0) AS n_actual
+      FROM range(10) r
+      LEFT JOIN ec ON ec.bucket = r.range
+      LEFT JOIN ac ON ac.bucket = r.range
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(n_expected AS BIGINT) AS n_expected,
+           CAST(n_actual AS BIGINT) AS n_actual,
+           ROUND((GREATEST(n_expected / CAST(ne AS DOUBLE), 1e-6)
+                  - GREATEST(n_actual / CAST(na AS DOUBLE), 1e-6))
+                 * ROUND(LN(GREATEST(n_expected / CAST(ne AS DOUBLE), 1e-6)
+                            / GREATEST(n_actual / CAST(na AS DOUBLE), 1e-6)), 6), 6)
+             AS psi_contrib
+    FROM filled, tot
+    """,
+)
+
+
+def _dpsi(spark, sf_dir):
+    """Population Stability Index report (quality/drift.psi_report):
+    the expected side is a deterministic sha2 hash-split of event
+    values, the actual side the complement SHIFTED by value*1.15 + 5 —
+    so the report must show real drift, bucket by bucket. Edges are the
+    expected side's exact deciles (one 9-value broadcast row), each
+    side then pays ONE bucket-count aggregate; the monitoring query a
+    feature store runs per column per day."""
+    from .ops.sampling import hash_uniform01
+    from .quality.drift import psi_report
+
+    e = t(spark, sf_dir, "events").select("event_id", "value")
+    u = hash_uniform01(F.col("event_id"), "psi")
+    expd = e.filter(u < 0.5).select(F.col("value").cast("double").alias("v"))
+    actd = e.filter(u >= 0.5).select(
+        (F.col("value").cast("double") * 1.15 + 5).alias("v")
+    )
+    return psi_report(expd, actd, "v", n_buckets=10)
+
+
+CATALOG["dq_psi_drift_report"].fn = _dpsi
 
 register(
     "dq_referential_audit",

@@ -190,3 +190,24 @@ def test_containment_catches_subset_duplication(spark):
     assert cont[("l", "s")] == 1.0          # full containment of the quote
     assert jac[("l", "s")] < 0.6            # Jaccard diluted by the padding
     assert cont[("s", "x")] < 0.2           # unrelated docs stay unrelated
+
+
+def test_fuzzy_pairs_levenshtein_blocked(spark):
+    """Planted typos at distance 1 are found, far strings are not, and
+    cross-block pairs are never compared (the blocking contract)."""
+    from real_estate_data_pipeline_spark.ops.dedup import fuzzy_string_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alexander hamilton", "us"),
+            (2, "alexander hamiltop", "us"),   # distance 1
+            (3, "alexander hamilton", "uk"),   # identical but other block
+            (4, "benjamin franklin!", "us"),   # far away (same length)
+        ],
+        "id int, name string, country string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_string_pairs(df, "id", "name", ["country"]).collect()
+    }
+    assert pairs == {(1, 2): 1}  # typo found; 3 blocked away; 4 too far
