@@ -6265,14 +6265,7 @@ def _dqobs(spark, sf_dir):
 
 CATALOG["dq_observed_singlepass"].fn = _dqobs
 
-register(
-    "dq_psi_drift_report",
-    # PSI drift between a deterministic hash-split "training" sample
-    # and a deliberately shifted "serving" sample (value*1.15 + 5):
-    # bucket edges are the EXPECTED side's exact deciles, proportions
-    # are exact ratios, and the one libm call (ln) rounds to 6 dp —
-    # the engine-wide convention — so every per-bucket term hash-matches.
-    oracle=f"""
+_PSI_ORACLE = f"""
     WITH sp AS (
       SELECT CAST(value AS DOUBLE) AS v,
              {_HASH01_SQL.format(key="event_id || 'psi'")} AS u
@@ -6312,7 +6305,18 @@ register(
                             / GREATEST(n_actual / CAST(na AS DOUBLE), 1e-6)), 6), 6)
              AS psi_contrib
     FROM filled, tot
-    """,
+    """
+
+register(
+    "dq_psi_drift_report",
+    # PSI drift between a deterministic hash-split "training" sample
+    # and a deliberately shifted "serving" sample (value*1.15 + 5):
+    # bucket edges are the EXPECTED side's exact deciles, proportions
+    # are exact ratios, and the one libm call (ln) rounds to 6 dp —
+    # the engine-wide convention — so every per-bucket term hash-matches.
+    # Shared with the streaming twin evt_stream_psi_drift_now, which
+    # must land on the identical report.
+    oracle=_PSI_ORACLE,
 )
 
 
@@ -6337,6 +6341,65 @@ def _dpsi(spark, sf_dir):
 
 
 CATALOG["dq_psi_drift_report"].fn = _dpsi
+
+register(
+    "evt_stream_psi_drift_now",
+    # streaming twin: the ACTUAL side arrives as a Structured Streaming
+    # file stream; bucket occupancy aggregates in complete mode against
+    # the expected side's edge literals (the k-row "model broadcast"
+    # pattern, like IVF centroids), and the PSI fold runs downstream on
+    # the 10-row counts table. Must equal the batch report exactly —
+    # the same oracle checks both.
+    oracle=_PSI_ORACLE,
+)
+
+
+def _dpsistream(spark, sf_dir):
+    """Streaming drift monitor: the serving sample streams through a
+    micro-batch bucket-count aggregation (availableNow, complete mode,
+    memory sink) while the reference side stays batch; psi_from_counts
+    folds the two tiny counts tables into the identical per-bucket
+    report as dq_psi_drift_report. The feature-store monitoring loop —
+    reference stats computed once at training time, serving stream
+    audited continuously — proven by value equality, not claimed."""
+    from .ops.sampling import hash_uniform01
+    from .quality.drift import bucket_counts, psi_from_counts, quantile_edges
+
+    e = t(spark, sf_dir, "events").select("event_id", "value")
+    u = hash_uniform01(F.col("event_id"), "psi")
+    expd = e.filter(u < 0.5).select(F.col("value").cast("double").alias("v"))
+    edges = quantile_edges(expd, "v", 10)
+    e_cnt = bucket_counts(expd, "v", edges, 10, "n_expected")
+    n_e = expd.count()
+    # edge literals for the streaming projection (1-row bounded collect,
+    # the centroid-broadcast pattern — streaming plans can't reference a
+    # batch frame without a join, and literals keep the stream stateless
+    # below the one aggregation)
+    edge_vals = edges.collect()[0]
+    edge_arr = F.array(*[F.lit(float(edge_vals[f"__e{i}"])) for i in range(9)])
+
+    src = _stream_file_source(
+        spark, sf_dir, "events.parquet", _events_stream_schema(ts_ntz=True)
+    )
+    su = hash_uniform01(F.col("event_id"), "psi")
+    sv = F.col("value").cast("double") * 1.15 + 5
+    bucket = F.aggregate(
+        edge_arr, F.lit(0), lambda acc, ed: acc + F.when(sv >= ed, 1).otherwise(0)
+    )
+    stream_counts = (
+        src.filter(su >= 0.5)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_actual"))
+    )
+    sink = _run_stream_to_memory(
+        stream_counts, "evt_stream_psi_drift_now_sink", "complete"
+    )
+    n_a = int(sink.agg(F.sum("n_actual")).collect()[0][0] or 0)
+    return psi_from_counts(e_cnt, sink, n_e, n_a, 10)
+
+
+CATALOG["evt_stream_psi_drift_now"].fn = _dpsistream
 
 register(
     "dq_referential_audit",

@@ -107,6 +107,9 @@ _SCALAR_BROADCAST_OK = {
     "m2b_sequential_outlier_filter",  # two 1-row mean/stddev scalars, one per pass
     "sketch_hll_mergeable_daily",  # 1-row merged-sketch estimate joined to 1-row exact
     "sketch_kll_price_quantiles",  # 1-row sketch-quantile estimates vs CDF pass
+    "sim_quantized_topk",          # broadcast 1-row query vector (as sim_bruteforce)
+    "dq_psi_drift_report",         # broadcast 1-row decile-edge row per side
+    "evt_stream_psi_drift_now",    # same edge row; stream side uses literals
 }
 
 
