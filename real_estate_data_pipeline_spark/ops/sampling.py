@@ -181,6 +181,51 @@ def shuffled_shards(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    n_target: int,
+    alpha: float = 0.7,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based dataset mixing (the Pile / multilingual-LM
+    rebalancing rule): group g receives a share proportional to
+    ``n_g^alpha`` of the ``n_target`` output rows — alpha=1 keeps the
+    natural (size-proportional) mix, alpha=0 gives every group equal
+    share, the usual 0.5-0.8 range lifts small sources without letting
+    a giant one dominate. WHICH rows fill each group's quota is the
+    deterministic sha2 hash draw (smallest draws win, ties on the
+    key), so the mix replays bit-identically across runs and engines.
+
+    Plan: one tiny group-count aggregate -> per-group targets (window
+    over the group-count frame, broadcast back), one rank window per
+    group on the hash draw. The weight rounds to 6 dp before the share
+    division (pow is libm; the rounding is what lets a SQL engine
+    reproduce the quota exactly)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = F.round(F.pow(F.col("__n").cast("double"), F.lit(float(alpha))), 6)
+    tot = F.sum(w).over(Window.partitionBy())
+    targets = counts.select(
+        group_col,
+        F.floor(w / tot * F.lit(float(n_target)) + F.lit(0.5))
+        .cast("int")
+        .alias("__t"),
+    )
+    u = hash_uniform01(F.col(key_col), salt)
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(u.asc(), F.col(key_col).asc())
+    )
+    return (
+        df.withColumn("__rn", rn)
+        .join(F.broadcast(targets), group_col)
+        .filter(F.col("__rn") <= F.col("__t"))
+        .drop("__rn", "__t")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

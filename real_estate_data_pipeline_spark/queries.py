@@ -6688,6 +6688,48 @@ def _dsrccap(spark, sf_dir):
 CATALOG["doc_source_cap"].fn = _dsrccap
 
 register(
+    "doc_temperature_mix",
+    # temperature rebalancing over the skewed lang distribution
+    # (en 218 / zh 75 / es 73 / de 70 / fr 64 at sf0.01): quota_g ∝
+    # n_g^0.7 of 200 output docs — en's share shrinks, the tail langs
+    # grow, and WHICH docs fill each quota is the deterministic sha2
+    # draw. pow() is libm, so the weight rounds to 6 dp before the
+    # share division; every downstream number is then engine-exact.
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, ROUND(POW(CAST(n AS DOUBLE), 0.7), 6) AS w FROM c),
+    t AS (SELECT lang,
+                 CAST(FLOOR(w / (SELECT SUM(w) FROM w) * 200.0 + 0.5) AS INT) AS tq
+          FROM w),
+    r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_HASH01_SQL.format(key="doc_id || 'mix'")}, doc_id
+                 ) AS rn
+          FROM documents)
+    SELECT r.doc_id, r.lang FROM r JOIN t USING (lang) WHERE r.rn <= t.tq
+    """,
+)
+
+
+def _dtempmix(spark, sf_dir):
+    """Temperature-based dataset mixing (ops/sampling.temperature_mix,
+    the Pile / multilingual-LM rebalancing rule): each language's quota
+    of the 200-doc output is proportional to n^0.7, lifting tail
+    languages without letting the dominant one drown them; quota
+    filling is the deterministic hash draw so the mix is reproducible
+    and auditable. One tiny count aggregate + one rank window."""
+    from .ops.sampling import temperature_mix
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(d, "doc_id", "lang", n_target=200, alpha=0.7).select(
+        "doc_id", "lang"
+    )
+
+
+CATALOG["doc_temperature_mix"].fn = _dtempmix
+
+register(
     "skew_salted_top_n",
     # same oracle shape as doc_source_cap: the salted two-phase rank
     # must be RESULT-IDENTICAL to the plain window (order_by is a

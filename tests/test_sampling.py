@@ -156,3 +156,28 @@ def test_shuffled_shards_derives_shard_count(spark):
     out = shuffled_shards(df, "doc_id", target_rows_per_shard=250)
     n_shards = out.select("shard").distinct().count()
     assert n_shards == 8  # ceil(2000/250)
+
+
+def test_temperature_mix_quota_shape(spark):
+    """alpha=0 -> equal quotas regardless of group size; alpha=1 ->
+    size-proportional; 0<alpha<1 lifts the small group's share; the
+    fill is deterministic across partitionings."""
+    from real_estate_data_pipeline_spark.ops.sampling import temperature_mix
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "small").otherwise("big").alias("g"),
+    )  # big=900, small=100
+    def quotas(alpha):
+        out = temperature_mix(df, "doc_id", "g", n_target=100, alpha=alpha)
+        return {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    eq = quotas(0.0)
+    assert eq == {"big": 50, "small": 50}
+    prop = quotas(1.0)
+    assert prop == {"big": 90, "small": 10}
+    temp = quotas(0.5)
+    assert 10 < temp["small"] < 50 and 50 < temp["big"] < 90
+    # deterministic under repartitioning
+    a = {r["doc_id"] for r in temperature_mix(df, "doc_id", "g", 100, 0.5).collect()}
+    b = {r["doc_id"] for r in temperature_mix(df.repartition(17), "doc_id", "g", 100, 0.5).collect()}
+    assert a == b
