@@ -241,3 +241,91 @@ def test_pairs_hot_bucket_cap(spark):
     assert set(hot) == {(a, b) for a in range(64) for b in range(64) if a < b}
     # The under-cap bucket is exact.
     assert cold == [(1_000_000, 1_000_001)]
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                 # key
+            st.integers(min_value=0, max_value=30),      # hour offset
+            st.integers(min_value=0, max_value=10_000),  # unique event id
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[2],
+    )
+)
+def test_resample_ffill_grid_invariants(spark, rows):
+    """For ANY event set: the grid is dense and contiguous per key,
+    observed-bucket count equals the distinct (key, bucket) pairs with
+    events, and every filled (unobserved) bucket carries the value of
+    the nearest earlier observed bucket."""
+    from real_estate_data_pipeline_spark.ops.timeseries import resample_ffill
+
+    df = spark.createDataFrame(rows, "k string, h int, eid int, v double").select(
+        "k",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(hours="h")).alias("ts"),
+        "eid",
+        "v",
+    )
+    out = resample_ffill(df, "k", "ts", "v", 3600, tiebreaker_col="eid").collect()
+    per_key: dict[str, list] = {}
+    for r in out:
+        per_key.setdefault(r["k"], []).append(r)
+    src = {}
+    for k, h, eid, v in rows:
+        cur = src.setdefault(k, {})
+        # last-in-bucket: highest (ts, eid) wins; ts ties are eid ties
+        if h not in cur or eid > cur[h][0]:
+            cur[h] = (eid, v)
+    for k, rs in per_key.items():
+        hs = sorted(r["bucket_ts"].hour + 24 * (r["bucket_ts"].day - 1) for r in rs)
+        assert hs == list(range(min(hs), max(hs) + 1))  # dense, contiguous
+        obs = {h for h in src[k]}
+        got_obs = {
+            r["bucket_ts"].hour + 24 * (r["bucket_ts"].day - 1)
+            for r in rs
+            if r["observed"]
+        }
+        assert got_obs == obs
+        # forward fill correctness
+        for r in sorted(rs, key=lambda r: r["bucket_ts"]):
+            h = r["bucket_ts"].hour + 24 * (r["bucket_ts"].day - 1)
+            prev = max(hh for hh in src[k] if hh <= h)
+            assert r["v"] == src[k][prev][1]
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_quantization_bounds_property(spark, vecs):
+    """For ANY float vectors: q8 entries stay in [-127, 127], the zero
+    vector maps to the zero point, and dequantized values differ from
+    the input by at most scale/2 per coordinate (the lattice bound)."""
+    from real_estate_data_pipeline_spark.ops.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i, v in enumerate(vecs):
+        q8, scale = rows[i]["q8"], rows[i]["scale"]
+        assert all(-127 <= q <= 127 for q in q8)
+        # float32 storage rounds the input; compare against the stored value
+        import numpy as np
+
+        stored = np.array(v, dtype=np.float32).astype(float)
+        for x, q in zip(stored, q8):
+            assert abs(q * scale - x) <= scale / 2 + 1e-9
