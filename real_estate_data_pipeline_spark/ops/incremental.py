@@ -53,6 +53,40 @@ def merge_rollups(
     )
 
 
+def join_delta(
+    base_left: DataFrame,
+    base_right: DataFrame,
+    delta_left: DataFrame,
+    delta_right: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Incremental maintenance of an INNER equi-join materialization —
+    the delta-join rule every IVM system (DBSP, Materialize, Delta Live
+    Tables) is built on::
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    Append the returned rows to the stored join result and it equals a
+    full recompute over (A_old ∪ ΔA) ⋈ (B_old ∪ ΔB) — verified
+    value-exactly by the ``incr_join_maintenance`` gate oracle.
+    Insert-only deltas (append workloads); updates/deletes need
+    retraction weights, which the SCD2 Change Data Feed supplies
+    upstream (close the old version, insert the new — each is an
+    insert-only delta of its side).
+
+    At 100 TB the wins are the usual IVM ones: the three delta joins
+    shuffle only |Δ|-sized inputs on the big sides (ΔA ⋈ B_old scans
+    B_old but shuffles it only on the join key — and prunes to ΔA's key
+    range when the store is partitioned/bucketed on the key), instead
+    of re-joining |A| x |B|."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return (
+        delta_left.join(base_right, keys)
+        .unionByName(base_left.join(delta_right, keys))
+        .unionByName(delta_left.join(delta_right, keys))
+    )
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

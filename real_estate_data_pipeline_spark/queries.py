@@ -6192,6 +6192,55 @@ def _dincrroll(spark, sf_dir):
 CATALOG["incr_rollup_events"].fn = _dincrroll
 
 register(
+    "incr_join_maintenance",
+    # delta-join IVM rule: the maintained materialization (base join +
+    # ΔA⋈B_old + A_old⋈ΔB + ΔA⋈ΔB) must equal the full recompute over
+    # the complete tables — which is exactly what this oracle is.
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+
+
+def _dincrjoin(spark, sf_dir):
+    """Incremental JOIN maintenance (ops/incremental.join_delta — the
+    Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB rule behind every IVM system): orders
+    and customer each split into a base and an insert delta, the stored
+    base join is maintained with the three delta joins, and the
+    maintained result's rollup must equal a full recompute over the
+    complete tables exactly. At 100 TB the delta joins shuffle
+    |Δ|-sized inputs where the nightly recompute re-joins everything."""
+    from .ops.incremental import join_delta
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    o_base, o_delta = o.filter(F.col("o_totalprice") < 150000), o.filter(
+        F.col("o_totalprice") >= 150000
+    )
+    c_base, c_delta = c.filter(F.col("custkey") % 3 != 0), c.filter(
+        F.col("custkey") % 3 == 0
+    )
+    materialized = o_base.join(c_base, "custkey")
+    maintained = materialized.unionByName(
+        join_delta(o_base, c_base, o_delta, c_delta, "custkey")
+    )
+    return maintained.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+CATALOG["incr_join_maintenance"].fn = _dincrjoin
+
+register(
     "table_diff_customer",
     oracle="""
     SELECT c_custkey,
