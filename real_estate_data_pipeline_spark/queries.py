@@ -6094,6 +6094,72 @@ def _diozorder(spark, sf_dir):
 CATALOG["io_zorder_roundtrip"].fn = _diozorder
 
 register(
+    "io_bucketed_join_gate",
+    # bucketed fact-fact join INSIDE the gate: both tables are written
+    # bucketed on the join key, the join is asserted Exchange-free (the
+    # pre-shuffled-at-write-time contract — at 100 TB this is the
+    # difference between shuffling both fact tables per query and
+    # never), and the rollup over the bucketed join must equal the
+    # plain SQL join of the raw tables.
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+
+
+def _diobucket(spark, sf_dir):
+    """S-layer bucketing in the gate (io/bucketing): orders and
+    lineitem persist as same-bucketed managed tables, the fact-fact
+    join PLANS WITHOUT AN EXCHANGE on either side (asserted here — a
+    shuffling plan fails the query, not just a unit test), and the
+    revenue rollup hash-matches the plain join of the raw parquet.
+    Broadcast is disabled for the assertion window because at gate
+    scale the planner would otherwise broadcast (also shuffle-free,
+    but not the 100 TB fact-fact strategy being proven)."""
+    import getpass
+
+    from .io.bucketing import bucketed_join, write_bucketed
+
+    user = getpass.getuser().replace("-", "_")
+    tl, tr = f"redp_{user}_b_orders_gate", f"redp_{user}_b_lineitem_gate"
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), "o_orderpriority"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"), "l_extendedprice"
+    )
+    write_bucketed(o, tl, "key", 8)
+    write_bucketed(li, tr, "key", 8)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, tl, tr, "key")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            dsum("l_extendedprice", "revenue"),
+        )
+        # materialize within the conf window so the asserted plan is
+        # the executed plan
+        rows = out.collect()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n_lines bigint, revenue double"
+    )
+
+
+CATALOG["io_bucketed_join_gate"].fn = _diobucket
+
+register(
     "m2b_sequential_outlier_filter",
     # Faithful replica of the reference's SEQUENTIAL stateful outlier
     # pass (silver_etl_script.py:668-693, SURVEY hard-part 4): each
