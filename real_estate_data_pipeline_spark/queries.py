@@ -6160,6 +6160,119 @@ def _diobucket(spark, sf_dir):
 CATALOG["io_bucketed_join_gate"].fn = _diobucket
 
 register(
+    "io_multiformat_scan",
+    # the format layer inside the gate: the same customer data written
+    # as CSV, JSON and ORC must read back through read_any to the
+    # identical aggregate — one row per format, all three equal to the
+    # parquet source the oracle reads.
+    oracle="""
+    SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+    FROM customer, (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
+    GROUP BY fmt
+    """,
+)
+
+
+def _diomulti(spark, sf_dir):
+    """Multi-format source layer (io/readers.read_any): customer writes
+    to CSV (header), JSON lines, and ORC in scratch, reads back through
+    the format-agnostic reader with an explicit schema, and every
+    format's rollup must equal the parquet source exactly — the
+    format-boundary losslessness check (CSV's string round-trip of
+    decimals is exactly where silent precision loss would hide)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from .io.readers import read_any
+
+    base = _scratch("redp_multifmt_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    frames = []
+    for fmt in ("csv", "json", "orc"):
+        path = os.path.join(base, fmt)
+        w = c.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.format(fmt).save(path)
+        back = read_any(spark, path, fmt, schema=schema)
+        frames.append(
+            back.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum("c_acctbal", "acctbal_sum"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+CATALOG["io_multiformat_scan"].fn = _diomulti
+
+register(
+    "sql_interface_q3",
+    # the SQL-first surface in the gate: the same TPC-H Q3 shape runs
+    # as a raw SQL string through sql.register_tables + spark.sql and
+    # must equal the DataFrame twin's oracle (both compile to the same
+    # Catalyst plan — proven by value here, by plan in
+    # tests/test_sql_interface.py).
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+               AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15' AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+
+
+def _dsqlq3(spark, sf_dir):
+    """SQL-string execution path (sql.py): TPC-H Q3 as raw ANSI SQL
+    through the registered temp views — same Catalyst plan as the
+    DataFrame twin (q3_top_revenue_orders), proven by value equality
+    against the same-shape oracle."""
+    from .sql import sql as run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                   AS DOUBLE) AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS o_orderdate_s,
+               o.o_orderpriority
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15' AND l.l_shipdate > DATE '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+        """,
+    )
+
+
+CATALOG["sql_interface_q3"].fn = _dsqlq3
+
+register(
     "m2b_sequential_outlier_filter",
     # Faithful replica of the reference's SEQUENTIAL stateful outlier
     # pass (silver_etl_script.py:668-693, SURVEY hard-part 4): each
