@@ -27,7 +27,26 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Persist as a bucketed (+ optionally sorted) managed table."""
+    """Persist as a bucketed (+ optionally sorted) managed table.
+
+    Overwrite reconciles catalog and warehouse first: with the default
+    in-memory catalog, a table written by a PREVIOUS session leaves its
+    warehouse directory behind while the new session's catalog has
+    never heard of it — saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS. DROP IF EXISTS handles the same-session
+    case; the orphaned-directory sweep handles the cross-session one.
+    (A Hive/Unity metastore persists the catalog and never hits this.)"""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        import os
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        wh = wh.removeprefix("file:")
+        leftover = os.path.join(wh, table.split(".")[-1].lower())
+        if wh and os.path.isdir(leftover):
+            shutil.rmtree(leftover)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_cols:
         w = w.sortBy(*sort_cols)
