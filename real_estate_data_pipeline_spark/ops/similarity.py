@@ -827,3 +827,61 @@ def ivf_knn_join(
 
     w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
     return scored.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k).drop("__rk")
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    score_dp: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most cosine-similar corpus vectors whose label
+    DIFFERS from the query's — the near-misses a contrastive loss learns
+    the most from (easy negatives are already far away).
+
+    ``queries`` is a small frame (qid, qvec, qlabel) — broadcast, so the
+    corpus is scored in one shuffle-free map pass (corpus x Q rows,
+    map-side) and the only shuffle is the per-query top-k window over
+    ~Q*k survivors... strictly the window shuffles all scored rows, but
+    keyed by qid, and Q is small by construction. NULL-labeled rows are
+    excluded on both sides (SQL ``<>`` three-valued logic, kept
+    deliberately: an unlabeled vector is not a *known* negative).
+
+    Scores round to ``score_dp`` before ranking (ties -> lowest id) so the
+    edge set is engine-exact. Output: (qid, id, rank, cosine_sim)."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+        safe_norm(F.col(vec_col)).alias("__qn"),
+    )
+    scored = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            F.col(label_col).alias("__l"),
+            safe_norm(F.col(vec_col)).alias("__n"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("__l") != F.col("__ql"))
+        .select(
+            "qid",
+            id_col,
+            F.round(
+                dot(F.col("__v"), F.col("__qv")) / (F.col("__n") * F.col("__qn")),
+                score_dp,
+            ).alias("cosine_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "rank", "cosine_sim")
+    )

@@ -1936,6 +1936,121 @@ def _simq8(spark, sf_dir):
 
 CATALOG["sim_quantized_topk"].fn = _simq8
 
+_SAFE_NORM_SQL = lambda col: (  # noqa: E731
+    f"CASE WHEN SQRT(list_sum(list_transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0"
+    f" THEN 1.0"
+    f" ELSE SQRT(list_sum(list_transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END"
+)
+
+register(
+    "sim_hard_negatives",
+    # Contrastive-training hard-negative mining: per query vector, the
+    # top-5 most-similar vectors with a DIFFERENT label. Broadcast query
+    # side, one map pass over the corpus, per-qid rank window; scores
+    # round to 6 dp before ranking so the edge set is engine-exact.
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS qlabel,
+             {_SAFE_NORM_SQL('embedding')} AS qn
+      FROM embeddings WHERE vec_id < 8
+    ),
+    cand AS (
+      SELECT q.qid, e.vec_id,
+             round(list_sum(list_transform(range(1, 65), i ->
+                 CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / ({_SAFE_NORM_SQL('e.embedding')} * q.qn), 6) AS cosine_sim
+      FROM embeddings e, q
+      WHERE e.label <> q.qlabel
+    )
+    SELECT qid, vec_id, neg_rank, cosine_sim FROM (
+      SELECT cand.*,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine_sim DESC, vec_id) AS neg_rank
+      FROM cand
+    ) WHERE neg_rank <= 5
+    """,
+)
+
+
+def _simhn(spark, sf_dir):
+    """Hard-negative mining (ops/similarity.hard_negative_topk): for each
+    of the 8 lowest-id query vectors, the 5 nearest corpus vectors whose
+    label differs — the near-miss negatives a contrastive loss learns
+    from. NULL labels are excluded by <> on both engines."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    out = similarity.hard_negative_topk(e, q, k=5, score_dp=6)
+    return out.select(
+        "qid", "vec_id", F.col("rank").cast("long").alias("neg_rank"), "cosine_sim"
+    )
+
+
+CATALOG["sim_hard_negatives"].fn = _simhn
+
+register(
+    "sim_pq_adc_topk",
+    # Product quantization + asymmetric distance: 4-bit codes (m=8
+    # subspaces x k=16 entries) instead of 256-byte vectors, queries
+    # scored via an ADC lookup table. Zero-RNG codebooks (subvectors of
+    # the 16 lowest-id vectors), 6-dp code selection, integer micro-unit
+    # ADC sums — the full chain is engine-exact, so this is value-checked
+    # compression, not a rows-only sketch. See ops/pq.py.
+    oracle="""
+    WITH seeds AS (
+      SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    cb AS (
+      SELECT s.sub, seeds.code,
+             list_transform(range(1, 9),
+                            i -> CAST(seeds.embedding[s.sub * 8 + i] AS DOUBLE)) AS cvec
+      FROM seeds, range(0, 8) AS s(sub)
+    ),
+    encd AS (
+      SELECT e.vec_id, cb.sub, cb.code,
+             round(list_sum(list_transform(range(1, 9), i ->
+               (CAST(e.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.cvec[i])
+               * (CAST(e.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.cvec[i]))), 6) AS d6
+      FROM embeddings e CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT encd.*,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d6, code) AS rn
+        FROM encd
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    adc AS (
+      SELECT cb.sub, cb.code,
+             CAST(floor(round(list_sum(list_transform(range(1, 9), i ->
+               (CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.cvec[i])
+               * (CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.cvec[i]))), 6)
+               * 1e6 + 0.5) AS BIGINT) AS micro
+      FROM cb, q
+    )
+    SELECT enc.vec_id, CAST(SUM(adc.micro) AS DOUBLE) / 1e6 AS approx_dist
+    FROM enc JOIN adc USING (sub, code)
+    GROUP BY enc.vec_id
+    ORDER BY approx_dist, enc.vec_id
+    LIMIT 10
+    """,
+)
+
+
+def _simpq(spark, sf_dir):
+    """PQ-ADC approximate top-10 nearest to the vec_id=0 query: corpus
+    stored as 8 x 4-bit codes (64x compression), distances summed from a
+    broadcast ADC table in exact integer micro-units (ops/pq.py)."""
+    from .ops import pq
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return pq.pq_adc_topk(e, q, k_top=10)
+
+
+CATALOG["sim_pq_adc_topk"].fn = _simpq
+
 # generated from the SAME seeded Gaussian plane literals as the Spark
 # expression (ops/similarity.sign_bucket), so both engines bucket alike
 _BUCKET_SQL_E = similarity.sign_bucket_sql("e.embedding", 8)

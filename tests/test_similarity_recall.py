@@ -297,3 +297,89 @@ def test_int8_quantization_recall_and_invariants(spark, sf_oracle):
     z = spark.createDataFrame([(1, [0.0] * 64)], "vec_id long, embedding array<float>")
     row = quantize_embeddings(z).collect()[0]
     assert row["scale"] == 1.0 and all(v == 0 for v in row["q8"])
+
+
+def _clustered_corpus(spark, n_clusters=6, members=8, seed=11):
+    """Well-separated unit clusters with labels — PQ should keep cluster
+    members closer than non-members, and labels drive hard negatives."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in range(n_clusters):
+        u = rng.standard_normal(64)
+        u /= np.linalg.norm(u)
+        for m in range(members):
+            v = u + 0.05 * rng.standard_normal(64)
+            rows.append((c * members + m, [float(x) for x in v], c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """PQ-ADC top-k (4-bit codes) must recover most of the exact top-k:
+    on separated clusters the quantization noise is far below the
+    inter-cluster margin, so the query's own cluster dominates both."""
+    from real_estate_data_pipeline_spark.ops import pq
+    from real_estate_data_pipeline_spark.ops.similarity import brute_force_topk
+
+    df = _clustered_corpus(spark)
+    q = df.filter(F.col("vec_id") == 0)
+    approx = {r["vec_id"] for r in pq.pq_adc_topk(df, q, k_top=8).collect()}
+    qvec = F.array(*[F.lit(x) for x in q.collect()[0]["embedding"]])
+    exact = {r["vec_id"] for r in brute_force_topk(df, qvec, k=8).collect()}
+    assert len(approx & exact) >= 6  # >= 75% recall@8
+
+
+def test_pq_codes_shape_and_range(spark):
+    """Every vector gets exactly m codes, each in [0, k)."""
+    from real_estate_data_pipeline_spark.ops import pq
+
+    df = _clustered_corpus(spark)
+    cb = pq.pq_codebooks(df, m=8, k=16)
+    codes = pq.pq_encode(df, cb, m=8).collect()
+    n = df.count()
+    assert len(codes) == n * 8
+    assert all(0 <= r["code"] < 16 for r in codes)
+    per_vec = {}
+    for r in codes:
+        per_vec.setdefault(r["vec_id"], set()).add(r["sub"])
+    assert all(subs == set(range(8)) for subs in per_vec.values())
+
+
+def test_pq_seed_vector_zero_distance(spark):
+    """A codebook seed vector encodes to itself, so its ADC distance to a
+    query equals the query's table distance — in particular vec_id=0
+    (seed 0) queried against itself has approx_dist exactly 0."""
+    from real_estate_data_pipeline_spark.ops import pq
+
+    df = _clustered_corpus(spark)
+    q = df.filter(F.col("vec_id") == 0)
+    top = pq.pq_adc_topk(df, q, k_top=1).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["approx_dist"] == 0.0
+
+
+def test_hard_negatives_exclude_own_label(spark):
+    """Every mined negative has a different label than its query, ranks
+    are 1..k dense per query, and the top negative really is the most
+    similar other-label vector (checked against a numpy replica)."""
+    from real_estate_data_pipeline_spark.ops.similarity import hard_negative_topk
+
+    df = _clustered_corpus(spark)
+    queries = df.filter(F.col("vec_id") < 4)
+    out = hard_negative_topk(df, queries, k=5).collect()
+    labels = {r["vec_id"]: r["label"] for r in df.select("vec_id", "label").collect()}
+    by_q = {}
+    for r in out:
+        assert labels[r["vec_id"]] != labels[r["qid"]]
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in df.select("vec_id", "embedding").collect()}
+    for qid, rows in by_q.items():
+        qv = vecs[qid]
+        best = max(
+            ((i, float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))))
+             for i, v in vecs.items() if labels[i] != labels[qid]),
+            key=lambda t: (round(t[1], 6), -t[0]),
+        )
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["vec_id"] == best[0]
