@@ -2666,6 +2666,122 @@ def _ddf(spark, sf_dir):
 
 CATALOG["doc_token_doc_freq"].fn = _ddf
 
+register(
+    "doc_bpe_merge_pairs",
+    # The first step of BPE tokenizer TRAINING (Sennrich et al. 2016):
+    # census of adjacent token pairs across the corpus, most frequent
+    # first — the pair a BPE learner would merge next. One map (explode
+    # of zipped array slices, O(tokens) rows) + one partial-aggregated
+    # groupBy; top-20 via TakeOrdered.
+    oracle=r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT t[i] AS tok_a, t[i + 1] AS tok_b
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    )
+    SELECT tok_a, tok_b, COUNT(*) AS pair_count
+    FROM pairs
+    WHERE tok_a <> '' AND tok_b <> ''
+    GROUP BY tok_a, tok_b
+    ORDER BY pair_count DESC, tok_a, tok_b
+    LIMIT 20
+    """,
+)
+
+
+def _dbmp(spark, sf_dir):
+    """Top-20 adjacent-token bigram pairs (the next BPE merge candidates).
+    Pairs come from zip_with over two shifted slices of the token array —
+    no posexplode self-join, one row per adjacent pair."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pairs = F.zip_with(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+        .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "tok_a", "tok_b")
+        .limit(20)
+    )
+
+
+CATALOG["doc_bpe_merge_pairs"].fn = _dbmp
+
+register(
+    "doc_vocab_coverage",
+    # Tokenizer-vocabulary sizing: how much of the corpus token mass the
+    # top-N vocabulary entries cover. Token census (one groupBy), rank by
+    # frequency, running-total window over the RANKED AGGREGATE (tiny:
+    # |vocab| rows, not |tokens|), probe the coverage curve at standard
+    # vocab budgets. Exact integer token counts -> exact ratios.
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tk
+      FROM documents
+    ),
+    freq AS (
+      SELECT tk, COUNT(*) AS c FROM tok WHERE tk <> '' GROUP BY tk
+    ),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY c DESC, tk) AS rnk,
+             SUM(c) OVER (ORDER BY c DESC, tk
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER () AS total
+      FROM freq
+    )
+    SELECT CAST(rnk AS BIGINT) AS vocab_size,
+           CAST(cum AS BIGINT) AS tokens_covered,
+           CAST(cum AS DOUBLE) / total AS coverage
+    FROM ranked
+    WHERE rnk IN (1, 8, 16, 32)
+    ORDER BY vocab_size
+    """,
+)
+
+
+def _dvc(spark, sf_dir):
+    """Coverage curve of a frequency-ranked vocabulary at budgets
+    1/8/16/32 (the corpus fixture has a small vocab; real corpora probe
+    1e3..1e5). The window runs over the aggregated vocab table —
+    |vocab| rows — never over raw tokens."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tk")
+    ).filter(F.col("tk") != "")
+    freq = toks.groupBy("tk").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), "tk")
+    ranked = freq.select(
+        F.row_number().over(w).cast("long").alias("vocab_size"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("tokens_covered"),
+        F.sum("c").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    return (
+        ranked.filter(F.col("vocab_size").isin(1, 8, 16, 32))
+        .select(
+            "vocab_size",
+            "tokens_covered",
+            (F.col("tokens_covered").cast("double") / F.col("__total")).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+CATALOG["doc_vocab_coverage"].fn = _dvc
+
 
 register(
     "sketch_cardinality_profile",
