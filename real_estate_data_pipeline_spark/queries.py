@@ -2782,6 +2782,89 @@ def _dvc(spark, sf_dir):
 
 CATALOG["doc_vocab_coverage"].fn = _dvc
 
+register(
+    "doc_segment_dedup_rewrite",
+    # Substring-level exact dedup WITH document reconstruction (the
+    # "Deduplicating Training Data" / RefinedWeb shape, approximated at
+    # fixed 10-token windows): a segment that already occurred anywhere
+    # in the corpus (lower doc_id, or earlier in the same doc) is
+    # dropped, and each document is rewritten from its surviving
+    # segments in order. One shuffle, keyed on segment text (first-
+    # occurrence window); reassembly is a sort_array over collected
+    # (idx, text) structs — deterministic, no driver loops.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+             array_to_string(t[u.i * 10 + 1 : u.i * 10 + 10], ' ') AS seg_text
+      FROM toks, unnest(range(0, CAST(ceil(len(t) / 10.0) AS INT))) AS u(i)
+    ),
+    keep AS (
+      SELECT doc_id, seg_idx, seg_text,
+             ROW_NUMBER() OVER (PARTITION BY seg_text
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segs WHERE seg_text <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' '
+                               ORDER BY seg_idx), '') AS cleaned_text
+    FROM keep
+    GROUP BY doc_id
+    """,
+)
+
+
+def _dsegdd(spark, sf_dir):
+    """Fixed-window segment dedup + rewrite: global first-occurrence
+    window on segment text, per-doc reassembly of survivors. The only
+    wide op is the segment-key shuffle (inherent to corpus-global exact
+    dedup); reconstruction is a groupBy(doc_id) with sorted structs."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_seg = F.ceil(F.size(tk) / F.lit(10.0)).cast("int")
+    segs = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.array_join(F.slice(tk, i * 10 + 1, 10), " "),
+                )
+            ).alias("seg_idx", "seg_text"),
+        )
+        .filter(F.col("seg_text") != "")
+        .select("doc_id", F.col("seg_idx").cast("long").alias("seg_idx"), "seg_text")
+    )
+    w = Window.partitionBy("seg_text").orderBy("doc_id", "seg_idx")
+    marked = segs.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("seg_idx"), F.col("seg_text"))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+CATALOG["doc_segment_dedup_rewrite"].fn = _dsegdd
+
 
 register(
     "sketch_cardinality_profile",

@@ -110,6 +110,8 @@ _SCALAR_BROADCAST_OK = {
     "sim_quantized_topk",          # broadcast 1-row query vector (as sim_bruteforce)
     "dq_psi_drift_report",         # broadcast 1-row decile-edge row per side
     "evt_stream_psi_drift_now",    # same edge row; stream side uses literals
+    "sim_hard_negatives",          # broadcast 8-row query-vector side
+    "sim_pq_adc_topk",             # broadcast m*k=128-row PQ codebook / ADC table
 }
 
 
