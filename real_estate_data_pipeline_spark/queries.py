@@ -2865,6 +2865,88 @@ def _dsegdd(spark, sf_dir):
 
 CATALOG["doc_segment_dedup_rewrite"].fn = _dsegdd
 
+register(
+    "doc_boilerplate_strip",
+    # CCNet-style boilerplate removal, the complement of first-occurrence
+    # dedup: a segment appearing in >= 3 DISTINCT documents of the same
+    # source is template noise (headers, nav, disclaimers) and is dropped
+    # from EVERY document. Census is one partial-aggregated groupBy on
+    # (source, segment); the rewrite joins the census back on the same
+    # key — both shuffles are keyed, nothing fans out.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, source, CAST(u.i AS BIGINT) AS seg_idx,
+             array_to_string(t[u.i * 10 + 1 : u.i * 10 + 10], ' ') AS seg_text
+      FROM toks, unnest(range(0, CAST(ceil(len(t) / 10.0) AS INT))) AS u(i)
+    ),
+    nonempty AS (SELECT * FROM segs WHERE seg_text <> ''),
+    census AS (
+      SELECT source, seg_text, COUNT(DISTINCT doc_id) AS n_docs
+      FROM nonempty GROUP BY source, seg_text
+    ),
+    marked AS (
+      SELECT s.doc_id, s.source, s.seg_idx, s.seg_text,
+             CASE WHEN c.n_docs >= 3 THEN 1 ELSE 0 END AS boiler
+      FROM nonempty s JOIN census c
+        ON s.source = c.source AND s.seg_text = c.seg_text
+    )
+    SELECT doc_id, source,
+           COUNT(*) AS n_segments,
+           CAST(SUM(boiler) AS BIGINT) AS n_boiler,
+           COALESCE(string_agg(CASE WHEN boiler = 0 THEN seg_text END, ' '
+                               ORDER BY seg_idx), '') AS cleaned_text
+    FROM marked
+    GROUP BY doc_id, source
+    """,
+)
+
+
+def _dboiler(spark, sf_dir):
+    """Per-source boilerplate strip: segments shared by >= 3 distinct docs
+    of a source are removed from all of them; every doc survives (possibly
+    empty) with its kept segments rejoined in order."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_seg = F.ceil(F.size(tk) / F.lit(10.0)).cast("int")
+    segs = (
+        d.select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.array_join(F.slice(tk, i * 10 + 1, 10), " "),
+                )
+            ).alias("seg_idx", "seg_text"),
+        )
+        .filter(F.col("seg_text") != "")
+        .select("doc_id", "source", F.col("seg_idx").cast("long").alias("seg_idx"), "seg_text")
+    )
+    census = segs.groupBy("source", "seg_text").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    marked = segs.join(census, ["source", "seg_text"]).withColumn(
+        "boiler", F.when(F.col("n_docs") >= 3, F.lit(1)).otherwise(F.lit(0))
+    )
+    kept_struct = F.when(
+        F.col("boiler") == 0, F.struct(F.col("seg_idx"), F.col("seg_text"))
+    )
+    return marked.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("boiler").alias("n_boiler"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(kept_struct)), lambda s: s["seg_text"]),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+CATALOG["doc_boilerplate_strip"].fn = _dboiler
+
 
 register(
     "sketch_cardinality_profile",
