@@ -89,3 +89,81 @@ def pack_sequences(
         (F.col("bucket") * F.lit(1_000_000) + F.floor(cum_before / budget)).alias("seq_id"),
         F.col("__nt").alias(token_count_col),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_rate: float = 0.15,
+    salt: str = "span",
+) -> DataFrame:
+    """T5-style span-corruption example construction: each token is
+    masked by a deterministic per-(doc, position) hash draw; CONSECUTIVE
+    masked tokens collapse into one ``<extra_id_k>`` sentinel in the
+    input, and the target lists each sentinel followed by the tokens it
+    hides — the (input, target) pair a span-corruption objective trains
+    on.
+
+    Everything is derandomized through ``sampling.hash_uniform01`` (the
+    corpus-wide convention: first 8 sha256 hex chars scaled to [0,1)),
+    so the same doc always yields the same example on any engine — which
+    is what makes the gate oracle exact, and what a 100 TB run wants
+    anyway (epoch-stable masking, no RNG state per task).
+
+    Plan shape: posexplode (one row per token) -> per-doc lag/running-sum
+    window (keyed by doc id — the only shuffle) -> groupBy(doc) ordered
+    reassembly via sort_array(collect_list(struct)). Output:
+    (id, n_tokens, n_masked, input_text, target_text)."""
+    from .sampling import hash_uniform01
+
+    toks = df.select(
+        id_col,
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "idx", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    draw_key = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"), F.col("idx").cast("string")
+    )
+    toks = toks.withColumn(
+        "masked", (hash_uniform01(draw_key, salt) < F.lit(float(mask_rate))).cast("int")
+    )
+    w = Window.partitionBy(id_col).orderBy("idx")
+    run_start = (
+        (F.col("masked") == 1)
+        & (F.coalesce(F.lag("masked").over(w), F.lit(0)) == 0)
+    ).cast("int")
+    marked = toks.withColumn("run_start", run_start).withColumn(
+        "sid",
+        F.sum("run_start").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("sid").cast("string"), F.lit(">"))
+    input_piece = F.when(F.col("masked") == 0, F.col("tok")).when(
+        F.col("run_start") == 1, sentinel
+    )
+    target_piece = F.when(
+        F.col("masked") == 1,
+        F.when(
+            F.col("run_start") == 1, F.concat(sentinel, F.lit(" "), F.col("tok"))
+        ).otherwise(F.col("tok")),
+    )
+    def _joined(piece):
+        return F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(piece.isNotNull(), F.struct(F.col("idx"), piece.alias("p")))
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        )
+
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("masked").alias("n_masked"),
+        _joined(input_piece).alias("input_text"),
+        _joined(target_piece).alias("target_text"),
+    )

@@ -2947,6 +2947,74 @@ def _dboiler(spark, sf_dir):
 
 CATALOG["doc_boilerplate_strip"].fn = _dboiler
 
+register(
+    "doc_span_corruption",
+    # T5 span-corruption example construction: deterministic per-(doc,
+    # position) hash draws mask ~15% of tokens, consecutive masked
+    # tokens collapse to one <extra_id_k> sentinel in the input, and the
+    # target lists each sentinel's hidden tokens. Fully derandomized
+    # (sha256 draws, the corpus sampling convention) -> the exact same
+    # training examples on any engine, any partitioning, any epoch.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS idx, t[u.i] AS tok
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM documents) s,
+           unnest(range(1, len(t) + 1)) AS u(i)
+      WHERE t[u.i] <> ''
+    ),
+    drawn AS (
+      SELECT doc_id, idx, tok,
+             CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(idx AS VARCHAR) || 'span'), 1, 8))::UBIGINT
+                        / 4294967296.0 < 0.15
+                  THEN 1 ELSE 0 END AS masked
+      FROM toks
+    ),
+    runs AS (
+      SELECT drawn.*,
+             CASE WHEN masked = 1
+                   AND COALESCE(LAG(masked) OVER (PARTITION BY doc_id ORDER BY idx), 0) = 0
+                  THEN 1 ELSE 0 END AS run_start
+      FROM drawn
+    ),
+    sids AS (
+      SELECT runs.*,
+             SUM(run_start) OVER (PARTITION BY doc_id ORDER BY idx
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS sid
+      FROM runs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(masked) AS BIGINT) AS n_masked,
+           COALESCE(string_agg(CASE WHEN masked = 0 THEN tok
+                                    WHEN run_start = 1
+                                    THEN '<extra_id_' || CAST(sid AS VARCHAR) || '>'
+                               END, ' ' ORDER BY idx), '') AS input_text,
+           COALESCE(string_agg(CASE WHEN masked = 1 THEN
+                                      CASE WHEN run_start = 1
+                                           THEN '<extra_id_' || CAST(sid AS VARCHAR)
+                                                || '> ' || tok
+                                           ELSE tok END
+                               END, ' ' ORDER BY idx), '') AS target_text
+    FROM sids
+    GROUP BY doc_id
+    """,
+)
+
+
+def _dspan(spark, sf_dir):
+    """Span-corruption (input, target) pairs over the documents corpus
+    (ops/packing.span_corruption): epoch-stable hash masking, per-doc
+    window for sentinel runs, ordered reassembly — no RNG, no UDF."""
+    from .ops import packing
+
+    d = t(spark, sf_dir, "documents")
+    return packing.span_corruption(d, mask_rate=0.15, salt="span")
+
+
+CATALOG["doc_span_corruption"].fn = _dspan
+
 
 register(
     "sketch_cardinality_profile",

@@ -51,3 +51,42 @@ def test_packing_budget_and_stability(spark):
         budget=512, n_buckets=4,
     ).collect()
     assert {(r["doc_id"], r["seq_id"]) for r in again} == {(r["doc_id"], r["seq_id"]) for r in out}
+
+
+def test_span_corruption_reconstructs_original(spark):
+    """Substituting every <extra_id_k> in the input with its target span
+    must reproduce the original (lowercased) token stream exactly, and
+    sentinel ids must be dense 0..K-1 in both input and target."""
+    import re
+
+    from real_estate_data_pipeline_spark.ops.packing import span_corruption
+
+    rows = [
+        (1, "The quick Brown fox jumps over the lazy dog again and again today"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "one"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_corruption(df, mask_rate=0.4).collect()}
+    assert 4 not in out  # blank doc yields nothing
+    for doc_id, text in rows[:3]:
+        r = out[doc_id]
+        orig = text.lower().split()
+        assert r["n_tokens"] == len(orig)
+        spans = {}
+        cur = None
+        for tok in r["target_text"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        assert sorted(spans) == list(range(len(spans)))  # dense ids
+        rebuilt = []
+        for tok in r["input_text"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            rebuilt.extend(spans[int(m.group(1))] if m else [tok])
+        assert rebuilt == orig
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
