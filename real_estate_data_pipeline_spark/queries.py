@@ -3015,6 +3015,59 @@ def _dspan(spark, sf_dir):
 
 CATALOG["doc_span_corruption"].fn = _dspan
 
+register(
+    "doc_source_overlap_matrix",
+    # Provenance diagnostic: how much PHRASING each pair of sources
+    # shares (the "is source B re-crawling source A" question), measured
+    # as distinct 5-token shingles present in both — the same gram
+    # currency as decontamination. Distinct (shingle, source) pairs,
+    # then a self-join WITHIN shingle groups — group fan-out is bounded
+    # by the number of sources, never by corpus size, so the pair
+    # expansion is safe at any scale.
+    oracle=r"""
+    WITH tk AS (
+      SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(list_distinct(list_transform(
+                 range(1, greatest(len(tk) - 4, 1) + 1),
+                 i -> array_to_string(tk[i:i+4], ' '))), g -> g <> '')) AS g
+      FROM tk
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_shingles
+    FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+
+
+def _dsom(spark, sf_dir):
+    """Pairwise source-overlap matrix on distinct 5-gram shingles
+    (ops/dedup.shingles_from_tokens): one distinct, one shingle-keyed
+    self-join (fan-out <= n_sources per group), one groupBy."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = (
+        d.select("source", tk.alias("__tk"))
+        .select("source", F.explode(dedup.shingles_from_tokens(F.col("__tk"), 5)).alias("g"))
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+
+
+CATALOG["doc_source_overlap_matrix"].fn = _dsom
+
 
 register(
     "sketch_cardinality_profile",
