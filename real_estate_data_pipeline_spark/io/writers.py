@@ -6,6 +6,7 @@ reference writes: silver_etl_script.py:947-961, gold_ml_etl.py:459-464).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -57,3 +58,36 @@ def write_any(
     for k, v in options.items():
         w = w.option(k, v)
     w.save(path)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_ranges: int = 8,
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Globally range-sorted export: rows are range-partitioned on
+    ``sort_col`` into ``n_ranges`` partitions and sorted within each, so
+    reading the partition files in partition order yields a fully sorted
+    dataset — the layout downstream sequential consumers (external
+    mergers, time-ordered training curricula) want.
+
+    ``repartitionByRange`` samples the sort key to pick boundaries
+    (reservoir sample per partition — one extra pass but no global
+    sort), so no task ever holds more than ~1/n_ranges of the data:
+    this is the scale-safe way to produce sorted output, vs a global
+    ``orderBy`` write whose final sort would bottleneck on task count,
+    or a single-window rank (the shape ops/sampling's two-level sharder
+    exists to avoid). Boundary placement is therefore sample-dependent
+    — per-file ORDER is guaranteed, per-file row COUNTS are not; the
+    gate-facing exact-boundary twin is queries.export_range_partition_stats,
+    which derives boundaries deterministically from the value histogram."""
+    (
+        df.repartitionByRange(n_ranges, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .options(**options)
+        .parquet(path)
+    )

@@ -3068,6 +3068,81 @@ def _dsom(spark, sf_dir):
 
 CATALOG["doc_source_overlap_matrix"].fn = _dsom
 
+register(
+    "export_range_partition_stats",
+    # Deterministic range-partitioner derivation (the exact-boundary twin
+    # of io/writers.write_range_sorted, whose sampled boundaries can't
+    # hash-match): decile boundaries come from a HISTOGRAM of the sort
+    # key (groupBy value + running sum over |distinct values| rows —
+    # never a global row_number over the corpus, the single-task-sort
+    # shape), docs are assigned bucket = #boundaries strictly below
+    # their key via a 9-row broadcast, and the output is per-bucket
+    # (count, min, max) — non-overlapping, monotone ranges.
+    oracle="""
+    WITH hist AS (
+      SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc FROM hist
+    ),
+    bounds AS (
+      SELECT u.i, MIN(cum.v) AS b
+      FROM cum, tot, unnest(range(1, 10)) AS u(i)
+      WHERE cum.cc >= ceil(u.i * tot.n / 10.0)
+      GROUP BY u.i
+    ),
+    assigned AS (
+      SELECT d.doc_id, d.n_chars,
+             CAST(COALESCE(SUM(CASE WHEN b.b < d.n_chars THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS bucket
+      FROM documents d CROSS JOIN bounds b
+      GROUP BY d.doc_id, d.n_chars
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM assigned GROUP BY bucket
+    """,
+)
+
+
+def _derps(spark, sf_dir):
+    """Exact decile range-partitioning of documents on n_chars: histogram
+    -> running-sum boundaries (window over the value domain, not the
+    corpus) -> 9-row broadcast bucket assignment -> per-bucket stats."""
+    d = t(spark, sf_dir, "documents")
+    hist = d.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").alias("c"))
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("v", F.sum("c").over(wv).alias("cc"))
+    bounds = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(spark.range(1, 10).select(F.col("id").alias("i"))))
+        .filter(F.col("cc") >= F.ceil(F.col("i") * F.col("n") / F.lit(10.0)))
+        .groupBy("i")
+        .agg(F.min("v").alias("b"))
+    )
+    assigned = (
+        d.select("doc_id", "n_chars")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("b") < F.col("n_chars"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+CATALOG["export_range_partition_stats"].fn = _derps
+
 
 register(
     "sketch_cardinality_profile",

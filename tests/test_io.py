@@ -321,3 +321,39 @@ def test_compact_rerun_completes_interrupted_swap(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 5000
     assert not os.path.exists(p + "_old") and not os.path.exists(p + "_compacting")
+
+
+def test_write_range_sorted_global_order(spark, tmp_path):
+    """write_range_sorted: each output file is internally sorted, file
+    key-ranges are pairwise disjoint, and concatenating files in range
+    order reproduces the exact global sort of the input."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from real_estate_data_pipeline_spark.io.writers import write_range_sorted
+
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id")) % 100000).alias("key"),
+    )
+    path = str(tmp_path / "range_sorted")
+    write_range_sorted(df, path, "key", n_ranges=8)
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) > 1
+    ranges = []
+    all_keys = []
+    for f in files:
+        keys = pq.read_table(f, columns=["key"]).column("key").to_pylist()
+        if not keys:
+            continue
+        assert keys == sorted(keys), f"file {f} not internally sorted"
+        ranges.append((keys[0], keys[-1]))
+        all_keys.append(keys)
+    ranges_sorted = sorted(ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges_sorted, ranges_sorted[1:]):
+        assert hi1 <= lo2, "file ranges overlap"
+    concat = [k for _, keys in sorted(zip(ranges, all_keys)) for k in keys]
+    expect = sorted(r["key"] for r in df.collect())
+    assert concat == expect

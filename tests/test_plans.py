@@ -112,6 +112,7 @@ _SCALAR_BROADCAST_OK = {
     "evt_stream_psi_drift_now",    # same edge row; stream side uses literals
     "sim_hard_negatives",          # broadcast 8-row query-vector side
     "sim_pq_adc_topk",             # broadcast m*k=128-row PQ codebook / ADC table
+    "export_range_partition_stats",  # broadcast 9-row decile-boundary table
 }
 
 

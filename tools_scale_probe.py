@@ -35,6 +35,14 @@ HEAVY = [
     "sim_knn_join",
     "q5_nation_revenue",
     "skew_salted_agg",
+    # round-5 token-level rewrite/census family: all O(tokens) scans
+    # with keyed shuffles — expect ~linear growth, never pair blow-up
+    "doc_segment_dedup_rewrite",
+    "doc_boilerplate_strip",
+    "doc_span_corruption",
+    "doc_source_overlap_matrix",
+    "doc_bpe_merge_pairs",
+    "sim_pq_adc_topk",
 ]
 
 
