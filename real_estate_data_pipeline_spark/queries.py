@@ -2035,6 +2035,7 @@ register(
     ORDER BY approx_dist, enc.vec_id
     LIMIT 10
     """,
+    bench=True,
 )
 
 
@@ -2816,6 +2817,7 @@ register(
     FROM keep
     GROUP BY doc_id
     """,
+    bench=True,
 )
 
 
@@ -3000,6 +3002,7 @@ register(
     FROM sids
     GROUP BY doc_id
     """,
+    bench=True,
 )
 
 

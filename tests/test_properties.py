@@ -329,3 +329,48 @@ def test_quantization_bounds_property(spark, vecs):
         stored = np.array(v, dtype=np.float32).astype(float)
         for x, q in zip(stored, q8):
             assert abs(q * scale - x) <= scale / 2 + 1e-9
+
+
+doc_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["the", "cat", "sat", "on", "a", "mat", "X", "42", "spark"]),
+        min_size=1,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SLOW
+@given(doc_strategy)
+def test_span_corruption_reconstruction_property(spark, docs):
+    """For ANY token stream: substituting each <extra_id_k> sentinel's
+    target span back into the input reproduces the original stream, ids
+    are dense, and n_masked is the total hidden-token count."""
+    import re
+
+    from real_estate_data_pipeline_spark.ops.packing import span_corruption
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_corruption(df, mask_rate=0.3).collect()}
+    for i, toks in enumerate(docs):
+        r = out[i]
+        orig = [tk.lower() for tk in toks]
+        spans, cur = {}, None
+        for tok in r["target_text"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        assert sorted(spans) == list(range(len(spans)))
+        rebuilt = []
+        for tok in r["input_text"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            rebuilt.extend(spans[int(m.group(1))] if m else [tok])
+        assert rebuilt == orig
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
+        assert r["n_tokens"] == len(orig)
