@@ -13,8 +13,9 @@ Determinism contract (what makes the gate oracle exact):
 - **Zero-RNG codebooks.** Per subspace, the codebook is the subvectors of
   the ``k`` lowest-id corpus vectors (the same seeding rule as
   ``similarity.ivf_assign``); code ids are the 0..k-1 rank of the seed's id.
-  A k-means refinement would improve quality but the seeding keeps both
-  engines' codebooks identical with zero randomness.
+  ``pq_refine`` then runs Lloyd rounds whose 6-dp-rounded means stay
+  engine-identical (the IVF kNN join's recentering trick) — refinement
+  without randomness.
 - **6-dp code selection.** Sub-distances round to 6 dp before the argmin
   (ties -> lowest code id), so a last-ulp fold difference between engines
   cannot flip a code assignment.
@@ -105,6 +106,45 @@ def pq_encode(
     return best.select(id_col, "sub", F.col("__b.code").alias("code"))
 
 
+def pq_refine(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """One Lloyd refinement of the codebooks: each (sub, code) centroid
+    moves to the per-dimension mean of its assigned subvectors, rounded
+    to 6 dp (the engine-independent recentering the IVF kNN join
+    established — AVG order differences die under the rounding).
+    Starved codes keep their seed centroid (left join + coalesce), so
+    code ids never shift. One encode pass + one slim groupBy; the means
+    aggregate carries (sub, code, pos, element) rows, never vectors."""
+    d = dim // m
+    codes0 = pq_encode(df, codebooks, id_col, vec_col, m, dim)
+    joined = codes0.join(df.select(id_col, vec_col), id_col)
+    els = joined.select(
+        "sub",
+        "code",
+        F.posexplode(
+            F.transform(
+                F.slice(F.col(vec_col), F.col("sub") * d + 1, d),
+                lambda x: x.cast("double"),
+            )
+        ).alias("pos", "el"),
+    )
+    means = els.groupBy("sub", "code", "pos").agg(F.round(F.avg("el"), 6).alias("m"))
+    refined = means.groupBy("sub", "code").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("__cv1")
+    )
+    return codebooks.join(refined, ["sub", "code"], "left").select(
+        "sub", "code", F.coalesce(F.col("__cv1"), F.col("cvec")).alias("cvec")
+    )
+
+
 def pq_adc_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -114,6 +154,7 @@ def pq_adc_topk(
     m: int = 8,
     k: int = 16,
     dim: int = 64,
+    refine: int = 0,
 ) -> DataFrame:
     """ADC top-``k_top``: smallest approximate L2 distance to the (single-
     row) ``query_df`` vector, computed entirely from PQ codes.
@@ -123,6 +164,8 @@ def pq_adc_topk(
     the exact BIGINT sum of its ``m`` micro-unit cells. Output:
     (id, approx_dist double) ascending, ties -> lowest id."""
     cb = pq_codebooks(df, id_col, vec_col, m, k, dim)
+    for _ in range(refine):
+        cb = pq_refine(df, cb, id_col, vec_col, m, dim)
     codes = pq_encode(df, cb, id_col, vec_col, m, dim)
     d = dim // m
     qsub = F.transform(
@@ -147,5 +190,42 @@ def pq_adc_topk(
     return (
         summed.select(id_col, (F.col("__am").cast("double") / 1e6).alias("approx_dist"))
         .orderBy(F.col("approx_dist"), id_col)
+        .limit(k_top)
+    )
+
+
+def pq_adc_rerank_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k_top: int = 10,
+    cand_depth: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    refine: int = 1,
+) -> DataFrame:
+    """The production PQ pattern: codes generate CANDIDATES, exact
+    distances pick winners. ADC ranks the whole corpus from 4-bit codes
+    (cheap, compressed-domain), the top ``cand_depth`` survivors are
+    joined back to their full vectors, and exact L2 reranks them to
+    ``k_top``. Quantization error then only hurts if a true neighbor
+    falls outside the candidate set — recall@10 goes 0.3 -> 1.0 on the
+    gate corpus at depth 100 (sim_pq_recall_report measures both).
+
+    At scale the exact side of the rerank touches only ``cand_depth``
+    rows — the full-vector corpus is probed with an id equi-join, never
+    scanned. Output: (id, exact_dist) ascending."""
+    cand = pq_adc_topk(
+        df, query_df, k_top=cand_depth, id_col=id_col, vec_col=vec_col,
+        m=m, k=k, dim=dim, refine=refine,
+    ).select(id_col)
+    q = query_df.select(F.col(vec_col).alias("__q"))
+    return (
+        df.join(cand, id_col)
+        .crossJoin(F.broadcast(q))
+        .select(id_col, l2_dist_sq(F.col(vec_col), F.col("__q")).alias("exact_dist"))
+        .orderBy("exact_dist", id_col)
         .limit(k_top)
     )

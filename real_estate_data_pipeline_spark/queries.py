@@ -1987,52 +1987,79 @@ def _simhn(spark, sf_dir):
 
 CATALOG["sim_hard_negatives"].fn = _simhn
 
-register(
-    "sim_pq_adc_topk",
-    # Product quantization + asymmetric distance: 4-bit codes (m=8
-    # subspaces x k=16 entries) instead of 256-byte vectors, queries
-    # scored via an ADC lookup table. Zero-RNG codebooks (subvectors of
-    # the 16 lowest-id vectors), 6-dp code selection, integer micro-unit
-    # ADC sums — the full chain is engine-exact, so this is value-checked
-    # compression, not a rows-only sketch. See ops/pq.py.
-    oracle="""
-    WITH seeds AS (
+def _pq_enc_pair_sql(cb: str, encd: str, enc: str) -> str:
+    """encd/enc CTE pair: 6-dp sub-distances to every ``cb`` entry, then
+    the per-(vec, sub) argmin code (ties -> lowest code)."""
+    return f"""{encd} AS (
+      SELECT e.vec_id, {cb}.sub, {cb}.code,
+             round(list_sum(list_transform(range(1, 9), i ->
+               (CAST(e.embedding[{cb}.sub * 8 + i] AS DOUBLE) - {cb}.cvec[i])
+               * (CAST(e.embedding[{cb}.sub * 8 + i] AS DOUBLE) - {cb}.cvec[i]))), 6) AS d6
+      FROM embeddings e CROSS JOIN {cb}
+    ),
+    {enc} AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT {encd}.*,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d6, code) AS rn
+        FROM {encd}
+      ) WHERE rn = 1
+    )"""
+
+
+# Shared PQ chain (ops/pq.py twin): zero-RNG seed codebooks -> round-0
+# codes -> ONE Lloyd refinement (per-dim 6-dp-rounded means, starved
+# codes keep their seed) -> round-1 codes + integer micro-unit ADC table.
+_PQ_CTES = f"""seeds AS (
       SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
       FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
     ),
-    cb AS (
+    cb0 AS (
       SELECT s.sub, seeds.code,
              list_transform(range(1, 9),
                             i -> CAST(seeds.embedding[s.sub * 8 + i] AS DOUBLE)) AS cvec
       FROM seeds, range(0, 8) AS s(sub)
     ),
-    encd AS (
-      SELECT e.vec_id, cb.sub, cb.code,
-             round(list_sum(list_transform(range(1, 9), i ->
-               (CAST(e.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.cvec[i])
-               * (CAST(e.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.cvec[i]))), 6) AS d6
-      FROM embeddings e CROSS JOIN cb
+    {_pq_enc_pair_sql("cb0", "encd0", "enc0")},
+    cent1 AS (
+      SELECT enc0.sub, enc0.code, p.pos,
+             round(AVG(CAST(e.embedding[enc0.sub * 8 + p.pos] AS DOUBLE)), 6) AS mval
+      FROM enc0 JOIN embeddings e USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) p
+      GROUP BY enc0.sub, enc0.code, p.pos
     ),
-    enc AS (
-      SELECT vec_id, sub, code FROM (
-        SELECT encd.*,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d6, code) AS rn
-        FROM encd
-      ) WHERE rn = 1
+    cb1v AS (
+      SELECT sub, code, list(mval ORDER BY pos) AS cvec FROM cent1 GROUP BY sub, code
     ),
+    cb1 AS (
+      SELECT cb0.sub, cb0.code, COALESCE(cb1v.cvec, cb0.cvec) AS cvec
+      FROM cb0 LEFT JOIN cb1v USING (sub, code)
+    ),
+    {_pq_enc_pair_sql("cb1", "encd1", "enc1")},
     q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
     adc AS (
-      SELECT cb.sub, cb.code,
+      SELECT cb1.sub, cb1.code,
              CAST(floor(round(list_sum(list_transform(range(1, 9), i ->
-               (CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.cvec[i])
-               * (CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.cvec[i]))), 6)
+               (CAST(q.embedding[cb1.sub * 8 + i] AS DOUBLE) - cb1.cvec[i])
+               * (CAST(q.embedding[cb1.sub * 8 + i] AS DOUBLE) - cb1.cvec[i]))), 6)
                * 1e6 + 0.5) AS BIGINT) AS micro
-      FROM cb, q
-    )
-    SELECT enc.vec_id, CAST(SUM(adc.micro) AS DOUBLE) / 1e6 AS approx_dist
-    FROM enc JOIN adc USING (sub, code)
-    GROUP BY enc.vec_id
-    ORDER BY approx_dist, enc.vec_id
+      FROM cb1, q
+    )"""
+
+register(
+    "sim_pq_adc_topk",
+    # Product quantization + asymmetric distance: 4-bit codes (m=8
+    # subspaces x k=16 entries) instead of 256-byte vectors, queries
+    # scored via an ADC lookup table. Zero-RNG codebooks (subvectors of
+    # the 16 lowest-id vectors) + ONE Lloyd refinement, 6-dp code
+    # selection, integer micro-unit ADC sums — the full chain incl. the
+    # k-means step is engine-exact, so this is value-checked
+    # compression, not a rows-only sketch. See ops/pq.py.
+    oracle=f"""
+    WITH {_PQ_CTES}
+    SELECT enc1.vec_id, CAST(SUM(adc.micro) AS DOUBLE) / 1e6 AS approx_dist
+    FROM enc1 JOIN adc USING (sub, code)
+    GROUP BY enc1.vec_id
+    ORDER BY approx_dist, enc1.vec_id
     LIMIT 10
     """,
     bench=True,
@@ -2041,13 +2068,14 @@ register(
 
 def _simpq(spark, sf_dir):
     """PQ-ADC approximate top-10 nearest to the vec_id=0 query: corpus
-    stored as 8 x 4-bit codes (64x compression), distances summed from a
-    broadcast ADC table in exact integer micro-units (ops/pq.py)."""
+    stored as 8 x 4-bit codes (64x compression), one Lloyd-refined
+    codebook, distances summed from a broadcast ADC table in exact
+    integer micro-units (ops/pq.py)."""
     from .ops import pq
 
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
-    return pq.pq_adc_topk(e, q, k_top=10)
+    return pq.pq_adc_topk(e, q, k_top=10, refine=1)
 
 
 CATALOG["sim_pq_adc_topk"].fn = _simpq
@@ -3145,6 +3173,107 @@ def _derps(spark, sf_dir):
 
 
 CATALOG["export_range_partition_stats"].fn = _derps
+
+register(
+    "sim_pq_recall_report",
+    # In-gate quality quantification of the PQ compression: both the
+    # exact cosine top-10 and the PQ-ADC top-10 are fully deterministic,
+    # so their overlap is a VALUE both engines must agree on — recall is
+    # hash-checked, not waved at. (The sketch entries need within_bound
+    # booleans because their estimates are engine-specific; PQ doesn't.)
+    oracle=f"""
+    WITH {_PQ_CTES},
+    pq_top AS (
+      SELECT enc1.vec_id
+      FROM enc1 JOIN adc USING (sub, code)
+      GROUP BY enc1.vec_id
+      ORDER BY CAST(SUM(adc.micro) AS DOUBLE) / 1e6, enc1.vec_id
+      LIMIT 10
+    ),
+    exact_top AS (
+      SELECT e.vec_id
+      FROM embeddings e, q
+      ORDER BY list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(q.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+               e.vec_id
+      LIMIT 10
+    ),
+    cand AS (
+      SELECT enc1.vec_id
+      FROM enc1 JOIN adc USING (sub, code)
+      GROUP BY enc1.vec_id
+      ORDER BY CAST(SUM(adc.micro) AS DOUBLE) / 1e6, enc1.vec_id
+      LIMIT 100
+    ),
+    rerank_top AS (
+      SELECT e.vec_id
+      FROM embeddings e JOIN cand USING (vec_id), q
+      ORDER BY list_sum(list_transform(range(1, 65), i ->
+                 (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                 * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)))),
+               e.vec_id
+      LIMIT 10
+    ),
+    a1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_adc
+      FROM pq_top JOIN exact_top USING (vec_id)
+    ),
+    a2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_rerank
+      FROM rerank_top JOIN exact_top USING (vec_id)
+    )
+    SELECT n_overlap_adc,
+           CAST(n_overlap_adc AS DOUBLE) / 10 AS recall_adc_at_10,
+           n_overlap_rerank,
+           CAST(n_overlap_rerank AS DOUBLE) / 10 AS recall_rerank_at_10
+    FROM a1, a2
+    """,
+)
+
+
+def _simpqr(spark, sf_dir):
+    """PQ quality as hash-checked VALUES, both regimes: raw ADC top-10
+    (codes only — recall 0.3 on this corpus, the honest compressed-
+    domain number) and ADC-candidates + exact rerank at depth 100 (the
+    production pattern — recall 1.0 here). Exact top-10 is the cosine
+    brute force; unit-norm corpus makes L2 and cosine rankings agree."""
+    from .ops import pq
+
+    e = t(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0)
+    pq_top = pq.pq_adc_topk(e, qrow, k_top=10, refine=1).select("vec_id")
+    rr_top = pq.pq_adc_rerank_topk(e, qrow, k_top=10, cand_depth=100, refine=1).select(
+        "vec_id"
+    )
+    qv = qrow.agg(F.first("embedding").alias("qv"))
+    exact_top = (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            similarity.cosine(F.col("embedding"), F.col("qv")).alias("__c"),
+        )
+        .orderBy(F.desc("__c"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    a1 = pq_top.join(exact_top, "vec_id").agg(
+        F.count("*").alias("n_overlap_adc"),
+        (F.count("*").cast("double") / F.lit(10.0)).alias("recall_adc_at_10"),
+    )
+    a2 = rr_top.join(exact_top, "vec_id").agg(
+        F.count("*").alias("n_overlap_rerank"),
+        (F.count("*").cast("double") / F.lit(10.0)).alias("recall_rerank_at_10"),
+    )
+    return a1.crossJoin(a2).select(
+        "n_overlap_adc", "recall_adc_at_10", "n_overlap_rerank", "recall_rerank_at_10"
+    )
+
+
+CATALOG["sim_pq_recall_report"].fn = _simpqr
 
 
 register(

@@ -113,6 +113,7 @@ _SCALAR_BROADCAST_OK = {
     "sim_hard_negatives",          # broadcast 8-row query-vector side
     "sim_pq_adc_topk",             # broadcast m*k=128-row PQ codebook / ADC table
     "export_range_partition_stats",  # broadcast 9-row decile-boundary table
+    "sim_pq_recall_report",        # broadcast 1-row query vector + 128-row ADC table
 }
 
 
