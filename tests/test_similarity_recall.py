@@ -383,3 +383,22 @@ def test_hard_negatives_exclude_own_label(spark):
         )
         top = min(rows, key=lambda r: r["rank"])
         assert top["vec_id"] == best[0]
+
+
+def test_pq_rerank_full_depth_is_exact(spark):
+    """With cand_depth = corpus size the rerank stage IS brute-force L2:
+    the PQ candidate stage can't drop anyone, so the output must equal
+    the exact L2 top-k regardless of quantization quality."""
+    import numpy as np
+
+    from real_estate_data_pipeline_spark.ops import pq
+
+    df = _clustered_corpus(spark)
+    n = df.count()
+    q = df.filter(F.col("vec_id") == 7)
+    got = [r["vec_id"] for r in pq.pq_adc_rerank_topk(df, q, k_top=5, cand_depth=n).collect()]
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in df.select("vec_id", "embedding").collect()}
+    qv = vecs[7]
+    exact = sorted(vecs, key=lambda i: (((vecs[i] - qv) ** 2).sum(), i))[:5]
+    assert got == exact
