@@ -140,7 +140,7 @@ def pq_refine(
             F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
         ).alias("__cv1")
     )
-    return codebooks.join(refined, ["sub", "code"], "left").select(
+    return codebooks.join(F.broadcast(refined), ["sub", "code"], "left").select(
         "sub", "code", F.coalesce(F.col("__cv1"), F.col("cvec")).alias("cvec")
     )
 

@@ -42,6 +42,9 @@ SHOW_NOTES = {
     "evt_resample_ffill_hourly": "Gap filling: event volume collapses to one row per (key, bucket) in a rank window BEFORE the grid join; the dense grid comes from sequence+explode of a per-key span aggregate (no driver loop); the forward fill is one more window on the same key partitioning.",
     "ngram_containment_pairs": "Containment pairs ride the same blocked-pair skeleton as Jaccard: tokenize once, intra-block expansion bounded by the hot-block cap, plain equi-join on the block key — no cartesian even though short docs pair with long ones.",
     "asof_next_event_tolerance": "Forward as-of is the same union-trick single shuffle as backward, over a DESCENDING window; the tolerance is a scalar null-out projection, not a join.",
+    "doc_segment_dedup_rewrite": "Corpus-global substring dedup: one segment-keyed window (the inherent shuffle of global first-occurrence semantics) and one doc-keyed reassembly aggregate; segments explode map-side, nothing cartesian, no driver collection.",
+    "doc_span_corruption": "Training-example construction stays JVM-side end to end: posexplode -> ONE doc-keyed shuffle shared by the lag window and the running-sum sentinel numbering -> groupBy(doc) sorted-struct reassembly; the masking draw is a projected sha2 expression, not an RNG or UDF.",
+    "sim_pq_adc_topk": "PQ-ADC: the corpus meets the codebook only through <=128-row broadcast builds (the encode pass is a bounded BroadcastNestedLoopJoin, the ADC lookup a BroadcastHashJoin on (sub, code)); the encode shuffle carries (id, sub, code) triples — never vectors — and the final ranking is TakeOrderedAndProject over per-id BIGINT sums.",
 }
 
 
