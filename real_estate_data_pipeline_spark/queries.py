@@ -8096,6 +8096,65 @@ def _dshards(spark, sf_dir):
 
 CATALOG["export_shuffled_shards"].fn = _dshards
 
+register(
+    "export_shard_manifest",
+    # Dataset-versioning manifest for the shuffled-shard export: per
+    # shard, row count, char mass, id range and an ORDER-INDEPENDENT
+    # content checksum (exact BIGINT sum of per-doc sha256 prefixes), so
+    # a consumer can verify a shard byte-for-byte without re-reading the
+    # producer's ordering — and two exports of the same corpus prove
+    # identical by comparing five numbers per shard. One partial-
+    # aggregated groupBy; the checksum algebra is the mergeable-state
+    # trick (sums commute), so per-file manifests roll up to the corpus
+    # manifest for free.
+    oracle=f"""
+    SELECT CAST(floor({_HASH01_SQL.format(key="doc_id || 'shard'")} * 8) AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(SUM(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))::BIGINT)
+                AS BIGINT) AS content_check
+    FROM documents
+    GROUP BY 1
+    """,
+)
+
+
+def _dmanifest(spark, sf_dir):
+    """Per-shard export manifest: same deterministic shard assignment as
+    export_shuffled_shards, aggregated to (count, char mass, id range,
+    order-independent sha256-prefix checksum)."""
+    from .ops.sampling import hash_uniform01
+
+    d = t(spark, sf_dir, "documents")
+    shard = F.floor(
+        hash_uniform01(F.concat(F.col("doc_id").cast("string"), F.lit("shard"))) * 8
+    ).cast("int")
+    chk = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")), 256),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select(shard.alias("shard"), "n_chars", "doc_id", chk.alias("__chk"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("__chk").cast("long").alias("content_check"),
+        )
+    )
+
+
+CATALOG["export_shard_manifest"].fn = _dmanifest
+
 
 # ===========================================================================
 # entry() flagship
