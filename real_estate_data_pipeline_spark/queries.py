@@ -8114,7 +8114,7 @@ register(
            MIN(doc_id) AS min_doc_id,
            MAX(doc_id) AS max_doc_id,
            CAST(SUM(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))::BIGINT)
-                AS BIGINT) AS content_check
+                % 2305843009213693952 AS BIGINT) AS content_check
     FROM documents
     GROUP BY 1
     """,
@@ -8124,7 +8124,11 @@ register(
 def _dmanifest(spark, sf_dir):
     """Per-shard export manifest: same deterministic shard assignment as
     export_shuffled_shards, aggregated to (count, char mass, id range,
-    order-independent sha256-prefix checksum)."""
+    order-independent sha256-prefix checksum). The checksum accumulates
+    in DECIMAL(38,0) and reduces mod 2^61 at the end — a plain BIGINT
+    sum of 32-bit prefixes would hit Spark's ANSI overflow throw around
+    10^9.5 rows per shard, exactly the kind of latent 100 TB landmine
+    this repo exists to avoid."""
     from .ops.sampling import hash_uniform01
 
     d = t(spark, sf_dir, "documents")
@@ -8148,7 +8152,9 @@ def _dmanifest(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("sum_chars"),
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
-            F.sum("__chk").cast("long").alias("content_check"),
+            (F.sum(F.col("__chk").cast("decimal(38,0)")) % F.lit(2305843009213693952))
+            .cast("long")
+            .alias("content_check"),
         )
     )
 
