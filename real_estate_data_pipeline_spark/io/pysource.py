@@ -1,0 +1,88 @@
+"""Custom connector via the Spark 4 Python DataSource API.
+
+Demonstrates the engine's extension point for sources Spark has no
+built-in reader for (internal feeds, bespoke formats): subclass
+``DataSource``/``DataSourceReader``, emit ``InputPartition``s so the
+planner fans the scan out across tasks, and yield plain tuples per
+partition. The same surface the reference fills with HTTP scrapers
+(spiders/*.py) — here the Bronze contract is a *connector*, not a
+pre-dumped fixture.
+
+The shipped source is a deterministic synthetic-corpus generator: every
+field derives from the row index through the corpus-wide sha256 draw
+convention (``ops/sampling.hash_uniform01``), so the connector's output
+is reproducible ANYWHERE — including in pure SQL, which is what lets the
+gate value-oracle a custom connector end to end (DuckDB recomputes the
+identical rows from ``range(n)``).
+
+Scale notes: ``partitions()`` is the planner contract — N partitions =
+N parallel tasks, so a real connector sizes them to the remote system's
+parallelism (file splits, topic partitions, shard ranges). ``read``
+streams tuples lazily; nothing materializes per-partition lists.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _u01(i: int, salt: str = "synth") -> float:
+    """First 8 sha256 hex chars of ``f"{i}{salt}"`` scaled to [0, 1) —
+    bit-identical to sampling.hash_uniform01 and to the SQL idiom
+    ``('0x' || substr(sha256(CAST(i AS VARCHAR) || 'synth'), 1, 8))::UBIGINT
+    / 4294967296.0``."""
+    h = hashlib.sha256(f"{i}{salt}".encode()).hexdigest()[:8]
+    return int(h, 16) / 4294967296.0
+
+
+def synth_row(i: int) -> tuple[int, str, int]:
+    """(doc_id, lang, n_chars) for row ``i`` — the single definition both
+    the connector and its oracle derive from."""
+    u = _u01(i)
+    lang = "en" if u < 0.6 else ("vi" if u < 0.9 else "zh")
+    return i, lang, int(math.floor(u * 1000.0))
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticCorpusReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+
+    def partitions(self):
+        n, p = self.n_docs, max(1, self.n_partitions)
+        step = (n + p - 1) // p
+        return [_RangePartition(s, min(s + step, n)) for s in range(0, n, step)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield synth_row(i)
+
+
+class SyntheticCorpusDataSource(DataSource):
+    """``spark.read.format("synthetic_corpus").option("n_docs", ...)`` after
+    ``spark.dataSource.register(SyntheticCorpusDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_corpus"
+
+    def schema(self) -> str:
+        return "doc_id bigint, lang string, n_chars bigint"
+
+    def reader(self, schema) -> SyntheticCorpusReader:
+        return SyntheticCorpusReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the connector on a session."""
+    spark.dataSource.register(SyntheticCorpusDataSource)

@@ -8161,6 +8161,56 @@ def _dmanifest(spark, sf_dir):
 
 CATALOG["export_shard_manifest"].fn = _dmanifest
 
+register(
+    "io_python_datasource_scan",
+    # Custom connector through the Spark 4 Python DataSource API
+    # (io/pysource.py): the planner fans the scan across the connector's
+    # 8 InputPartitions, and because every generated field derives from
+    # the corpus-wide sha256 draw convention, DuckDB reproduces the
+    # connector's exact output from range(2000) — a custom SOURCE whose
+    # rows are value-oracled, not just row-counted.
+    oracle="""
+    WITH g AS (
+      SELECT t.i AS doc_id,
+             ('0x' || substr(sha256(CAST(t.i AS VARCHAR) || 'synth'), 1, 8))::UBIGINT
+               / 4294967296.0 AS u
+      FROM range(0, 2000) t(i)
+    )
+    SELECT CASE WHEN u < 0.6 THEN 'en' WHEN u < 0.9 THEN 'vi' ELSE 'zh' END AS lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(floor(u * 1000.0) AS BIGINT)) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM g
+    GROUP BY 1
+    """,
+)
+
+
+def _dpysrc(spark, sf_dir):
+    """Read 2000 rows through the registered Python DataSource connector
+    (8 parallel partition tasks) and aggregate per language — the
+    deterministic generator makes a custom connector's output
+    hash-checkable against pure SQL."""
+    from .io import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", "2000")
+        .option("n_partitions", "8")
+        .load()
+    )
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+CATALOG["io_python_datasource_scan"].fn = _dpysrc
+
 
 # ===========================================================================
 # entry() flagship

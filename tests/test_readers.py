@@ -71,3 +71,24 @@ def test_csv_corrupt_record(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(good) == 1 and good[0]["id"] == 1
     assert len(bad) == 1 and "not-a-long" in bad[0]["_corrupt_record"]
+
+
+def test_python_datasource_partitioned_scan(spark):
+    """The custom Python DataSource plans one task per InputPartition,
+    covers the id range exactly once, and its rows match the shared
+    synth_row derivation (the same function the oracle mirrors in SQL)."""
+    from real_estate_data_pipeline_spark.io import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", "100")
+        .option("n_partitions", "5")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r["doc_id"]: (r["lang"], r["n_chars"]) for r in df.collect()}
+    assert sorted(rows) == list(range(100))
+    for i in (0, 1, 57, 99):
+        _, lang, n_chars = pysource.synth_row(i)
+        assert rows[i] == (lang, n_chars)
