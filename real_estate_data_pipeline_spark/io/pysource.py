@@ -27,7 +27,12 @@ import hashlib
 import math
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _u01(i: int, salt: str = "synth") -> float:
@@ -82,7 +87,36 @@ class SyntheticCorpusDataSource(DataSource):
     def reader(self, schema) -> SyntheticCorpusReader:
         return SyntheticCorpusReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SyntheticCorpusStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the connector on a session."""
     spark.dataSource.register(SyntheticCorpusDataSource)
+
+
+class SyntheticCorpusStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic corpus: offsets are
+    plain row indices ({"next": i}), each planning cycle serves at most
+    ``batch_rows`` rows, and ``readBetweenOffsets`` replays any committed
+    range bit-identically (the generator is pure) — which is exactly the
+    replayability contract Structured Streaming checkpoints rely on."""
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.batch_rows = int(options.get("batch_rows", 250))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        s = int(start["next"])
+        e = min(s + self.batch_rows, self.n_docs)
+        return iter([synth_row(i) for i in range(s, e)]), {"next": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_row(i) for i in range(int(start["next"]), int(end["next"]))])
+
+    def commit(self, end: dict) -> None:
+        pass

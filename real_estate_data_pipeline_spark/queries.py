@@ -8211,6 +8211,77 @@ def _dpysrc(spark, sf_dir):
 
 CATALOG["io_python_datasource_scan"].fn = _dpysrc
 
+register(
+    "io_python_stream_scan",
+    # The STREAMING side of the Python DataSource API (the gate's
+    # eleventh streaming run): the same deterministic generator served
+    # as a micro-batch stream — offsets are row indices, each planning
+    # cycle caps at batch_rows (so the 2000 rows really cross multiple
+    # micro-batches), and readBetweenOffsets replays committed ranges
+    # bit-identically (the checkpoint-recovery contract, trivially
+    # satisfiable because the source is pure). Same oracle as the batch
+    # connector scan — streaming delivery must change nothing.
+    oracle="""
+    WITH g AS (
+      SELECT t.i AS doc_id,
+             ('0x' || substr(sha256(CAST(t.i AS VARCHAR) || 'synth'), 1, 8))::UBIGINT
+               / 4294967296.0 AS u
+      FROM range(0, 2000) t(i)
+    )
+    SELECT CASE WHEN u < 0.6 THEN 'en' WHEN u < 0.9 THEN 'vi' ELSE 'zh' END AS lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(floor(u * 1000.0) AS BIGINT)) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM g
+    GROUP BY 1
+    """,
+)
+
+
+def _dpystream(spark, sf_dir):
+    """Drain the Python streaming source (500-row micro-batches) into a
+    memory sink, then batch-aggregate the sink — value-equal to the
+    one-shot connector scan by construction."""
+    import time
+
+    from .io import pysource
+
+    pysource.register(spark)
+    name = "io_python_stream_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    src = (
+        spark.readStream.format("synthetic_corpus")
+        .option("n_docs", "2000")
+        .option("batch_rows", "500")
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        while spark.table(name).count() < 2000:
+            if time.time() > deadline:
+                raise TimeoutError("python stream source did not drain within 300s")
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.table(name).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+CATALOG["io_python_stream_scan"].fn = _dpystream
+
 
 # ===========================================================================
 # entry() flagship
