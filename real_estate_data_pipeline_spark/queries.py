@@ -8282,6 +8282,76 @@ def _dpystream(spark, sf_dir):
 
 CATALOG["io_python_stream_scan"].fn = _dpystream
 
+register(
+    "ml_group_linear_trend",
+    # Grouped model fitting WITHOUT a UDF: per event_type, closed-form
+    # OLS of value over time from five exact sufficient statistics (n,
+    # Sx, Sy, Sxx, Sxy, Syy) — one partial-aggregated groupBy, the
+    # distributed "fit a model per key" shape (spark.ml would need a
+    # Python loop per group; the normal equations don't). x is centered
+    # on a fixed epoch so the exact accumulators stay in BIGINT/decimal
+    # range; slope/intercept/r2 combine the exact sums in float64 and
+    # round to 6 dp (both engines see identical inputs, so identical
+    # IEEE results).
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(x * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  AS DOUBLE) AS syy
+      FROM (
+        SELECT event_type, value,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) - 1704067200 AS x
+        FROM events
+      )
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    ORDER BY event_type
+    """,
+)
+
+
+def _dlintrend(spark, sf_dir):
+    """Per-event-type OLS trend (slope per second, intercept at the
+    2024-01-01 baseline, r^2) from exact decimal/bigint sufficient
+    statistics; see the oracle comment for the numeric contract."""
+    ev = t(spark, sf_dir, "events")
+    x = (F.unix_timestamp(F.col("ts")) - F.lit(1704067200)).alias("x")
+    base = ev.select("event_type", F.col("value"), x)
+    ydec = F.col("value").cast("decimal(18,2)")
+    s = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(ydec).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * ydec).cast("double").alias("sxy"),
+        F.sum(ydec * ydec).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy, sxx, sxy, syy = (F.col(c) for c in ("sx", "sy", "sxx", "sxy", "syy"))
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    return s.select(
+        "event_type",
+        "n",
+        F.round(num / den, 6).alias("slope"),
+        F.round((sy * sxx - sx * sxy) / den, 6).alias("intercept"),
+        F.round((num * num) / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+CATALOG["ml_group_linear_trend"].fn = _dlintrend
+
 
 # ===========================================================================
 # entry() flagship
