@@ -62,11 +62,51 @@ class SyntheticCorpusReader(DataSourceReader):
     def __init__(self, options):
         self.n_docs = int(options.get("n_docs", 1000))
         self.n_partitions = int(options.get("n_partitions", 8))
+        self.lo = 0          # narrowed by pushFilters
+        self.hi = self.n_docs
+
+    def pushFilters(self, filters):
+        """Filter pushdown INTO the connector (the scale contract: prune
+        at the source, not after the shuffle): doc_id comparisons narrow
+        the generated [lo, hi) id range, so pruned rows are never even
+        created; anything else is returned for Spark to evaluate."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        remaining = []
+        for f in filters:
+            if getattr(f, "attribute", None) == ("doc_id",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                elif isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                else:
+                    remaining.append(f)
+            else:
+                remaining.append(f)
+        return remaining
 
     def partitions(self):
-        n, p = self.n_docs, max(1, self.n_partitions)
+        lo, hi, p = self.lo, max(self.lo, self.hi), max(1, self.n_partitions)
+        n = hi - lo
+        if n == 0:
+            return [_RangePartition(lo, lo)]
         step = (n + p - 1) // p
-        return [_RangePartition(s, min(s + step, n)) for s in range(0, n, step)]
+        return [_RangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):

@@ -40,6 +40,9 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        # lets custom Python DataSources (io/pysource.py) receive
+        # pushFilters() — off by default in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

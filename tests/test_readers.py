@@ -92,3 +92,31 @@ def test_python_datasource_partitioned_scan(spark):
     for i in (0, 1, 57, 99):
         _, lang, n_chars = pysource.synth_row(i)
         assert rows[i] == (lang, n_chars)
+
+
+def test_python_datasource_filter_pushdown(spark):
+    """doc_id range predicates push INTO the connector: the reader narrows
+    its generated range (reader-level check) and the end-to-end filtered
+    scan returns exactly the surviving rows."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from real_estate_data_pipeline_spark.io.pysource import SyntheticCorpusReader, register
+
+    r = SyntheticCorpusReader({"n_docs": "2000", "n_partitions": "4"})
+    leftover = r.pushFilters(
+        [GreaterThanOrEqual(("doc_id",), 1500), LessThan(("doc_id",), 1900)]
+    )
+    assert list(leftover) == []
+    parts = r.partitions()
+    assert parts[0].start == 1500 and parts[-1].end == 1900
+    assert sum(p.end - p.start for p in parts) == 400
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", "2000")
+        .load()
+        .filter("doc_id >= 1500 AND doc_id < 1900")
+    )
+    got = sorted(r["doc_id"] for r in df.collect())
+    assert got == list(range(1500, 1900))
