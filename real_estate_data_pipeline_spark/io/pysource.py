@@ -65,6 +65,27 @@ class SyntheticCorpusReader(DataSourceReader):
         self.lo = 0          # narrowed by pushFilters
         self.hi = self.n_docs
 
+    def partitions(self):
+        lo, hi, p = self.lo, max(self.lo, self.hi), max(1, self.n_partitions)
+        n = hi - lo
+        if n == 0:
+            return [_RangePartition(lo, lo)]
+        step = (n + p - 1) // p
+        return [_RangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield synth_row(i)
+
+
+class SyntheticCorpusPushdownReader(SyntheticCorpusReader):
+    """Opt-in variant (``option("pushdown", "true")``): merely DEFINING
+    pushFilters makes Spark's planning worker reject every scan unless
+    ``spark.sql.python.filterPushdown.enabled`` is true (session.py sets
+    it, but a foreign session — e.g. the driver harness's own — may
+    not), so the capability lives on a subclass the caller selects only
+    when it knows the session allows it."""
+
     def pushFilters(self, filters):
         """Filter pushdown INTO the connector (the scale contract: prune
         at the source, not after the shuffle): doc_id comparisons narrow
@@ -100,18 +121,6 @@ class SyntheticCorpusReader(DataSourceReader):
                 remaining.append(f)
         return remaining
 
-    def partitions(self):
-        lo, hi, p = self.lo, max(self.lo, self.hi), max(1, self.n_partitions)
-        n = hi - lo
-        if n == 0:
-            return [_RangePartition(lo, lo)]
-        step = (n + p - 1) // p
-        return [_RangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)]
-
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            yield synth_row(i)
-
 
 class SyntheticCorpusDataSource(DataSource):
     """``spark.read.format("synthetic_corpus").option("n_docs", ...)`` after
@@ -125,6 +134,8 @@ class SyntheticCorpusDataSource(DataSource):
         return "doc_id bigint, lang string, n_chars bigint"
 
     def reader(self, schema) -> SyntheticCorpusReader:
+        if self.options.get("pushdown", "false").lower() == "true":
+            return SyntheticCorpusPushdownReader(self.options)
         return SyntheticCorpusReader(self.options)
 
     def simpleStreamReader(self, schema):

@@ -100,9 +100,12 @@ def test_python_datasource_filter_pushdown(spark):
     scan returns exactly the surviving rows."""
     from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
 
-    from real_estate_data_pipeline_spark.io.pysource import SyntheticCorpusReader, register
+    from real_estate_data_pipeline_spark.io.pysource import (
+        SyntheticCorpusPushdownReader,
+        register,
+    )
 
-    r = SyntheticCorpusReader({"n_docs": "2000", "n_partitions": "4"})
+    r = SyntheticCorpusPushdownReader({"n_docs": "2000", "n_partitions": "4"})
     leftover = r.pushFilters(
         [GreaterThanOrEqual(("doc_id",), 1500), LessThan(("doc_id",), 1900)]
     )
@@ -115,6 +118,7 @@ def test_python_datasource_filter_pushdown(spark):
     df = (
         spark.read.format("synthetic_corpus")
         .option("n_docs", "2000")
+        .option("pushdown", "true")
         .load()
         .filter("doc_id >= 1500 AND doc_id < 1900")
     )
