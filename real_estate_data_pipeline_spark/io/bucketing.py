@@ -44,7 +44,15 @@ def write_bucketed(
 
         wh = spark.conf.get("spark.sql.warehouse.dir", "")
         wh = wh.removeprefix("file:")
-        leftover = os.path.join(wh, table.split(".")[-1].lower())
+        # managed-table layout: <wh>/<table> for the default namespace,
+        # <wh>/<db>.db/<table> for a qualified name — sweeping the bare
+        # last segment for "db.t" would rmtree an unrelated default-
+        # namespace table named "t"
+        parts = table.lower().split(".")
+        if len(parts) == 1:
+            leftover = os.path.join(wh, parts[0])
+        else:
+            leftover = os.path.join(wh, f"{parts[-2]}.db", parts[-1])
         if wh and os.path.isdir(leftover):
             shutil.rmtree(leftover)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)

@@ -53,7 +53,14 @@ def asof_join(
     Still ONE shuffle on the key per direction (nearest = the same
     union windowed twice, no extra shuffle: both windows partition by
     the key, and the second sort rides the first's exchange). Right
-    side should be unique per (key, ts) — pre-aggregate otherwise."""
+    side should be unique per (key, ts) — pre-aggregate otherwise.
+    Known edge (vs pandas merge_asof): the value columns forward-fill
+    independently of the matched row's timestamp, so a matched right row
+    whose value column is NULL surfaces the nearest OLDER non-null value
+    even when that older row lies outside ``tolerance_seconds``.
+    merge_asof would return NaN there. Only observable when right-side
+    value columns contain NULLs.
+    """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     lt = left.withColumn("__ts", F.col(left_ts).cast("timestamp")).withColumn(

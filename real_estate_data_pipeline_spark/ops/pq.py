@@ -55,6 +55,11 @@ def pq_codebooks(
     Returns (sub int, code int, cvec array<double>) with ``m*k`` rows:
     ``cvec`` is the seed vector's slice for subspace ``sub`` and ``code``
     is the seed's 0-based rank by id (stable across engines)."""
+    if dim % m:
+        raise ValueError(
+            f"dim={dim} not divisible by m={m}: trailing {dim % m} dimensions "
+            "would be silently dropped from every code and distance"
+        )
     d = dim // m
     seeds = (
         df.orderBy(id_col)

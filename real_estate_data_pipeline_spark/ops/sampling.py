@@ -202,7 +202,14 @@ def temperature_mix(
     over the group-count frame, broadcast back), one rank window per
     group on the hash draw. The weight rounds to 6 dp before the share
     division (pow is libm; the rounding is what lets a SQL engine
-    reproduce the quota exactly)."""
+    reproduce the quota exactly).
+    Quota rounding: each group's quota rounds independently
+    (floor(share*n+0.5), the engine-portable convention the oracle
+    replicates), so the output size can deviate from ``n_target`` by up
+    to ~n_groups/2 rows and a group smaller than its quota under-fills
+    silently. A largest-remainder correction would pin the total but
+    break the per-group closed form both engines share.
+    """
     from pyspark.sql import Window
 
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))

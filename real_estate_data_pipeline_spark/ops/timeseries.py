@@ -56,8 +56,12 @@ def resample_ffill(
     if one key's span would explode the grid (e.g. one 1970 timestamp
     in 2024 data = 470k hourly buckets); None disables the guard."""
     ivl = int(interval_seconds)
+    # floor, not cast-truncation: for pre-1970 timestamps (negative
+    # epoch) cast('bigint') rounds toward zero, putting a row in the
+    # bucket AFTER its own timestamp and diverging from the oracle's
+    # floor(epoch/interval)
     bucket = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / ivl).cast("bigint") * ivl
+        F.floor(F.unix_timestamp(F.col(ts_col)) / ivl).cast("bigint") * ivl
     )
     order = [F.col(ts_col).desc()]
     if tiebreaker_col is not None:

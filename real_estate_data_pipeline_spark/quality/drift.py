@@ -47,7 +47,13 @@ def quantile_edges(
 def bucket_expr(value_col: str, n_buckets: int):
     """bucket = number of edges <= value: one scalar fold over the edge
     array (no CASE ladder to keep in sync), usable in batch AND
-    streaming projections after a (broadcast) join with the edge row."""
+    streaming projections after a (broadcast) join with the edge row.
+
+    NULL contract: a NULL value (every ``v >= e`` is NULL, each when()
+    falls to 0) lands in bucket 0 — callers monitoring a column that can
+    go NULL should pre-filter (or monitor nullness as its own metric);
+    kept this way because the gate oracle replicates the identical CASE
+    algebra on both engines."""
     v = F.col(value_col).cast("double")
     edge_arr = F.array(*[F.col(f"__e{i}") for i in range(n_buckets - 1)])
     return F.aggregate(

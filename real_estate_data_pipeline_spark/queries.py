@@ -8267,6 +8267,9 @@ def _dpystream(spark, sf_dir):
     try:
         deadline = time.time() + 300
         while spark.table(name).count() < 2000:
+            if q.exception() is not None:
+                raise q.exception()  # surface the stream's own failure,
+                # not a misleading timeout 5 minutes later
             if time.time() > deadline:
                 raise TimeoutError("python stream source did not drain within 300s")
             time.sleep(0.5)

@@ -62,10 +62,19 @@ def _cloud_committer_available() -> bool:
         jars_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
         candidates = [jars_dir, *os.environ.get("SPARK_CLASSPATH", "").split(":")]
         for d in candidates:
-            if d and os.path.isdir(d):
+            if not d:
+                continue
+            if os.path.isdir(d):
                 for f in os.listdir(d):
                     if f.startswith("spark-hadoop-cloud") and f.endswith(".jar"):
                         return True
+            elif (
+                os.path.isfile(d)
+                and os.path.basename(d).startswith("spark-hadoop-cloud")
+                and d.endswith(".jar")
+            ):
+                # SPARK_CLASSPATH entries are often jar FILES, not dirs
+                return True
     except Exception:
         pass
     return False
