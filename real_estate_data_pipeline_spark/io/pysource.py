@@ -101,9 +101,12 @@ class SyntheticCorpusPushdownReader(SyntheticCorpusReader):
 
         remaining = []
         for f in filters:
-            if getattr(f, "attribute", None) == ("doc_id",) and isinstance(
-                getattr(f, "value", None), int
-            ):
+            # type() check, not isinstance: bool is an int subclass, and a
+            # pushed boolean comparison must fall through to Spark, not
+            # silently narrow the id range to [1, 2).
+            if getattr(f, "attribute", None) == ("doc_id",) and type(
+                getattr(f, "value", None)
+            ) is int:
                 if isinstance(f, GreaterThanOrEqual):
                     self.lo = max(self.lo, f.value)
                 elif isinstance(f, GreaterThan):

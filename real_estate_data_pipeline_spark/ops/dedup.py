@@ -286,6 +286,100 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*mins)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    perm_fns=None,
+    band_hash_fn=None,
+) -> DataFrame:
+    """The LSH band index rows for a corpus: one (id, signature, band,
+    band-hash) row per document per band. This IS the frame a production
+    pipeline PERSISTS — build it once over the corpus, append each
+    ingest batch's rows, and every later near-dup probe is an equi-join
+    against it instead of a full recompute (see
+    :func:`incremental_minhash_dup_pairs`). Shared by the batch
+    self-join path (:func:`minhash_dup_pairs`) so index and self-join
+    provably band identically."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, perm_fns)
+    band_hash_fn = band_hash_fn or (lambda cols: F.xxhash64(*cols))
+    rows_per_band = num_perm // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(F.struct(F.lit(b).alias("band"), band_hash_fn(cols).alias("bh")))
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("__sig"),
+        F.explode(F.array(*band_structs)).alias("__b"),
+    ).select(
+        F.col(id_col),
+        F.col("__sig"),
+        F.col("__b.band").alias("band"),
+        F.col("__b.bh").alias("bh"),
+    )
+
+
+def _sig_agreement(sig_a, sig_b, num_perm: int):
+    """Fraction of agreeing minhash components — the LSH Jaccard
+    estimate both the self-join and incremental paths share."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda u, v: F.when(u == v, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, z: acc + z,
+    )
+    return agree.cast("double") / F.lit(float(num_perm))
+
+
+def incremental_minhash_dup_pairs(
+    index_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    perm_fns=None,
+    band_hash_fn=None,
+) -> DataFrame:
+    """NEAR-dup probe of an ingest batch against a PERSISTED LSH index —
+    the daily-ingest amortization pattern (the MinHash analog of
+    ``train_gram_set`` reuse): only the new batch is shingled and
+    hashed; the corpus contributes pre-computed ``index_df`` rows (from
+    :func:`minhash_band_buckets`, stored e.g. as parquet partitioned by
+    band). Candidates share a (band, band-hash) bucket — one equi-join
+    whose build side is the (typically much smaller) new batch — and are
+    verified by signature agreement. At 100 TB this turns every ingest
+    from an O(corpus) recompute into O(batch + matched buckets).
+
+    Returns (new_id, dup_of, jaccard_est): each new document paired with
+    every corpus document it near-duplicates."""
+    new_buckets = minhash_band_buckets(
+        new_df, id_col, text_col, num_perm, bands, shingle_n, perm_fns, band_hash_fn
+    )
+    idx = index_df.select(
+        F.col(id_col).alias("__cid"),
+        F.col("__sig").alias("__csig"),
+        "band",
+        "bh",
+    )
+    joined = new_buckets.join(idx, ["band", "bh"])
+    est = _sig_agreement(F.col("__sig"), F.col("__csig"), num_perm)
+    return (
+        joined.select(
+            F.col(id_col).alias("new_id"),
+            F.col("__cid").alias("dup_of"),
+            est.alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= F.lit(jaccard_threshold))
+        .dropDuplicates(["new_id", "dup_of"])
+    )
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -310,23 +404,8 @@ def minhash_dup_pairs(
     ``perm_fns`` / ``band_hash_fn`` swap the hash family (see
     :func:`minhash_dup_pairs_portable`); the banding algebra is shared,
     so proving it on the portable family proves it for both."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, perm_fns)
-    band_hash_fn = band_hash_fn or (lambda cols: F.xxhash64(*cols))
-
-    rows_per_band = num_perm // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(F.struct(F.lit(b).alias("band"), band_hash_fn(cols).alias("bh")))
-    buckets = sigs.select(
-        F.col(id_col),
-        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("__sig"),
-        F.explode(F.array(*band_structs)).alias("__b"),
-    ).select(
-        F.col(id_col),
-        F.col("__sig"),
-        F.col("__b.band").alias("band"),
-        F.col("__b.bh").alias("bh"),
+    buckets = minhash_band_buckets(
+        df, id_col, text_col, num_perm, bands, shingle_n, perm_fns, band_hash_fn
     )
 
     # Intra-bucket expansion, not a self-join (see ops/pairs.py):
@@ -483,6 +562,22 @@ def contamination_report(
     )
 
 
+def _sha_pair(s_col):
+    """Portable h1/h2: first/second 8 hex chars of sha256(shingle) —
+    32-bit values any engine reproduces (the cross-engine hash family
+    shared by the portable self-join and the incremental index probe)."""
+    hx = F.sha2(s_col, 256)
+    return (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long"),
+    )
+
+
+def _sha_band(cols):
+    """Portable band hash: sha256 of the band's joined components."""
+    return F.sha2(F.concat_ws("_", *[c.cast("string") for c in cols]), 256)
+
+
 def minhash_dup_pairs_portable(
     df: DataFrame,
     id_col: str,
@@ -502,19 +597,51 @@ def minhash_dup_pairs_portable(
     the xxhash64 family (sha256 per shingle) — use the fast variant in
     production, this one to PROVE the banding algebra (which both
     variants share via the hash-family parameters)."""
-
-    def _sha_pair(s_col):
-        hx = F.sha2(s_col, 256)
-        return (
-            F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"),
-            F.conv(F.substring(hx, 9, 8), 16, 10).cast("long"),
-        )
-
-    def _sha_band(cols):
-        return F.sha2(F.concat_ws("_", *[c.cast("string") for c in cols]), 256)
-
     return minhash_dup_pairs(
         df,
+        id_col,
+        text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        perm_fns=_sha_pair,
+        band_hash_fn=_sha_band,
+    )
+
+
+def minhash_band_buckets_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """:func:`minhash_band_buckets` with the cross-engine sha256 hash
+    family — the index frame whose incremental probe is value-checkable
+    against a SQL oracle."""
+    return minhash_band_buckets(
+        df, id_col, text_col, num_perm, bands, shingle_n, _sha_pair, _sha_band
+    )
+
+
+def incremental_minhash_dup_pairs_portable(
+    index_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`incremental_minhash_dup_pairs` with the cross-engine
+    sha256 hash family (index must come from
+    :func:`minhash_band_buckets_portable`)."""
+    return incremental_minhash_dup_pairs(
+        index_df,
+        new_df,
         id_col,
         text_col,
         num_perm=num_perm,

@@ -167,3 +167,106 @@ def span_corruption(
         _joined(input_piece).alias("input_text"),
         _joined(target_piece).alias("target_text"),
     )
+
+
+def bpe_train_rounds(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016) unrolled
+    for ``rounds`` merges: each round censuses adjacent token pairs
+    across the corpus, picks the most frequent pair (ties -> lexicographic
+    on the pair), REWRITES the corpus merging every greedy left-to-right
+    non-overlapping occurrence of that pair into one token, and repeats
+    on the merged corpus. Returns the learned merge table
+    (round, tok_a, tok_b, pair_count) — the artifact a tokenizer ships.
+
+    Greedy non-overlap is the sequential-looking part ("a a a a" with
+    pair (a,a) merges positions 1-2 and 3-4, not 2-3); it is computed
+    declaratively with the islands trick: within each maximal run of
+    consecutive pair-match positions, every ODD-offset position starts a
+    merge, and the position after a merge start is consumed. All windows
+    partition by document id — bounded by document length, never a
+    global sort — and each round's surviving (doc_id, pos, tok) frame is
+    persisted so round N+1 reads the cache instead of replaying rounds
+    1..N (the Lloyd-round persistence pattern). The per-round top pair
+    is a 1-row TakeOrdered collect (the model-broadcast pattern): the
+    merge decision must become a literal in the next round's plan.
+
+    Stops early if a round finds no adjacent pairs. The heavy work —
+    census aggregates and per-document windows — is fully distributed;
+    only the ``rounds``-row merge table lives on the driver."""
+    spark = df.sparkSession
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != F.lit("")
+    )
+    cur = (
+        df.select(F.col(id_col).alias("doc_id"), F.posexplode(tk).alias("p", "tok"))
+        .select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "tok")
+        .persist()
+    )
+    persisted = [cur]
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    merges = []
+    try:
+        for r in range(1, rounds + 1):
+            led = cur.withColumn("nxt", F.lead("tok").over(wdoc))
+            top = (
+                led.filter(F.col("nxt").isNotNull())
+                .groupBy("tok", "nxt")
+                .agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), "tok", "nxt")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            x, y, cnt = top[0]["tok"], top[0]["nxt"], top[0]["cnt"]
+            merges.append((r, x, y, int(cnt)))
+            if r == rounds:
+                break
+            pred = F.when(
+                (F.col("tok") == F.lit(x)) & (F.col("nxt") == F.lit(y)), 1
+            ).otherwise(0)
+            marked = led.withColumn("pr", pred).withColumn(
+                "grp",
+                F.col("pos")
+                - F.row_number().over(Window.partitionBy("doc_id", "pr").orderBy("pos")),
+            )
+            is_start = (
+                (F.col("pr") == 1)
+                & (
+                    F.row_number().over(
+                        Window.partitionBy("doc_id", "pr", "grp").orderBy("pos")
+                    )
+                    % 2
+                    == 1
+                )
+            ).cast("int")
+            flagged = marked.withColumn("is_start", is_start).withColumn(
+                "consumed", F.coalesce(F.lag("is_start").over(wdoc), F.lit(0))
+            )
+            survivors = flagged.filter(F.col("consumed") == 0).select(
+                "doc_id",
+                "pos",
+                F.when(
+                    F.col("is_start") == 1,
+                    F.concat(F.col("tok"), F.lit(" "), F.col("nxt")),
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            cur = survivors.select(
+                "doc_id",
+                F.row_number().over(wdoc).cast("long").alias("__npos"),
+                "tok",
+            ).withColumnsRenamed({"__npos": "pos"}).persist()
+            persisted.append(cur)
+        return spark.createDataFrame(
+            merges, schema="round int, tok_a string, tok_b string, pair_count bigint"
+        )
+    finally:
+        for f in persisted:
+            f.unpersist()

@@ -42,6 +42,19 @@ from pyspark.sql import functions as F
 from .similarity import l2_dist_sq
 
 
+def _subdim(dim: int, m: int) -> int:
+    """Subspace width ``dim // m``, rejecting non-divisible shapes that
+    would silently drop the trailing dimensions from every code and
+    distance (shared by codebooks/encode/refine so no entry point skips
+    the check)."""
+    if dim % m:
+        raise ValueError(
+            f"dim={dim} not divisible by m={m}: trailing {dim % m} dimensions "
+            "would be silently dropped from every code and distance"
+        )
+    return dim // m
+
+
 def pq_codebooks(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -55,12 +68,7 @@ def pq_codebooks(
     Returns (sub int, code int, cvec array<double>) with ``m*k`` rows:
     ``cvec`` is the seed vector's slice for subspace ``sub`` and ``code``
     is the seed's 0-based rank by id (stable across engines)."""
-    if dim % m:
-        raise ValueError(
-            f"dim={dim} not divisible by m={m}: trailing {dim % m} dimensions "
-            "would be silently dropped from every code and distance"
-        )
-    d = dim // m
+    d = _subdim(dim, m)
     seeds = (
         df.orderBy(id_col)
         .limit(k)
@@ -93,7 +101,7 @@ def pq_encode(
     Plan: corpus x broadcast(codebook) map -> per-(id, sub) argmin via a
     partial-aggregating ``min(struct(d6, code))`` — the shuffle carries one
     slim row per (id, sub), never the vectors. Returns (id, sub, code)."""
-    d = dim // m
+    d = _subdim(dim, m)
     sub_slice = F.transform(
         F.slice(F.col(vec_col), F.col("sub") * d + 1, d), lambda x: x.cast("double")
     )
@@ -126,7 +134,7 @@ def pq_refine(
     Starved codes keep their seed centroid (left join + coalesce), so
     code ids never shift. One encode pass + one slim groupBy; the means
     aggregate carries (sub, code, pos, element) rows, never vectors."""
-    d = dim // m
+    d = _subdim(dim, m)
     codes0 = pq_encode(df, codebooks, id_col, vec_col, m, dim)
     joined = codes0.join(df.select(id_col, vec_col), id_col)
     els = joined.select(
@@ -171,12 +179,26 @@ def pq_adc_topk(
     cb = pq_codebooks(df, id_col, vec_col, m, k, dim)
     for _ in range(refine):
         cb = pq_refine(df, cb, id_col, vec_col, m, dim)
+        # Materialize each round's refined codebook (m*k rows — the same
+        # bounded model-broadcast pattern as the IVF centroid collect):
+        # the round's corpus scans run exactly once HERE instead of
+        # replaying inside every downstream plan that references the
+        # codebook lineage (encode + ADC would otherwise re-derive every
+        # Lloyd round from scratch).
+        cb = df.sparkSession.createDataFrame(cb.collect(), schema=cb.schema)
     codes = pq_encode(df, cb, id_col, vec_col, m, dim)
-    d = dim // m
+    d = _subdim(dim, m)
     qsub = F.transform(
         F.slice(F.col("__q"), F.col("sub") * d + 1, d), lambda x: x.cast("double")
     )
     q = query_df.select(F.col(vec_col).alias("__q"))
+    nq = q.limit(2).count()
+    if nq != 1:
+        raise ValueError(
+            f"pq_adc_topk requires a single-row query_df, got {'>=2' if nq > 1 else 0} "
+            "rows: a multi-row query would silently cross-join into a duplicated "
+            "ADC table and sum distances across queries"
+        )
     adc = (
         cb.crossJoin(F.broadcast(q))
         .select(

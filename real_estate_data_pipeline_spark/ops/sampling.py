@@ -214,7 +214,9 @@ def temperature_mix(
 
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     w = F.round(F.pow(F.col("__n").cast("double"), F.lit(float(alpha))), 6)
-    tot = F.sum(w).over(Window.partitionBy())
+    # group-count frame: one row per group, bounded by construction;
+    # lit(0) partition keeps the spec non-empty (no WindowExec warning)
+    tot = F.sum(w).over(Window.partitionBy(F.lit(0)))
     targets = counts.select(
         group_col,
         F.floor(w / tot * F.lit(float(n_target)) + F.lit(0.5))
@@ -230,6 +232,56 @@ def temperature_mix(
         .join(F.broadcast(targets), group_col)
         .filter(F.col("__rn") <= F.col("__t"))
         .drop("__rn", "__t")
+    )
+
+
+def temperature_mix_tokens(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    token_col: str,
+    n_target_tokens: int,
+    alpha: float = 0.7,
+    salt: str = "mixtok",
+) -> DataFrame:
+    """:func:`temperature_mix` with quotas in TOKENS, not rows — the
+    budget trainers actually plan against: group g's share of the
+    ``n_target_tokens`` budget is proportional to ``T_g^alpha`` where
+    ``T_g`` is the group's total token mass, and the quota is filled
+    GREEDILY in deterministic hash-draw order — a document is kept while
+    the group's running token sum (inclusive of the document) stays
+    within quota, so a long document that would overflow the budget is
+    skipped along with everything after it.
+
+    Plan: one tiny token-mass aggregate (one row per group; window over
+    that bounded frame), broadcast targets, one running-sum window per
+    group on the hash draw — the same two-shuffle shape as the row
+    variant. pow() is libm, so the weight rounds to 6 dp before the
+    share division; quota = floor(share * budget + 0.5) BIGINT; every
+    comparison after that is exact integer arithmetic, identically on
+    both engines."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.sum(token_col).alias("__tg"))
+    w = F.round(F.pow(F.col("__tg").cast("double"), F.lit(float(alpha))), 6)
+    tot = F.sum(w).over(Window.partitionBy(F.lit(0)))
+    targets = counts.select(
+        group_col,
+        F.floor(w / tot * F.lit(float(n_target_tokens)) + F.lit(0.5))
+        .cast("long")
+        .alias("__q"),
+    )
+    u = hash_uniform01(F.col(key_col), salt)
+    cum = F.sum(token_col).over(
+        Window.partitionBy(group_col)
+        .orderBy(u.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__cum", cum)
+        .join(F.broadcast(targets), group_col)
+        .filter(F.col("__cum") <= F.col("__q"))
+        .drop("__cum", "__q")
     )
 
 
