@@ -73,6 +73,9 @@ def pq_codebooks(
         df.orderBy(id_col)
         .limit(k)
         .select(
+            # k-row frame — bounded by the limit above (the plan lint in
+            # tests/test_plans.py proves the GlobalLimit sits under this
+            # window)
             (F.row_number().over(Window.orderBy(id_col)) - 1).alias("code"),
             F.col(vec_col).alias("__v"),
         )

@@ -214,9 +214,9 @@ def temperature_mix(
 
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     w = F.round(F.pow(F.col("__n").cast("double"), F.lit(float(alpha))), 6)
-    # group-count frame: one row per group, bounded by construction;
-    # lit(0) partition keeps the spec non-empty (no WindowExec warning)
-    tot = F.sum(w).over(Window.partitionBy(F.lit(0)))
+    # group-count frame: one row per group, bounded by construction
+    # (allowlisted in the tests/test_plans.py global-window lint)
+    tot = F.sum(w).over(Window.partitionBy())
     targets = counts.select(
         group_col,
         F.floor(w / tot * F.lit(float(n_target)) + F.lit(0.5))
@@ -264,7 +264,9 @@ def temperature_mix_tokens(
 
     counts = df.groupBy(group_col).agg(F.sum(token_col).alias("__tg"))
     w = F.round(F.pow(F.col("__tg").cast("double"), F.lit(float(alpha))), 6)
-    tot = F.sum(w).over(Window.partitionBy(F.lit(0)))
+    # group-count frame: one row per group, bounded by construction
+    # (allowlisted in the tests/test_plans.py global-window lint)
+    tot = F.sum(w).over(Window.partitionBy())
     targets = counts.select(
         group_col,
         F.floor(w / tot * F.lit(float(n_target_tokens)) + F.lit(0.5))

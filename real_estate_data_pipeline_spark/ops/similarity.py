@@ -503,6 +503,12 @@ def ivf_centroids(
             .agg(F.array_sort(F.collect_list(F.struct("__pos", "__mx"))).alias("__s"))
             .select("cid", F.transform("__s", lambda s: s["__mx"]).alias("cvec"))
         )
+        # Materialize each round's centroids (n_cells rows — the bounded
+        # model-broadcast pattern, same as ops/pq.pq_adc_topk): the
+        # round's corpus scan runs exactly once here instead of replaying
+        # inside every downstream plan that references the centroid
+        # lineage (cell assignment, nprobe routing, the next round).
+        cent = df.sparkSession.createDataFrame(cent.collect(), schema=cent.schema)
     return cent.withColumn("cn", F.sqrt(l2_norm_sq(F.col("cvec"))))
 
 

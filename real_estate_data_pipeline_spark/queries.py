@@ -2785,9 +2785,9 @@ def _dvc(spark, sf_dir):
     driver side of the exchange), NEVER a global window over the full
     vocab table (web-scale corpora have 1e8+ distinct tokens — a
     single-task sort). The running-total window then runs over the
-    32-row limit (bounded by construction; partitionBy(lit(0)) keeps the
-    partition spec non-empty), and the corpus total is a separate scalar
-    aggregate broadcast back."""
+    32-row limit — bounded by construction, with the GlobalLimit under
+    the window provable in the plan (the test_plans.py lint checks it) —
+    and the corpus total is a separate scalar aggregate broadcast back."""
     from pyspark.sql import Window
 
     max_budget = 32
@@ -2798,7 +2798,7 @@ def _dvc(spark, sf_dir):
     freq = toks.groupBy("tk").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c").alias("__total"))
     topb = freq.orderBy(F.desc("c"), "tk").limit(max_budget)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("c"), "tk")
+    w = Window.orderBy(F.desc("c"), "tk")
     ranked = topb.select(
         F.row_number().over(w).cast("long").alias("vocab_size"),
         F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("tokens_covered"),
@@ -3150,6 +3150,8 @@ def _derps(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     hist = d.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").alias("c"))
     tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    # value-domain frame (one row per distinct n_chars — bounded by the
+    # value domain, not the corpus; allowlisted in the plan lint)
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select("v", F.sum("c").over(wv).alias("cc"))
     bounds = (
@@ -6441,6 +6443,7 @@ CATALOG["evt_resample_ffill_hourly"].fn = _dresample
 
 register(
     "scd2_two_run_versions",
+    bench=True,  # the lakehouse family's timing evidence in BENCH_r*
     # DuckDB replica of io/scd2.py's two-merge semantics (the reference's
     # Delta MERGE flow, silver_etl_script.py:916-966): day-1 load then a
     # day-2 batch that changes some tracked values, drops some keys, and

@@ -48,7 +48,29 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_bounded_window_warning(spark)
     return spark
+
+
+def _silence_bounded_window_warning(spark: SparkSession) -> None:
+    """Raise WindowExec's logger to ERROR: its "No Partition Defined"
+    warning fires even for the package's intentionally-global windows,
+    all of which run over frames bounded by construction (k-row limits,
+    group-count / value-domain aggregates — a lit(0) partition spec
+    would be constant-folded away, so the warning can't be avoided at
+    the query level). Safe to silence ONLY because
+    tests/test_plans.py::test_every_catalog_query_plans_clean fails any
+    catalog query whose partition-less window lacks an upstream limit
+    or a justified allowlist entry — a real unbounded-window regression
+    is a test failure, not a log line."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover - log4j2 absent/renamed: warning stays
+        pass
 
 
 def _cloud_committer_available() -> bool:

@@ -114,21 +114,74 @@ _SCALAR_BROADCAST_OK = {
     "sim_pq_adc_topk",             # broadcast m*k=128-row PQ codebook / ADC table
     "export_range_partition_stats",  # broadcast 9-row decile-boundary table
     "sim_pq_recall_report",        # broadcast 1-row query vector + 128-row ADC table
+    "doc_vocab_coverage",          # 1-row corpus token-total scalar
 }
 
 
+# Queries whose partition-less (global) windows run over a frame that is
+# bounded by an AGGREGATE on a bounded domain — not provable from the
+# plan shape alone, so each needs a justification here:
+_GLOBAL_WINDOW_AGG_BOUNDED_OK = {
+    "doc_temperature_mix",         # share-sum over the group-count frame (|langs| rows)
+    "doc_temperature_mix_tokens",  # same group-count frame, token-mass variant
+    "export_range_partition_stats",  # running sum over the n_chars value-domain histogram
+}
+
+
+def _unbounded_global_windows(df) -> list[str]:
+    """Walk the optimized logical plan; return a description for every
+    partition-less Window whose subtree has no GlobalLimit/LocalLimit —
+    the one shape that becomes an unbounded single-task sort at 100 TB
+    (a limit upstream proves the frame is k rows; anything else needs
+    the agg-bounded allowlist)."""
+
+    def _children(node):
+        it = node.children().iterator()
+        while it.hasNext():
+            yield it.next()
+
+    def _subtree_has_limit(node) -> bool:
+        if node.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit"):
+            return True
+        return any(_subtree_has_limit(c) for c in _children(node))
+
+    bad = []
+
+    def _walk(node):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not _subtree_has_limit(node)
+        ):
+            bad.append(node.simpleStringWithNodeId())
+        for c in _children(node):
+            _walk(c)
+
+    _walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
 def test_every_catalog_query_plans_clean(spark, sf_small):
-    """Engine-wide invariant: every catalog query compiles to a physical
-    plan with NO CartesianProduct anywhere and no BroadcastNestedLoopJoin
-    outside the documented scalar-broadcast set. Guards every future
-    query against accidental pair-space blow-ups at 100 TB."""
+    """Engine-wide invariants, one pass over every catalog query:
+    (a) NO CartesianProduct anywhere and no BroadcastNestedLoopJoin
+    outside the documented scalar-broadcast set (pair-space blow-ups);
+    (b) no partition-less window over a frame that isn't provably
+    bounded — either a GlobalLimit/LocalLimit in the window's subtree
+    (k-row frame by construction) or a named agg-on-bounded-domain
+    allowlist entry. Guards every future query against the two shapes
+    that silently stop scaling at 100 TB."""
     from real_estate_data_pipeline_spark.queries import CATALOG as _ALL
 
     offenders = {}
     for name, q in sorted(_ALL.items()):
-        p = plan(spark, name, sf_small)
+        df = CATALOG[name].fn(spark, sf_small)
+        p = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in p:
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in p and name not in _SCALAR_BROADCAST_OK:
             offenders[name] = "BroadcastNestedLoopJoin (not in scalar allowlist)"
-    assert not offenders, f"pair-space blow-ups: {offenders}"
+        elif name not in _GLOBAL_WINDOW_AGG_BOUNDED_OK:
+            gw = _unbounded_global_windows(df)
+            if gw:
+                offenders[name] = f"unbounded global window: {gw[0]}"
+    assert not offenders, f"scale-unsafe plans: {offenders}"

@@ -43,6 +43,9 @@ HEAVY = [
     "doc_source_overlap_matrix",
     "doc_bpe_merge_pairs",
     "sim_pq_adc_topk",
+    # round-6: persisted-LSH incremental probe + iterative BPE training
+    "dedup_incremental_minhash",
+    "doc_bpe_train_rounds",
 ]
 
 
@@ -158,6 +161,71 @@ def decon_amortization(spark) -> None:
     )
 
 
+def minhash_amortization(spark) -> None:
+    """Fixed 1x ingest batch vs a 10x corpus LSH index: full recompute
+    (shingle + minhash the 10x corpus on every ingest) vs the PERSISTED
+    band-bucket index read back from parquet
+    (ops/dedup.minhash_band_buckets — the production fast xxhash64
+    family). The delta is the cost the persisted index amortizes across
+    ingest batches: at 100 TB the corpus side is never re-shingled."""
+    from pyspark.sql import functions as F
+
+    from real_estate_data_pipeline_spark.ops import dedup
+    from real_estate_data_pipeline_spark.ops.sampling import hash_uniform01
+    from real_estate_data_pipeline_spark.queries import t
+
+    def mat(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    corpus10 = (
+        t(spark, DST, "documents")
+        .filter(hash_uniform01(F.col("doc_id"), "incrmh") < 0.7)
+        .select("doc_id", "text")
+    )
+    new1 = (
+        t(spark, SRC, "documents")
+        .filter(hash_uniform01(F.col("doc_id"), "incrmh") >= 0.7)
+        .select("doc_id", "text")
+    )
+    idx = spark.read.parquet(f"/tmp/redp_mh_index{DST.replace('/', '_')}")
+    # warm both paths once, then time
+    mat(dedup.incremental_minhash_dup_pairs(
+        dedup.minhash_band_buckets(corpus10, "doc_id", "text"),
+        new1, "doc_id", "text",
+    ))
+    mat(dedup.incremental_minhash_dup_pairs(idx, new1, "doc_id", "text"))
+    t0 = time.perf_counter()
+    mat(dedup.incremental_minhash_dup_pairs(
+        dedup.minhash_band_buckets(corpus10, "doc_id", "text"),
+        new1, "doc_id", "text",
+    ))
+    rebuild = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mat(dedup.incremental_minhash_dup_pairs(idx, new1, "doc_id", "text"))
+    reuse = time.perf_counter() - t0
+    print(
+        f"minhash fixed-batch, 10x corpus: rebuild={rebuild:6.2f}s "
+        f"reuse={reuse:6.2f}s amortized={rebuild / max(reuse, 1e-9):4.1f}x"
+    )
+
+
+def _prebuild_mh_index(spark, sf_dir) -> None:
+    from pyspark.sql import functions as F
+
+    from real_estate_data_pipeline_spark.ops import dedup
+    from real_estate_data_pipeline_spark.ops.sampling import hash_uniform01
+    from real_estate_data_pipeline_spark.queries import t
+
+    corpus = (
+        t(spark, sf_dir, "documents")
+        .filter(hash_uniform01(F.col("doc_id"), "incrmh") < 0.7)
+        .select("doc_id", "text")
+    )
+    dedup.minhash_band_buckets(corpus, "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(f"/tmp/redp_mh_index{sf_dir.replace('/', '_')}")
+
+
 def _prebuild_gram_index(spark, sf_dir) -> None:
     from pyspark.sql import functions as F
 
@@ -186,6 +254,7 @@ def main() -> None:
 
     for d in ("/root/testdata/sf0.01", SRC, DST):
         _prebuild_gram_index(spark, d)
+    _prebuild_mh_index(spark, DST)
     for n in HEAVY:  # warm codegen at the small sf
         mat(_fn(n)(spark, "/root/testdata/sf0.01"))
     res: dict[str, dict[str, float]] = {}
@@ -200,6 +269,7 @@ def main() -> None:
             f"ratio={v['10x'] / v['1x']:5.1f}"
         )
     decon_amortization(spark)
+    minhash_amortization(spark)
 
 
 if __name__ == "__main__":
