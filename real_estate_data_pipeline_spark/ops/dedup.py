@@ -305,6 +305,21 @@ def minhash_band_buckets(
     self-join path (:func:`minhash_dup_pairs`) so index and self-join
     provably band identically."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, perm_fns)
+    return bands_from_signatures(sigs, id_col, num_perm, bands, band_hash_fn)
+
+
+def bands_from_signatures(
+    sigs: DataFrame,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    band_hash_fn=None,
+) -> DataFrame:
+    """Band an ALREADY-COMPUTED signature frame (columns m0..m{n-1},
+    e.g. a persisted signature store or a streaming-aggregation sink)
+    into (id, __sig, band, bh) index rows — the banding half of
+    :func:`minhash_band_buckets`, split out so signatures maintained
+    elsewhere (incremental stores, streaming state) band identically."""
     band_hash_fn = band_hash_fn or (lambda cols: F.xxhash64(*cols))
     rows_per_band = num_perm // bands
     band_structs = []
@@ -361,6 +376,23 @@ def incremental_minhash_dup_pairs(
     new_buckets = minhash_band_buckets(
         new_df, id_col, text_col, num_perm, bands, shingle_n, perm_fns, band_hash_fn
     )
+    return incremental_pairs_from_buckets(
+        index_df, new_buckets, id_col, num_perm, jaccard_threshold
+    )
+
+
+def incremental_pairs_from_buckets(
+    index_df: DataFrame,
+    new_buckets: DataFrame,
+    id_col: str,
+    num_perm: int,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The probe half of :func:`incremental_minhash_dup_pairs`: join
+    already-banded new rows against the persisted index on
+    (band, band-hash) and verify by signature agreement. Split out so a
+    signature frame maintained as STREAMING state can feed the same
+    probe the batch path uses."""
     idx = index_df.select(
         F.col(id_col).alias("__cid"),
         F.col("__sig").alias("__csig"),

@@ -8454,6 +8454,458 @@ def _dincrmh(spark, sf_dir):
 
 CATALOG["dedup_incremental_minhash"].fn = _dincrmh
 
+register("doc_stream_incremental_minhash_now", oracle=_minhash_incremental_oracle())
+
+
+def _dstreamincrmh(spark, sf_dir):
+    """Twelfth streaming run: the ingest side of incremental near-dup as
+    a STREAMING computation — each new document's 16 MinHash minima are
+    maintained as streaming-aggregation state (the signature store an
+    always-on ingest pipeline would keep), driven to completion with
+    availableNow into a memory sink; the checkpointed signatures are
+    then banded (ops/dedup.bands_from_signatures) and probed against the
+    corpus band index through the SAME probe the batch path uses
+    (incremental_pairs_from_buckets). Oracle identical to
+    dedup_incremental_minhash — proving stream-maintained signatures,
+    the persisted-index probe, and a from-scratch SQL recompute all
+    agree on the exact pair set."""
+    from pyspark.sql import types as T
+
+    from .ops.dedup import (
+        _sha_band,
+        _sha_pair,
+        bands_from_signatures,
+        incremental_pairs_from_buckets,
+        minhash_band_buckets_portable,
+        minhash_signatures,
+    )
+    from .ops.sampling import hash_uniform01
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    src = _stream_file_source(spark, sf_dir, "documents.parquet", schema)
+    incoming = src.filter(hash_uniform01(F.col("doc_id"), "incrmh") >= 0.7)
+    sigs_stream = minhash_signatures(
+        incoming, "doc_id", "text", num_perm=16, shingle_n=3, perm_fns=_sha_pair
+    )
+    sig_tbl = _run_stream_to_memory(
+        sigs_stream, "doc_stream_incrmh_sink", "complete"
+    )
+    new_buckets = bands_from_signatures(
+        sig_tbl, "doc_id", num_perm=16, bands=4, band_hash_fn=_sha_band
+    )
+    corpus = (
+        t(spark, sf_dir, "documents")
+        .filter(hash_uniform01(F.col("doc_id"), "incrmh") < 0.7)
+        .select("doc_id", "text")
+    )
+    index = minhash_band_buckets_portable(corpus, "doc_id", "text", num_perm=16, bands=4)
+    return incremental_pairs_from_buckets(
+        index, new_buckets, "doc_id", num_perm=16, jaccard_threshold=0.5
+    )
+
+
+CATALOG["doc_stream_incremental_minhash_now"].fn = _dstreamincrmh
+
+register(
+    "q1_pricing_summary_tpch",
+    # TPC-H Q1 (the one sweep slot that was missing): grouped sums over
+    # exact decimals — disc_price/charge stay exact through the decimal
+    # multiply chain ((18,2) x (6,2) x (6,2), scales 2+2+2=6), so both
+    # engines cast the identical exact numeral to double at the end.
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) *
+                    (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2))))
+                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+
+def _q1(spark, sf_dir):
+    """TPC-H Q1 — the canonical scan-heavy grouped aggregate (2-value
+    grouping key, eight aggregates, one partial-agg shuffle); every
+    money expression runs in exact decimal until the final double cast
+    (see oracle comment for the precision chain)."""
+    li = t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(5,2)")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast("decimal(5,2)")
+    tax = F.col("l_tax").cast("decimal(5,2)")
+    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+    n = F.count("*")
+    return (
+        f.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum_expr(qty, "sum_qty"),
+            dsum_expr(price, "sum_base_price"),
+            dsum_expr(price * (one - disc), "sum_disc_price"),
+            dsum_expr(price * (one - disc) * (one + tax), "sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+CATALOG["q1_pricing_summary_tpch"].fn = _q1
+
+register(
+    "ml_group_corr_segment",
+    # Grouped Pearson correlation WITHOUT a UDF: per market segment,
+    # corr(customer balance, order value) from five exact decimal
+    # sufficient statistics; degenerate groups (constant x or y) yield
+    # NULL via NULLIF, and the final combine rounds to 6 dp (identical
+    # exact inputs -> identical IEEE doubles).
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) AS x,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    ),
+    s AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM j GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           round((n * sxy - sx * sy)
+                 / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 6)
+               AS pearson_r
+    FROM s ORDER BY c_mktsegment
+    """,
+)
+
+
+def _dcorr(spark, sf_dir):
+    """Per-segment Pearson correlation of customer balance vs order
+    value from exact sufficient statistics — the second grouped-model
+    shape (ml_group_linear_trend's sibling): one equi-join, one
+    partial-aggregated groupBy, no UDF, closed-form combine."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast(DEC).alias("x")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), F.col("o_totalprice").cast(DEC).alias("y")
+    )
+    j = c.join(o, "c_custkey")
+    s = j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy, sxx, sxy, syy = (F.col(k) for k in ("sx", "sy", "sxx", "sxy", "syy"))
+    den = F.nullif(F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0))
+    return s.select(
+        "c_mktsegment",
+        "n",
+        F.round((n * sxy - sx * sy) / den, 6).alias("pearson_r"),
+    ).orderBy("c_mktsegment")
+
+
+CATALOG["ml_group_corr_segment"].fn = _dcorr
+
+register(
+    "doc_token_zipf_fit",
+    # Zipf exponent of the corpus token distribution: OLS of ln(freq) on
+    # ln(rank) over the top-32 tokens (a distributed TakeOrdered, so the
+    # rank window is provably bounded). ln() rounds to 6 dp then scales
+    # to BIGINT micro-units, making every sum and cross-product exact
+    # integer arithmetic; only the final slope division is float.
+    oracle=r"""
+    WITH freq AS (
+      SELECT tk, COUNT(*) AS c
+      FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tk
+            FROM documents)
+      WHERE tk <> '' GROUP BY tk
+    ),
+    top AS (SELECT tk, c FROM freq ORDER BY c DESC, tk LIMIT 32),
+    xy AS (
+      SELECT CAST(floor(round(ln(ROW_NUMBER() OVER (ORDER BY c DESC, tk)), 6)
+                        * 1000000 + 0.5) AS BIGINT) AS x6,
+             CAST(floor(round(ln(c), 6) * 1000000 + 0.5) AS BIGINT) AS y6
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x6) AS sx, SUM(y6) AS sy,
+             SUM(x6 * y6) AS sxy, SUM(x6 * x6) AS sxx
+      FROM xy
+    )
+    SELECT n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6) AS zipf_slope
+    FROM s
+    """,
+)
+
+
+def _dzipf(spark, sf_dir):
+    """Zipf-law fit over the frequency-ranked vocabulary head: slope of
+    ln(freq) ~ ln(rank) on the top-32 tokens (~ -1 for natural text —
+    the quick sanity check a corpus-stats dashboard runs). TakeOrdered
+    bounds the frame; micro-unit BIGINT sums keep the OLS combine
+    exact (see oracle comment)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tk")
+    ).filter(F.col("tk") != "")
+    freq = toks.groupBy("tk").agg(F.count("*").alias("c"))
+    top = freq.orderBy(F.desc("c"), "tk").limit(32)
+
+    def _micro(col):
+        return F.floor(F.round(col, 6) * 1e6 + F.lit(0.5)).cast("long")
+
+    rnk = F.row_number().over(Window.orderBy(F.desc("c"), "tk"))
+    xy = top.select(
+        _micro(F.log(rnk.cast("double"))).alias("x6"),
+        _micro(F.log("c")).alias("y6"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"), F.lit(0.0))
+    return s.select("n", F.round(num / den, 6).alias("zipf_slope"))
+
+
+CATALOG["doc_token_zipf_fit"].fn = _dzipf
+
+register(
+    "w6_rank_distribution_family",
+    # the remaining rank-window trio: percent_rank / cume_dist / ntile
+    # per order priority, with a unique (totalprice, orderkey) ordering
+    # so tie behavior is engine-independent; both engines compute the
+    # same integer-ratio doubles bit-identically.
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, o_totalprice, o_orderkey
+    """,
+)
+
+
+def _dw6(spark, sf_dir):
+    """percent_rank / cume_dist / ntile(4) per order priority — the
+    rank-distribution windows the w4 rank family didn't cover. One
+    shuffle on the partition key; unique ordering makes every value
+    deterministic."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+
+
+CATALOG["w6_rank_distribution_family"].fn = _dw6
+
+register(
+    "doc_source_near_dup_matrix",
+    # near-dup leakage BETWEEN sources: the portable MinHash pair set
+    # rolled up to an unordered source-pair matrix — the report that
+    # tells a curation pipeline which crawls are re-hosting each other.
+    oracle=f"""
+    WITH pairs AS ({_minhash_portable_oracle()})
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           COUNT(*) AS dup_pairs
+    FROM pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2
+    ORDER BY dup_pairs DESC, source_a, source_b
+    """,
+)
+
+
+def _dsrcdupmat(spark, sf_dir):
+    """Source-pair near-dup matrix: MinHash-LSH pairs (portable family,
+    shared with minhash_dup_pairs_portable so the pair set is the
+    value-proven one) joined back to per-doc sources and rolled up on
+    the unordered pair. Two slim id equi-joins + one groupBy — the
+    pair set, not the corpus, is the join input."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dup_pairs_portable(
+        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
+    )
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "__sa"}), "id_a")
+        .join(src.withColumnsRenamed({"doc_id": "id_b", "source": "__sb"}), "id_b")
+    )
+    return (
+        j.groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("dup_pairs"))
+        .orderBy(F.desc("dup_pairs"), "source_a", "source_b")
+    )
+
+
+CATALOG["doc_source_near_dup_matrix"].fn = _dsrcdupmat
+
+register(
+    "evt_interpolate_linear_hourly",
+    # gap-filling by LINEAR interpolation (evt_resample_ffill's sibling):
+    # per event_type, the hourly value series with missing hours filled
+    # as prev + (next - prev) * hour_frac between the nearest observed
+    # buckets. Observed totals are exact decimal sums cast to double;
+    # the interpolation fraction is a ratio of exact integer hour
+    # offsets — identical IEEE inputs on both engines -> identical
+    # doubles, rounded to 6 dp.
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM obs GROUP BY event_type
+    ),
+    scaffold AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    filled AS (
+      SELECT s.event_type, s.h, o.v
+      FROM scaffold s LEFT JOIN obs o ON s.event_type = o.event_type AND s.h = o.h
+    ),
+    nb AS (
+      SELECT event_type, h, v,
+             LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+             FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+      FROM filled
+      WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv) *
+                           (CAST(date_diff('hour', ph, h) AS DOUBLE)
+                            / CAST(date_diff('hour', ph, nh) AS DOUBLE)) END,
+                 6) AS total_value,
+           v IS NULL AS is_interpolated
+    FROM nb
+    ORDER BY event_type, h
+    """,
+)
+
+
+def _dinterp(spark, sf_dir):
+    """Linear interpolation of missing hourly buckets per event_type —
+    the other half of the resample family (ffill exists; trainers and
+    monitors often want linear). Plan: one bucket aggregate, a tiny
+    per-type bounds aggregate exploded into the hour scaffold (rows =
+    hours in range, never events x hours), one left equi-join, and two
+    ignore-nulls windows per type ordered by hour. All shuffles are on
+    (event_type[, hour]) — partition-bounded at any scale."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    obs = (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"),
+                  F.col("value").cast(DEC).alias("__v"))
+        .groupBy("event_type", "h")
+        .agg(F.sum("__v").cast("double").alias("v"))
+    )
+    bounds = obs.groupBy("event_type").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    scaffold = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h"),
+    )
+    full = scaffold.join(obs, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    nb = full.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    hours = lambda a, b: (F.unix_timestamp(b) - F.unix_timestamp(a)) / F.lit(3600)  # noqa: E731
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        hours(F.col("ph"), F.col("h")).cast("double")
+        / hours(F.col("ph"), F.col("nh")).cast("double")
+    )
+    return nb.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        F.round(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 6).alias(
+            "total_value"
+        ),
+        F.col("v").isNull().alias("is_interpolated"),
+    ).orderBy("event_type", "hour_ts")
+
+
+CATALOG["evt_interpolate_linear_hourly"].fn = _dinterp
+
 
 def _bpe_train_oracle(rounds: int = 3) -> str:
     """Oracle for the unrolled BPE training loop: each round's census,
