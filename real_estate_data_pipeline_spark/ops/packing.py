@@ -169,6 +169,57 @@ def span_corruption(
     )
 
 
+def _bpe_token_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Dense (doc_id, pos, tok) rows from whitespace tokens (empties
+    filtered) — the frame every BPE round operates on."""
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != F.lit("")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tk).alias("p", "tok")
+    ).select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "tok")
+
+
+def _bpe_rewrite(cur: DataFrame, x: str, y: str) -> DataFrame:
+    """One greedy left-to-right non-overlapping merge of the adjacent
+    pair (x, y) over a (doc_id, pos, tok) frame, via the islands-parity
+    trick (see bpe_train_rounds docstring); returns the merged frame
+    with re-densified positions."""
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    led = cur.withColumn("nxt", F.lead("tok").over(wdoc))
+    pred = F.when((F.col("tok") == F.lit(x)) & (F.col("nxt") == F.lit(y)), 1).otherwise(0)
+    marked = led.withColumn("pr", pred).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id", "pr").orderBy("pos")),
+    )
+    is_start = (
+        (F.col("pr") == 1)
+        & (
+            F.row_number().over(Window.partitionBy("doc_id", "pr", "grp").orderBy("pos"))
+            % 2
+            == 1
+        )
+    ).cast("int")
+    flagged = marked.withColumn("is_start", is_start).withColumn(
+        "consumed", F.coalesce(F.lag("is_start").over(wdoc), F.lit(0))
+    )
+    survivors = flagged.filter(F.col("consumed") == 0).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("is_start") == 1, F.concat(F.col("tok"), F.lit(" "), F.col("nxt"))
+        )
+        .otherwise(F.col("tok"))
+        .alias("tok"),
+    )
+    return survivors.select(
+        "doc_id",
+        F.row_number().over(wdoc).cast("long").alias("__npos"),
+        "tok",
+    ).withColumnsRenamed({"__npos": "pos"})
+
+
 def bpe_train_rounds(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -199,17 +250,23 @@ def bpe_train_rounds(
     census aggregates and per-document windows — is fully distributed;
     only the ``rounds``-row merge table lives on the driver."""
     spark = df.sparkSession
-    tk = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != F.lit("")
+    merges = _bpe_learn_merges(df, id_col, text_col, rounds)
+    return spark.createDataFrame(
+        merges, schema="round int, tok_a string, tok_b string, pair_count bigint"
     )
-    cur = (
-        df.select(F.col(id_col).alias("doc_id"), F.posexplode(tk).alias("p", "tok"))
-        .select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "tok")
-        .persist()
-    )
+
+
+def _bpe_learn_merges(
+    df: DataFrame, id_col: str, text_col: str, rounds: int
+) -> list[tuple[int, str, str, int]]:
+    """The training loop behind :func:`bpe_train_rounds`: returns the
+    learned merges as driver literals (1-row TakeOrdered collect per
+    round; each round's survivor frame persisted, all unpersisted on
+    exit)."""
+    cur = _bpe_token_positions(df, id_col, text_col).persist()
     persisted = [cur]
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    merges = []
+    merges: list[tuple[int, str, str, int]] = []
     try:
         for r in range(1, rounds + 1):
             led = cur.withColumn("nxt", F.lead("tok").over(wdoc))
@@ -227,46 +284,34 @@ def bpe_train_rounds(
             merges.append((r, x, y, int(cnt)))
             if r == rounds:
                 break
-            pred = F.when(
-                (F.col("tok") == F.lit(x)) & (F.col("nxt") == F.lit(y)), 1
-            ).otherwise(0)
-            marked = led.withColumn("pr", pred).withColumn(
-                "grp",
-                F.col("pos")
-                - F.row_number().over(Window.partitionBy("doc_id", "pr").orderBy("pos")),
-            )
-            is_start = (
-                (F.col("pr") == 1)
-                & (
-                    F.row_number().over(
-                        Window.partitionBy("doc_id", "pr", "grp").orderBy("pos")
-                    )
-                    % 2
-                    == 1
-                )
-            ).cast("int")
-            flagged = marked.withColumn("is_start", is_start).withColumn(
-                "consumed", F.coalesce(F.lag("is_start").over(wdoc), F.lit(0))
-            )
-            survivors = flagged.filter(F.col("consumed") == 0).select(
-                "doc_id",
-                "pos",
-                F.when(
-                    F.col("is_start") == 1,
-                    F.concat(F.col("tok"), F.lit(" "), F.col("nxt")),
-                )
-                .otherwise(F.col("tok"))
-                .alias("tok"),
-            )
-            cur = survivors.select(
-                "doc_id",
-                F.row_number().over(wdoc).cast("long").alias("__npos"),
-                "tok",
-            ).withColumnsRenamed({"__npos": "pos"}).persist()
+            cur = _bpe_rewrite(cur, x, y).persist()
             persisted.append(cur)
-        return spark.createDataFrame(
-            merges, schema="round int, tok_a string, tok_b string, pair_count bigint"
-        )
+        return merges
     finally:
         for f in persisted:
             f.unpersist()
+
+
+def bpe_tokenize_with_merges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """BPE INFERENCE after training: learn ``rounds`` merges
+    (:func:`bpe_train_rounds`'s loop), then re-tokenize the corpus by
+    applying them in order and report per-document compression —
+    (doc_id, n_tok_before, n_tok_after). Because the learned merges are
+    driver literals by the time the output plan is built, the apply
+    side is a PURE expression chain (``rounds`` islands-parity window
+    passes in one job, no collects in its lineage) — the shape a
+    tokenize-the-whole-corpus production job has, where the merge table
+    is read from the tokenizer artifact instead of retrained."""
+    merges = _bpe_learn_merges(df, id_col, text_col, rounds)
+    base = _bpe_token_positions(df, id_col, text_col)
+    before = base.groupBy("doc_id").agg(F.count("*").alias("n_tok_before"))
+    cur = base
+    for _, x, y, _cnt in merges:
+        cur = _bpe_rewrite(cur, x, y)
+    after = cur.groupBy("doc_id").agg(F.count("*").alias("n_tok_after"))
+    return before.join(after, "doc_id").orderBy("doc_id")

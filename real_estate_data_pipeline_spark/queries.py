@@ -8907,11 +8907,13 @@ def _dinterp(spark, sf_dir):
 CATALOG["evt_interpolate_linear_hourly"].fn = _dinterp
 
 
-def _bpe_train_oracle(rounds: int = 3) -> str:
+def _bpe_train_oracle(rounds: int = 3, final_select: str | None = None) -> str:
     """Oracle for the unrolled BPE training loop: each round's census,
     top-pair pick, and greedy non-overlapping merge-rewrite expressed as
     pure window SQL (islands-parity for the greedy part), chained
-    through ``rounds`` CTE generations."""
+    through ``rounds`` CTE generations. ``final_select`` swaps the
+    default merge-table projection for another read of the same chain
+    (e.g. the apply variant's per-doc compression counts)."""
     parts = [
         r"""
     WITH p0 AS (
@@ -8963,15 +8965,17 @@ def _bpe_train_oracle(rounds: int = 3) -> str:
       )
       WHERE consumed = 0
     )""")
-    unions = "\n      UNION ALL ".join(
-        f"SELECT {r} AS round, x AS tok_a, y AS tok_b, CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
-        for r in range(1, rounds + 1)
-    )
-    parts.append(f"""
+    if final_select is None:
+        unions = "\n      UNION ALL ".join(
+            f"SELECT {r} AS round, x AS tok_a, y AS tok_b, CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+            for r in range(1, rounds + 1)
+        )
+        final_select = f"""
     SELECT * FROM (
       {unions}
     ) ORDER BY round
-    """)
+    """
+    parts.append(final_select)
     return "".join(parts)
 
 
@@ -8995,6 +8999,479 @@ def _dbpetrain(spark, sf_dir):
 
 
 CATALOG["doc_bpe_train_rounds"].fn = _dbpetrain
+
+register(
+    "doc_bpe_apply_merges",
+    # BPE INFERENCE: the 3 learned merges applied back to the corpus,
+    # per-doc token counts before/after — the oracle replays the same
+    # CTE chain as doc_bpe_train_rounds and reads the FINAL generation
+    # instead of the merge table.
+    oracle=_bpe_train_oracle(
+        3,
+        final_select="""
+    SELECT b.doc_id, b.n_tok_before, a.n_tok_after
+    FROM (SELECT doc_id, COUNT(*) AS n_tok_before FROM p0 GROUP BY doc_id) b
+    JOIN (SELECT doc_id, COUNT(*) AS n_tok_after FROM p3 GROUP BY doc_id) a
+      USING (doc_id)
+    ORDER BY doc_id
+    """,
+    ),
+)
+
+
+def _dbpeapply(spark, sf_dir):
+    """Tokenizer inference after training (ops/packing.
+    bpe_tokenize_with_merges): learn 3 merges, then re-tokenize the
+    corpus by applying them in order — per-doc compression report
+    (n_tok_before, n_tok_after). The apply side is a pure expression
+    chain (merges are driver literals), the production shape where the
+    merge table comes from the tokenizer artifact."""
+    from .ops.packing import bpe_tokenize_with_merges
+
+    d = t(spark, sf_dir, "documents")
+    return bpe_tokenize_with_merges(d, "doc_id", "text", rounds=3)
+
+
+CATALOG["doc_bpe_apply_merges"].fn = _dbpeapply
+
+register(
+    "ml_group_ols_outliers",
+    # FIT + SCORE without a UDF: the per-event_type OLS from
+    # ml_group_linear_trend, coefficients broadcast back onto the rows,
+    # per-event residuals against the fitted line, and a 2-sigma outlier
+    # flag — sigma comes CLOSED-FORM from the same sufficient statistics
+    # (SSE = syy + n*a^2 + b^2*sxx - 2b*sxy - 2a*sy + 2ab*sx), so no
+    # second aggregation pass over residuals is needed and every number
+    # derives deterministically from exact sums. slope/intercept/sigma
+    # round to 6 dp; residuals are then identical IEEE doubles on both
+    # engines, so the strict > comparison picks identical rows.
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) - 1704067200 AS x
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(x * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  AS DOUBLE) AS syy
+      FROM base GROUP BY event_type
+    ),
+    coef AS (
+      SELECT event_type, n,
+             round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS b,
+             round((sy * sxx - sx * sxy) / NULLIF(n * sxx - sx * sx, 0), 6) AS a
+      FROM s
+    ),
+    sig AS (
+      SELECT c.event_type, c.a, c.b,
+             round(sqrt(greatest(
+               (s.syy + s.n * c.a * c.a + c.b * c.b * s.sxx
+                - 2 * c.b * s.sxy - 2 * c.a * s.sy + 2 * c.a * c.b * s.sx) / s.n,
+               0)), 6) AS sigma
+      FROM coef c JOIN s USING (event_type)
+    )
+    SELECT base.event_id, base.event_type,
+           round(base.value - (sig.b * base.x + sig.a), 6) AS residual
+    FROM base JOIN sig USING (event_type)
+    WHERE abs(base.value - (sig.b * base.x + sig.a)) > 2 * sig.sigma
+    ORDER BY base.event_id
+    """,
+)
+
+
+def _dolsout(spark, sf_dir):
+    """Grouped model SCORING: fit per-event_type OLS from exact
+    sufficient statistics, broadcast the (slope, intercept, sigma)
+    coefficient table back onto the events, and keep rows whose
+    residual exceeds 2 sigma — the distributed fit-then-score pipeline
+    (residual sigma comes closed-form from the same stats, so the whole
+    thing is two aggregates + one broadcast join, no second pass)."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.unix_timestamp(F.col("ts")) - F.lit(1704067200)).alias("x"),
+    )
+    ydec = F.col("value").cast("decimal(18,2)")
+    s = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(ydec).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * ydec).cast("double").alias("sxy"),
+        F.sum(ydec * ydec).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = (F.col(k) for k in ("n", "sx", "sy", "sxx", "sxy", "syy"))
+    den = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    coef = s.select(
+        "event_type",
+        n.alias("n"),
+        sx.alias("sx"), sy.alias("sy"), sxx.alias("sxx"),
+        sxy.alias("sxy"), syy.alias("syy"),
+        F.round((n * sxy - sx * sy) / den, 6).alias("b"),
+        F.round((sy * sxx - sx * sxy) / den, 6).alias("a"),
+    )
+    a, b = F.col("a"), F.col("b")
+    sse = (
+        syy + n * a * a + b * b * sxx - 2 * b * sxy - 2 * a * sy + 2 * a * b * sx
+    )
+    sig = coef.select(
+        "event_type", "a", "b",
+        F.round(F.sqrt(F.greatest(sse / n, F.lit(0.0))), 6).alias("sigma"),
+    )
+    scored = base.join(F.broadcast(sig), "event_type")
+    resid = F.col("value") - (F.col("b") * F.col("x") + F.col("a"))
+    return (
+        scored.filter(F.abs(resid) > 2 * F.col("sigma"))
+        .select("event_id", "event_type", F.round(resid, 6).alias("residual"))
+        .orderBy("event_id")
+    )
+
+
+CATALOG["ml_group_ols_outliers"].fn = _dolsout
+
+register(
+    "a12_moving_avg_hourly",
+    # centered 7-bucket moving average per event_type over the hourly
+    # totals: the window SUM runs on exact BIGINT cents (decimal scale-2
+    # totals x 100), so frame-summation order can't matter; the single
+    # final division of exact integers is identical IEEE on both
+    # engines.
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           CAST(cents AS DOUBLE) / 100.0 AS total_value,
+           CAST(SUM(cents) OVER w AS DOUBLE)
+             / (100.0 * COUNT(*) OVER w) AS moving_avg_7h
+    FROM obs
+    WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ORDER BY event_type, h
+    """,
+)
+
+
+def _dmovavg(spark, sf_dir):
+    """Centered 7-bucket moving average of hourly totals per event_type
+    (the smoothing pass a monitoring dashboard runs): one bucket
+    aggregate + one rows-frame window per type. Totals ride as exact
+    BIGINT cents through the frame sum (see oracle comment)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.col("value").cast(DEC).alias("__v"),
+        )
+        .groupBy("event_type", "h")
+        .agg((F.sum("__v") * 100).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-3, 3)
+    return obs.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("total_value"),
+        (
+            F.sum("cents").over(w).cast("double")
+            / (F.lit(100.0) * F.count("*").over(w))
+        ).alias("moving_avg_7h"),
+    ).orderBy("event_type", "hour_ts")
+
+
+CATALOG["a12_moving_avg_hourly"].fn = _dmovavg
+
+register(
+    "u3_except_all_priorities",
+    # multiset difference (EXCEPT ALL / exceptAll — u2 covered only the
+    # DISTINCT set ops): per-copy subtraction of the even-key orders'
+    # priority multiset from the odd-key orders' — counts matter, not
+    # just membership.
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+
+
+def _dexceptall(spark, sf_dir):
+    """Multiset EXCEPT ALL between the odd- and even-orderkey halves'
+    priority bags — completes the set-op family with the per-copy
+    variant (Spark exceptAll compiles to a count-difference generate,
+    not a distinct anti-join)."""
+    o = t(spark, sf_dir, "orders")
+    odd = o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderpriority")
+    even = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderpriority")
+    return odd.exceptAll(even)
+
+
+CATALOG["u3_except_all_priorities"].fn = _dexceptall
+
+register(
+    "minhash_threshold_sweep",
+    # calibration sweep over the LSH candidate set: ONE signature/band
+    # pass (threshold 0.25 keeps the near-threshold candidates), then
+    # exact conditional counts at the 0.5 / 0.75 / 1.0 operating points
+    # — the report that picks a dedup threshold without re-running LSH.
+    oracle=f"""
+    WITH pairs AS ({_minhash_portable_oracle(thr=0.25)})
+    SELECT CAST(COUNT(*) AS BIGINT) AS candidate_pairs,
+           CAST(COUNT(CASE WHEN jaccard_est >= 0.5 THEN 1 END) AS BIGINT) AS ge_050,
+           CAST(COUNT(CASE WHEN jaccard_est >= 0.75 THEN 1 END) AS BIGINT) AS ge_075,
+           CAST(COUNT(CASE WHEN jaccard_est >= 1.0 THEN 1 END) AS BIGINT) AS ge_100
+    FROM pairs
+    """,
+)
+
+
+def _dthrsweep(spark, sf_dir):
+    """Threshold-operating-point sweep from one MinHash pass: candidate
+    pairs at estimate >= 0.25, conditionally counted at the 0.5/0.75/1.0
+    cut points — choosing a dedup threshold becomes one report instead
+    of one LSH run per candidate threshold."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dup_pairs_portable(
+        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.25
+    )
+    je = F.col("jaccard_est")
+    cnt = lambda c, nm: F.count(F.when(c, 1)).alias(nm)  # noqa: E731
+    return pairs.agg(
+        F.count("*").alias("candidate_pairs"),
+        cnt(je >= 0.5, "ge_050"),
+        cnt(je >= 0.75, "ge_075"),
+        cnt(je >= 1.0, "ge_100"),
+    )
+
+
+CATALOG["minhash_threshold_sweep"].fn = _dthrsweep
+
+register(
+    "export_token_budget_shards",
+    # token-budget shard packing: within each source (docs in doc_id
+    # order), a document goes to shard floor(exclusive_running_tokens /
+    # 5000) — the writer-side layout that keeps every training shard
+    # near a fixed token count. Pure integer arithmetic end to end.
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+|[^\sa-z0-9])', 1))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    assigned AS (
+      SELECT source, n_tok,
+             CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 5000.0)
+               AS BIGINT) AS shard_id
+      FROM d
+    )
+    SELECT source, shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+    FROM assigned
+    GROUP BY source, shard_id
+    ORDER BY source, shard_id
+    """,
+)
+
+
+def _dtokshards(spark, sf_dir):
+    """Greedy token-budget sharding per source (5,000-token shards):
+    exclusive running token sum -> floor-divide by the budget — one
+    window per source + one rollup, all exact integers. The per-shard
+    stats are the manifest a data loader would read."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(text.word_tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = d.select(
+        "source",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(5000.0))
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return (
+        assigned.groupBy("source", "shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("shard_tokens"))
+        .orderBy("source", "shard_id")
+    )
+
+
+CATALOG["export_token_budget_shards"].fn = _dtokshards
+
+_PROFILE_COLS = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _profile_diff_oracle() -> str:
+    u = _HASH01_SQL.format(key="c_custkey || 'profile'")
+    sides = f"""
+    WITH a AS (SELECT * FROM customer WHERE {u} < 0.5),
+         b AS (SELECT * FROM customer WHERE {u} >= 0.5),
+         pa AS (SELECT {", ".join(
+             f"COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_{c}, COUNT(DISTINCT {c}) AS d_{c}"
+             for c in _PROFILE_COLS)} FROM a),
+         pb AS (SELECT {", ".join(
+             f"COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_{c}, COUNT(DISTINCT {c}) AS d_{c}"
+             for c in _PROFILE_COLS)} FROM b)
+    """
+    unions = "\n    UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST(pa.n_{c} AS BIGINT) AS nulls_a, "
+        f"CAST(pa.d_{c} AS BIGINT) AS distinct_a, CAST(pb.n_{c} AS BIGINT) AS nulls_b, "
+        f"CAST(pb.d_{c} AS BIGINT) AS distinct_b FROM pa, pb"
+        for c in _PROFILE_COLS
+    )
+    return f"{sides}\n    SELECT * FROM (\n    {unions}\n    ) ORDER BY col_name"
+
+
+register(
+    "dq_schema_profile_diff",
+    # schema-profile drift between two dataset versions (emulated by a
+    # deterministic hash split): per column, null count and distinct
+    # count on each side, as rows — the report a DQ monitor diffs run
+    # over run. ONE aggregate pass per side (all columns profiled in the
+    # same agg), melted to rows with an inline array, 1x1 join of the
+    # two profile rows.
+    oracle=_profile_diff_oracle(),
+)
+
+
+def _dprofdiff(spark, sf_dir):
+    """Column-profile diff (nulls + distincts per column, side A vs B):
+    both profiles are single aggregate passes producing ONE row each;
+    the per-column layout comes from exploding an inline struct array —
+    no per-column scan, no UDF."""
+    from .ops.sampling import hash_uniform01
+
+    c = t(spark, sf_dir, "customer")
+    u = hash_uniform01(F.col("c_custkey"), "profile")
+    sides = {"a": c.filter(u < 0.5), "b": c.filter(u >= 0.5)}
+    profs = {}
+    for s, df_side in sides.items():
+        aggs = []
+        for col in _PROFILE_COLS:
+            aggs.append(
+                F.count(F.when(F.col(col).isNull(), 1)).alias(f"n_{col}")
+            )
+            aggs.append(F.countDistinct(col).alias(f"d_{col}"))
+        profs[s] = df_side.agg(*aggs)
+    both = profs["a"].crossJoin(
+        profs["b"].select(*[F.col(x).alias(f"{x}__b") for x in profs["b"].columns])
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(col).alias("col_name"),
+                    F.col(f"n_{col}").alias("nulls_a"),
+                    F.col(f"d_{col}").alias("distinct_a"),
+                    F.col(f"n_{col}__b").alias("nulls_b"),
+                    F.col(f"d_{col}__b").alias("distinct_b"),
+                )
+                for col in _PROFILE_COLS
+            ]
+        )
+    ).alias("r")
+    return both.select(rows).select("r.*").orderBy("col_name")
+
+
+CATALOG["dq_schema_profile_diff"].fn = _dprofdiff
+
+register(
+    "minhash_jaccard_calibration",
+    # estimator calibration: the LSH signature-agreement estimate
+    # compared against the EXACT shingle-set Jaccard, computed only over
+    # the candidate pair set (never all pairs). est = k/16 and
+    # true = |A∩B|/|A∪B| are both exact integer ratios -> identical
+    # doubles; the absolute error scales to micro-units so the mean is
+    # an exact integer sum.
+    oracle=f"""
+    WITH pairs AS ({_minhash_portable_oracle(thr=0.25)}),
+    g AS (
+      SELECT doc_id, {_GRAMS3_SQL} AS gs
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents)
+    ),
+    e AS (
+      SELECT p.jaccard_est,
+             CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+               / len(list_distinct(list_concat(ga.gs, gb.gs))) AS true_j
+      FROM pairs p
+      JOIN g ga ON p.id_a = ga.doc_id
+      JOIN g gb ON p.id_b = gb.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(floor(abs(jaccard_est - true_j) * 1000000 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+               AS avg_abs_err,
+           round(MAX(abs(jaccard_est - true_j)), 6) AS max_abs_err
+    FROM e
+    """,
+)
+
+
+def _dmhcalib(spark, sf_dir):
+    """How good is the MinHash estimate? Candidate pairs (one LSH pass,
+    portable family) joined to their exact distinct-shingle sets;
+    |A∩B|/|A∪B| vs the signature-agreement estimate, reported as mean/
+    max absolute error. The exact Jaccard is computed ONLY for the
+    candidate pairs — the join input is the pair set, so the expensive
+    exact comparison never touches the full pair space."""
+    from .ops.dedup import norm_tokens, shingles_from_tokens
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dup_pairs_portable(
+        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.25
+    )
+    g = d.select(
+        "doc_id",
+        shingles_from_tokens(norm_tokens(F.col("text")), 3).alias("gs"),
+    )
+    e = (
+        pairs.join(g.withColumnsRenamed({"doc_id": "id_a", "gs": "__ga"}), "id_a")
+        .join(g.withColumnsRenamed({"doc_id": "id_b", "gs": "__gb"}), "id_b")
+        .select(
+            "jaccard_est",
+            (
+                F.size(F.array_intersect("__ga", "__gb")).cast("double")
+                / F.size(F.array_union("__ga", "__gb"))
+            ).alias("true_j"),
+        )
+    )
+    err = F.abs(F.col("jaccard_est") - F.col("true_j"))
+    err_micro = F.floor(err * 1e6 + F.lit(0.5)).cast("long")
+    return e.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum(err_micro).cast("double") / F.count("*") / F.lit(1e6), 6
+        ).alias("avg_abs_err"),
+        F.round(F.max(err), 6).alias("max_abs_err"),
+    )
+
+
+CATALOG["minhash_jaccard_calibration"].fn = _dmhcalib
 
 register(
     "doc_temperature_mix_tokens",

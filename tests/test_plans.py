@@ -115,6 +115,7 @@ _SCALAR_BROADCAST_OK = {
     "export_range_partition_stats",  # broadcast 9-row decile-boundary table
     "sim_pq_recall_report",        # broadcast 1-row query vector + 128-row ADC table
     "doc_vocab_coverage",          # 1-row corpus token-total scalar
+    "dq_schema_profile_diff",      # 1x1 join of the two single-row profile aggregates
 }
 
 
