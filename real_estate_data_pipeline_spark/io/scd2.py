@@ -65,6 +65,23 @@ class Scd2Table:
             raise FileNotFoundError(f"snapshot version {v} not found (vacuumed?)")
         return self.spark.read.parquet(target)
 
+    def read_as_of(self, ts: str) -> DataFrame | None:
+        """Point-in-time view by TIMESTAMP (the Delta ``timestampAsOf``
+        idea, resolved from the validity columns instead of the log):
+        the one version of each key whose [valid_from, valid_to) window
+        contains ``ts`` — rows never seen by then are excluded, rows
+        closed by a later merge reappear as they were. A pure filter on
+        the current snapshot (every historical version lives in it),
+        so it pushes down to the parquet scan."""
+        df = self.read()
+        if df is None:
+            return None
+        tcol = F.lit(ts).cast("timestamp")
+        return df.filter(
+            (F.col("valid_from") <= tcol)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > tcol))
+        )
+
     def history(self) -> list[int]:
         """Available snapshot versions, oldest first."""
         if not os.path.isdir(self.path):

@@ -9474,6 +9474,784 @@ def _dmhcalib(spark, sf_dir):
 CATALOG["minhash_jaccard_calibration"].fn = _dmhcalib
 
 register(
+    "scd2_point_in_time",
+    # the CONSUMER side of SCD2: a timestampAsOf read resolved from the
+    # validity columns. At noon of day 1 (between the two pinned
+    # merges), the visible state is exactly the day-1 batch — which the
+    # oracle derives directly from the same deterministic snapshot
+    # definition.
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer WHERE c_custkey % 3 <> 0
+    ORDER BY c_custkey
+    """,
+)
+
+
+def _dscd2pit(spark, sf_dir):
+    """Point-in-time query against the SCD2 store
+    (io/scd2.Scd2Table.read_as_of — the Delta timestampAsOf idea over
+    validity columns): replay the two pinned merges, then read the
+    table AS OF day-1 noon. The later merge's closes/inserts must be
+    invisible; the filter pushes to the snapshot's parquet scan."""
+    import shutil
+
+    from .io.scd2 import Scd2Table
+
+    base = _scratch("redp_scd2_pit_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    day1 = c.filter(F.col("c_custkey") % 3 != 0)
+    day2 = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    tbl = Scd2Table(
+        spark, base, key="c_custkey", tracked=["c_mktsegment"], order_col="c_acctbal"
+    )
+    tbl.merge(day1, batch_ts=F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    tbl.merge(day2, batch_ts=F.to_timestamp(F.lit("2024-01-02 00:00:00")))
+    return (
+        tbl.read_as_of("2024-01-01 12:00:00")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CATALOG["scd2_point_in_time"].fn = _dscd2pit
+
+register(
+    "evt_funnel_ordered_conversion",
+    # ORDER-constrained funnel (evt_funnel_counts checks stage
+    # membership only): a user converts at stage N when their FIRST
+    # occurrence of each stage happens in sequence — first view before
+    # first click before first purchase. One per-user conditional-min
+    # aggregate, then three exact counts.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS stage_view,
+           CAST(COUNT(CASE WHEN t_view < t_click THEN 1 END) AS BIGINT) AS stage_click_after_view,
+           CAST(COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+                AS BIGINT) AS stage_full_funnel
+    FROM u
+    """,
+)
+
+
+def _dfunnelord(spark, sf_dir):
+    """Sequence-constrained conversion funnel: per-user first-touch
+    timestamps per stage (ONE conditional-min aggregate pass over the
+    events — no join per stage), then ordered-progression counts.
+    NULL first-touches fail the < comparisons on both engines, so
+    missing stages drop out without explicit guards."""
+    ev = t(spark, sf_dir, "events")
+    first = lambda s: F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")  # noqa: E731
+    u = ev.groupBy("user_id").agg(first("view"), first("click"), first("purchase"))
+    cnt = lambda c, nm: F.count(F.when(c, 1)).alias(nm)  # noqa: E731
+    return u.agg(
+        cnt(F.col("t_view").isNotNull(), "stage_view"),
+        cnt(F.col("t_view") < F.col("t_click"), "stage_click_after_view"),
+        cnt(
+            (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase")),
+            "stage_full_funnel",
+        ),
+    )
+
+
+CATALOG["evt_funnel_ordered_conversion"].fn = _dfunnelord
+
+register(
+    "doc_lang_confusion_matrix",
+    # evaluation of the lang-ID heuristic against the labeled lang
+    # column: the (label, prediction) count matrix — per-class precision
+    # and recall fall straight out of it.
+    oracle=f"""
+    WITH pred AS ({_LANG_CASE_SQL})
+    SELECT d.lang, p.lang_pred, COUNT(*) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    ORDER BY d.lang, p.lang_pred
+    """,
+)
+
+
+def _dlangconf(spark, sf_dir):
+    """Confusion matrix of the stopword lang-ID heuristic vs the labeled
+    lang — the evaluation table a model-quality dashboard renders. One
+    map-side prediction + one grouped count."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+CATALOG["doc_lang_confusion_matrix"].fn = _dlangconf
+
+register(
+    "evt_anomaly_mad",
+    # robust outlier detection: median absolute deviation per
+    # event_type (two exact grouped medians — the a1b parity already
+    # proves MEDIAN agrees across engines), flag |v - med| > 3 * MAD.
+    # All derived doubles come from identical inputs -> identical IEEE,
+    # so the strict comparison keeps identical rows.
+    oracle="""
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           round(d.adev / NULLIF(m.mad, 0), 6) AS mad_score
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.adev > 3 * m.mad
+    ORDER BY d.event_id
+    """,
+)
+
+
+def _dmad(spark, sf_dir):
+    """MAD-based anomaly flags per event_type: exact grouped median ->
+    absolute deviations -> exact median of deviations -> 3-MAD cut.
+    Two grouped aggregates + two broadcast joins of k-row median
+    tables; the z-score family's robust sibling (m2 uses mean/stddev,
+    which one fat tail drags)."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("adev") / F.nullif(F.col("mad"), F.lit(0.0)), 6).alias(
+                "mad_score"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+CATALOG["evt_anomaly_mad"].fn = _dmad
+
+register(
+    "m10_minmax_scaler",
+    # per-group min-max normalization (the feature-engineering staple):
+    # scaled = (v - min) / (max - min), NULL for constant groups via
+    # NULLIF; min/max are exact selections, the division sees identical
+    # doubles on both engines, rounded to 6 dp.
+    oracle="""
+    WITH b AS (
+      SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - b.mn) / NULLIF(b.mx - b.mn, 0), 6) AS value_scaled
+    FROM events e JOIN b USING (event_type)
+    ORDER BY e.event_id
+    """,
+)
+
+
+def _dminmax(spark, sf_dir):
+    """Min-max scaling of value per event_type: one k-row min/max
+    aggregate broadcast back onto the rows — the fit+transform scaler
+    without a UDF or an ML pipeline object."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - F.col("mn"))
+                / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0)),
+                6,
+            ).alias("value_scaled"),
+        )
+        .orderBy("event_id")
+    )
+
+
+CATALOG["m10_minmax_scaler"].fn = _dminmax
+
+register(
+    "asof_nearest_event",
+    # completes the as-of direction family (backward = asof_latest_event,
+    # forward+tolerance = asof_next_event_tolerance): nearest in EITHER
+    # direction, equal distance breaking backward (pandas merge_asof
+    # semantics). The oracle combines DuckDB's native backward and
+    # forward ASOF joins with the same tie-break.
+    oracle="""
+    WITH l AS (SELECT o_orderkey, o_custkey % 20 AS k,
+                      o_orderdate + INTERVAL 29 YEAR AS ts
+               FROM orders),
+         r AS (SELECT user_id % 20 AS k, ts, MAX(value) AS ev_value
+               FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT l.o_orderkey, l.k, l.ts, r.ts AS bts, r.ev_value AS bv
+      FROM l ASOF LEFT JOIN r ON l.k = r.k AND r.ts <= l.ts
+    ),
+    f AS (
+      SELECT l.o_orderkey, r.ts AS fts, r.ev_value AS fv
+      FROM l ASOF LEFT JOIN r ON l.k = r.k AND r.ts >= l.ts
+    )
+    SELECT b.o_orderkey, b.k,
+           CASE WHEN f.fts IS NULL THEN b.bv
+                WHEN b.bts IS NULL THEN f.fv
+                WHEN epoch(b.ts) - epoch(b.bts) <= epoch(f.fts) - epoch(b.ts) THEN b.bv
+                ELSE f.fv END AS ev_value_nearest
+    FROM b JOIN f USING (o_orderkey)
+    """,
+)
+
+
+def _dasofnearest(spark, sf_dir):
+    """Nearest-direction as-of join (ops/asof.asof_join
+    direction=\"nearest\"): each shifted order takes the event value
+    closest in time, before OR after, ties backward. Same single-key-
+    shuffle union trick — the two direction windows share one
+    exchange."""
+    from .ops.asof import asof_join
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 29 YEARS")).alias("ts"),
+    )
+    e = (
+        t(spark, sf_dir, "events")
+        .select((F.col("user_id") % 20).alias("k"), "ts", "value")
+        .groupBy("k", "ts")
+        .agg(F.max("value").alias("ev_value"))
+    )
+    out = asof_join(
+        o, e, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["ev_value"], direction="nearest",
+    )
+    return out.select(
+        "o_orderkey", "k", F.col("ev_value_asof").alias("ev_value_nearest")
+    )
+
+
+CATALOG["asof_nearest_event"].fn = _dasofnearest
+
+register(
+    "doc_quality_filter_funnel",
+    # curation ATTRITION report: how many documents survive each
+    # successive filter stage (length -> language-identifiable ->
+    # quality >= 0.5 -> exact-dedup). One aggregate pass: stage flags
+    # are cumulative booleans, the dedup stage is COUNT(DISTINCT
+    # fingerprint) over stage-3 survivors. Oracle composes the
+    # REGISTERED lang-ID and quality-score replicas, so the funnel is
+    # consistent-by-construction with the individual gate queries.
+    oracle=f"""
+    WITH pred AS ({_LANG_CASE_SQL}),
+    q AS ({{quality}}),
+    d AS (
+      SELECT doc_id, n_chars,
+             sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                        ' +', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    flags AS (
+      SELECT d.doc_id, d.fp,
+             d.n_chars >= 100 AS s1,
+             d.n_chars >= 100 AND pred.lang_pred <> 'und' AS s2,
+             d.n_chars >= 100 AND pred.lang_pred <> 'und'
+               AND q.quality_score >= 0.5 AS s3
+      FROM d JOIN pred USING (doc_id) JOIN q USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(CASE WHEN s1 THEN 1 END) AS BIGINT) AS after_length,
+           CAST(COUNT(CASE WHEN s2 THEN 1 END) AS BIGINT) AS after_lang,
+           CAST(COUNT(CASE WHEN s3 THEN 1 END) AS BIGINT) AS after_quality,
+           CAST(COUNT(DISTINCT CASE WHEN s3 THEN fp END) AS BIGINT) AS after_dedup
+    FROM flags
+    """.replace("{quality}", "__QUALITY__"),
+)
+# splice the registered quality-score oracle in (brace-safe: the score
+# SQL contains no format placeholders, but f-string nesting would)
+CATALOG["doc_quality_filter_funnel"].oracle = CATALOG[
+    "doc_quality_filter_funnel"
+].oracle.replace("__QUALITY__", CATALOG["doc_quality_score"].oracle)
+
+
+def _dfunnelqual(spark, sf_dir):
+    """Stage-by-stage survivor counts of the standard curation funnel
+    (length guard -> lang-identifiable -> quality score -> exact
+    dedup), computed in ONE aggregate pass: cumulative stage booleans
+    plus a conditional COUNT(DISTINCT fingerprint) for the dedup stage
+    — the attrition chart every dataset card reports."""
+    d = t(spark, sf_dir, "documents")
+    flags = d.select(
+        text.fingerprint(F.col("text")).alias("fp"),
+        (F.col("n_chars") >= 100).alias("s1"),
+        (
+            (F.col("n_chars") >= 100) & (text.lang_id(F.col("text")) != "und")
+        ).alias("s2"),
+        (
+            (F.col("n_chars") >= 100)
+            & (text.lang_id(F.col("text")) != "und")
+            & (text.quality_score(F.col("text")) >= 0.5)
+        ).alias("s3"),
+    )
+    cnt = lambda c, nm: F.count(F.when(c, 1)).alias(nm)  # noqa: E731
+    return flags.agg(
+        F.count("*").alias("n_total"),
+        cnt(F.col("s1"), "after_length"),
+        cnt(F.col("s2"), "after_lang"),
+        cnt(F.col("s3"), "after_quality"),
+        F.countDistinct(F.when(F.col("s3"), F.col("fp"))).alias("after_dedup"),
+    )
+
+
+CATALOG["doc_quality_filter_funnel"].fn = _dfunnelqual
+
+register(
+    "doc_trigram_backoff_logprob",
+    # held-out LM scoring with STUPID BACKOFF (Brants et al. 2007): a
+    # trigram model trained on the u<0.7 hash split scores the held-out
+    # docs; unseen trigrams back off to 0.4 * the (w2,w3) bigram, then
+    # to 0.16 * the unigram, else count as OOV. Every probability is a
+    # ratio of exact integer counts; ln rounds to 6 dp then scales to
+    # micro-nats so per-doc sums are order-independent (the
+    # doc_bigram_logprob convention, plus the backoff CASE whose branch
+    # is decided by NULL-ness of the left joins — deterministic).
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+             {_HASH01_SQL.format(key="doc_id || 'lm'")} AS u
+      FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, u, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+      FROM tk, (SELECT unnest(range(1, (SELECT MAX(len(tk)) FROM tk) + 1)) AS i) g
+      WHERE i + 1 < len(tk) AND tk[i] <> '' AND tk[i + 1] <> '' AND tk[i + 2] <> ''
+    ),
+    train AS (SELECT * FROM tg WHERE u < 0.7),
+    ev AS (SELECT * FROM tg WHERE u >= 0.7),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM train GROUP BY 1, 2, 3),
+    cctx AS (SELECT w1, w2, COUNT(*) AS c FROM train GROUP BY 1, 2),
+    b2 AS (SELECT w2, w3, COUNT(*) AS c FROM train GROUP BY 1, 2),
+    b1 AS (SELECT w2, COUNT(*) AS c FROM train GROUP BY 1),
+    u1 AS (SELECT w3, COUNT(*) AS c FROM train GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS c FROM train),
+    terms AS (
+      SELECT ev.doc_id,
+             CASE WHEN c3.c IS NOT NULL
+                    THEN CAST(round(round(ln(CAST(c3.c AS DOUBLE) / cctx.c), 6)
+                                    * 1000000) AS BIGINT)
+                  WHEN b2.c IS NOT NULL
+                    THEN CAST(round(round(ln(0.4 * CAST(b2.c AS DOUBLE) / b1.c), 6)
+                                    * 1000000) AS BIGINT)
+                  WHEN u1.c IS NOT NULL
+                    THEN CAST(round(round(ln(0.16 * CAST(u1.c AS DOUBLE) / tot.c), 6)
+                                    * 1000000) AS BIGINT)
+                  ELSE NULL END AS t
+      FROM ev
+      LEFT JOIN c3 USING (w1, w2, w3)
+      LEFT JOIN cctx USING (w1, w2)
+      LEFT JOIN b2 USING (w2, w3)
+      LEFT JOIN b1 USING (w2)
+      LEFT JOIN u1 USING (w3), tot
+    )
+    SELECT doc_id,
+           round((CAST(SUM(t) AS DOUBLE) / 1000000.0) / COUNT(t), 6) AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(COUNT(*) - COUNT(t) AS BIGINT) AS n_oov
+    FROM terms GROUP BY doc_id
+    """,
+)
+
+
+def _dtglm(spark, sf_dir):
+    """Trigram stupid-backoff scoring of HELD-OUT documents against a
+    model trained on the other hash split — unlike the self-scored
+    bigram LM, backoff actually fires here (eval trigrams the train
+    split never saw). Count tables are train-once artifacts (the
+    persisted-index pattern); scoring is four left equi-joins on token
+    keys plus one broadcast scalar for the unigram denominator."""
+    from .ops.sampling import hash_uniform01
+
+    d = t(spark, sf_dir, "documents")
+    u = hash_uniform01(F.col("doc_id"), "lm")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = (
+        d.select("doc_id", u.alias("__u"), F.posexplode(toks).alias("__p", "w1"))
+        .filter(F.col("w1") != "")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("__p")
+    tg = (
+        base.withColumn("w2", F.lead("w1", 1).over(wnd))
+        .withColumn("w3", F.lead("w1", 2).over(wnd))
+        .filter(F.col("w3").isNotNull())
+        .select("doc_id", "__u", "w1", "w2", "w3")
+    )
+    train = tg.filter(F.col("__u") < 0.7)
+    ev = tg.filter(F.col("__u") >= 0.7)
+    c3 = train.groupBy("w1", "w2", "w3").agg(F.count("*").alias("__c3"))
+    cctx = train.groupBy("w1", "w2").agg(F.count("*").alias("__cc"))
+    b2 = train.groupBy("w2", "w3").agg(F.count("*").alias("__b2"))
+    b1 = train.groupBy("w2").agg(F.count("*").alias("__b1"))
+    u1 = train.groupBy("w3").agg(F.count("*").alias("__u1"))
+    tot = train.agg(F.count("*").alias("__tot"))
+
+    def _micro(x):
+        return F.round(F.round(F.log(x), 6) * F.lit(1000000.0)).cast("bigint")
+
+    term = (
+        F.when(
+            F.col("__c3").isNotNull(),
+            _micro(F.col("__c3").cast("double") / F.col("__cc")),
+        )
+        .when(
+            F.col("__b2").isNotNull(),
+            _micro(F.lit(0.4) * F.col("__b2").cast("double") / F.col("__b1")),
+        )
+        .when(
+            F.col("__u1").isNotNull(),
+            _micro(F.lit(0.16) * F.col("__u1").cast("double") / F.col("__tot")),
+        )
+        .alias("__t")
+    )
+    scored = (
+        ev.join(c3, ["w1", "w2", "w3"], "left")
+        .join(cctx, ["w1", "w2"], "left")
+        .join(b2, ["w2", "w3"], "left")
+        .join(b1, ["w2"], "left")
+        .join(u1, ["w3"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", term)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            (F.sum("__t").cast("double") / F.lit(1000000.0)) / F.count("__t"), 6
+        ).alias("avg_logprob"),
+        F.count("*").cast("bigint").alias("n_terms"),
+        (F.count("*") - F.count("__t")).cast("bigint").alias("n_oov"),
+    )
+
+
+CATALOG["doc_trigram_backoff_logprob"].fn = _dtglm
+
+register(
+    "emb_norm_percentiles",
+    # embedding-health stats: exact interpolated percentiles of the L2
+    # norms. Norm = sqrt of the IN-ORDER fold of squares (the proven
+    # list_sum/aggregate equivalence), rounded to 6 dp BEFORE the
+    # percentile so both engines interpolate identical values.
+    oracle="""
+    WITH n AS (
+      SELECT round(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(quantile_cont(nrm, 0.25), 6) AS p25,
+           round(quantile_cont(nrm, 0.50), 6) AS p50,
+           round(quantile_cont(nrm, 0.75), 6) AS p75,
+           round(quantile_cont(nrm, 0.95), 6) AS p95
+    FROM n
+    """,
+)
+
+
+def _dembnorm(spark, sf_dir):
+    """L2-norm distribution of the embedding corpus (the drift /
+    degenerate-vector check an embedding pipeline monitors): one
+    map-side norm + one exact-percentile aggregate."""
+    from .ops.similarity import l2_norm_sq
+
+    e = t(spark, sf_dir, "embeddings")
+    n = e.select(F.round(F.sqrt(l2_norm_sq(F.col("embedding"))), 6).alias("nrm"))
+    return n.agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.percentile("nrm", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("nrm", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("nrm", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("nrm", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+CATALOG["emb_norm_percentiles"].fn = _dembnorm
+
+register(
+    "evt_error_burst_islands",
+    # incident detection: runs of CONSECUTIVE minutes with >= 2 errors,
+    # via the islands trick (minute index minus rank), windows
+    # partitioned BY DAY so the frame is bounded (<= 1440 rows) — a
+    # burst crossing midnight reports as two, documented. Exact integer
+    # arithmetic throughout.
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS m, COUNT(*) AS c
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    i AS (
+      SELECT m, c, date_trunc('day', m) AS d,
+             CAST((epoch(m) - epoch(date_trunc('day', m))) / 60 AS BIGINT)
+               - ROW_NUMBER() OVER (PARTITION BY date_trunc('day', m) ORDER BY m)
+               AS grp
+      FROM m
+    )
+    SELECT strftime(MIN(m), '%Y-%m-%d %H:%M:%S') AS burst_start,
+           CAST(COUNT(*) AS BIGINT) AS n_minutes,
+           CAST(SUM(c) AS BIGINT) AS n_errors
+    FROM i GROUP BY d, grp
+    ORDER BY burst_start
+    """,
+)
+
+
+def _dburst(spark, sf_dir):
+    """Error-burst detection: qualifying minutes (>= 2 errors) grouped
+    into maximal consecutive runs with the minute-index-minus-rank
+    islands trick; per burst: start, length, total errors. The rank
+    window partitions by day, so no unbounded frame exists."""
+    ev = t(spark, sf_dir, "events")
+    m = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("m"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    d = F.date_trunc("day", F.col("m"))
+    minute_idx = ((F.unix_timestamp("m") - F.unix_timestamp(d)) / 60).cast("long")
+    rn = F.row_number().over(Window.partitionBy(d.alias("__d")).orderBy("m"))
+    i = m.select("m", "c", d.alias("d"), (minute_idx - rn).alias("grp"))
+    return (
+        i.groupBy("d", "grp")
+        .agg(
+            F.date_format(F.min("m"), "yyyy-MM-dd HH:mm:ss").alias("burst_start"),
+            F.count("*").alias("n_minutes"),
+            F.sum("c").alias("n_errors"),
+        )
+        .select("burst_start", "n_minutes", "n_errors")
+        .orderBy("burst_start")
+    )
+
+
+CATALOG["evt_error_burst_islands"].fn = _dburst
+
+register(
+    "doc_dedup_cluster_size_histogram",
+    # dedup diagnostics: distribution of exact-duplicate cluster sizes
+    # (fingerprint -> member count -> histogram) — the chart that says
+    # whether duplication is a few huge clusters or a long tail.
+    oracle="""
+    WITH cs AS (
+      SELECT sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                        ' +', ' ', 'g'))) AS fp,
+             COUNT(*) AS sz
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters
+    FROM cs GROUP BY sz ORDER BY sz
+    """,
+)
+
+
+def _dclusthist(spark, sf_dir):
+    """Exact-dup cluster-size histogram: two cheap grouped counts (the
+    second runs over the cluster table, not the corpus)."""
+    d = t(spark, sf_dir, "documents")
+    cs = d.groupBy(text.fingerprint(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        cs.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+CATALOG["doc_dedup_cluster_size_histogram"].fn = _dclusthist
+
+register(
+    "io_version_history_report",
+    # the lakehouse DESCRIBE HISTORY analog over the snapshot store:
+    # per version, total and current row counts — derived in the oracle
+    # from the same deterministic day-1/day-2 merge algebra as
+    # scd2_two_run_versions (v2 rows = day1 + closed-changed re-inserts
+    # + brand-new; current = day1 + brand-new).
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_mktsegment FROM customer),
+    d1 AS (SELECT * FROM c WHERE c_custkey % 3 <> 0),
+    d2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+      FROM c WHERE c_custkey % 2 = 0
+    ),
+    chg AS (SELECT COUNT(*) AS c FROM d1 JOIN d2 USING (c_custkey)
+            WHERE d1.c_mktsegment <> d2.c_mktsegment),
+    nw AS (SELECT COUNT(*) AS c FROM d2 LEFT JOIN d1 USING (c_custkey)
+           WHERE d1.c_custkey IS NULL),
+    n1 AS (SELECT COUNT(*) AS c FROM d1)
+    SELECT * FROM (
+      SELECT 1 AS version, CAST(n1.c AS BIGINT) AS n_rows,
+             CAST(n1.c AS BIGINT) AS n_current FROM n1
+      UNION ALL
+      SELECT 2, CAST(n1.c + chg.c + nw.c AS BIGINT),
+             CAST(n1.c + nw.c AS BIGINT) FROM n1, chg, nw
+    ) ORDER BY version
+    """,
+)
+
+
+def _dverhist(spark, sf_dir):
+    """Version-history report over the SCD2 snapshot store (the
+    DESCRIBE HISTORY consumer shape): replay the two pinned merges,
+    then per snapshot version report total and current rows — two
+    bounded 1-row count jobs, literal result table."""
+    import shutil
+
+    from .io.scd2 import Scd2Table
+
+    base = _scratch("redp_scd2_hist_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    day1 = c.filter(F.col("c_custkey") % 3 != 0)
+    day2 = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    tbl = Scd2Table(
+        spark, base, key="c_custkey", tracked=["c_mktsegment"], order_col="c_acctbal"
+    )
+    tbl.merge(day1, batch_ts=F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    tbl.merge(day2, batch_ts=F.to_timestamp(F.lit("2024-01-02 00:00:00")))
+    rows = []
+    for v in tbl.history():
+        snap = tbl.read(v)
+        rows.append(
+            (
+                v,
+                snap.count(),
+                snap.filter(F.col("is_current")).count(),
+            )
+        )
+    return spark.createDataFrame(
+        rows, schema="version int, n_rows bigint, n_current bigint"
+    ).orderBy("version")
+
+
+CATALOG["io_version_history_report"].fn = _dverhist
+
+register(
+    "evt_stream_minmax_now",
+    # thirteenth streaming run: per-type min/max maintained as streaming
+    # aggregation state (the fit half of the m10 scaler, on the stream),
+    # complete mode + availableNow == the batch aggregate exactly.
+    oracle="""
+    SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def _dstreamminmax(spark, sf_dir):
+    """Streaming min/max per event_type — the scaler-fit statistics
+    maintained incrementally as stream state (complete output mode,
+    driven with availableNow): what an online feature-normalization
+    service keeps warm between batch refits."""
+    schema = _events_stream_schema(ts_ntz=False)
+    src = _stream_file_source(spark, sf_dir, "events.parquet", schema)
+    agg = src.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    return _run_stream_to_memory(agg, "evt_stream_minmax_sink", "complete")
+
+
+CATALOG["evt_stream_minmax_now"].fn = _dstreamminmax
+
+register(
+    "sim_ivf_cell_stats",
+    # IVF index health: per-cell population and mean distance to the
+    # centroid — the balance report that decides when to re-seed or
+    # re-train an ANN index. Distances round to 6 dp then scale to
+    # micro-units so the per-cell mean is an exact integer sum.
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16
+    ), assign AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT e.vec_id, c.cid,
+               {_DIST_SQL('e.embedding', 'c.cvec')} AS d,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DIST_SQL('e.embedding', 'c.cvec')}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(CAST(SUM(CAST(floor(round(d, 6) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0, 6) AS mean_dist
+    FROM assign GROUP BY cid ORDER BY cid
+    """,
+)
+
+
+def _divfstats(spark, sf_dir):
+    """Per-cell IVF diagnostics (population + mean centroid distance):
+    the assignment is ops/similarity.ivf_assign's broadcast argmin; the
+    stats are one grouped aggregate over slim (cid, micro-dist) rows."""
+    from .ops.similarity import ivf_assign, l2_dist_sq
+
+    e = t(spark, sf_dir, "embeddings")
+    cent, assign = ivf_assign(e, "vec_id", "embedding", 16)
+    joined = (
+        e.select("vec_id", "embedding")
+        .join(assign.select("vec_id", "cid"), "vec_id")
+        .join(F.broadcast(cent), "cid")
+    )
+    dmicro = (
+        F.floor(F.round(l2_dist_sq(F.col("embedding"), F.col("cvec")), 6) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("__dm")
+    )
+    return (
+        joined.select("cid", dmicro)
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(
+                F.sum("__dm").cast("double") / F.count("*") / F.lit(1e6), 6
+            ).alias("mean_dist"),
+        )
+        .orderBy("cid")
+    )
+
+
+CATALOG["sim_ivf_cell_stats"].fn = _divfstats
+
+register(
     "doc_temperature_mix_tokens",
     # token-budget temperature rebalancing: quota_g ∝ (token mass)^0.7
     # of a 20k-token budget; docs fill each quota greedily in hash-draw

@@ -116,6 +116,8 @@ _SCALAR_BROADCAST_OK = {
     "sim_pq_recall_report",        # broadcast 1-row query vector + 128-row ADC table
     "doc_vocab_coverage",          # 1-row corpus token-total scalar
     "dq_schema_profile_diff",      # 1x1 join of the two single-row profile aggregates
+    "doc_trigram_backoff_logprob",  # 1-row train-token-total scalar (unigram denominator)
+    "sim_ivf_cell_stats",          # broadcast 16-row centroid table (as sim_ivf_topk)
 }
 
 
