@@ -211,3 +211,46 @@ def test_fuzzy_pairs_levenshtein_blocked(spark):
         for r in fuzzy_string_pairs(df, "id", "name", ["country"]).collect()
     }
     assert pairs == {(1, 2): 1}  # typo found; 3 blocked away; 4 too far
+
+
+def test_incremental_minhash_equals_batch_restriction(spark):
+    """The persisted-index probe must return EXACTLY the batch
+    self-join's pairs restricted to (new x corpus): same banding, same
+    agreement, no pair invented or lost by the index path."""
+    from real_estate_data_pipeline_spark.ops.dedup import (
+        incremental_minhash_dup_pairs_portable,
+        minhash_band_buckets_portable,
+        minhash_dup_pairs_portable,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different sentence about spark physical plans",
+        "numbers one two three four five six seven eight nine ten",
+    ]
+    rows = []
+    for i, txt in enumerate(base):
+        rows.append((i, txt))                      # corpus copy
+        rows.append((100 + i, txt))                # near-identical new copy
+        rows.append((200 + i, txt + " extra tail tokens added here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter("doc_id < 100")
+    new = df.filter("doc_id >= 100")
+
+    idx = minhash_band_buckets_portable(corpus, "doc_id", "text")
+    inc = {
+        (r["new_id"], r["dup_of"], r["jaccard_est"])
+        for r in incremental_minhash_dup_pairs_portable(
+            idx, new, "doc_id", "text"
+        ).collect()
+    }
+    full = minhash_dup_pairs_portable(df, "doc_id", "text").collect()
+    want = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if a < 100 <= b:
+            want.add((b, a, r["jaccard_est"]))
+        elif b < 100 <= a:
+            want.add((a, b, r["jaccard_est"]))
+    assert inc == want
+    assert inc, "fixture must produce at least one cross-split pair"

@@ -357,3 +357,28 @@ def test_write_range_sorted_global_order(spark, tmp_path):
     concat = [k for _, keys in sorted(zip(ranges, all_keys)) for k in keys]
     expect = sorted(r["key"] for r in df.collect())
     assert concat == expect
+
+
+def test_scd2_read_as_of(spark, tmp_path):
+    """timestampAsOf over the validity columns: before the first merge
+    -> empty; between merges -> exactly the day-1 state; after the
+    second -> the merged current state (closed rows invisible)."""
+    t = Scd2Table(spark, str(tmp_path / "pit"), key="k", tracked=["v"], order_col="ts")
+    d1 = spark.createDataFrame(
+        [("a", 1.0, "d1"), ("b", 2.0, "d1")], "k string, v double, ts string"
+    )
+    d2 = spark.createDataFrame(
+        [("a", 9.0, "d2"), ("c", 3.0, "d2")], "k string, v double, ts string"
+    )
+    t.merge(d1, batch_ts=F.lit("2024-01-01 12:00:00").cast("timestamp"))
+    t.merge(d2, batch_ts=F.lit("2024-01-02 12:00:00").cast("timestamp"))
+
+    def state(ts):
+        return {(r["k"], r["v"]) for r in t.read_as_of(ts).collect()}
+
+    assert state("2024-01-01 00:00:00") == set()
+    assert state("2024-01-01 18:00:00") == {("a", 1.0), ("b", 2.0)}
+    assert state("2024-01-03 00:00:00") == {("a", 9.0), ("b", 2.0), ("c", 3.0)}
+    # boundary: exactly at the second merge, the new version is visible
+    # (valid_from <= ts) and the closed one is not (valid_to > ts fails)
+    assert state("2024-01-02 12:00:00") == {("a", 9.0), ("b", 2.0), ("c", 3.0)}

@@ -90,3 +90,113 @@ def test_span_corruption_reconstructs_original(spark):
             rebuilt.extend(spans[int(m.group(1))] if m else [tok])
         assert rebuilt == orig
         assert r["n_masked"] == sum(len(v) for v in spans.values())
+
+
+def _greedy_merge_ref(toks, x, y):
+    """Python reference for greedy left-to-right non-overlapping merge."""
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == x and toks[i + 1] == y:
+            out.append(x + " " + y)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _bpe_ref(texts, rounds):
+    """Python reference for the whole training loop (census -> top pair
+    with lexicographic tie-break -> greedy rewrite -> repeat)."""
+    import re
+    from collections import Counter
+
+    seqs = [[t for t in re.split(r"\s+", s.lower().strip()) if t] for s in texts]
+    merges = []
+    for r in range(1, rounds + 1):
+        c = Counter()
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                c[(a, b)] += 1
+        if not c:
+            break
+        (x, y), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((r, x, y, cnt))
+        if r == rounds:
+            break
+        seqs = [_greedy_merge_ref(s, x, y) for s in seqs]
+    return merges, seqs
+
+
+def test_bpe_rewrite_matches_python_reference(spark):
+    """The islands-parity windows must implement EXACTLY greedy
+    left-to-right non-overlapping merging — including self-overlapping
+    runs ('a a a a' with pair (a,a) -> ['a a', 'a a']). 200 seeded
+    random docs over a 3-token alphabet (runs are frequent), ONE Spark
+    job, every doc compared to the Python reference."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from real_estate_data_pipeline_spark.ops.packing import (
+        _bpe_rewrite,
+        _bpe_token_positions,
+    )
+
+    rng = random.Random(42)
+    docs = [
+        (i, " ".join(rng.choice("a b c".split()) for _ in range(rng.randint(0, 12))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = _bpe_token_positions(df, "doc_id", "text")
+    for pair in [("a", "a"), ("a", "b"), ("c", "c")]:
+        merged = _bpe_rewrite(base, *pair)
+        got = {}
+        for r in merged.orderBy("doc_id", "pos").collect():
+            got.setdefault(r["doc_id"], []).append(r["tok"])
+        for doc_id, text in docs:
+            want = _greedy_merge_ref([t for t in text.split() if t], *pair)
+            assert got.get(doc_id, []) == want, (pair, doc_id, text)
+
+
+def test_bpe_train_rounds_matches_python_reference(spark):
+    """The full unrolled training loop (3 rounds incl. the re-census on
+    merged corpora and the lexicographic tie-break) equals the Python
+    reference on a seeded random corpus."""
+    import random
+
+    from real_estate_data_pipeline_spark.ops.packing import (
+        bpe_tokenize_with_merges,
+        bpe_train_rounds,
+    )
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(rng.choice("x y z w".split()) for _ in range(rng.randint(0, 15))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["round"], r["tok_a"], r["tok_b"], r["pair_count"])
+        for r in bpe_train_rounds(df, rounds=3).collect()
+    ]
+    want, final_seqs = _bpe_ref([t for _, t in docs], 3)
+    assert got == want
+    # the training loop skips the LAST round's rewrite (only the census
+    # matters there), but the apply path performs all 3 merges — bring
+    # the reference corpus up to the applied state
+    if want:
+        _, x, y, _ = want[-1]
+        final_seqs = [_greedy_merge_ref(s, x, y) for s in final_seqs]
+    # and the apply path's after-counts equal the reference's final corpus
+    after = {
+        r["doc_id"]: (r["n_tok_before"], r["n_tok_after"])
+        for r in bpe_tokenize_with_merges(df, rounds=3).collect()
+    }
+    for (doc_id, text), seq in zip(docs, final_seqs):
+        n0 = len([t for t in text.split() if t])
+        if n0 == 0:
+            assert doc_id not in after
+        else:
+            assert after[doc_id] == (n0, len(seq)), (doc_id, text)

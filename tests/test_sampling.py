@@ -181,3 +181,62 @@ def test_temperature_mix_quota_shape(spark):
     a = {r["doc_id"] for r in temperature_mix(df, "doc_id", "g", 100, 0.5).collect()}
     b = {r["doc_id"] for r in temperature_mix(df.repartition(17), "doc_id", "g", 100, 0.5).collect()}
     assert a == b
+
+
+def test_temperature_mix_tokens_greedy_quota(spark):
+    """Token-budget variant: each group's kept set is EXACTLY the
+    maximal hash-order prefix whose running token sum stays within the
+    n^alpha token quota — verified against a Python replay of the same
+    hash order; and the fill is deterministic under repartitioning."""
+    import hashlib
+
+    from real_estate_data_pipeline_spark.ops.sampling import temperature_mix_tokens
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "small").otherwise("big").alias("g"),
+        (F.col("id") % 37 + 1).cast("long").alias("n_tok"),
+    )
+    out = temperature_mix_tokens(df, "doc_id", "g", "n_tok", n_target_tokens=2000, alpha=0.7)
+    kept = {r["doc_id"] for r in out.collect()}
+
+    rows = df.collect()
+    masses = {}
+    for r in rows:
+        masses[r["g"]] = masses.get(r["g"], 0) + r["n_tok"]
+    tot = sum(round(m**0.7, 6) for m in masses.values())
+    quotas = {
+        g: int(round(m**0.7, 6) / tot * 2000 + 0.5) // 1 for g, m in masses.items()
+    }
+
+    def draw(doc_id):
+        h = hashlib.sha256(f"{doc_id}mixtok".encode()).hexdigest()
+        return int(h[:8], 16) / 4294967296.0
+
+    want = set()
+    for g in masses:
+        members = sorted(
+            (r for r in rows if r["g"] == g), key=lambda r: (draw(r["doc_id"]), r["doc_id"])
+        )
+        cum = 0
+        for r in members:
+            cum += r["n_tok"]
+            if cum <= quotas[g]:
+                want.add(r["doc_id"])
+            else:
+                break  # greedy: an overflowing doc stops the whole prefix
+    assert kept == want
+    # per-group kept token mass within quota
+    sums = {
+        r["g"]: r["s"]
+        for r in out.groupBy("g").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    for g, s in sums.items():
+        assert s <= quotas[g]
+    b = {
+        r["doc_id"]
+        for r in temperature_mix_tokens(
+            df.repartition(13), "doc_id", "g", "n_tok", 2000, 0.7
+        ).collect()
+    }
+    assert kept == b
