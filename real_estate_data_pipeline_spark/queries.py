@@ -8421,7 +8421,7 @@ def _minhash_incremental_oracle(
     """
 
 
-register("dedup_incremental_minhash", oracle=_minhash_incremental_oracle())
+register("dedup_incremental_minhash", oracle=_minhash_incremental_oracle(), bench=True)
 
 
 def _dincrmh(spark, sf_dir):
@@ -8979,7 +8979,7 @@ def _bpe_train_oracle(rounds: int = 3, final_select: str | None = None) -> str:
     return "".join(parts)
 
 
-register("doc_bpe_train_rounds", oracle=_bpe_train_oracle(3))
+register("doc_bpe_train_rounds", oracle=_bpe_train_oracle(3), bench=True)
 
 
 def _dbpetrain(spark, sf_dir):
@@ -10250,6 +10250,159 @@ def _divfstats(spark, sf_dir):
 
 
 CATALOG["sim_ivf_cell_stats"].fn = _divfstats
+
+
+def _pagerank_oracle(rounds: int = 3, damping: float = 0.85) -> str:
+    """Oracle for the unrolled PageRank over the near-dup graph: the
+    portable MinHash pair set as undirected edges, ``rounds`` power
+    iterations with per-round 6-dp rounding and micro-unit integer
+    neighbor sums (float summation order can never matter)."""
+    prev = "pr0"
+    iters = []
+    for r in range(1, rounds + 1):
+        iters.append(f""",
+    c{r} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(floor(round(p.pr / d.deg, 6) * 1000000 + 0.5) AS BIGINT)) AS s
+      FROM edges e
+      JOIN {prev} p ON e.src = p.node
+      JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    ),
+    pr{r} AS (
+      SELECT n.node,
+             round({1 - damping!r} + {damping!r} *
+                   (CAST(COALESCE(c{r}.s, 0) AS DOUBLE) / 1000000.0), 6) AS pr
+      FROM nodes n LEFT JOIN c{r} ON n.node = c{r}.node
+    )""")
+        prev = f"pr{r}"
+    return f"""
+    WITH pairs AS ({_minhash_portable_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1.0 AS pr FROM nodes){"".join(iters)}
+    SELECT node AS doc_id, pr AS pagerank
+    FROM {prev}
+    ORDER BY pagerank DESC, doc_id
+    LIMIT 20
+    """
+
+
+register("graph_pagerank_dup_nodes", oracle=_pagerank_oracle())
+
+
+def _dpagerank(spark, sf_dir):
+    """Three unrolled PageRank power iterations over the near-dup graph
+    (portable MinHash pairs as undirected edges) — the iterative
+    matrix-vector shape (join rank onto edges, aggregate by
+    destination, damp, repeat) expressed as pure DataFrame rounds. Each
+    round's contribution terms round to 6 dp then sum as micro-unit
+    BIGINTs, so the result is engine-exact despite float ranks; the
+    top-20 central documents are the cluster representatives a curation
+    reviewer looks at first. Edges are computed ONCE and persisted
+    across iterations (bounded: the pair set, not the corpus)."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dup_pairs_portable(
+        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    try:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+        pr = nodes.select("node", F.lit(1.0).alias("pr"))
+        for _ in range(3):
+            contrib = (
+                edges.join(pr.withColumnsRenamed({"node": "src"}), "src")
+                .join(deg.withColumnsRenamed({"node": "src", "deg": "__deg"}), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.floor(F.round(F.col("pr") / F.col("__deg"), 6) * 1e6 + F.lit(0.5))
+                    .cast("long")
+                    .alias("__c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("__c").alias("__s"))
+            )
+            pr = nodes.join(contrib, "node", "left").select(
+                "node",
+                F.round(
+                    F.lit(0.15)
+                    + F.lit(0.85)
+                    * (F.coalesce(F.col("__s"), F.lit(0)).cast("double") / F.lit(1e6)),
+                    6,
+                ).alias("pr"),
+            )
+        return (
+            pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pagerank"))
+            .orderBy(F.desc("pagerank"), "doc_id")
+            .limit(20)
+        )
+    finally:
+        edges.unpersist()
+
+
+CATALOG["graph_pagerank_dup_nodes"].fn = _dpagerank
+
+register(
+    "evt_markov_transition_matrix",
+    # first-order behavioral model: per-user consecutive event-type
+    # transitions (lead over each user's timeline, ties broken by
+    # event_id) -> count matrix -> row-normalized probabilities.
+    # Counts are exact; each probability is one division of exact
+    # integers, rounded to 6 dp.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    r AS (SELECT src, SUM(n) AS tot FROM c GROUP BY src)
+    SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n_transitions,
+           round(CAST(c.n AS DOUBLE) / r.tot, 6) AS p
+    FROM c JOIN r USING (src)
+    ORDER BY c.src, c.dst
+    """,
+)
+
+
+def _dmarkov(spark, sf_dir):
+    """Per-user event-type transition matrix (the first-order Markov
+    model behind session analytics and synthetic-journey generation):
+    one lead window per user, one count aggregate, row-normalize
+    against the per-source totals — k x k output for k event types."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count("*").alias("n_transitions"))
+    r = c.groupBy("src").agg(F.sum("n_transitions").alias("__tot"))
+    return (
+        c.join(F.broadcast(r), "src")
+        .select(
+            "src",
+            "dst",
+            "n_transitions",
+            F.round(F.col("n_transitions").cast("double") / F.col("__tot"), 6).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+CATALOG["evt_markov_transition_matrix"].fn = _dmarkov
 
 register(
     "doc_temperature_mix_tokens",

@@ -43,9 +43,12 @@ HEAVY = [
     "doc_source_overlap_matrix",
     "doc_bpe_merge_pairs",
     "sim_pq_adc_topk",
-    # round-6: persisted-LSH incremental probe + iterative BPE training
+    # round-6: persisted-LSH incremental probe + iterative BPE training,
+    # held-out trigram LM scoring, iterative PageRank over the dup graph
     "dedup_incremental_minhash",
     "doc_bpe_train_rounds",
+    "doc_trigram_backoff_logprob",
+    "graph_pagerank_dup_nodes",
 ]
 
 
