@@ -10404,6 +10404,404 @@ def _dmarkov(spark, sf_dir):
 
 CATALOG["evt_markov_transition_matrix"].fn = _dmarkov
 
+
+def _pca_oracle(rounds: int = 3, dim: int = 64) -> str:
+    """Oracle for the top-principal-component power iteration: exact
+    6-dp-rounded means, per-round weights w_i = round(<x_i - m, v>, 6),
+    per-dimension micro-unit integer sums for the re-projection, and a
+    left-to-right norm — every float reduction either integer-exact or
+    in a defined order, so three full iterations stay engine-exact."""
+    prev_v = "v0"
+    iters = []
+    for r in range(1, rounds + 1):
+        iters.append(f""",
+    w{r} AS (
+      SELECT vec_id,
+             round(list_sum(list_transform(range(1, {dim + 1}),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - m.m[i]) * {prev_v}.v[i])), 6) AS w
+      FROM embeddings e, m, {prev_v}
+    ),
+    u{r} AS (
+      SELECT g.i AS pos,
+             CAST(SUM(CAST(floor(round(w{r}.w * (CAST(e.embedding[g.i] AS DOUBLE) - m.m[g.i]), 6)
+                                 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS u
+      FROM embeddings e
+      JOIN w{r} USING (vec_id), m, (SELECT unnest(range(1, {dim + 1})) AS i) g
+      GROUP BY g.i
+    ),
+    n{r} AS (
+      SELECT sqrt(list_sum(list_transform(array_agg(u ORDER BY pos), x -> x * x))) AS nrm
+      FROM u{r}
+    ),
+    v{r} AS (
+      SELECT array_agg(round(u / n{r}.nrm, 6) ORDER BY pos) AS v
+      FROM u{r}, n{r}
+    )""")
+        prev_v = f"v{r}"
+    return f"""
+    WITH m AS (
+      SELECT array_agg(mv ORDER BY i) AS m
+      FROM (
+        SELECT g.i, round(AVG(CAST(embedding[g.i] AS DOUBLE)), 6) AS mv
+        FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) g
+        GROUP BY g.i
+      )
+    ),
+    v0 AS (SELECT list_transform(range(1, {dim + 1}), i -> 0.125) AS v){"".join(iters)}
+    SELECT CAST(g.i AS BIGINT) AS pos, {prev_v}.v[g.i] AS loading
+    FROM {prev_v}, (SELECT unnest(range(1, {dim + 1})) AS i) g
+    ORDER BY pos
+    """
+
+
+register("emb_pca_top_component", oracle=_pca_oracle())
+
+
+def _dpca(spark, sf_dir):
+    """Top principal component of the embedding corpus via THREE power
+    iterations, no MLlib: v <- normalize(sum_i <x_i - m, v> (x_i - m)).
+    Each round is one broadcast of the 64-float vector literal, one
+    map-side dot product, and one slim (pos, micro-term) aggregate —
+    the corpus is scanned, never shuffled wide. The round's 64-dim
+    result is collected (bounded model-broadcast, the Lloyd pattern)
+    and re-enters the next round as literals; weights round to 6 dp and
+    re-projection terms sum as micro-unit BIGINTs, so the loadings are
+    engine-exact (the oracle replays all three rounds in SQL). Means
+    use the IVF 6-dp-rounded-AVG recentering convention."""
+    import math
+
+    e = t(spark, sf_dir, "embeddings")
+    dim = 64
+    m_rows = (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("mv"))
+        .orderBy("pos")
+        .collect()
+    )
+    m = [r["mv"] for r in m_rows]
+    v = [0.125] * dim
+    for _ in range(3):
+        m_arr = F.array(*[F.lit(x) for x in m])
+        v_arr = F.array(*[F.lit(x) for x in v])
+        centered = F.zip_with(
+            F.col("embedding"), m_arr, lambda x, mm: x.cast("double") - mm
+        )
+        w = F.round(
+            F.aggregate(
+                F.zip_with(centered, v_arr, lambda c, vv: c * vv),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ),
+            6,
+        )
+        terms = (
+            e.select(w.alias("__w"), centered.alias("__c"))
+            .select("__w", F.posexplode("__c").alias("pos", "cx"))
+            .select(
+                "pos",
+                F.floor(F.round(F.col("__w") * F.col("cx"), 6) * 1e6 + F.lit(0.5))
+                .cast("long")
+                .alias("__t"),
+            )
+        )
+        u_rows = (
+            terms.groupBy("pos")
+            .agg((F.sum("__t").cast("double") / F.lit(1e6)).alias("u"))
+            .orderBy("pos")
+            .collect()
+        )
+        u = [r["u"] for r in u_rows]
+        nrm = math.sqrt(sum(x * x for x in u))
+        # HALF_UP (away from zero), matching Spark F.round / DuckDB
+        # round — python's built-in round() is banker's and would
+        # diverge on exact .5 micro boundaries
+        v = [math.copysign(math.floor(abs(x / nrm) * 1e6 + 0.5), x) / 1e6 for x in u]
+    return spark.createDataFrame(
+        [(i + 1, v[i]) for i in range(dim)], schema="pos bigint, loading double"
+    )
+
+
+CATALOG["emb_pca_top_component"].fn = _dpca
+
+register(
+    "doc_pmi_collocations",
+    # collocation extraction: PMI of ordered token pairs at distance 1
+    # or 2 (the classic phrase-mining window), min pair count 5, top 20.
+    # Probabilities are ratios of exact counts; ln rounds to 6 dp; the
+    # ranking key is (rounded pmi, pair) so ordering is engine-exact.
+    oracle=r"""
+    WITH pos AS (
+      SELECT doc_id, i, tk[i] AS w
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+            FROM documents),
+           (SELECT unnest(range(1, (SELECT MAX(len(tk)) FROM (
+              SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+              FROM documents)) + 1)) AS i) g
+      WHERE i <= len(tk) AND tk[i] <> ''
+    ),
+    prs AS (
+      SELECT w1, w2 FROM (
+        SELECT w AS w1, LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM pos
+        UNION ALL
+        SELECT w AS w1, LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM pos
+      ) WHERE w2 IS NOT NULL
+    ),
+    pc AS (SELECT w1, w2, COUNT(*) AS c FROM prs GROUP BY w1, w2),
+    uc AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
+    tots AS (
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM prs) AS np,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM pos) AS nu
+    )
+    SELECT pc.w1, pc.w2, CAST(pc.c AS BIGINT) AS n_pair,
+           round(ln((pc.c / t.np) / ((ua.c / t.nu) * (ub.c / t.nu))), 6) AS pmi
+    FROM pc
+    JOIN uc ua ON pc.w1 = ua.w
+    JOIN uc ub ON pc.w2 = ub.w, tots t
+    WHERE pc.c >= 5
+    ORDER BY pmi DESC, pc.w1, pc.w2
+    LIMIT 20
+    """,
+)
+
+
+def _dpmi(spark, sf_dir):
+    """Top-20 PMI collocations (ordered pairs at token distance <= 2):
+    two lead windows per doc make the pair stream, unigram and pair
+    counts are partial-aggregated, the two scalar totals broadcast, and
+    the ranking is a TakeOrdered on the 6-dp PMI. The phrase-mining
+    primer a tokenizer/glossary pipeline runs."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pos = (
+        d.select("doc_id", F.posexplode(toks).alias("i", "w"))
+        .filter(F.col("w") != "")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("i")
+    prs = (
+        pos.select(F.col("w").alias("w1"), F.lead("w", 1).over(wnd).alias("w2"))
+        .unionByName(
+            pos.select(F.col("w").alias("w1"), F.lead("w", 2).over(wnd).alias("w2"))
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    pc = prs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    uc = pos.groupBy("w").agg(F.count("*").alias("c"))
+    tots = pc.agg(F.sum("n_pair").cast("double").alias("np")).crossJoin(
+        F.broadcast(uc.agg(F.sum("c").cast("double").alias("nu")))
+    )
+    j = (
+        pc.filter(F.col("n_pair") >= 5)
+        .join(uc.withColumnsRenamed({"w": "w1", "c": "__ca"}), "w1")
+        .join(uc.withColumnsRenamed({"w": "w2", "c": "__cb"}), "w2")
+        .crossJoin(F.broadcast(tots))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.col("np"))
+            / ((F.col("__ca") / F.col("nu")) * (F.col("__cb") / F.col("nu")))
+        ),
+        6,
+    )
+    return (
+        j.select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+CATALOG["doc_pmi_collocations"].fn = _dpmi
+
+register(
+    "sim_knn_graph_degree_stats",
+    # ANN-graph health: the in-degree histogram of the kNN join's edge
+    # set (hubs = over-connected points that dominate retrieval). The
+    # oracle COMPOSES the registered sim_ivf_knn_join replica, so the
+    # edge set is the value-proven one.
+    oracle="""
+    WITH knn AS (__KNN__)
+    SELECT in_degree, COUNT(*) AS n_nodes
+    FROM (SELECT right_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+          FROM knn GROUP BY right_id)
+    GROUP BY in_degree ORDER BY in_degree
+    """,
+)
+CATALOG["sim_knn_graph_degree_stats"].oracle = CATALOG[
+    "sim_knn_graph_degree_stats"
+].oracle.replace("__KNN__", CATALOG["sim_ivf_knn_join"].oracle)
+
+
+def _dknndeg(spark, sf_dir):
+    """In-degree histogram of the IVF kNN graph — reuses the catalog's
+    own sim_ivf_knn_join edges (operator composition, not
+    reimplementation) and rolls them up twice: per-node in-degree, then
+    the degree distribution."""
+    edges = CATALOG["sim_ivf_knn_join"].fn(spark, sf_dir)
+    deg = edges.groupBy("right_id").agg(F.count("*").alias("in_degree"))
+    return (
+        deg.groupBy("in_degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("in_degree")
+    )
+
+
+CATALOG["sim_knn_graph_degree_stats"].fn = _dknndeg
+
+register(
+    "io_schema_evolution_scan",
+    # schema evolution across partition generations: generation 1 lacks
+    # the balance column, generation 2 carries it; a mergeSchema scan
+    # unifies them (missing column = NULL) — per-generation row and
+    # non-null counts prove the widened schema read both.
+    oracle="""
+    SELECT 1 AS gen, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_with_balance
+    FROM customer WHERE c_custkey % 2 = 1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM customer WHERE c_custkey % 2 = 0
+    ORDER BY gen
+    """,
+)
+
+
+def _dschemaevo(spark, sf_dir):
+    """Schema-evolution read: two parquet generations written with
+    DIFFERENT schemas (gen 2 adds c_acctbal), scanned together with
+    mergeSchema=true — the lakehouse column-add migration pattern
+    without a rewrite of old files. The report counts rows and
+    non-null balances per generation."""
+    import shutil
+
+    base = _scratch("redp_schema_evo_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    c = t(spark, sf_dir, "customer")
+    c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_mktsegment"
+    ).write.mode("overwrite").parquet(f"{base}/gen=1")
+    c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).write.mode("overwrite").parquet(f"{base}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return (
+        merged.groupBy("gen")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("c_acctbal").alias("n_with_balance"),
+        )
+        .orderBy("gen")
+    )
+
+
+CATALOG["io_schema_evolution_scan"].fn = _dschemaevo
+
+register(
+    "evt_user_activity_percentiles",
+    # power-user curve: exact interpolated percentiles over the
+    # per-user event counts (identical integer inputs -> identical
+    # interpolation on both engines).
+    oracle="""
+    WITH u AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(quantile_cont(n, 0.50), 6) AS p50,
+           round(quantile_cont(n, 0.90), 6) AS p90,
+           round(quantile_cont(n, 0.99), 6) AS p99,
+           CAST(MAX(n) AS BIGINT) AS max_events
+    FROM u
+    """,
+)
+
+
+def _duserpct(spark, sf_dir):
+    """Per-user activity distribution (the engagement skew report): one
+    grouped count + one exact-percentile aggregate."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    return u.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.percentile("n", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("n", F.lit(0.90)), 6).alias("p90"),
+        F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99"),
+        F.max("n").alias("max_events"),
+    )
+
+
+CATALOG["evt_user_activity_percentiles"].fn = _duserpct
+
+register(
+    "doc_self_overlap_sample",
+    # corpus diversity (self-BLEU proxy) on a FIXED-size deterministic
+    # sample: the 50 lowest hash draws (TakeOrdered — fixed at any
+    # corpus scale), all 1225 pairs expanded array-side within one
+    # bounded group, exact token-set Jaccard per pair, micro-unit mean.
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+      FROM documents
+      ORDER BY {_HASH01_SQL.format(key="doc_id || 'selfo'")}, doc_id LIMIT 50
+    ),
+    p AS (
+      SELECT CAST(len(list_filter(list_intersect(a.tk, b.tk), x -> x <> '')) AS DOUBLE)
+               / len(list_filter(list_distinct(list_concat(a.tk, b.tk)), x -> x <> '')) AS j
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(floor(j * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0, 6) AS avg_jaccard,
+           round(MAX(j), 6) AS max_jaccard
+    FROM p
+    """,
+)
+
+
+def _dselfo(spark, sf_dir):
+    """Sampled self-overlap (the self-BLEU-style diversity check): 50
+    hash-selected docs (fixed-size TakeOrdered at ANY corpus scale),
+    1225 pairs expanded within a single bounded group
+    (ops/pairs.pairs_within_groups — no join, no cartesian), exact
+    distinct-token Jaccard, micro-exact mean. High average overlap
+    flags a templated / collapsed corpus."""
+    from .ops.pairs import pairs_within_groups
+    from .ops.sampling import hash_uniform01
+
+    d = t(spark, sf_dir, "documents")
+    u = hash_uniform01(F.col("doc_id"), "selfo")
+    tk = F.array_remove(
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")), ""
+    )
+    s = (
+        d.select("doc_id", tk.alias("tk"), u.alias("__u"))
+        .orderBy("__u", "doc_id")
+        .limit(50)
+        .withColumn("__g", F.lit(0))
+    )
+
+    def _pair(x, y):
+        inter = F.size(F.array_intersect(x["tk"], y["tk"]))
+        union = F.size(F.array_union(x["tk"], y["tk"]))
+        return F.struct(
+            (inter.cast("double") / union).alias("j"),
+        )
+
+    pairs = pairs_within_groups(
+        s,
+        ["__g"],
+        F.struct(F.col("doc_id").alias("id"), F.col("tk").alias("tk")),
+        _pair,
+        max_block=None,
+    )
+    jm = F.floor(F.col("j") * 1e6 + F.lit(0.5)).cast("long")
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum(jm).cast("double") / F.count("*") / F.lit(1e6), 6).alias(
+            "avg_jaccard"
+        ),
+        F.round(F.max("j"), 6).alias("max_jaccard"),
+    )
+
+
+CATALOG["doc_self_overlap_sample"].fn = _dselfo
+
 register(
     "doc_temperature_mix_tokens",
     # token-budget temperature rebalancing: quota_g ∝ (token mass)^0.7

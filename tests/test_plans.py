@@ -118,6 +118,7 @@ _SCALAR_BROADCAST_OK = {
     "dq_schema_profile_diff",      # 1x1 join of the two single-row profile aggregates
     "doc_trigram_backoff_logprob",  # 1-row train-token-total scalar (unigram denominator)
     "sim_ivf_cell_stats",          # broadcast 16-row centroid table (as sim_ivf_topk)
+    "doc_pmi_collocations",        # 1-row pair/unigram total scalars
 }
 
 
