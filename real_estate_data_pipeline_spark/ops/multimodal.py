@@ -11,8 +11,13 @@ Two decode tiers:
   8-bit RGB/RGBA non-interlaced PNG via stdlib zlib + numpy scanline
   filter reconstruction (all five filters) — a genuine compressed
   codec with no image library.
+- ``decode_jpeg_info`` / ``resize_jpeg`` are REAL as well: baseline
+  sequential 4:4:4 JPEG via a pure numpy/stdlib codec (ops/jpeg.py —
+  marker parse, canonical Huffman entropy decode, dequantize + float
+  IDCT, JFIF color transform; progressive/subsampled/DRI streams raise
+  NotImplementedError rather than decoding wrong).
 - ``decode_image_features`` remains the documented STUB for the
-  remaining codecs (JPEG/WebP/video: no PIL/ffmpeg in this container):
+  remaining codecs (WebP/video: no PIL/ffmpeg in this container):
   deterministic fake features from the bytes so the Spark-side
   plumbing — schema, batch iteration, partitioning, output shape — is
   real and testable. Swapping in PIL/torchvision/ffmpeg changes one
@@ -551,6 +556,97 @@ def resize_ppm(media: DataFrame, max_side: int = 32) -> DataFrame:
                 out_p.append(p)
                 out_n.append(len(p))
                 # keep the metadata columns true to the new payload
+                out_w.append(w)
+                out_h.append(h)
+            pdf = pdf.copy()
+            pdf["payload"] = out_p
+            pdf["n_bytes"] = out_n
+            pdf["width"] = pd.array(out_w, dtype="Int32")
+            pdf["height"] = pd.array(out_h, dtype="Int32")
+            yield pdf
+
+    return media.mapInPandas(shrink, MEDIA_SCHEMA)
+
+
+def _try_decode_jpeg(payload):
+    """Decoded (w, h, px) for baseline-JPEG payloads, None otherwise
+    (mirrors parse_png's tolerant contract so mixed media tables route
+    rows to the right codec path)."""
+    from . import jpeg as J
+
+    if payload is None or len(payload) < 2 or bytes(payload[:2]) != b"\xff\xd8":
+        return None
+    try:
+        px = J.decode_jpeg(bytes(payload))
+    except (NotImplementedError, ValueError, EOFError):
+        return None
+    h, w = px.shape[:2]
+    return w, h, px
+
+
+def decode_jpeg_info(media: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode over binary payloads (mapInPandas,
+    Arrow batches): full marker parse, Huffman entropy decode,
+    dequantize + IDCT (ops/jpeg.py — pure numpy/stdlib, no libjpeg),
+    then the same stats + 64-bit average-hash as the PPM/PNG paths, so
+    DCT-compressed payloads flow into the identical perceptual-dedup
+    loop. Non-JPEG / unsupported-variant payloads are dropped (the stub
+    path handles them)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _try_decode_jpeg(p)
+                if parsed is None:
+                    continue
+                w, h, px = parsed
+                g = px.mean(axis=2)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "gray_mean": float(g.mean()),
+                        "gray_std": float(g.std()),
+                        "ahash": _ahash64(px),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "gray_mean", "gray_std", "ahash"],
+            )
+
+    return media.mapInPandas(extract, PPM_INFO_SCHEMA)
+
+
+def resize_jpeg(media: DataFrame, max_side: int = 32, quality: int = 95) -> DataFrame:
+    """REAL resize for JPEG payloads: decode, nearest-neighbor resample
+    so the longer side is ``max_side``, re-encode at ``quality`` —
+    decode + transform + re-encode through an actual DCT codec, the
+    thumbnailing shape of a multimodal ingest pipeline. Non-JPEG
+    payloads pass through untouched."""
+    from . import jpeg as J
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_p, out_n, out_w, out_h = [], [], [], []
+            for p, w0, h0 in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                parsed = _try_decode_jpeg(p)
+                if parsed is None:
+                    out_p.append(p)
+                    out_n.append(len(p) if p is not None else 0)
+                    out_w.append(w0)
+                    out_h.append(h0)
+                    continue
+                w, h, px = parsed
+                scale = max(w, h) / max_side
+                if scale > 1.0:
+                    w, h = max(1, round(w / scale)), max(1, round(h / scale))
+                    px = _nearest_resize(px, w, h)
+                p = J.encode_jpeg(px, quality)
+                out_p.append(p)
+                out_n.append(len(p))
                 out_w.append(w)
                 out_h.append(h)
             pdf = pdf.copy()

@@ -5473,6 +5473,70 @@ def _dpng(spark, sf_dir):
 
 CATALOG["mm_png_ahash_groups"].fn = _dpng
 
+register("mm_jpeg_ahash_groups", oracle=None)
+
+
+def _djpeg(spark, sf_dir):
+    """End-to-end DCT-codec image dedup (rows-only): the SAME
+    deterministic gradient classes as the PPM/PNG twins, but encoded as
+    real baseline JPEG (ops/jpeg.py — pure numpy/stdlib DCT + canonical
+    Huffman, no libjpeg), decoded back through the full marker/entropy/
+    IDCT pipeline via mapInPandas, resized through a decode->resample->
+    re-encode pass, and grouped by the 64-bit average-hash. JPEG is
+    LOSSY, so this is the honest test of the perceptual-dedup loop:
+    identical source pixels produce identical payloads (the encoder is
+    deterministic), so each gradient class still collapses to one hash
+    group despite quantization noise. Closes the codec family: raw
+    (PPM), lossless-compressed (PNG), lossy-compressed (JPEG)."""
+    import numpy as np
+
+    from .ops import jpeg as J
+    from .ops import multimodal as MM
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (F.col("doc_id") % 16).cast("int").alias("__cls"),
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for cls in pdf["__cls"]:
+                w = h = 24
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (x * 255 // (w - 1)),
+                        (y * 255 // (h - 1)),
+                        ((x * int(cls) + y) % 256),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(J.encode_jpeg(px, quality=95))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "image/jpeg",
+                    "payload": payloads,
+                    "width": None,
+                    "height": None,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    media = d.mapInPandas(render, MM.MEDIA_SCHEMA)
+    info = MM.decode_jpeg_info(MM.resize_jpeg(media, max_side=16))
+    return (
+        info.groupBy("ahash")
+        .agg(F.count("*").cast("bigint").alias("members"), F.min("media_id").alias("rep_id"))
+        .filter(F.col("members") > 1)
+    )
+
+
+CATALOG["mm_jpeg_ahash_groups"].fn = _djpeg
+
 register(
     "evt_funnel_counts",
     oracle="""

@@ -244,3 +244,98 @@ def test_png_rejects_out_of_subset():
     assert parse_png(ihdr(16, 2)) is None  # 16-bit
     assert parse_png(ihdr(8, 2, interlace=1)) is None  # Adam7
     assert parse_png(b"\x89PNG\r\n\x1a\ntrunc") is None
+
+
+def test_jpeg_roundtrip_quantization_bounded():
+    """Baseline JPEG round trip: flat color reconstructs exactly, a
+    gradient within a few grey levels, dense noise within the
+    quantization bound — and the encoder is byte-deterministic."""
+    import numpy as np
+
+    from real_estate_data_pipeline_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 16, 3), 130, dtype=np.uint8)
+    data = encode_jpeg(flat, 95)
+    assert data == encode_jpeg(flat, 95)  # deterministic bytes
+    out = decode_jpeg(data)
+    assert out.shape == (16, 16, 3)
+    assert int(np.abs(out.astype(int) - flat.astype(int)).max()) <= 1
+
+    h, w = 20, 12  # non-multiple-of-8: exercises pad + crop
+    y, x = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [(x * 255 // (w - 1)), (y * 255 // (h - 1)), ((x * 3 + y) % 256)], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, 95))
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert out.shape == (h, w, 3)
+    assert float(err.mean()) < 2.0 and int(err.max()) <= 12
+
+    rng = np.random.RandomState(0)
+    noise = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, 95))  # also exercises FF stuffing
+    err = np.abs(out.astype(int) - noise.astype(int))
+    assert float(err.mean()) < 8.0 and int(err.max()) <= 48
+
+
+def test_jpeg_rejects_out_of_subset():
+    """Progressive / subsampled / restart-interval streams must raise
+    NotImplementedError (decoding them wrong would be worse), malformed
+    bytes ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from real_estate_data_pipeline_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.full((8, 8, 3), 99, dtype=np.uint8)
+    good = bytearray(encode_jpeg(px, 95))
+
+    # flip SOF0 (0xFFC0) to SOF2 (progressive)
+    i = bytes(good).find(b"\xff\xc0")
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(prog)
+
+    # inject a DRI segment right before SOS
+    j = bytes(good).find(b"\xff\xda")
+    dri = struct.pack(">HHH", 0xFFDD, 4, 8)
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(bytes(good[:j]) + dri + bytes(good[j:]))
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"notajpeg")
+
+
+def test_jpeg_decode_info_and_resize(spark):
+    """Spark-side JPEG path: decode_jpeg_info yields real dimensions and
+    stable hashes; resize_jpeg decodes, resamples and RE-ENCODES a
+    smaller valid JPEG; non-JPEG payloads pass through resize untouched
+    and are dropped by info."""
+    import numpy as np
+    import pandas as pd
+
+    from real_estate_data_pipeline_spark.ops import multimodal as MM
+    from real_estate_data_pipeline_spark.ops.jpeg import encode_jpeg
+
+    y, x = np.mgrid[0:24, 0:24]
+    px = np.stack([x * 10 % 256, y * 10 % 256, (x + y) % 256], axis=2).astype(np.uint8)
+    rows = [
+        (1, "image/jpeg", bytearray(encode_jpeg(px, 95)), None, None, 0),
+        (2, "image/jpeg", bytearray(encode_jpeg(px, 95)), None, None, 0),
+        (3, "text/plain", bytearray(b"not an image"), None, None, 12),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    info = {r["media_id"]: r for r in MM.decode_jpeg_info(media).collect()}
+    assert set(info) == {1, 2}
+    assert (info[1]["width"], info[1]["height"]) == (24, 24)
+    assert info[1]["ahash"] == info[2]["ahash"]  # identical payloads
+
+    small = MM.resize_jpeg(media, max_side=12).collect()
+    by_id = {r["media_id"]: r for r in small}
+    assert (by_id[1]["width"], by_id[1]["height"]) == (12, 12)
+    assert bytes(by_id[1]["payload"][:2]) == b"\xff\xd8"  # still a JPEG
+    assert bytes(by_id[3]["payload"]) == b"not an image"  # passthrough
+    info2 = MM.decode_jpeg_info(spark.createDataFrame(pd.DataFrame(small), MM.MEDIA_SCHEMA))
+    assert {r["media_id"] for r in info2.collect()} == {1, 2}
