@@ -5538,6 +5538,96 @@ def _djpeg(spark, sf_dir):
 CATALOG["mm_jpeg_ahash_groups"].fn = _djpeg
 
 register(
+    "mm_wav_feature_oracle",
+    # the FIRST value-oracled multimodal entry: PCM16 is lossless
+    # integer data, so the oracle can recompute the features of the
+    # analytically-defined waveform (s_i = (i*k) % 2001 - 1000, k from
+    # doc_id) WITHOUT ever seeing bytes — while the Spark side only
+    # gets them by genuinely encoding RIFF/WAVE and decoding it back
+    # (ops/audio.py). A hash match proves the codec round-trips exactly.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, (doc_id % 8 + 3) * 7 AS k FROM documents
+    ),
+    s AS (
+      SELECT doc_id, i, ((i * k) % 2001) - 1000 AS v
+      FROM g, (SELECT unnest(range(0, 2000)) AS i) u
+    ),
+    sflag AS (
+      SELECT doc_id, v,
+             LEAD(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+      FROM s
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(v * v) AS BIGINT) AS sumsq,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN v * nv < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc
+      FROM sflag GROUP BY doc_id
+    )
+    SELECT doc_id, 8000 AS sample_rate, n AS n_samples,
+           round(n * 1000.0 / 8000, 6) AS duration_ms,
+           round(sqrt(CAST(sumsq AS DOUBLE) / n), 6) AS rms,
+           zc AS zero_crossings
+    FROM agg ORDER BY doc_id
+    """,
+)
+
+
+def _dwav(spark, sf_dir):
+    """Audio decode VALUE-VERIFIED end to end: per document, synthesize
+    a deterministic integer sawtooth, encode it as real RIFF/WAVE PCM16
+    bytes, decode those bytes back through the full RIFF chunk walk
+    (ops/audio.decode_wav_info, mapInPandas), and emit integer-exact
+    features — which must hash-match an oracle that re-derives the
+    same features purely analytically from doc_id. Any codec bug
+    (header math, chunk alignment, byte order, sample framing) breaks
+    the hash."""
+    import numpy as np
+
+    from .ops import audio as AU
+    from .ops import multimodal as MM
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        ((F.col("doc_id") % 8 + 3) * 7).cast("long").alias("__k"),
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for k in pdf["__k"]:
+                i = np.arange(2000, dtype=np.int64)
+                v = ((i * int(k)) % 2001 - 1000).astype(np.int16)
+                payloads.append(AU.encode_wav(v, 8000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                    "width": None,
+                    "height": None,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    media = d.mapInPandas(render, MM.MEDIA_SCHEMA)
+    info = AU.decode_wav_info(media)
+    return info.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "rms",
+        "zero_crossings",
+    ).orderBy("doc_id")
+
+
+CATALOG["mm_wav_feature_oracle"].fn = _dwav
+
+register(
     "evt_funnel_counts",
     oracle="""
     WITH v AS (

@@ -339,3 +339,74 @@ def test_jpeg_decode_info_and_resize(spark):
     assert bytes(by_id[3]["payload"]) == b"not an image"  # passthrough
     info2 = MM.decode_jpeg_info(spark.createDataFrame(pd.DataFrame(small), MM.MEDIA_SCHEMA))
     assert {r["media_id"] for r in info2.collect()} == {1, 2}
+
+
+def test_wav_roundtrip_lossless_and_features():
+    """PCM16 WAV round trip is BIT-lossless; features are integer-exact;
+    stereo averages to mono with floor division; unsupported variants
+    return None instead of decoding wrong."""
+    import struct
+
+    import numpy as np
+
+    from real_estate_data_pipeline_spark.ops.audio import (
+        encode_wav,
+        parse_wav,
+        wav_features,
+    )
+
+    s = (((np.arange(2000) * 21) % 2001) - 1000).astype(np.int16)
+    data = encode_wav(s, 8000)
+    rate, back = parse_wav(data)
+    assert rate == 8000 and np.array_equal(back, s)  # lossless
+    f = wav_features(rate, back)
+    assert f["n_samples"] == 2000 and f["duration_ms"] == 250.0
+    assert f["rms"] == round((float((s.astype(np.int64) ** 2).sum()) / 2000) ** 0.5, 6)
+    assert f["zero_crossings"] == int(((s[:-1].astype(int) * s[1:].astype(int)) < 0).sum())
+
+    # stereo: L/R averaged with floor division
+    inter = np.empty(20, dtype=np.int16)
+    inter[0::2] = np.arange(10, dtype=np.int16) * 100          # L
+    inter[1::2] = np.arange(10, dtype=np.int16) * 100 + 51     # R
+    raw = encode_wav(inter, 8000)
+    # patch channel count to 2 in the fmt chunk
+    stereo = bytearray(raw)
+    fmt_at = raw.find(b"fmt ") + 8
+    stereo[fmt_at + 2 : fmt_at + 4] = struct.pack("<H", 2)
+    rate, mono = parse_wav(bytes(stereo))
+    assert np.array_equal(
+        mono, ((inter[0::2].astype(np.int32) + inter[1::2].astype(np.int32)) // 2).astype(np.int16)
+    )
+
+    # unsupported variants -> None (not wrong data)
+    f32 = bytearray(raw)
+    f32[fmt_at : fmt_at + 2] = struct.pack("<H", 3)  # IEEE float tag
+    assert parse_wav(bytes(f32)) is None
+    assert parse_wav(b"RIFFxxxxNOPE") is None
+    assert parse_wav(None) is None
+
+
+def test_wav_resample_and_info(spark):
+    """Spark-side audio path: decode_wav_info on real payloads; naive
+    resample halves the sample count and re-encodes a valid WAV whose
+    features remain decodable."""
+    import numpy as np
+
+    from real_estate_data_pipeline_spark.ops import audio as AU
+    from real_estate_data_pipeline_spark.ops import multimodal as MM
+
+    s = (((np.arange(4000) * 33) % 2001) - 1000).astype(np.int16)
+    rows = [
+        (1, "audio/wav", bytearray(AU.encode_wav(s, 8000)), None, None, 0),
+        (2, "text/plain", bytearray(b"nope"), None, None, 4),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    info = {r["media_id"]: r for r in AU.decode_wav_info(media).collect()}
+    assert set(info) == {1}
+    assert info[1]["n_samples"] == 4000 and info[1]["sample_rate"] == 8000
+    assert info[1]["duration_ms"] == 500.0
+
+    down = AU.resample_wav(media, target_rate=4000)
+    info2 = {r["media_id"]: r for r in AU.decode_wav_info(down).collect()}
+    assert info2[1]["sample_rate"] == 4000 and info2[1]["n_samples"] == 2000
+    assert info2[1]["duration_ms"] == 500.0  # same duration, half the samples
