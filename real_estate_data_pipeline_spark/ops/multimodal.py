@@ -16,8 +16,13 @@ Two decode tiers:
   marker parse, canonical Huffman entropy decode, dequantize + float
   IDCT, JFIF color transform; progressive/subsampled/DRI streams raise
   NotImplementedError rather than decoding wrong).
+- audio is REAL too (ops/audio.py: RIFF/WAVE PCM16, value-oracled),
+  and the video tier's FRAME SAMPLING runs against real per-frame JPEG
+  decode through a minimal motion-JPEG container (``encode_mjpeg`` /
+  ``sample_video_frames`` at the bottom of this file).
 - ``decode_image_features`` remains the documented STUB for the
-  remaining codecs (WebP/video: no PIL/ffmpeg in this container):
+  remaining codecs (WebP, inter-frame video like H.264: no PIL/ffmpeg
+  in this container):
   deterministic fake features from the bytes so the Spark-side
   plumbing — schema, batch iteration, partitioning, output shape — is
   real and testable. Swapping in PIL/torchvision/ffmpeg changes one
@@ -657,3 +662,114 @@ def resize_jpeg(media: DataFrame, max_side: int = 32, quality: int = 95) -> Data
             yield pdf
 
     return media.mapInPandas(shrink, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video tier: a minimal motion-JPEG container, so FRAME SAMPLING — the
+# video-pipeline primitive — runs against real codec work end to end.
+# Layout: b"MJPG" | u32 n_frames | u32 fps_milli | n x u32 frame size |
+# concatenated baseline-JPEG frames. (Real containers — MP4/AVI — add
+# audio muxing and inter-frame codecs; the honest stub for those
+# remains decode_image_features. The per-frame work here is the REAL
+# ops/jpeg.py decoder.)
+# ---------------------------------------------------------------------------
+
+_MJPG_MAGIC = b"MJPG"
+
+
+def encode_mjpeg(frames: list, fps: float = 4.0) -> bytes:
+    """Container bytes for a list of (h, w, 3) uint8 RGB frames, each
+    stored as a quality-95 baseline JPEG."""
+    import struct as _struct
+
+    from . import jpeg as J
+
+    blobs = [J.encode_jpeg(f, 95) for f in frames]
+    out = bytearray(_MJPG_MAGIC)
+    out += _struct.pack("<II", len(blobs), int(round(fps * 1000)))
+    for b in blobs:
+        out += _struct.pack("<I", len(b))
+    for b in blobs:
+        out += b
+    return bytes(out)
+
+
+def parse_mjpeg(payload):
+    """(fps, [frame bytes]) for MJPG payloads, None otherwise."""
+    import struct as _struct
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != _MJPG_MAGIC:
+        return None
+    n, fps_milli = _struct.unpack("<II", b[4:12])
+    sizes = []
+    pos = 12
+    for _ in range(n):
+        if pos + 4 > len(b):
+            return None
+        (sz,) = _struct.unpack("<I", b[pos : pos + 4])
+        sizes.append(sz)
+        pos += 4
+    frames = []
+    for sz in sizes:
+        if pos + sz > len(b):
+            return None
+        frames.append(b[pos : pos + sz])
+        pos += sz
+    return fps_milli / 1000.0, frames
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """FRAME SAMPLING over video payloads (mapInPandas): parse the
+    container index, decode ONLY every ``every_n``-th frame through the
+    real JPEG pipeline (the index makes skipped frames free — the same
+    reason real pipelines sample on keyframes), and emit per-frame
+    timestamps + perceptual hashes. One input row fans out to
+    ceil(n_frames / every_n) rows — the frame table that video dedup
+    and shot detection aggregate."""
+    from . import jpeg as J
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_mjpeg(p)
+                if parsed is None:
+                    continue
+                fps, frames = parsed
+                for idx in range(0, len(frames), every_n):
+                    try:
+                        px = J.decode_jpeg(frames[idx])
+                    except (NotImplementedError, ValueError, EOFError):
+                        continue
+                    h, w = px.shape[:2]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": idx,
+                            "ts_ms": idx * 1000.0 / fps if fps else 0.0,
+                            "width": w,
+                            "height": h,
+                            "ahash": _ahash64(px),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "ts_ms", "width", "height", "ahash"],
+            )
+
+    return media.mapInPandas(extract, VIDEO_FRAME_SCHEMA)

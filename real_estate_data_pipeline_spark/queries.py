@@ -5627,6 +5627,74 @@ def _dwav(spark, sf_dir):
 
 CATALOG["mm_wav_feature_oracle"].fn = _dwav
 
+register("mm_video_frame_dedup", oracle=None)
+
+
+def _dvideo(spark, sf_dir):
+    """The VIDEO-pipeline primitive end to end (rows-only like its
+    codec twins): per document, build a 4-frame motion-JPEG clip
+    (frames are deterministic gradients; frame 2 repeats frame 0 —
+    planted intra-clip duplication), sample every 2nd frame via the
+    container index, decode each sampled frame through the REAL
+    baseline-JPEG pipeline, and report per-clip duplicate-frame groups
+    — the shot-boundary/static-scene detection shape. Classes share
+    payloads, so group structure is deterministic."""
+    import numpy as np
+
+    from .ops import multimodal as MM
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (F.col("doc_id") % 8).cast("int").alias("__cls"),
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for cls in pdf["__cls"]:
+                frames = []
+                for fi in (0, 1, 0, 3):  # frame 2 repeats frame 0
+                    w = h = 16
+                    y, x = np.mgrid[0:h, 0:w]
+                    frames.append(
+                        np.stack(
+                            [
+                                (x * 255 // (w - 1)),
+                                (y * (int(cls) + 1) * 17) % 256,
+                                ((x + y) * (fi + 1)) % 256,
+                            ],
+                            axis=2,
+                        ).astype(np.uint8)
+                    )
+                payloads.append(MM.encode_mjpeg(frames, fps=4.0))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "video/x-mjpeg",
+                    "payload": payloads,
+                    "width": None,
+                    "height": None,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    media = d.mapInPandas(render, MM.MEDIA_SCHEMA)
+    frames = MM.sample_video_frames(media, every_n=2)  # frames 0 and 2
+    return (
+        frames.groupBy("media_id", "ahash")
+        .agg(
+            F.count("*").cast("bigint").alias("dup_frames"),
+            F.min("frame_idx").alias("first_idx"),
+        )
+        .filter(F.col("dup_frames") > 1)
+        .orderBy("media_id")
+    )
+
+
+CATALOG["mm_video_frame_dedup"].fn = _dvideo
+
 register(
     "evt_funnel_counts",
     oracle="""

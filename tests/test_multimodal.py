@@ -410,3 +410,37 @@ def test_wav_resample_and_info(spark):
     info2 = {r["media_id"]: r for r in AU.decode_wav_info(down).collect()}
     assert info2[1]["sample_rate"] == 4000 and info2[1]["n_samples"] == 2000
     assert info2[1]["duration_ms"] == 500.0  # same duration, half the samples
+
+
+def test_mjpeg_container_and_frame_sampling(spark):
+    """Container round trip (frame count, fps, per-frame bytes) and
+    index-driven sampling: every_n=2 over 5 frames decodes frames
+    0/2/4 with correct timestamps; identical frames share an ahash."""
+    import numpy as np
+
+    from real_estate_data_pipeline_spark.ops import multimodal as MM
+
+    y, x = np.mgrid[0:16, 0:16]
+    def frame(seed):
+        return np.stack(
+            [(x * 255 // 15), (y * 255 // 15), ((x + y) * seed) % 256], axis=2
+        ).astype(np.uint8)
+
+    frames = [frame(1), frame(2), frame(1), frame(4), frame(1)]
+    blob = MM.encode_mjpeg(frames, fps=2.0)
+    fps, back = MM.parse_mjpeg(blob)
+    assert fps == 2.0 and len(back) == 5
+    assert MM.parse_mjpeg(b"nope") is None
+
+    rows = [
+        (7, "video/x-mjpeg", bytearray(blob), None, None, len(blob)),
+        (8, "text/plain", bytearray(b"not video"), None, None, 9),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = MM.sample_video_frames(media, every_n=2).collect()
+    assert {r["media_id"] for r in out} == {7}
+    by_idx = {r["frame_idx"]: r for r in out}
+    assert sorted(by_idx) == [0, 2, 4]
+    assert by_idx[2]["ts_ms"] == 1000.0 and by_idx[4]["ts_ms"] == 2000.0
+    assert by_idx[0]["ahash"] == by_idx[2]["ahash"] == by_idx[4]["ahash"]
+    assert (by_idx[0]["width"], by_idx[0]["height"]) == (16, 16)
