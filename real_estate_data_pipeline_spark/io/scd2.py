@@ -73,6 +73,16 @@ class Scd2Table:
         closed by a later merge reappear as they were. A pure filter on
         the current snapshot (every historical version lives in it),
         so it pushes down to the parquet scan."""
+        from datetime import datetime
+
+        try:
+            datetime.fromisoformat(ts)
+        except (TypeError, ValueError) as exc:
+            # an unparseable string would cast to NULL and silently
+            # return an EMPTY frame — indistinguishable from "no
+            # versions existed then"; Delta's timestampAsOf errors, so
+            # do we
+            raise ValueError(f"read_as_of: unparseable timestamp {ts!r}") from exc
         df = self.read()
         if df is None:
             return None

@@ -98,8 +98,10 @@ def wav_features(rate: int, samples: np.ndarray) -> dict:
     """Integer-exact features of a PCM16 signal: RMS from an exact int64
     sum of squares (sqrt + 6-dp round — the cross-engine float
     convention), zero-crossing count (strict sign products < 0), and a
-    64-bit frame-energy-delta fingerprint (the Shazam-style shape: 1
-    bit per adjacent frame-energy comparison over 65 frames)."""
+    frame-energy-delta fingerprint (the Shazam-style shape: 1 bit per
+    adjacent frame-energy comparison over up to 64 frames = 63
+    comparison bits, always a non-negative int64 with no lossy
+    masking)."""
     n = int(samples.size)
     s = samples.astype(np.int64)
     if n == 0:
@@ -110,7 +112,7 @@ def wav_features(rate: int, samples: np.ndarray) -> dict:
     sumsq = int((s * s).sum())
     rms = _round6(float(np.sqrt(sumsq / n)))
     zc = int(((s[:-1] * s[1:]) < 0).sum())
-    frames = np.array_split(s, min(65, n))
+    frames = np.array_split(s, min(64, n))
     energies = [int((f.astype(np.int64) ** 2).sum()) for f in frames]
     afp = 0
     for a, b in zip(energies, energies[1:]):
@@ -121,7 +123,7 @@ def wav_features(rate: int, samples: np.ndarray) -> dict:
         "duration_ms": _round6(n * 1000.0 / rate),
         "rms": rms,
         "zero_crossings": zc,
-        "afp": afp & 0x7FFFFFFFFFFFFFFF,
+        "afp": afp,
     }
 
 

@@ -336,6 +336,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     malformed ones."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _decode_jpeg_inner(payload)
+    except (struct.error, KeyError, IndexError) as exc:
+        # truncated length fields, missing Huffman/quant tables, short
+        # segment bodies: malformed, not merely unsupported — surface as
+        # ValueError so tolerant callers (_try_decode_jpeg) can route the
+        # payload to the stub path instead of crashing the task
+        raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict] = {}

@@ -179,6 +179,16 @@ def pq_adc_topk(
     built once and broadcast; each corpus vector's approximate distance is
     the exact BIGINT sum of its ``m`` micro-unit cells. Output:
     (id, approx_dist double) ascending, ties -> lowest id."""
+    # validate the query side BEFORE the refine loop: each Lloyd round
+    # below is an eager corpus-wide job, and the guard depends only on
+    # query_df
+    nq = query_df.limit(2).count()
+    if nq != 1:
+        raise ValueError(
+            f"pq_adc_topk requires a single-row query_df, got {'>=2' if nq > 1 else 0} "
+            "rows: a multi-row query would silently cross-join into a duplicated "
+            "ADC table and sum distances across queries"
+        )
     cb = pq_codebooks(df, id_col, vec_col, m, k, dim)
     for _ in range(refine):
         cb = pq_refine(df, cb, id_col, vec_col, m, dim)
@@ -195,13 +205,6 @@ def pq_adc_topk(
         F.slice(F.col("__q"), F.col("sub") * d + 1, d), lambda x: x.cast("double")
     )
     q = query_df.select(F.col(vec_col).alias("__q"))
-    nq = q.limit(2).count()
-    if nq != 1:
-        raise ValueError(
-            f"pq_adc_topk requires a single-row query_df, got {'>=2' if nq > 1 else 0} "
-            "rows: a multi-row query would silently cross-join into a duplicated "
-            "ADC table and sum distances across queries"
-        )
     adc = (
         cb.crossJoin(F.broadcast(q))
         .select(

@@ -382,3 +382,20 @@ def test_scd2_read_as_of(spark, tmp_path):
     # boundary: exactly at the second merge, the new version is visible
     # (valid_from <= ts) and the closed one is not (valid_to > ts fails)
     assert state("2024-01-02 12:00:00") == {("a", 9.0), ("b", 2.0), ("c", 3.0)}
+
+
+def test_scd2_read_as_of_rejects_bad_timestamp(spark, tmp_path):
+    """An unparseable timestamp must raise, not silently return an
+    empty frame (which would be indistinguishable from 'no versions
+    existed at that time')."""
+    import pytest
+
+    t = Scd2Table(spark, str(tmp_path / "ts"), key="k", tracked=["v"], order_col="ts")
+    t.merge(
+        spark.createDataFrame([("a", 1.0, "d1")], "k string, v double, ts string"),
+        batch_ts=F.lit("2024-01-01 12:00:00").cast("timestamp"),
+    )
+    with pytest.raises(ValueError, match="unparseable timestamp"):
+        t.read_as_of("2024-13-45 99:00:00")
+    with pytest.raises(ValueError, match="unparseable timestamp"):
+        t.read_as_of("garbage")

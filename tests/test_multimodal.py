@@ -444,3 +444,27 @@ def test_mjpeg_container_and_frame_sampling(spark):
     assert by_idx[2]["ts_ms"] == 1000.0 and by_idx[4]["ts_ms"] == 2000.0
     assert by_idx[0]["ahash"] == by_idx[2]["ahash"] == by_idx[4]["ahash"]
     assert (by_idx[0]["width"], by_idx[0]["height"]) == (16, 16)
+
+
+def test_jpeg_malformed_streams_route_to_stub_not_crash():
+    """Truncated/corrupt streams must surface as ValueError from
+    decode_jpeg (not struct.error/KeyError/IndexError) so the tolerant
+    _try_decode_jpeg contract holds and a bad payload can never kill a
+    mapInPandas task."""
+    import numpy as np
+    import pytest
+
+    from real_estate_data_pipeline_spark.ops.jpeg import decode_jpeg, encode_jpeg
+    from real_estate_data_pipeline_spark.ops.multimodal import _try_decode_jpeg
+
+    good = encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8), 95)
+    bad_payloads = [
+        b"\xff\xd8\xff\xe0\x00",          # APP0 cut mid-length-field
+        good[:20],                          # truncated after headers start
+        good[: good.find(b"\xff\xc4")] + good[good.find(b"\xff\xda") :],  # no DHT
+        good[:-10],                         # entropy stream cut short
+    ]
+    for p in bad_payloads:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(p)
+        assert _try_decode_jpeg(p) is None  # and the tolerant path drops it

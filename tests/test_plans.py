@@ -145,9 +145,17 @@ def _unbounded_global_windows(df) -> list[str]:
             yield it.next()
 
     def _subtree_has_limit(node) -> bool:
+        """True only if a limit bounds the window's INPUT cardinality:
+        descend exclusively through single-child (unary) operators —
+        a limit sitting on one branch of a join does NOT bound the join
+        output, so reaching a multi-child node without having found a
+        limit means unproven (conservatively unbounded)."""
         if node.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit"):
             return True
-        return any(_subtree_has_limit(c) for c in _children(node))
+        children = list(_children(node))
+        if len(children) != 1:
+            return False
+        return _subtree_has_limit(children[0])
 
     bad = []
 

@@ -49,6 +49,8 @@ HEAVY = [
     "doc_bpe_train_rounds",
     "doc_trigram_backoff_logprob",
     "graph_pagerank_dup_nodes",
+    "emb_pca_top_component",
+    "doc_pmi_collocations",
 ]
 
 
