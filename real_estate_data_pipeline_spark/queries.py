@@ -5696,6 +5696,153 @@ def _dvideo(spark, sf_dir):
 CATALOG["mm_video_frame_dedup"].fn = _dvideo
 
 register(
+    "ml_naive_bayes_lang_eval",
+    # a COMPLETE supervised-ML pipeline — train, predict, evaluate —
+    # as exact relational algebra: multinomial Naive Bayes with
+    # Laplace smoothing fit on the u<0.7 hash split's (lang, token)
+    # counts, applied to the held-out docs (including tokens the
+    # training split never saw — the smoothing term), scored per
+    # (doc, lang) in micro-nat integer sums, argmax with deterministic
+    # ties, rolled up into the label-vs-prediction confusion matrix.
+    # Every probability is a ratio of exact integer counts; ln rounds
+    # to 6 dp before the integer scaling (the bigram-LM convention).
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS tk,
+             {_HASH01_SQL.format(key="doc_id || 'nb'")} AS u
+      FROM documents
+    ),
+    train_docs AS (SELECT * FROM d WHERE u < 0.7),
+    test_docs AS (SELECT * FROM d WHERE u >= 0.7),
+    ttok AS (SELECT lang, unnest(tk) AS tok FROM train_docs),
+    langs AS (SELECT DISTINCT lang FROM train_docs),
+    c AS (SELECT lang, tok, COUNT(*) AS c FROM ttok GROUP BY lang, tok),
+    tl AS (SELECT lang, COUNT(*) AS t FROM ttok GROUP BY lang),
+    v AS (SELECT COUNT(DISTINCT tok) AS v FROM ttok),
+    nd AS (SELECT lang, COUNT(*) AS n FROM train_docs GROUP BY lang),
+    ndt AS (SELECT COUNT(*) AS n FROM train_docs),
+    prior AS (
+      SELECT nd.lang,
+             CAST(round(round(ln(CAST(nd.n AS DOUBLE) / ndt.n), 6) * 1000000)
+                  AS BIGINT) AS p6
+      FROM nd, ndt
+    ),
+    etok AS (SELECT doc_id, unnest(tk) AS tok FROM test_docs),
+    terms AS (
+      SELECT e.doc_id, l.lang,
+             CAST(round(round(ln((COALESCE(c.c, 0) + 1.0) / (tl.t + v.v)), 6)
+                        * 1000000) AS BIGINT) AS t6
+      FROM etok e
+      CROSS JOIN langs l
+      LEFT JOIN c ON c.lang = l.lang AND c.tok = e.tok
+      JOIN tl ON tl.lang = l.lang, v
+    ),
+    tsum AS (
+      SELECT doc_id, lang, SUM(t6) AS s6 FROM terms GROUP BY doc_id, lang
+    ),
+    scored AS (
+      SELECT td.doc_id, l.lang,
+             p.p6 + COALESCE(tsum.s6, 0) AS score6
+      FROM test_docs td
+      CROSS JOIN langs l
+      JOIN prior p ON p.lang = l.lang
+      LEFT JOIN tsum ON tsum.doc_id = td.doc_id AND tsum.lang = l.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang AS lang_pred FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score6 DESC, lang) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT td.lang, p.lang_pred, COUNT(*) AS n_docs
+    FROM test_docs td JOIN pred p USING (doc_id)
+    GROUP BY td.lang, p.lang_pred
+    ORDER BY td.lang, p.lang_pred
+    """,
+)
+
+
+def _dnb(spark, sf_dir):
+    """Multinomial Naive Bayes, trained and evaluated entirely in
+    DataFrame algebra (no MLlib, no UDF): token-count likelihoods with
+    Laplace smoothing from the training split, per-(doc, lang) log
+    scores as exact micro-nat integer sums (5-row lang table broadcast,
+    term joins on (lang, token)), deterministic argmax, held-out
+    confusion matrix. The count tables are the train-once model
+    artifact — the persisted-index pattern applied to a classifier."""
+    from .ops.sampling import hash_uniform01
+
+    d = t(spark, sf_dir, "documents")
+    u = hash_uniform01(F.col("doc_id"), "nb")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = d.select("doc_id", "lang", tk.alias("__tk"), u.alias("__u"))
+    train = base.filter(F.col("__u") < 0.7)
+    test = base.filter(F.col("__u") >= 0.7)
+    ttok = train.select("lang", F.explode("__tk").alias("tok"))
+    langs = train.select("lang").distinct()
+    c = ttok.groupBy("lang", "tok").agg(F.count("*").alias("__c"))
+    tl = ttok.groupBy("lang").agg(F.count("*").alias("__t"))
+    v = ttok.agg(F.countDistinct("tok").alias("__v"))
+    nd = train.groupBy("lang").agg(F.count("*").alias("__n"))
+    ndt = train.agg(F.count("*").alias("__ndt"))
+
+    def _micro(x):
+        return F.round(F.round(F.log(x), 6) * F.lit(1000000.0)).cast("bigint")
+
+    prior = nd.crossJoin(F.broadcast(ndt)).select(
+        "lang", _micro(F.col("__n").cast("double") / F.col("__ndt")).alias("__p6")
+    )
+    etok = test.select("doc_id", F.explode("__tk").alias("tok"))
+    terms = (
+        etok.crossJoin(F.broadcast(langs))
+        .join(c, ["lang", "tok"], "left")
+        .join(F.broadcast(tl), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "lang",
+            _micro(
+                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("__t") + F.col("__v"))
+            ).alias("__t6"),
+        )
+    )
+    tsum = terms.groupBy("doc_id", "lang").agg(F.sum("__t6").alias("__s6"))
+    scored = (
+        test.select("doc_id")
+        .crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prior), "lang")
+        .join(tsum, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("__p6") + F.coalesce(F.col("__s6"), F.lit(0))).alias("__score6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__score6"), "lang")
+    pred = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"))
+    )
+    return (
+        test.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+CATALOG["ml_naive_bayes_lang_eval"].fn = _dnb
+
+register(
     "evt_funnel_counts",
     oracle="""
     WITH v AS (

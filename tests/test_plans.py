@@ -119,6 +119,7 @@ _SCALAR_BROADCAST_OK = {
     "doc_trigram_backoff_logprob",  # 1-row train-token-total scalar (unigram denominator)
     "sim_ivf_cell_stats",          # broadcast 16-row centroid table (as sim_ivf_topk)
     "doc_pmi_collocations",        # 1-row pair/unigram total scalars
+    "ml_naive_bayes_lang_eval",    # 5-row lang table + 1-row vocab/doc-count scalars
 }
 
 
