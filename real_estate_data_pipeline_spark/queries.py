@@ -5843,6 +5843,154 @@ def _dnb(spark, sf_dir):
 CATALOG["ml_naive_bayes_lang_eval"].fn = _dnb
 
 register(
+    "evt_stream_topk_now",
+    # fourteenth streaming run: complete-mode aggregation + ORDER BY +
+    # LIMIT (sorting a streaming result is legal ONLY in complete mode
+    # after aggregation — this run exercises exactly that corner): the
+    # top-3 event types by running count.
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type LIMIT 3
+    """,
+)
+
+
+def _dstreamtopk(spark, sf_dir):
+    """Streaming top-k: counts maintained as streaming state, the
+    complete-mode output sorted and limited INSIDE the streaming query
+    (the one place Structured Streaming allows a sort), driven with
+    availableNow — the live leaderboard shape."""
+    schema = _events_stream_schema(ts_ntz=False)
+    src = _stream_file_source(spark, sf_dir, "events.parquet", schema)
+    topk = (
+        src.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(3)
+    )
+    return _run_stream_to_memory(topk, "evt_stream_topk_sink", "complete")
+
+
+CATALOG["evt_stream_topk_now"].fn = _dstreamtopk
+
+register(
+    "sample_balanced_class_downsample",
+    # class balancing for training: every language downsampled to the
+    # MINORITY class's document count, members chosen by the
+    # deterministic hash draw — the imbalanced-classification prep step.
+    # The minority count is a 1-row scalar; selection is one rank
+    # window per class.
+    oracle=f"""
+    WITH n AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    m AS (SELECT MIN(c) AS mc FROM n),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_HASH01_SQL.format(key="doc_id || 'bal'")}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r, m WHERE r.rn <= m.mc
+    ORDER BY lang, doc_id
+    """,
+)
+
+
+def _dbalance(spark, sf_dir):
+    """Balanced downsampling: each class keeps exactly min-class-count
+    docs, picked by the reproducible hash draw (one count aggregate ->
+    1-row min scalar broadcast -> one rank window per class)."""
+    from .ops.sampling import hash_uniform01
+
+    d = t(spark, sf_dir, "documents")
+    mc = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .agg(F.min("c").alias("__mc"))
+    )
+    u = hash_uniform01(F.col("doc_id"), "bal")
+    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("__rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(mc))
+        .filter(F.col("__rn") <= F.col("__mc"))
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+CATALOG["sample_balanced_class_downsample"].fn = _dbalance
+
+register(
+    "evt_change_point_hourly",
+    # simple change-point detection: per event_type, the hour with the
+    # largest absolute hour-over-hour jump in total value (lag window +
+    # deterministic argmax). Totals ride as exact cents; the jump is an
+    # exact integer difference.
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, h, cents,
+             cents - LAG(cents) OVER (PARTITION BY event_type ORDER BY h) AS jump
+      FROM obs
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS change_hour,
+           CAST(jump AS DOUBLE) / 100.0 AS jump_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY abs(jump) DESC, h) AS rn
+      FROM d WHERE jump IS NOT NULL
+    ) WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+
+
+def _dchangepoint(spark, sf_dir):
+    """Largest hour-over-hour jump per event_type (the cheap
+    change-point flag a monitor raises before fancier models run): one
+    bucket aggregate, one lag window, one argmax window — all
+    partitioned by type, all exact-integer cents."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.col("value").cast(DEC).alias("__v"),
+        )
+        .groupBy("event_type", "h")
+        .agg((F.sum("__v") * 100).cast("long").alias("cents"))
+    )
+    wl = W.partitionBy("event_type").orderBy("h")
+    d = obs.withColumn("jump", F.col("cents") - F.lag("cents").over(wl)).filter(
+        F.col("jump").isNotNull()
+    )
+    wr = W.partitionBy("event_type").orderBy(F.abs(F.col("jump")).desc(), F.col("h"))
+    return (
+        d.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("change_hour"),
+            (F.col("jump").cast("double") / F.lit(100.0)).alias("jump_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CATALOG["evt_change_point_hourly"].fn = _dchangepoint
+
+register(
     "evt_funnel_counts",
     oracle="""
     WITH v AS (

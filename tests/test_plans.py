@@ -120,6 +120,7 @@ _SCALAR_BROADCAST_OK = {
     "sim_ivf_cell_stats",          # broadcast 16-row centroid table (as sim_ivf_topk)
     "doc_pmi_collocations",        # 1-row pair/unigram total scalars
     "ml_naive_bayes_lang_eval",    # 5-row lang table + 1-row vocab/doc-count scalars
+    "sample_balanced_class_downsample",  # 1-row minority-count scalar
 }
 
 
