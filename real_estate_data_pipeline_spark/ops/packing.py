@@ -180,13 +180,16 @@ def _bpe_token_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     ).select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "tok")
 
 
-def _bpe_rewrite(cur: DataFrame, x: str, y: str) -> DataFrame:
+def _bpe_rewrite(cur: DataFrame, x: str, y: str, led: DataFrame | None = None) -> DataFrame:
     """One greedy left-to-right non-overlapping merge of the adjacent
     pair (x, y) over a (doc_id, pos, tok) frame, via the islands-parity
     trick (see bpe_train_rounds docstring); returns the merged frame
-    with re-densified positions."""
+    with re-densified positions. Pass ``led`` (the frame WITH the nxt
+    lead column, e.g. the census input) to skip recomputing the lead
+    window — the training loop shares one windowed frame per round."""
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    led = cur.withColumn("nxt", F.lead("tok").over(wdoc))
+    if led is None:
+        led = cur.withColumn("nxt", F.lead("tok").over(wdoc))
     pred = F.when((F.col("tok") == F.lit(x)) & (F.col("nxt") == F.lit(y)), 1).otherwise(0)
     marked = led.withColumn("pr", pred).withColumn(
         "grp",
@@ -263,13 +266,17 @@ def _bpe_learn_merges(
     learned merges as driver literals (1-row TakeOrdered collect per
     round; each round's survivor frame persisted, all unpersisted on
     exit)."""
-    cur = _bpe_token_positions(df, id_col, text_col).persist()
-    persisted = [cur]
+    cur = _bpe_token_positions(df, id_col, text_col)
+    persisted = []
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     merges: list[tuple[int, str, str, int]] = []
     try:
         for r in range(1, rounds + 1):
-            led = cur.withColumn("nxt", F.lead("tok").over(wdoc))
+            # persist the POST-window frame: both the census (now) and
+            # the rewrite (below) read it, so the lead window runs once
+            # per round instead of twice
+            led = cur.withColumn("nxt", F.lead("tok").over(wdoc)).persist()
+            persisted.append(led)
             top = (
                 led.filter(F.col("nxt").isNotNull())
                 .groupBy("tok", "nxt")
@@ -284,8 +291,7 @@ def _bpe_learn_merges(
             merges.append((r, x, y, int(cnt)))
             if r == rounds:
                 break
-            cur = _bpe_rewrite(cur, x, y).persist()
-            persisted.append(cur)
+            cur = _bpe_rewrite(cur, x, y, led=led)
         return merges
     finally:
         for f in persisted:
