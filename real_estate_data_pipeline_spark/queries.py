@@ -5991,6 +5991,112 @@ def _dchangepoint(spark, sf_dir):
 CATALOG["evt_change_point_hourly"].fn = _dchangepoint
 
 register(
+    "d8_iso_week_rollup",
+    # ISO-8601 week bucketing (the one calendar unit the d5 rollup
+    # skipped — week-of-year semantics differ across SQL dialects, but
+    # Spark weekofyear and DuckDB weekofyear both implement ISO 8601):
+    # per (iso_year, iso_week) order counts and exact revenue.
+    oracle="""
+    SELECT CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+
+
+def _disoweek(spark, sf_dir):
+    """ISO-week rollup of orders — weekofyear is ISO 8601 in BOTH
+    engines, and the year must be the ISO year (late-December dates can
+    belong to week 1 of the NEXT year; Jan 1 can belong to week 52/53
+    of the PREVIOUS), which Spark spells extract(YEAROFWEEK ...) (the
+    'YYYY' format pattern is rejected since Spark 3) — calendar-edge
+    semantics value-proven, not assumed."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int").alias("iso_year"),
+            F.weekofyear("o_orderdate").alias("iso_week"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum_expr(F.col("o_totalprice").cast(DEC), "revenue"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )
+
+
+CATALOG["d8_iso_week_rollup"].fn = _disoweek
+
+register(
+    "evt_dau_wau_stickiness",
+    # the product-analytics staple: daily active users, the trailing
+    # 7-day active-user count anchored at that day, and the DAU/WAU
+    # stickiness ratio. Distinct counts are exact; the ratio divides
+    # exact integers, rounded to 6 dp.
+    oracle="""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+    dau AS (
+      SELECT date_trunc('day', ts) AS d, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ),
+    wau AS (
+      SELECT days.d, COUNT(DISTINCT e.user_id) AS wau
+      FROM days JOIN events e
+        ON date_trunc('day', e.ts) > days.d - INTERVAL 7 DAY
+       AND date_trunc('day', e.ts) <= days.d
+      GROUP BY days.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+    """,
+)
+
+
+def _ddauwau(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day. The WAU side is a
+    bucketed range join (each event contributes to the 7 anchor days it
+    falls into — an explode to at most 7 (day, user) rows, then one
+    distinct count per day), NOT a day x events cross join; at scale
+    the shuffle carries (anchor_day, user_id) pairs only."""
+    ev = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    dau = ev.groupBy(day.alias("d")).agg(F.countDistinct("user_id").alias("dau"))
+    days = ev.select(day.alias("d")).distinct()
+    # each event fans out to the anchor days whose trailing window
+    # contains it: d in [event_day, event_day + 6]
+    anchors = ev.select(
+        F.explode(
+            F.sequence(day, day + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+        "user_id",
+    )
+    wau = (
+        anchors.join(days, "d")  # only anchor days that actually exist
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+CATALOG["evt_dau_wau_stickiness"].fn = _ddauwau
+
+register(
     "evt_funnel_counts",
     oracle="""
     WITH v AS (
