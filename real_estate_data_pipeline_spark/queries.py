@@ -11568,43 +11568,64 @@ _PREVIOUSLY_SAMPLED = frozenset({
     "sketch_hll_mergeable_daily", "sketch_kll_price_quantiles",
     "asof_latest_event", "range_join_day_window", "doc_tfidf_top3",
     "f_parse_bundle", "f_html_clean",
+    # round-6 rotated window
+    "sim_pq_adc_topk", "sim_pq_recall_report", "sim_hard_negatives",
+    "sim_quantized_topk", "doc_segment_dedup_rewrite",
+    "doc_boilerplate_strip", "doc_span_corruption", "doc_bpe_merge_pairs",
+    "doc_vocab_coverage", "doc_source_overlap_matrix",
+    "doc_temperature_mix", "export_shard_manifest",
+    "export_range_partition_stats", "io_bucketed_join_gate",
+    "io_multiformat_scan", "sql_interface_q3", "incr_join_maintenance",
+    "io_python_datasource_scan", "io_python_stream_scan",
+    "dq_psi_drift_report", "evt_stream_psi_drift_now",
+    "ml_group_linear_trend", "asof_next_event_tolerance",
+    "ngram_containment_pairs", "fuzzy_part_name_pairs",
+    "dedup_incremental_minhash", "doc_bpe_train_rounds",
+    "doc_temperature_mix_tokens", "q2_min_cost_supplier",
+    "q4_semi_join_priority", "q7_nation_trade_volume", "q8_market_share",
+    "q9_nation_year_profit", "q10_returned_items",
+    "q11_revenue_concentration", "q12_late_priority_mix",
+    "q13_order_count_distribution", "q14_conditional_ratio",
+    "q15_top_supplier", "q16_supplier_variety", "q17_small_qty_revenue",
+    "q18_having_large_orders", "q19_bracketed_revenue",
+    "q20_dominant_share_suppliers", "q21_sole_late_supplier",
+    "q22_idle_wealthy_customers", "w2_running_totals", "w3_order_gaps",
+    "w4_rank_family", "a9_rollup_sales",
 })
 
 _DRIVER_WINDOW = [
-    # round-5 late additions: PQ family + hard negatives + quantized ANN
-    "sim_pq_adc_topk", "sim_pq_recall_report", "sim_hard_negatives",
-    "sim_quantized_topk",
-    # round-5 text/tokenizer family
-    "doc_segment_dedup_rewrite", "doc_boilerplate_strip",
-    "doc_span_corruption", "doc_bpe_merge_pairs", "doc_vocab_coverage",
-    "doc_source_overlap_matrix", "doc_temperature_mix",
-    # round-5 export / lakehouse / interface family
-    "export_shard_manifest", "export_range_partition_stats",
-    "io_bucketed_join_gate", "io_multiformat_scan", "sql_interface_q3",
-    "incr_join_maintenance", "io_python_datasource_scan",
-    "io_python_stream_scan",
-    # round-5 drift pair (batch + 12th streaming run) + grouped OLS
-    "dq_psi_drift_report", "evt_stream_psi_drift_now",
-    "ml_group_linear_trend",
-    # temporal / fuzzy-pair family
-    "asof_next_event_tolerance", "ngram_containment_pairs",
-    "fuzzy_part_name_pairs",
-    # round-6 additions: persisted-LSH incremental dedup, iterative BPE
-    # training, token-budget temperature mixing
-    "dedup_incremental_minhash", "doc_bpe_train_rounds",
-    "doc_temperature_mix_tokens",
-    # TPC-H sweep (q3/q5/q6 were r1-r4 evidence; the rest never sampled)
-    "q2_min_cost_supplier", "q4_semi_join_priority",
-    "q7_nation_trade_volume", "q8_market_share", "q9_nation_year_profit",
-    "q10_returned_items", "q11_revenue_concentration",
-    "q12_late_priority_mix", "q13_order_count_distribution",
-    "q14_conditional_ratio", "q15_top_supplier", "q16_supplier_variety",
-    "q17_small_qty_revenue", "q18_having_large_orders",
-    "q19_bracketed_revenue", "q20_dominant_share_suppliers",
-    "q21_sole_late_supplier", "q22_idle_wealthy_customers",
-    # window / rollup family
-    "w2_running_totals", "w3_order_gaps", "w4_rank_family",
-    "a9_rollup_sales",
+    # round-6 late additions: graph / ML-in-relational-algebra family
+    "graph_pagerank_dup_nodes", "evt_markov_transition_matrix",
+    "emb_pca_top_component", "doc_pmi_collocations",
+    "ml_naive_bayes_lang_eval", "doc_trigram_backoff_logprob",
+    "ml_group_ols_outliers", "doc_token_zipf_fit",
+    # round-6 time-series family
+    "d8_iso_week_rollup", "evt_dau_wau_stickiness",
+    "evt_change_point_hourly", "evt_cohort_retention",
+    "evt_funnel_ordered_conversion", "evt_anomaly_mad",
+    "evt_interpolate_linear_hourly", "evt_resample_ffill_hourly",
+    "evt_error_burst_islands", "asof_nearest_event",
+    # round-6 streaming runs (13th/14th/min-max fit)
+    "evt_stream_topk_now", "evt_stream_minmax_now",
+    "doc_stream_incremental_minhash_now",
+    # round-6 sampling / scaling / multimodal-oracle family
+    "sample_balanced_class_downsample", "m10_minmax_scaler",
+    "mm_wav_feature_oracle",
+    # round-6 lakehouse + ANN diagnostics
+    "scd2_point_in_time", "io_version_history_report",
+    "io_schema_evolution_scan", "dq_schema_profile_diff",
+    "sim_ivf_cell_stats", "sim_knn_graph_degree_stats",
+    "minhash_threshold_sweep", "doc_bpe_apply_merges",
+    "doc_lang_confusion_matrix", "doc_quality_filter_funnel",
+    "emb_norm_percentiles",
+    # r1-era stragglers: the last never-sampled basics
+    "a8_fillna_defaults", "a10_pivot_status", "a11_grouping_sets",
+    "a12_moving_avg_hourly", "a9b_cube_grouping_id",
+    "d1_multiformat_roundtrip", "u2_intersect_except",
+    "u3_except_all_priorities", "w5_value_range_frame",
+    "w6_rank_distribution_family", "j4_null_safe_join",
+    "j5_full_outer_reconcile", "n_nested_bundle", "m_unit_ratio_bundle",
+    "q1_pricing_summary_tpch",
 ]
 
 
