@@ -237,11 +237,19 @@ def ycbcr_to_rgb(yc: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 95) -> bytes:
+def encode_jpeg(
+    px: np.ndarray, quality: int = 95, scan_order: tuple = (0, 1, 2)
+) -> bytes:
     """Baseline sequential 4:4:4 JFIF bytes for an (h, w, 3) uint8 RGB
-    array. Deterministic; quality uses the libjpeg scaling curve."""
+    array. Deterministic; quality uses the libjpeg scaling curve.
+    ``scan_order`` permutes the SOS component listing (and, per T.81, the
+    per-MCU data-unit interleave that must follow it) — a legal baseline
+    stream need not scan components in SOF order, and the decoder must
+    pair tables by component id, not position."""
     if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
         raise ValueError("encode_jpeg expects (h, w, 3) uint8 RGB")
+    if sorted(scan_order) != [0, 1, 2]:
+        raise ValueError("scan_order must be a permutation of (0, 1, 2)")
     h, w = px.shape[:2]
     qlum = _scale_quant(QUANT_LUM, quality)
     qchrom = _scale_quant(QUANT_CHROM, quality)
@@ -266,7 +274,7 @@ def encode_jpeg(px: np.ndarray, quality: int = 95) -> bytes:
     bw = _BitWriter()
     pred = [0, 0, 0]
     for bi in range(len(comp_blocks[0])):
-        for ci in range(3):
+        for ci in scan_order:
             ti = 0 if ci == 0 else 1
             zz = comp_blocks[ci][bi]
             diff = int(zz[0]) - pred[ci]
@@ -320,8 +328,8 @@ def encode_jpeg(px: np.ndarray, quality: int = 95) -> bytes:
     ):
         out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     sos = bytes([3])
-    for cid, tables in ((1, 0x00), (2, 0x11), (3, 0x11)):
-        sos += bytes([cid, tables])
+    for ci in scan_order:
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
     out += seg(0xFFDA, sos)
     out += entropy
@@ -338,7 +346,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     try:
         return _decode_jpeg_inner(payload)
-    except (struct.error, KeyError, IndexError) as exc:
+    except (struct.error, KeyError, IndexError, EOFError) as exc:
         # truncated length fields, missing Huffman/quant tables, short
         # segment bodies: malformed, not merely unsupported — surface as
         # ValueError so tolerant callers (_try_decode_jpeg) can route the
@@ -430,6 +438,21 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         raise ValueError("missing SOF0 or SOS")
     h, w, comps = frame
     ncomp = len(comps)
+    # The entropy stream interleaves data units in SOS order, and each scan
+    # entry names its frame component by id — a legal baseline stream may
+    # list SOS components in a different order than SOF. Resolve each scan
+    # entry to its frame component index by id so Huffman/quant tables are
+    # never paired positionally (wrong-but-silent colors otherwise).
+    if len(scan) != ncomp:
+        raise NotImplementedError(
+            "non-interleaved multi-scan baseline unsupported"
+        )
+    comp_idx_by_cid = {cid: i for i, (cid, _) in enumerate(comps)}
+    scan_resolved = []
+    for cid, dc_id, ac_id in scan:
+        if cid not in comp_idx_by_cid:
+            raise ValueError(f"SOS component id {cid} not declared in SOF")
+        scan_resolved.append((comp_idx_by_cid[cid], dc_id, ac_id))
     mcus_y, mcus_x = (h + 7) // 8, (w + 7) // 8
     br = _BitReader(entropy)
     planes = [np.zeros((mcus_y * 8, mcus_x * 8)) for _ in range(ncomp)]
@@ -447,8 +470,7 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
 
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci in range(ncomp):
-                _, dc_id, ac_id = scan[ci]
+            for ci, dc_id, ac_id in scan_resolved:
                 dc_tab = htables[dc_id]  # Tc=0 -> key 0x0t
                 ac_tab = htables[0x10 | ac_id]
                 zz = np.zeros(64, dtype=np.int64)

@@ -463,8 +463,34 @@ def test_jpeg_malformed_streams_route_to_stub_not_crash():
         good[:20],                          # truncated after headers start
         good[: good.find(b"\xff\xc4")] + good[good.find(b"\xff\xda") :],  # no DHT
         good[:-10],                         # entropy stream cut short
+        good[:-3],                          # truncated mid-entropy (EOFError path)
     ]
     for p in bad_payloads:
         with pytest.raises((ValueError, NotImplementedError)):
             decode_jpeg(p)
         assert _try_decode_jpeg(p) is None  # and the tolerant path drops it
+
+
+def test_jpeg_sos_order_differs_from_sof_decodes_by_component_id():
+    """A legal baseline stream may list SOS components in a different
+    order than SOF (data units then interleave in SOS order). The decoder
+    must pair Huffman/quant tables by component id — positional pairing
+    would silently decode with swapped tables (wrong colors)."""
+    import numpy as np
+    import pytest
+
+    from real_estate_data_pipeline_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    ref = decode_jpeg(encode_jpeg(px, 90))
+    for order in [(2, 0, 1), (1, 0, 2), (2, 1, 0)]:
+        swapped = encode_jpeg(px, 90, scan_order=order)
+        assert np.array_equal(decode_jpeg(swapped), ref), order
+    # and an SOS naming a component id absent from SOF is malformed
+    good = encode_jpeg(px, 90)
+    sos_at = good.rfind(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos_at + 5] = 9  # first scan entry's component id -> unknown
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
