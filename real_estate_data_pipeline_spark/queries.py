@@ -10928,7 +10928,11 @@ def _dpagerank(spark, sf_dir):
     BIGINTs, so the result is engine-exact despite float ranks; the
     top-20 central documents are the cluster representatives a curation
     reviewer looks at first. Edges are computed ONCE and persisted
-    across iterations (bounded: the pair set, not the corpus)."""
+    across iterations (bounded: the pair set, not the corpus); each
+    round's rank frame is localCheckpoint'ed (the ops/graph.py
+    convention for distributed iterative frames) so the executed plan
+    depth is constant in the round count — without it round N replays
+    rounds 1..N-1's joins and the lineage grows multiplicatively."""
     d = t(spark, sf_dir, "documents")
     pairs = dedup.minhash_dup_pairs_portable(
         d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
@@ -10955,14 +10959,21 @@ def _dpagerank(spark, sf_dir):
                 .groupBy("node")
                 .agg(F.sum("__c").alias("__s"))
             )
-            pr = nodes.join(contrib, "node", "left").select(
-                "node",
-                F.round(
-                    F.lit(0.15)
-                    + F.lit(0.85)
-                    * (F.coalesce(F.col("__s"), F.lit(0)).cast("double") / F.lit(1e6)),
-                    6,
-                ).alias("pr"),
+            pr = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(0.15)
+                        + F.lit(0.85)
+                        * (
+                            F.coalesce(F.col("__s"), F.lit(0)).cast("double")
+                            / F.lit(1e6)
+                        ),
+                        6,
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
             )
         return (
             pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pagerank"))
