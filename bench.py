@@ -57,6 +57,21 @@ def preexisting_jvms() -> list[str]:
     return out
 
 
+def calibration(spark) -> float:
+    """Fixed deterministic CPU-bound job (1e8-row hashed-range aggregate,
+    32 partitions, zero IO) timed the same way the queries are. Host
+    throughput drift — core steal, thermal, a noisy neighbor — shifts
+    this number by the same factor it shifts every query, so a uniform
+    bench inflation is attributable (and normalizable) instead of
+    re-litigated each round: real regressions move query/calibration
+    ratios; host drift moves only the calibration."""
+    start = time.perf_counter()
+    spark.range(0, 100_000_000, 1, 32).selectExpr(
+        "sum(id * 2654435761 % 1000003) AS s"
+    ).collect()
+    return round(time.perf_counter() - start, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.isdir(sf_dir):
@@ -100,6 +115,11 @@ def main() -> None:
         except Exception:
             pass
 
+    # Calibration brackets the timed loop (min-of-2 reported): if both
+    # sit near the README reference the host was healthy; if both are
+    # uniformly inflated, query times can be normalized by the ratio.
+    calib_before = calibration(spark)
+
     # Best-of-2 at the target SF: the host is shared, so a single pass
     # can catch a multi-second steal/GC spike on any one query; the min
     # of two passes reports steady-state throughput. The second pass is
@@ -119,6 +139,8 @@ def main() -> None:
             if name not in timings or el < timings[name]:
                 timings[name] = el
 
+    calib_after = calibration(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -130,6 +152,9 @@ def main() -> None:
                 "sf": sf,
                 "dirty_host": bool(stale),
                 "preexisting_jvms": len(stale),
+                "calibration_s": min(calib_before, calib_after),
+                "calibration_before_s": calib_before,
+                "calibration_after_s": calib_after,
             }
         )
     )

@@ -121,6 +121,7 @@ _SCALAR_BROADCAST_OK = {
     "doc_pmi_collocations",        # 1-row pair/unigram total scalars
     "ml_naive_bayes_lang_eval",    # 5-row lang table + 1-row vocab/doc-count scalars
     "sample_balanced_class_downsample",  # 1-row minority-count scalar
+    "evt_dow_seasonal_profile",    # 1-row overall-mean scalar
 }
 
 
@@ -131,6 +132,8 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "doc_temperature_mix",         # share-sum over the group-count frame (|langs| rows)
     "doc_temperature_mix_tokens",  # same group-count frame, token-mass variant
     "export_range_partition_stats",  # running sum over the n_chars value-domain histogram
+    "evt_autocorr_lags",           # lag window over the hour-bucket aggregate (~720 rows/month)
+    "evt_seasonal_decompose_weekly",  # centered MA over the day-bucket aggregate (~30 rows/month)
 }
 
 
