@@ -122,6 +122,7 @@ _SCALAR_BROADCAST_OK = {
     "ml_naive_bayes_lang_eval",    # 5-row lang table + 1-row vocab/doc-count scalars
     "sample_balanced_class_downsample",  # 1-row minority-count scalar
     "evt_dow_seasonal_profile",    # 1-row overall-mean scalar
+    "graph_triangle_count",        # 1-row wedge-total scalar
 }
 
 
