@@ -123,6 +123,7 @@ _SCALAR_BROADCAST_OK = {
     "sample_balanced_class_downsample",  # 1-row minority-count scalar
     "evt_dow_seasonal_profile",    # 1-row overall-mean scalar
     "graph_triangle_count",        # 1-row wedge-total scalar
+    "doc_kneser_ney_bigram_logprob",  # 1-row bigram-type-total scalar
 }
 
 
@@ -135,6 +136,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "export_range_partition_stats",  # running sum over the n_chars value-domain histogram
     "evt_autocorr_lags",           # lag window over the hour-bucket aggregate (~720 rows/month)
     "evt_seasonal_decompose_weekly",  # centered MA over the day-bucket aggregate (~30 rows/month)
+    "doc_heaps_law_fit",           # running sums over the per-doc aggregate (corpus-cardinality rows)
 }
 
 
