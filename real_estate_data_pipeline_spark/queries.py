@@ -12807,6 +12807,401 @@ def _dheaps(spark, sf_dir):
 CATALOG["doc_heaps_law_fit"].fn = _dheaps
 
 
+def _textrank_oracle(rounds: int = 3, damping: float = 0.85) -> str:
+    """Unrolled weighted PageRank over the word co-occurrence graph
+    (TextRank, Mihalcea & Tarau 2004): adjacent content-word pairs
+    (len >= 4) as undirected weighted edges, contributions
+    pr·w/wdeg rounded to 6 dp then micro-unit summed per round —
+    the graph_pagerank_dup_nodes exactness recipe on a word graph."""
+    prev = "r0"
+    iters = []
+    for r in range(1, rounds + 1):
+        iters.append(f""",
+    c{r} AS (
+      SELECT e.dst AS word,
+             SUM(CAST(floor(round(p.pr * e.w / d.wdeg, 6) * 1000000 + 0.5)
+                      AS BIGINT)) AS s
+      FROM edges e
+      JOIN {prev} p ON e.src = p.word
+      JOIN wdeg d ON e.src = d.word
+      GROUP BY e.dst
+    ),
+    r{r} AS (
+      SELECT n.word,
+             round({1 - damping!r} + {damping!r} *
+                   (CAST(COALESCE(c{r}.s, 0) AS DOUBLE) / 1000000.0), 6) AS pr
+      FROM nodes n LEFT JOIN c{r} ON n.word = c{r}.word
+    )""")
+        prev = f"r{r}"
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    adj AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM tk, (SELECT unnest(range(1, (SELECT MAX(len(tk)) FROM tk) + 1)) AS i) g
+      WHERE i < len(tk) AND len(tk[i]) >= 4 AND len(tk[i + 1]) >= 4
+    ),
+    und AS (
+      SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, COUNT(*) AS w
+      FROM adj WHERE w1 <> w2 GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst, CAST(w AS BIGINT) AS w FROM und
+      UNION ALL
+      SELECT b, a, CAST(w AS BIGINT) FROM und
+    ),
+    nodes AS (SELECT DISTINCT src AS word FROM edges),
+    wdeg AS (SELECT src AS word, CAST(SUM(w) AS BIGINT) AS wdeg
+             FROM edges GROUP BY src),
+    r0 AS (SELECT word, 1.0 AS pr FROM nodes){"".join(iters)}
+    SELECT word, pr AS textrank
+    FROM {prev}
+    ORDER BY textrank DESC, word
+    LIMIT 20
+    """
+
+
+register("doc_textrank_keywords", oracle=_textrank_oracle())
+
+
+def _dtextrank(spark, sf_dir):
+    """TextRank keyword extraction: weighted PageRank (3 unrolled
+    rounds) over the corpus-wide word co-occurrence graph — adjacent
+    content words (len >= 4), co-occurrence counts as weights. The
+    word graph is a vocabulary-sized artifact (not corpus-sized), each
+    round one equi-join + aggregate, each round's rank frame
+    localCheckpoint'ed per the iterative convention. Composes the
+    graph_pagerank_dup_nodes machinery on a different graph."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = d.select("doc_id", F.posexplode(toks).alias("p", "w1"))
+    wnd = Window.partitionBy("doc_id").orderBy("p")
+    adj = (
+        base.withColumn("w2", F.lead("w1").over(wnd))
+        .filter(
+            (F.length("w1") >= 4)
+            & (F.length("w2") >= 4)
+            & (F.col("w1") != F.col("w2"))
+        )
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+    )
+    und = adj.groupBy("a", "b").agg(F.count("*").cast("long").alias("w"))
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+        )
+        .persist()
+    )
+    try:
+        nodes = edges.select(F.col("src").alias("word")).distinct()
+        wdeg = edges.groupBy(F.col("src").alias("word")).agg(
+            F.sum("w").cast("long").alias("wdeg")
+        )
+        pr = nodes.select("word", F.lit(1.0).alias("pr"))
+        for _ in range(3):
+            contrib = (
+                edges.join(
+                    pr.withColumnsRenamed({"word": "src"}), "src"
+                )
+                .join(
+                    wdeg.withColumnsRenamed({"word": "src", "wdeg": "__wd"}),
+                    "src",
+                )
+                .select(
+                    F.col("dst").alias("word"),
+                    F.floor(
+                        F.round(F.col("pr") * F.col("w") / F.col("__wd"), 6)
+                        * 1e6
+                        + F.lit(0.5)
+                    )
+                    .cast("long")
+                    .alias("__c"),
+                )
+                .groupBy("word")
+                .agg(F.sum("__c").alias("__s"))
+            )
+            pr = (
+                nodes.join(contrib, "word", "left")
+                .select(
+                    "word",
+                    F.round(
+                        F.lit(0.15)
+                        + F.lit(0.85)
+                        * (
+                            F.coalesce(F.col("__s"), F.lit(0)).cast("double")
+                            / F.lit(1e6)
+                        ),
+                        6,
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return (
+            pr.select("word", F.col("pr").alias("textrank"))
+            .orderBy(F.desc("textrank"), "word")
+            .limit(20)
+        )
+    finally:
+        edges.unpersist()
+
+
+CATALOG["doc_textrank_keywords"].fn = _dtextrank
+
+register(
+    "doc_idf_weighted_jaccard_pairs",
+    # IDF-weighted token-set Jaccard on the MinHash candidate pairs:
+    # rare-token overlap counts more than stopword overlap, separating
+    # genuine near-dups from boilerplate-heavy false positives. Weights
+    # are 6-dp-rounded ln(N/df) scaled to micro-unit BIGINTs, so both
+    # the intersection and union masses are exact integer sums.
+    oracle=f"""
+    WITH pairs AS ({_minhash_portable_oracle()}),
+    tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    tokc AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tokc),
+    idf AS (
+      SELECT w,
+             CAST(round(round(ln(CAST(n.n AS DOUBLE) / COUNT(DISTINCT doc_id)), 6)
+                        * 1000000) AS BIGINT) AS iw
+      FROM tokc, n GROUP BY w, n.n
+    ),
+    ta AS (SELECT p.id_a, p.id_b, t.w, i.iw
+           FROM pairs p JOIN tokc t ON t.doc_id = p.id_a JOIN idf i ON i.w = t.w),
+    tb AS (SELECT p.id_a, p.id_b, t.w, i.iw
+           FROM pairs p JOIN tokc t ON t.doc_id = p.id_b JOIN idf i ON i.w = t.w),
+    inter AS (
+      SELECT ta.id_a, ta.id_b, CAST(COUNT(*) AS BIGINT) AS shared_n,
+             CAST(SUM(ta.iw) AS BIGINT) AS shared_mass
+      FROM ta JOIN tb ON tb.id_a = ta.id_a AND tb.id_b = ta.id_b AND tb.w = ta.w
+      GROUP BY ta.id_a, ta.id_b
+    ),
+    uni AS (
+      SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS union_n,
+             CAST(SUM(iw) AS BIGINT) AS union_mass
+      FROM (SELECT * FROM ta UNION SELECT * FROM tb)
+      GROUP BY id_a, id_b
+    )
+    SELECT u.id_a, u.id_b,
+           CAST(COALESCE(i.shared_n, 0) AS BIGINT) AS shared_tokens,
+           round(CAST(COALESCE(i.shared_n, 0) AS DOUBLE) / u.union_n, 6)
+             AS plain_jaccard,
+           round(CAST(COALESCE(i.shared_mass, 0) AS DOUBLE) / u.union_mass, 6)
+             AS idf_jaccard
+    FROM uni u LEFT JOIN inter i ON i.id_a = u.id_a AND i.id_b = u.id_b
+    ORDER BY idf_jaccard DESC, u.id_a, u.id_b
+    LIMIT 20
+    """,
+)
+
+
+def _didfjaccard(spark, sf_dir):
+    """IDF-weighted verification of MinHash candidates: the candidate
+    pair set (banded equi-join output) is re-scored by weighted token
+    overlap — at 100 TB this is the verify stage of the two-stage
+    near-dup pipeline, touching only candidate docs' token sets, with
+    the IDF table a vocabulary-sized build side."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dup_pairs_portable(
+        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    tokc = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    n = tokc.agg(F.countDistinct("doc_id").cast("long").alias("__n"))
+    idf = (
+        tokc.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w",
+            F.round(
+                F.round(F.log(F.col("__n").cast("double") / F.col("__df")), 6)
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("iw"),
+        )
+    )
+    tw = tokc.join(idf, "w")
+    ta = pairs.join(tw.withColumnsRenamed({"doc_id": "id_a"}), "id_a").select(
+        "id_a", "id_b", "w", "iw"
+    )
+    tb = pairs.join(tw.withColumnsRenamed({"doc_id": "id_b"}), "id_b").select(
+        "id_a", "id_b", "w", "iw"
+    )
+    inter = ta.join(tb, ["id_a", "id_b", "w"]).groupBy("id_a", "id_b").agg(
+        F.count("*").cast("long").alias("shared_n"),
+        F.sum(ta["iw"]).cast("long").alias("shared_mass"),
+    )
+    uni = (
+        ta.unionByName(tb)
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("long").alias("union_n"),
+            F.sum("iw").cast("long").alias("union_mass"),
+        )
+    )
+    shared_n = F.coalesce(F.col("shared_n"), F.lit(0))
+    return (
+        uni.join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            shared_n.cast("long").alias("shared_tokens"),
+            F.round(shared_n.cast("double") / F.col("union_n"), 6).alias(
+                "plain_jaccard"
+            ),
+            F.round(
+                F.coalesce(F.col("shared_mass"), F.lit(0)).cast("double")
+                / F.col("union_mass"),
+                6,
+            ).alias("idf_jaccard"),
+        )
+        .orderBy(F.desc("idf_jaccard"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+CATALOG["doc_idf_weighted_jaccard_pairs"].fn = _didfjaccard
+
+register(
+    "doc_winnowing_fingerprint_overlap",
+    # winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    # algorithm): 8-char-gram hashes, window w=4, each window selects
+    # its minimum (ties to the LEFTMOST position via the hash*2^20+pos
+    # encoding — deterministic on both engines); docs sharing >= 2
+    # selected fingerprints are plagiarism-style overlap candidates.
+    # The gram hash is the portable sha256-prefix integer.
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, lower(trim(text)) AS txt FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i,
+             ('0x' || substr(sha256(substr(txt, i, 8)), 1, 8))::UBIGINT
+               * 1048576 + i AS enc
+      FROM ch, (SELECT unnest(range(1, (SELECT MAX(len(txt)) FROM ch) + 1)) AS i) g
+      WHERE i <= len(txt) - 7
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             CAST(MIN(enc) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                  // 1048576 AS BIGINT) AS fp
+      FROM pos QUALIFY i >= 4
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+              FROM sel GROUP BY doc_id),
+    ov AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fp
+      FROM sel a JOIN sel b ON b.fp = a.fp AND b.doc_id > a.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT ov.id_a, ov.id_b, ov.shared_fp,
+           round(CAST(ov.shared_fp AS DOUBLE)
+                 / (sa.n_fp + sb.n_fp - ov.shared_fp), 6) AS fp_jaccard
+    FROM ov
+    JOIN sizes sa ON sa.doc_id = ov.id_a
+    JOIN sizes sb ON sb.doc_id = ov.id_b
+    ORDER BY ov.shared_fp DESC, ov.id_a, ov.id_b
+    LIMIT 20
+    """,
+)
+
+
+def _dwinnowing(spark, sf_dir):
+    """Winnowing fingerprint overlap: the guaranteed-detection
+    fingerprinting MinHash lacks (any shared substring >= k+w-1 chars
+    IS caught). Char-gram hashes ride one partitioned rows-frame
+    window; the min-selection encodes (hash, pos) into one BIGINT so
+    the leftmost-minimum tie-break is a plain MIN; candidate pairs
+    come from the fingerprint equi-join — never a doc x doc product.
+    At 100 TB the sha256 gram hash swaps for xxhash64 (same plan,
+    non-portable hash) exactly like the MinHash fast path."""
+    d = t(spark, sf_dir, "documents")
+    ch = d.select("doc_id", F.lower(F.trim("text")).alias("txt"))
+    pos = (
+        ch.select(
+            "doc_id",
+            "txt",
+            F.explode(F.sequence(F.lit(1), F.length("txt") - 7)).alias("i"),
+        )
+        .filter(F.length("txt") >= 8)
+        .select(
+            "doc_id",
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.sha2(F.col("txt").substr(F.col("i"), F.lit(8)), 256),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                * 1048576
+                + F.col("i")
+            ).alias("enc"),
+        )
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+    sel = (
+        pos.withColumn("__m", F.min("enc").over(wnd))
+        .filter(F.col("i") >= 4)
+        .select("doc_id", (F.col("__m") / 1048576).cast("long").alias("fp"))
+        .distinct()
+    )
+    sizes = sel.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
+    a = sel.withColumnsRenamed({"doc_id": "id_a"})
+    b = sel.withColumnsRenamed({"doc_id": "id_b"})
+    ov = (
+        a.join(b, "fp")
+        .filter(F.col("id_b") > F.col("id_a"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 2)
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "id_a", "n_fp": "__na"})
+    sb = sizes.withColumnsRenamed({"doc_id": "id_b", "n_fp": "__nb"})
+    return (
+        ov.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fp",
+            F.round(
+                F.col("shared_fp").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("shared_fp")),
+                6,
+            ).alias("fp_jaccard"),
+        )
+        .orderBy(F.desc("shared_fp"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+CATALOG["doc_winnowing_fingerprint_overlap"].fn = _dwinnowing
+
+
 # ===========================================================================
 # catalog ordering: the driver's evidence window
 # ===========================================================================

@@ -124,6 +124,7 @@ _SCALAR_BROADCAST_OK = {
     "evt_dow_seasonal_profile",    # 1-row overall-mean scalar
     "graph_triangle_count",        # 1-row wedge-total scalar
     "doc_kneser_ney_bigram_logprob",  # 1-row bigram-type-total scalar
+    "doc_idf_weighted_jaccard_pairs",  # 1-row corpus doc-count scalar (IDF denominator)
 }
 
 
