@@ -125,6 +125,9 @@ _SCALAR_BROADCAST_OK = {
     "graph_triangle_count",        # 1-row wedge-total scalar
     "doc_kneser_ney_bigram_logprob",  # 1-row bigram-type-total scalar
     "doc_idf_weighted_jaccard_pairs",  # 1-row corpus doc-count scalar (IDF denominator)
+    "sim_ivf_recall_nprobe_sweep",  # broadcast 4-row query panel + 3-row nprobe grid + 16-row centroids
+    "sim_mips_topk",               # broadcast 1-row query vector (as sim_bruteforce)
+    "sim_range_search_count",      # broadcast 8-row query panel
 }
 
 
