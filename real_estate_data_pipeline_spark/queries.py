@@ -13731,6 +13731,104 @@ CATALOG["ml_knn_classifier_eval"].fn = _dknnclassifier
 
 
 # ===========================================================================
+# round-7 additions: lakehouse composition / data-management reports
+# ===========================================================================
+
+register(
+    "scd2_asof_feature_join",
+    # THE feature-store training-data query: every event joined to the
+    # dimension VERSION valid at event time (leakage-free features —
+    # an event must never see attributes from its future). Two pinned
+    # SCD2 merges (the scd2_point_in_time setup) produce the version
+    # table; the oracle derives the identical versions directly from
+    # the deterministic merge semantics. [valid_from, valid_to) on
+    # both sides; users with no version yet roll up as UNMATCHED.
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, c_mktsegment AS seg,
+             TIMESTAMP '2024-01-01 00:00:00' AS vf,
+             CASE WHEN c_custkey % 2 = 0 AND c_custkey % 5 = 0
+                  THEN TIMESTAMP '2024-01-02 00:00:00' END AS vt
+      FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    v2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS seg,
+             TIMESTAMP '2024-01-02 00:00:00' AS vf,
+             CAST(NULL AS TIMESTAMP) AS vt
+      FROM customer
+      WHERE c_custkey % 2 = 0 AND (c_custkey % 3 = 0 OR c_custkey % 5 = 0)
+    ),
+    vers AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+    j AS (
+      SELECT COALESCE(v.seg, 'UNMATCHED') AS segment, e.value
+      FROM events e LEFT JOIN vers v
+        ON v.c_custkey = e.user_id
+       AND e.ts >= v.vf AND (v.vt IS NULL OR e.ts < v.vt)
+    )
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM j GROUP BY segment ORDER BY segment
+    """,
+)
+
+
+def _dscd2asofjoin(spark, sf_dir):
+    """As-of feature join against the SCD2 store: replay the two
+    pinned merges (scd2_point_in_time's setup), read the FULL snapshot
+    (closed versions included — that is what makes the store a feature
+    store), and equi-join events on the key with the validity-window
+    residual — each event matches at most one version, the one valid
+    at event time. Composes Scd2Table.merge + read + the as-of shape
+    into the leakage-free training-data query; at 100 TB the version
+    table is dimension-sized and broadcasts."""
+    import shutil
+
+    from .io.scd2 import Scd2Table
+
+    base = _scratch("redp_scd2_asof_feature_gate")
+    shutil.rmtree(base, ignore_errors=True)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    day1 = c.filter(F.col("c_custkey") % 3 != 0)
+    day2 = c.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    tbl = Scd2Table(
+        spark, base, key="c_custkey", tracked=["c_mktsegment"], order_col="c_acctbal"
+    )
+    tbl.merge(day1, batch_ts=F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    tbl.merge(day2, batch_ts=F.to_timestamp(F.lit("2024-01-02 00:00:00")))
+    vers = tbl.read().select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("valid_from").cast("timestamp_ntz").alias("vf"),
+        F.col("valid_to").cast("timestamp_ntz").alias("vt"),
+    )
+    ev = t(spark, sf_dir, "events")
+    j = ev.join(
+        F.broadcast(vers),
+        (F.col("c_custkey") == F.col("user_id"))
+        & (F.col("ts") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("ts") < F.col("vt"))),
+        "left",
+    ).select(F.coalesce(F.col("seg"), F.lit("UNMATCHED")).alias("segment"), "value")
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+CATALOG["scd2_asof_feature_join"].fn = _dscd2asofjoin
+
+
+# ===========================================================================
 # catalog ordering: the driver's evidence window
 # ===========================================================================
 # The correctness driver samples the FIRST 50 catalog entries each round.
