@@ -128,6 +128,8 @@ _SCALAR_BROADCAST_OK = {
     "sim_ivf_recall_nprobe_sweep",  # broadcast 4-row query panel + 3-row nprobe grid + 16-row centroids
     "sim_mips_topk",               # broadcast 1-row query vector (as sim_bruteforce)
     "sim_range_search_count",      # broadcast 8-row query panel
+    "dq_benford_first_digit",      # 1-row total-count scalar
+    "io_partition_rows_skew_report",  # 1-row total/partition-count scalar
 }
 
 
