@@ -130,6 +130,7 @@ _SCALAR_BROADCAST_OK = {
     "sim_range_search_count",      # broadcast 8-row query panel
     "dq_benford_first_digit",      # 1-row total-count scalar
     "io_partition_rows_skew_report",  # 1-row total/partition-count scalar
+    "supplier_pareto_report",      # 1-row revenue-total scalar
 }
 
 
@@ -143,6 +144,8 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_autocorr_lags",           # lag window over the hour-bucket aggregate (~720 rows/month)
     "evt_seasonal_decompose_weekly",  # centered MA over the day-bucket aggregate (~30 rows/month)
     "doc_heaps_law_fit",           # running sums over the per-doc aggregate (corpus-cardinality rows)
+    "cust_rfm_segmentation",       # ntile windows over the per-customer aggregate
+    "supplier_pareto_report",      # ranked running share over the per-supplier aggregate
 }
 
 
