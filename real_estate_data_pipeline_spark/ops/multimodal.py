@@ -16,6 +16,10 @@ Two decode tiers:
   marker parse, canonical Huffman entropy decode, dequantize + float
   IDCT, JFIF color transform; progressive/subsampled/DRI streams raise
   NotImplementedError rather than decoding wrong).
+- ``decode_gif_info`` / ``resize_gif`` are REAL: GIF87a/89a palette +
+  variable-width LZW via ops/gif.py (decoder verified against the
+  GIF89a spec-appendix sample stream) — the third compressed lane
+  after PNG's zlib and JPEG's DCT.
 - audio is REAL too (ops/audio.py: RIFF/WAVE PCM16, value-oracled),
   and the video tier's FRAME SAMPLING runs against real per-frame JPEG
   decode through a minimal motion-JPEG container (``encode_mjpeg`` /
@@ -650,6 +654,98 @@ def resize_jpeg(media: DataFrame, max_side: int = 32, quality: int = 95) -> Data
                     w, h = max(1, round(w / scale)), max(1, round(h / scale))
                     px = _nearest_resize(px, w, h)
                 p = J.encode_jpeg(px, quality)
+                out_p.append(p)
+                out_n.append(len(p))
+                out_w.append(w)
+                out_h.append(h)
+            pdf = pdf.copy()
+            pdf["payload"] = out_p
+            pdf["n_bytes"] = out_n
+            pdf["width"] = pd.array(out_w, dtype="Int32")
+            pdf["height"] = pd.array(out_h, dtype="Int32")
+            yield pdf
+
+    return media.mapInPandas(shrink, MEDIA_SCHEMA)
+
+
+# --- real decode path #4 (GIF, stdlib/numpy LZW) ---------------------------
+# GIF = palette + variable-width LZW (ops/gif.py): the third compressed
+# lane after PNG's zlib and JPEG's DCT. Same mapInPandas shapes, same
+# perceptual-dedup loop.
+
+
+def _try_decode_gif(payload):
+    """Decoded (w, h, px) for GIF payloads, None otherwise (the
+    tolerant parse_png/_try_decode_jpeg contract)."""
+    from . import gif as G
+
+    if payload is None or len(payload) < 6 or bytes(payload[:3]) != b"GIF":
+        return None
+    try:
+        px = G.decode_gif(bytes(payload))
+    except (NotImplementedError, ValueError):
+        return None
+    h, w = px.shape[:2]
+    return w, h, px
+
+
+def decode_gif_info(media: DataFrame) -> DataFrame:
+    """REAL GIF decode over binary payloads (mapInPandas, Arrow
+    batches): dimensions, grayscale stats, the shared 64-bit
+    average-hash — GIF payloads flow into the identical perceptual-
+    dedup loop as PPM/PNG/JPEG. Non-GIF payloads are dropped."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _try_decode_gif(p)
+                if parsed is None:
+                    continue
+                w, h, px = parsed
+                g = px.mean(axis=2)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "gray_mean": float(g.mean()),
+                        "gray_std": float(g.std()),
+                        "ahash": _ahash64(px),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "gray_mean", "gray_std", "ahash"],
+            )
+
+    return media.mapInPandas(extract, PPM_INFO_SCHEMA)
+
+
+def resize_gif(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """REAL nearest-neighbor resize for GIF payloads: decode, resample,
+    re-encode (nearest sampling only selects existing pixels, so the
+    result stays within the source palette and always re-encodes).
+    Non-GIF payloads pass through untouched."""
+    from . import gif as G
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_p, out_n, out_w, out_h = [], [], [], []
+            for p, w0, h0 in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                parsed = _try_decode_gif(p)
+                if parsed is None:
+                    out_p.append(p)
+                    out_n.append(len(p) if p is not None else 0)
+                    out_w.append(w0)
+                    out_h.append(h0)
+                    continue
+                w, h, px = parsed
+                scale = max(w, h) / max_side
+                if scale > 1.0:
+                    w, h = max(1, round(w / scale)), max(1, round(h / scale))
+                    px = _nearest_resize(px, w, h)
+                p = G.encode_gif(px)
                 out_p.append(p)
                 out_n.append(len(p))
                 out_w.append(w)

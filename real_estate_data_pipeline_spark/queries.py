@@ -13770,6 +13770,7 @@ register(
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM j GROUP BY segment ORDER BY segment
     """,
+    bench=True,
 )
 
 
@@ -14488,6 +14489,70 @@ def _ddiscount(spark, sf_dir):
 
 
 CATALOG["lineitem_discount_effectiveness"].fn = _ddiscount
+
+register("mm_gif_ahash_groups", oracle=None)
+
+
+def _dgif(spark, sf_dir):
+    """End-to-end LZW-codec image dedup (rows-only, like its PPM/PNG/
+    JPEG twins): the same deterministic gradient classes rendered at
+    16x16 (<=256 unique colors — GIF's palette constraint), encoded as
+    real GIF87a via ops/gif.py (variable-width LZW, spec-appendix-
+    verified decoder), decoded+resized+average-hashed through the same
+    mapInPandas loop. GIF is lossless for palettized images, so the
+    duplicate structure must exactly match the PPM render's classes."""
+    import numpy as np
+
+    from .ops import multimodal as MM
+    from .ops.gif import encode_gif
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (F.col("doc_id") % 16).cast("int").alias("__cls"),
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for cls in pdf["__cls"]:
+                w = h = 16
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (x * 255 // (w - 1)),
+                        (y * 255 // (h - 1)),
+                        ((x * int(cls) + y) % 256),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(encode_gif(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "image/gif",
+                    "payload": payloads,
+                    "width": None,
+                    "height": None,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    media = d.mapInPandas(render, MM.MEDIA_SCHEMA)
+    info = MM.decode_gif_info(MM.resize_gif(media, max_side=16))
+    return (
+        info.groupBy("ahash")
+        .agg(
+            F.count("*").cast("bigint").alias("members"),
+            F.min("media_id").alias("rep_id"),
+        )
+        .filter(F.col("members") > 1)
+        .orderBy("rep_id")
+    )
+
+
+CATALOG["mm_gif_ahash_groups"].fn = _dgif
 
 
 # ===========================================================================

@@ -494,3 +494,99 @@ def test_jpeg_sos_order_differs_from_sof_decodes_by_component_id():
     bad[sos_at + 5] = 9  # first scan entry's component id -> unknown
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
+
+
+def test_gif_roundtrip_lossless_and_palette_guard():
+    """GIF is lossless for palettized images: exact round-trips through
+    real variable-width LZW including the width-bump boundaries and the
+    4096-entry clear-reset; >256 unique colors must be refused (a
+    quantizer is a model choice, not a codec concern)."""
+    import numpy as np
+    import pytest
+
+    from real_estate_data_pipeline_spark.ops.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+    for shape in [(16, 16), (64, 64), (200, 200), (1, 1), (1, 300), (513, 7)]:
+        px = base[rng.integers(0, 256, size=shape)]
+        assert np.array_equal(decode_gif(encode_gif(px)), px), shape
+    flat = np.zeros((10, 10, 3), np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(flat)), flat)
+    y, x = np.mgrid[0:24, 0:24]
+    too_many = np.stack(
+        [x * 10 % 256, y * 10 % 256, (x * 7 + y * 3) % 256], axis=2
+    ).astype(np.uint8)
+    with pytest.raises(ValueError):
+        encode_gif(too_many)
+
+
+def test_gif_decodes_spec_appendix_sample():
+    """External-compatibility anchor: the canonical 10x10 sample stream
+    from the GIF89a spec appendix (4-color table, graphic-control
+    extension, 2-bit LZW with width bumps) must decode to its documented
+    red/blue quadrants with the white center square — this pins the
+    encoder-lags-decoder width-bump convention against real-world GIFs,
+    not just our own encoder."""
+    from real_estate_data_pipeline_spark.ops.gif import decode_gif
+
+    hexs = """
+    47 49 46 38 39 61 0A 00 0A 00 91 00 00 FF FF FF
+    FF 00 00 00 00 FF 00 00 00 21 F9 04 00 00 00 00
+    00 2C 00 00 00 00 0A 00 0A 00 00 02 16 8C 2D 99
+    87 2A 1C DC 33 A0 02 75 EC 95 FA A8 DE 60 8C 04
+    91 4C 01 00 3B
+    """
+    px = decode_gif(bytes(int(b, 16) for b in hexs.split()))
+    cmap = {(255, 255, 255): "0", (255, 0, 0): "1", (0, 0, 255): "2"}
+    got = ["".join(cmap[tuple(px[r, c])] for c in range(10)) for r in range(10)]
+    assert got == [
+        "1111122222", "1111122222", "1111122222", "1110000222", "1110000222",
+        "2220000111", "2220000111", "2222211111", "2222211111", "2222211111",
+    ]
+
+
+def test_gif_malformed_streams_route_to_stub_not_crash():
+    import numpy as np
+    import pytest
+
+    from real_estate_data_pipeline_spark.ops.gif import decode_gif, encode_gif
+    from real_estate_data_pipeline_spark.ops.multimodal import _try_decode_gif
+
+    good = encode_gif(np.zeros((8, 8, 3), np.uint8))
+    bad_payloads = [
+        b"NOTGIF",
+        b"GIF87a" + b"\x00" * 5,       # truncated screen descriptor
+        good[:20],                      # truncated color table / blocks
+        good[:-4],                      # truncated sub-blocks
+        good[:-10],                     # truncated mid-LZW
+        good[:13],                      # header only
+    ]
+    for p in bad_payloads:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_gif(p)
+        assert _try_decode_gif(p) is None
+
+
+def test_gif_decode_info_and_resize(spark):
+    import numpy as np
+
+    from real_estate_data_pipeline_spark.ops.gif import encode_gif
+    from real_estate_data_pipeline_spark.ops.multimodal import (
+        _try_decode_gif,
+        decode_gif_info,
+        resize_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(200, 3)).astype(np.uint8)
+    big = base[rng.integers(0, 200, size=(32, 64))]
+    df = _media_df(spark, [(1, encode_gif(big)), (2, b"not an image")])
+    rows = {r["media_id"]: r for r in decode_gif_info(df).collect()}
+    assert set(rows) == {1}
+    assert (rows[1]["width"], rows[1]["height"]) == (64, 32)
+    out = resize_gif(df, max_side=16).collect()
+    by_id = {r["media_id"]: r for r in out}
+    w, h, px = _try_decode_gif(bytes(by_id[1]["payload"]))
+    assert (w, h) == (16, 8)
+    assert bytes(by_id[2]["payload"]) == b"not an image"

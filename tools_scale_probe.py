@@ -51,6 +51,16 @@ HEAVY = [
     "graph_pagerank_dup_nodes",
     "emb_pca_top_component",
     "doc_pmi_collocations",
+    # round-7: NB train/eval ((class, token) shuffles), DAU/WAU bounded
+    # 7-day fan-out over a 10x-user event stream, triangle join on the
+    # 10x-denser dup graph, winnowing char-gram windows, banded-LSH kNN
+    # classification, TextRank rounds over the word graph
+    "ml_naive_bayes_lang_eval",
+    "evt_dau_wau_stickiness",
+    "graph_triangle_count",
+    "doc_winnowing_fingerprint_overlap",
+    "ml_knn_classifier_eval",
+    "doc_textrank_keywords",
 ]
 
 
@@ -93,7 +103,20 @@ def build_derived() -> None:
            (SELECT unnest(range(10)) AS s)
     ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 500000)
     """)
-    for tbl in ("orders", "customer", "nation", "region", "supplier", "part", "events"):
+    # events scale 10x by remapping BOTH ids: 10x users on the same
+    # timeline — the per-user window/fan-out ops (DAU/WAU, sessions)
+    # then carry 10x state, which is the dimension that matters
+    ev_stride = _stride(con, "events", "event_id")
+    usr_stride = _stride(con, "events", "user_id")
+    con.execute(f"""
+    COPY (
+      SELECT event_id + s * {ev_stride} AS event_id, ts,
+             user_id + s * {usr_stride} AS user_id, event_type, value, props
+      FROM read_parquet('{SRC}/events.parquet'),
+           (SELECT unnest(range(10)) AS s)
+    ) TO '{DST}/events.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)
+    """)
+    for tbl in ("orders", "customer", "nation", "region", "supplier", "part"):
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')) "
             f"TO '{DST}/{tbl}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)"
