@@ -131,6 +131,8 @@ _SCALAR_BROADCAST_OK = {
     "dq_benford_first_digit",      # 1-row total-count scalar
     "io_partition_rows_skew_report",  # 1-row total/partition-count scalar
     "supplier_pareto_report",      # 1-row revenue-total scalar
+    "doc_token_burstiness",        # 1-row corpus doc-count scalar
+    "evt_user_ltv_deciles",        # 1-row purchase-total scalar
 }
 
 
@@ -146,6 +148,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "doc_heaps_law_fit",           # running sums over the per-doc aggregate (corpus-cardinality rows)
     "cust_rfm_segmentation",       # ntile windows over the per-customer aggregate
     "supplier_pareto_report",      # ranked running share over the per-supplier aggregate
+    "evt_user_ltv_deciles",        # ntile over the per-user purchase aggregate
 }
 
 
