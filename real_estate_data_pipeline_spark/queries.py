@@ -13087,7 +13087,12 @@ register(
     # its minimum (ties to the LEFTMOST position via the hash*2^20+pos
     # encoding — deterministic on both engines); docs sharing >= 2
     # selected fingerprints are plagiarism-style overlap candidates.
-    # The gram hash is the portable sha256-prefix integer.
+    # The gram hash is the portable sha256-prefix integer. Fingerprints
+    # present in more than 64 documents are dropped before pairing —
+    # MOSS's own boilerplate suppression, and the hot-key cap that
+    # keeps the fingerprint equi-join's fan-out bounded on
+    # duplicate-heavy corpora (a ubiquitous substring would otherwise
+    # pair every document with every other).
     oracle="""
     WITH ch AS (
       SELECT doc_id, lower(trim(text)) AS txt FROM documents
@@ -13099,13 +13104,15 @@ register(
       FROM ch, (SELECT unnest(range(1, (SELECT MAX(len(txt)) FROM ch) + 1)) AS i) g
       WHERE i <= len(txt) - 7
     ),
-    sel AS (
+    sel0 AS (
       SELECT DISTINCT doc_id,
              CAST(MIN(enc) OVER (PARTITION BY doc_id ORDER BY i
                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                   // 1048576 AS BIGINT) AS fp
       FROM pos QUALIFY i >= 4
     ),
+    dfc AS (SELECT fp FROM sel0 GROUP BY fp HAVING COUNT(*) <= 64),
+    sel AS (SELECT sel0.doc_id, sel0.fp FROM sel0 JOIN dfc ON dfc.fp = sel0.fp),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
               FROM sel GROUP BY doc_id),
     ov AS (
@@ -13132,9 +13139,13 @@ def _dwinnowing(spark, sf_dir):
     IS caught). Char-gram hashes ride one partitioned rows-frame
     window; the min-selection encodes (hash, pos) into one BIGINT so
     the leftmost-minimum tie-break is a plain MIN; candidate pairs
-    come from the fingerprint equi-join — never a doc x doc product.
-    At 100 TB the sha256 gram hash swaps for xxhash64 (same plan,
-    non-portable hash) exactly like the MinHash fast path."""
+    come from the fingerprint equi-join — never a doc x doc product —
+    and fingerprints in > 64 docs are dropped first (MOSS's
+    boilerplate suppression doubling as the hot-key cap: without it a
+    ubiquitous substring pairs everything with everything, the OOM the
+    10x duplicate-heavy probe actually hit). At 100 TB the sha256 gram
+    hash swaps for xxhash64 (same plan, non-portable hash) exactly
+    like the MinHash fast path."""
     d = t(spark, sf_dir, "documents")
     ch = d.select("doc_id", F.lower(F.trim("text")).alias("txt"))
     pos = (
@@ -13163,12 +13174,16 @@ def _dwinnowing(spark, sf_dir):
         )
     )
     wnd = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
-    sel = (
+    sel0 = (
         pos.withColumn("__m", F.min("enc").over(wnd))
         .filter(F.col("i") >= 4)
         .select("doc_id", (F.col("__m") / 1048576).cast("long").alias("fp"))
         .distinct()
     )
+    dfc = sel0.groupBy("fp").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") <= 64
+    )
+    sel = sel0.join(dfc.select("fp"), "fp")
     sizes = sel.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
     a = sel.withColumnsRenamed({"doc_id": "id_a"})
     b = sel.withColumnsRenamed({"doc_id": "id_b"})

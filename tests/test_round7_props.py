@@ -55,6 +55,13 @@ def test_winnowing_matches_python_reference(spark, docs):
             sel.add(min(enc[end - 3 : end + 1]) // 1048576)
         if sel:
             fps[doc_id] = sel
+    # boilerplate suppression: drop fingerprints present in > 64 docs
+    df_count = Counter(h for s in fps.values() for h in s)
+    fps = {
+        d: {h for h in s if df_count[h] <= 64}
+        for d, s in fps.items()
+    }
+    fps = {d: s for d, s in fps.items() if s}
     pair_shared = Counter()
     ids = sorted(fps)
     inv = defaultdict(list)
