@@ -91,7 +91,8 @@ def build_derived() -> None:
     con.execute(f"""
     COPY (
       SELECT vec_id + s * {vec_stride} AS vec_id,
-             list_transform(embedding, x -> CAST(x + s * 0.001 AS FLOAT)) AS embedding
+             list_transform(embedding, x -> CAST(x + s * 0.001 AS FLOAT)) AS embedding,
+             label
       FROM read_parquet('{SRC}/embeddings.parquet'),
            (SELECT unnest(range(10)) AS s)
     ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)
