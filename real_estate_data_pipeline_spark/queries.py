@@ -11857,15 +11857,18 @@ register(
       FROM events
     ),
     flagged AS (
-      SELECT user_id, sec,
+      SELECT user_id, sec, event_id,
              CASE WHEN sec - lag(sec) OVER w > 1800 OR lag(sec) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_sess
       FROM es
       WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
     ),
     sess AS (
+      -- event_id tie-break on the running sum too: same-second rows
+      -- must accumulate in the SAME order the flag window used, or a
+      -- flagged row's sibling can land in the previous session
       SELECT user_id, sec,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     ),
@@ -11873,7 +11876,11 @@ register(
       SELECT user_id, sid, MIN(sec) AS start_sec, COUNT(*) AS n_events
       FROM sess GROUP BY user_id, sid
     )
-    SELECT strftime(CAST(to_timestamp(start_sec) AS DATE), '%Y-%m-%d') AS day,
+    -- make_timestamp is tz-free (epoch micros -> TIMESTAMP); the
+    -- to_timestamp alternative yields TIMESTAMPTZ whose DATE cast
+    -- follows DuckDB's session TimeZone, which is never pinned
+    SELECT strftime(CAST(make_timestamp(start_sec * 1000000) AS DATE),
+                    '%Y-%m-%d') AS day,
            CAST(COUNT(*) AS BIGINT) AS sessions,
            CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS bounces,
            round(CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
@@ -12133,11 +12140,23 @@ _DUP_EDGE_CTE = """
 def _dup_pairs_edges(spark, sf_dir):
     """(pairs, edges) frames for the near-dup graph — pairs ordered
     id_a < id_b, edges both directions. Same parameters as the
-    portable-pair oracle so every graph query shares one ground truth."""
+    portable-pair oracle so every graph query shares one ground truth.
+    The pair pipeline (shingle + signature + banding — the heaviest
+    stage) is localCheckpoint'ed LAZILY: the triangle/clustering/
+    neighbor-jaccard consumers fan it into 3-4 join branches, and
+    without the checkpoint each branch would replay the full pipeline
+    whenever exchange reuse fails to kick in (e.g. after an AQE
+    re-plan). Lazy (eager=False) so plan construction — the plan lint
+    walks every catalog entry — stays job-free; the first action
+    materializes it once and every branch reads the cached blocks."""
     d = t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dup_pairs_portable(
-        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
-    ).select("id_a", "id_b")
+    pairs = (
+        dedup.minhash_dup_pairs_portable(
+            d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     edges = pairs.select(
         F.col("id_a").alias("s"), F.col("id_b").alias("d")
     ).unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
@@ -13084,8 +13103,9 @@ register(
     "doc_winnowing_fingerprint_overlap",
     # winnowing document fingerprints (Schleimer et al. 2003, the MOSS
     # algorithm): 8-char-gram hashes, window w=4, each window selects
-    # its minimum (ties to the LEFTMOST position via the hash*2^20+pos
-    # encoding — deterministic on both engines); docs sharing >= 2
+    # its minimum (ties to the LEFTMOST position via the hash*2^30+pos
+    # encoding (32-bit hash + 30-bit position = 62 bits, so documents
+    # up to ~1e9 chars keep exact fingerprints) — deterministic on both engines); docs sharing >= 2
     # selected fingerprints are plagiarism-style overlap candidates.
     # The gram hash is the portable sha256-prefix integer. Fingerprints
     # present in more than 64 documents are dropped before pairing —
@@ -13100,7 +13120,7 @@ register(
     pos AS (
       SELECT doc_id, i,
              ('0x' || substr(sha256(substr(txt, i, 8)), 1, 8))::UBIGINT
-               * 1048576 + i AS enc
+               * 1073741824 + i AS enc
       FROM ch, (SELECT unnest(range(1, (SELECT MAX(len(txt)) FROM ch) + 1)) AS i) g
       WHERE i <= len(txt) - 7
     ),
@@ -13108,7 +13128,7 @@ register(
       SELECT DISTINCT doc_id,
              CAST(MIN(enc) OVER (PARTITION BY doc_id ORDER BY i
                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-                  // 1048576 AS BIGINT) AS fp
+                  // 1073741824 AS BIGINT) AS fp
       FROM pos QUALIFY i >= 4
     ),
     dfc AS (SELECT fp FROM sel0 GROUP BY fp HAVING COUNT(*) <= 64),
@@ -13168,7 +13188,7 @@ def _dwinnowing(spark, sf_dir):
                     16,
                     10,
                 ).cast("bigint")
-                * 1048576
+                * 1073741824
                 + F.col("i")
             ).alias("enc"),
         )
@@ -13177,7 +13197,7 @@ def _dwinnowing(spark, sf_dir):
     sel0 = (
         pos.withColumn("__m", F.min("enc").over(wnd))
         .filter(F.col("i") >= 4)
-        .select("doc_id", (F.col("__m") / 1048576).cast("long").alias("fp"))
+        .select("doc_id", (F.col("__m") / 1073741824).cast("long").alias("fp"))
         .distinct()
     )
     dfc = sel0.groupBy("fp").agg(F.count("*").alias("__df")).filter(

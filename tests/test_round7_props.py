@@ -40,19 +40,19 @@ def _sha_prefix_int(data: str) -> int:
 
 def test_winnowing_matches_python_reference(spark, docs):
     """Full third implementation of winnowing (k=8 char grams, w=4,
-    leftmost-min per window via the hash*2^20+pos encoding) down to the
+    leftmost-min per window via the hash*2^30+pos encoding) down to the
     top-20 overlap pairs with identical tie-breaks."""
     fps = {}
     for doc_id, text in docs:
         txt = text.strip().lower()
         n = len(txt)
         enc = [
-            _sha_prefix_int(txt[i : i + 8]) * 1048576 + (i + 1)
+            _sha_prefix_int(txt[i : i + 8]) * 1073741824 + (i + 1)
             for i in range(0, n - 7)
         ]
         sel = set()
         for end in range(3, len(enc)):  # windows of 4 ending at pos>=4
-            sel.add(min(enc[end - 3 : end + 1]) // 1048576)
+            sel.add(min(enc[end - 3 : end + 1]) // 1073741824)
         if sel:
             fps[doc_id] = sel
     # boilerplate suppression: drop fingerprints present in > 64 docs
