@@ -14924,6 +14924,658 @@ CATALOG["w7_positional_window_bundle"].fn = _dw7
 
 
 # ===========================================================================
+# round-7 third wave: statistical inference in exact relational algebra
+# ===========================================================================
+# Chi-square independence, one-way ANOVA, a two-proportion A/B z-test,
+# and a Pearson correlation matrix — the hypothesis-testing tier every
+# analytics engine ships (ref data_enhancement.py's grouped stats are
+# the descriptive half; these are the inferential half). Every statistic
+# reduces to ratios of exact integer/decimal moments, so the oracles are
+# bit-exact: counts stay BIGINT, money goes through cents, float sums
+# over group terms use the floor(x+0.5) integer-unit trick, and the one
+# libm call (ln) follows the 6-dp micro-nat convention.
+
+register(
+    "ml_chi_square_mktseg_priority",
+    # chi-square test of independence between customer market segment
+    # and order priority: observed cell counts, expected = row*col/N,
+    # per-cell chi2 term. Marginals come from partitioned window sums
+    # over the 25-cell aggregate; N is a 1-row broadcast scalar.
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    obs AS (
+      SELECT segment, priority, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM j GROUP BY segment, priority
+    ),
+    cells AS (
+      SELECT segment, priority, observed,
+             CAST(SUM(observed) OVER (PARTITION BY segment) AS BIGINT) AS row_t,
+             CAST(SUM(observed) OVER (PARTITION BY priority) AS BIGINT) AS col_t
+      FROM obs
+    ),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs)
+    SELECT segment, priority, observed,
+           round(CAST(row_t AS DOUBLE) * col_t / n, 6) AS expected,
+           round((observed - CAST(row_t AS DOUBLE) * col_t / n)
+                 * (observed - CAST(row_t AS DOUBLE) * col_t / n)
+                 / (CAST(row_t AS DOUBLE) * col_t / n), 6) AS chi2_term
+    FROM cells, tot
+    """,
+)
+
+
+def _dchisq(spark, sf_dir):
+    """Chi-square independence (segment x priority): one fact-side
+    aggregate to the 25-cell contingency table, marginals via window
+    sums partitioned by each axis (the cell frame is |segments| x
+    |priorities| — bounded), N as a 1-row broadcast. At 100 TB only
+    the first groupBy touches the fact table; everything after runs on
+    the tiny cell frame."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").cast("long").alias("observed"))
+    )
+    tot = obs.agg(F.sum("observed").cast("long").alias("__n"))
+    cells = obs.select(
+        "segment",
+        "priority",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("segment")).cast("long").alias("row_t"),
+        F.sum("observed").over(Window.partitionBy("priority")).cast("long").alias("col_t"),
+    )
+    e = F.col("row_t").cast("double") * F.col("col_t") / F.col("__n")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "priority",
+        "observed",
+        F.round(e, 6).alias("expected"),
+        F.round((F.col("observed") - e) * (F.col("observed") - e) / e, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+CATALOG["ml_chi_square_mktseg_priority"].fn = _dchisq
+
+register(
+    "ml_anova_price_by_segment",
+    # one-way ANOVA of order value across market segments: within/
+    # between sums of squares from exact cents moments (sumsq through
+    # HUGEINT/DECIMAL(38)), per-group float terms rounded to integer
+    # dollars-squared before the cross-group sum (order-independent),
+    # F = (SSB/(k-1))/(SSW/(n-k)).
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(cents) AS BIGINT) AS s_g,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS ss_g
+      FROM j GROUP BY segment
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ),
+    terms AS (
+      SELECT CAST(FLOOR((ss_g - CAST(s_g AS DOUBLE) * s_g / n_g) / 10000.0 + 0.5)
+                  AS BIGINT) AS ssw_u,
+             CAST(FLOOR(n_g
+                        * ((CAST(s_g AS DOUBLE) / n_g - CAST(tot.s AS DOUBLE) / tot.n) / 100.0)
+                        * ((CAST(s_g AS DOUBLE) / n_g - CAST(tot.s AS DOUBLE) / tot.n) / 100.0)
+                        + 0.5) AS BIGINT) AS ssb_u,
+             tot.n AS n, tot.k AS k
+      FROM g, tot
+    )
+    SELECT CAST(SUM(ssb_u) AS DOUBLE) AS ss_between,
+           CAST(SUM(ssw_u) AS DOUBLE) AS ss_within,
+           CAST(MAX(k) - 1 AS BIGINT) AS df_between,
+           CAST(MAX(n) - MAX(k) AS BIGINT) AS df_within,
+           round((CAST(SUM(ssb_u) AS DOUBLE) / (MAX(k) - 1))
+                 / (CAST(SUM(ssw_u) AS DOUBLE) / (MAX(n) - MAX(k))), 6) AS f_stat
+    FROM terms
+    """,
+)
+
+
+def _danova(spark, sf_dir):
+    """One-way ANOVA (order value by segment): the fact table reduces
+    to one exact moment row per segment (n, sum, sumsq in cents); the
+    grand totals are a second 5-row aggregate broadcast back; the
+    per-group SS terms round to integer dollars-squared so the final
+    cross-group sums are order-independent BIGINT adds. The only
+    full-data pass is the first groupBy."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("long")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), cents.alias("cents")
+    )
+    g = j.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("cents").cast("long").alias("s_g"),
+        F.sum(F.col("cents").cast("decimal(18,0)") * F.col("cents").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("ss_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("__N"),
+        F.sum("s_g").cast("long").alias("__S"),
+        F.count("*").cast("long").alias("__K"),
+    )
+    dm = (
+        F.col("s_g").cast("double") / F.col("n_g")
+        - F.col("__S").cast("double") / F.col("__N")
+    ) / F.lit(100.0)
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (F.col("ss_g") - F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g"))
+            / F.lit(10000.0)
+            + 0.5
+        ).alias("ssw_u"),
+        F.floor(F.col("n_g") * dm * dm + 0.5).alias("ssb_u"),
+        F.col("__N").alias("n"),
+        F.col("__K").alias("k"),
+    )
+    return terms.agg(
+        F.sum("ssb_u").cast("double").alias("ss_between"),
+        F.sum("ssw_u").cast("double").alias("ss_within"),
+        (F.max("k") - 1).cast("long").alias("df_between"),
+        (F.max("n") - F.max("k")).cast("long").alias("df_within"),
+        F.round(
+            (F.sum("ssb_u").cast("double") / (F.max("k") - 1))
+            / (F.sum("ssw_u").cast("double") / (F.max("n") - F.max("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+CATALOG["ml_anova_price_by_segment"].fn = _danova
+
+register(
+    "ml_ab_conversion_ztest",
+    # two-proportion z-test: users split into arms by user_id parity,
+    # conversion = a purchase within 24h of the user's first activity
+    # (plain "ever purchased" saturates to 1.0 on active users and the
+    # pooled variance degenerates), pooled-variance z-score with a
+    # NULLIF guard. The test every experimentation platform runs; one
+    # per-user aggregate then a 2-row pivot — no scalar broadcast.
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts, event_type,
+             MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND ts <= first_ts + INTERVAL 24 HOUR
+                      THEN 1 ELSE 0 END) AS conv
+      FROM f GROUP BY user_id
+    ),
+    a AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM u GROUP BY arm
+    ),
+    p AS (
+      SELECT CAST(MAX(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n_a,
+             CAST(MAX(CASE WHEN arm = 0 THEN n_conv END) AS BIGINT) AS conv_a,
+             CAST(MAX(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n_b,
+             CAST(MAX(CASE WHEN arm = 1 THEN n_conv END) AS BIGINT) AS conv_b
+      FROM a
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+                 / sqrt(NULLIF((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                               * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                               * (1.0 / n_a + 1.0 / n_b), 0.0)), 6) AS z_score
+    FROM p
+    """,
+)
+
+
+def _dabz(spark, sf_dir):
+    """Two-proportion z-test over a deterministic user split: one
+    per-user shuffle (the same user_id key every per-user shape uses),
+    a 2-row arm aggregate, a conditional-max pivot to one row, and
+    identical IEEE arithmetic on both engines (sqrt is correctly
+    rounded, so only the 6-dp display rounding is needed)."""
+    ev = t(spark, sf_dir, "events")
+    first_ts = F.min("ts").over(Window.partitionBy("user_id"))
+    f = ev.select("user_id", "ts", "event_type", first_ts.alias("first_ts"))
+    u = f.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") <= F.col("first_ts") + F.expr("INTERVAL 24 HOURS")),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    a = u.groupBy((F.col("user_id") % 2).cast("long").alias("arm")).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    p = a.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).cast("long").alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_conv"))).cast("long").alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).cast("long").alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_conv"))).cast("long").alias("conv_b"),
+    )
+    prate = (
+        (F.col("conv_a") + F.col("conv_b")).cast("double")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return p.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(F.col("conv_a").cast("double") / F.col("n_a"), 6).alias("rate_a"),
+        F.round(F.col("conv_b").cast("double") / F.col("n_b"), 6).alias("rate_b"),
+        F.round(
+            (
+                F.col("conv_b").cast("double") / F.col("n_b")
+                - F.col("conv_a").cast("double") / F.col("n_a")
+            )
+            / F.sqrt(
+                F.nullif(
+                    prate
+                    * (F.lit(1.0) - prate)
+                    * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+CATALOG["ml_ab_conversion_ztest"].fn = _dabz
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    """round(r_ab, 6) from the moment row m — identical expression text
+    on both engines (see _dcorrmatrix)."""
+    return (
+        f"round((CAST(n AS DOUBLE) * s_{a}{b} - CAST(s_{a} AS DOUBLE) * s_{b})"
+        f" / sqrt((CAST(n AS DOUBLE) * s_{a}{a} - CAST(s_{a} AS DOUBLE) * s_{a})"
+        f" * (CAST(n AS DOUBLE) * s_{b}{b} - CAST(s_{b} AS DOUBLE) * s_{b})), 6)"
+    )
+
+
+_CORR_COLS = [("q", "quantity"), ("p", "price"), ("d", "discount"), ("t", "tax")]
+
+register(
+    "ml_corr_matrix_lineitem",
+    # pairwise Pearson correlation among quantity / extendedprice /
+    # discount / tax: ONE pass over the fact table collects all 14
+    # exact integer moments (sums and cross-products in hundredth
+    # units through HUGEINT); the 6 pair correlations unfold from that
+    # single row. The feature-screening matrix before any modeling.
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS u_q,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS u_p,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS u_d,
+             CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS u_t
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {", ".join(f"CAST(SUM(u_{k}) AS DOUBLE) AS s_{k}" for k, _ in _CORR_COLS)},
+             {", ".join(f"CAST(SUM(CAST(u_{a} AS HUGEINT) * u_{b}) AS DOUBLE) AS s_{a}{b}"
+                        for i, (a, _) in enumerate(_CORR_COLS)
+                        for b, _n in _CORR_COLS[i:])}
+      FROM c
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{an}' AS col_a, '{bn}' AS col_b, {_corr_pair_sql(a, b)} AS corr FROM m"
+        for i, (a, an) in enumerate(_CORR_COLS)
+        for b, bn in _CORR_COLS[i + 1:]
+    )}
+    """,
+)
+
+
+def _dcorrmatrix(spark, sf_dir):
+    """Pearson correlation matrix in one aggregate: all first and
+    second moments of the four measures (exact hundredth-unit integers
+    summed through DECIMAL(38)) collected in a single map-side-combine
+    pass, the six pairwise correlations computed on the 1-row moment
+    frame and unfolded with explode — no second scan, no join, no
+    window. The classic two-pass corr() is one pass here."""
+    li = t(spark, sf_dir, "lineitem")
+    src = {"q": "l_quantity", "p": "l_extendedprice", "d": "l_discount", "t": "l_tax"}
+    c = li.select(
+        *[
+            (F.col(col).cast(DEC) * 100).cast("long").alias(f"u_{k}")
+            for k, col in src.items()
+        ]
+    )
+    keys = [k for k, _ in _CORR_COLS]
+    aggs = [F.count("*").cast("long").alias("n")]
+    aggs += [
+        F.sum(F.col(f"u_{k}").cast("decimal(38,0)")).cast("double").alias(f"s_{k}")
+        for k in keys
+    ]
+    aggs += [
+        F.sum(
+            F.col(f"u_{a}").cast("decimal(18,0)") * F.col(f"u_{b}").cast("decimal(18,0)")
+        )
+        .cast("double")
+        .alias(f"s_{a}{b}")
+        for i, a in enumerate(keys)
+        for b in keys[i:]
+    ]
+    m = c.agg(*aggs)
+
+    def corr(a: str, b: str):
+        num = F.col("n").cast("double") * F.col(f"s_{a}{b}") - F.col(
+            f"s_{a}"
+        ).cast("double") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (
+                F.col("n").cast("double") * F.col(f"s_{a}{a}")
+                - F.col(f"s_{a}").cast("double") * F.col(f"s_{a}")
+            )
+            * (
+                F.col("n").cast("double") * F.col(f"s_{b}{b}")
+                - F.col(f"s_{b}").cast("double") * F.col(f"s_{b}")
+            )
+        )
+        return F.round(num / den, 6)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(an).alias("col_a"),
+                F.lit(bn).alias("col_b"),
+                corr(a, b).alias("corr"),
+            )
+            for i, (a, an) in enumerate(_CORR_COLS)
+            for b, bn in _CORR_COLS[i + 1 :]
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select("r.*")
+
+
+CATALOG["ml_corr_matrix_lineitem"].fn = _dcorrmatrix
+
+register(
+    "cust_revenue_gini",
+    # Gini coefficient of customer revenue concentration via the exact
+    # rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over cents —
+    # pure integers until the final division. The inequality headline
+    # behind every "whale customers" narrative.
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS DOUBLE) / 100 AS total_revenue,
+           round(2.0 * CAST(SUM(CAST(rn AS HUGEINT) * cents) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM r
+    """,
+)
+
+
+def _dgini(spark, sf_dir):
+    """Revenue Gini: the fact table reduces to one cents row per
+    customer; the rank is one ordered window over that per-customer
+    aggregate (customer-cardinality frame — the agg-bounded global
+    window the pareto/ntile family already uses); the coefficient
+    folds into a single final aggregate, exact until one division."""
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("long")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).cast("long").alias("cents"))
+    r = rev.select(
+        "cents", F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("rn")
+    )
+    return r.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        (F.sum("cents").cast("double") / 100).alias("total_revenue"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("rn").cast("decimal(38,0)") * F.col("cents")).cast("double")
+            / (F.count("*").cast("double") * F.sum("cents").cast("double"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+CATALOG["cust_revenue_gini"].fn = _dgini
+
+register(
+    "evt_theil_sen_daily_trend",
+    # Theil-Sen robust trend of daily event volume, banded: slopes are
+    # taken only between days at most 14 apart, generated by an
+    # explode-the-gap equi-join (never a quadratic inequality join —
+    # the full pairwise estimator is O(days^2); the banded variant is
+    # the scale-safe standard). Median of exact count ratios.
+    oracle="""
+    WITH days AS (
+      SELECT CAST(FLOOR(epoch(ts) / 86400.0) AS BIGINT) AS dn,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY dn
+    ),
+    pairs AS (
+      SELECT l.dn, k.k, l.y AS y1, r.y AS y2
+      FROM days l
+      CROSS JOIN (SELECT unnest(generate_series(1, 14)) AS k) k
+      JOIN days r ON r.dn = l.dn + k.k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(MEDIAN((y2 - y1) / CAST(k AS DOUBLE)), 6) AS theil_sen_slope
+    FROM pairs
+    """,
+)
+
+
+def _dtheilsen(spark, sf_dir):
+    """Banded Theil-Sen: daily counts (one fact aggregate), each day
+    exploded into 14 gap offsets, pairs formed by an equi-join on the
+    shifted day number — candidate generation is linear in days, the
+    join key is an integer, and the slope median is exact because the
+    slopes are ratios of exact integers. The 14-row explode mirrors
+    the DAU/WAU bounded fan-out convention."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).alias("dn")
+    ).agg(F.count("*").cast("long").alias("y"))
+    left = days.select(
+        F.col("dn"),
+        F.col("y").alias("y1"),
+        F.explode(F.sequence(F.lit(1), F.lit(14))).alias("k"),
+    ).withColumn("dn2", F.col("dn") + F.col("k"))
+    right = days.select(F.col("dn").alias("dn2"), F.col("y").alias("y2"))
+    pairs = left.join(right, "dn2")
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.median((F.col("y2") - F.col("y1")) / F.col("k").cast("double")), 6
+        ).alias("theil_sen_slope"),
+    )
+
+
+CATALOG["evt_theil_sen_daily_trend"].fn = _dtheilsen
+
+register(
+    "basket_brand_pair_lift",
+    # market-basket affinity between part brands co-occurring in one
+    # order: support, confidence-free lift = P(ab)/(P(a)P(b)) from
+    # exact counts, min-support pruned, top-20 by lift. Candidate
+    # pairs come from the orderkey equi-join of the per-order distinct
+    # brand set against itself (a < b) — baskets are small, so the
+    # pair space is bounded by sum(basket^2), never |orders|^2.
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM ob),
+    bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY b),
+    pc AS (
+      SELECT a.b AS brand_a, x.b AS brand_b, CAST(COUNT(*) AS BIGINT) AS pair_orders
+      FROM ob a JOIN ob x ON x.ok = a.ok AND a.b < x.b
+      GROUP BY a.b, x.b
+      HAVING COUNT(*) >= 5
+    )
+    SELECT pc.brand_a, pc.brand_b, pc.pair_orders,
+           round(CAST(pc.pair_orders AS DOUBLE) / nb.n, 6) AS support,
+           round(CAST(pc.pair_orders AS DOUBLE) * nb.n
+                 / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
+    FROM pc
+    JOIN bc ca ON ca.b = pc.brand_a
+    JOIN bc cb ON cb.b = pc.brand_b
+    CROSS JOIN nb
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+
+
+def _dbasketlift(spark, sf_dir):
+    """Brand-pair lift: the per-order distinct brand set self-joins on
+    orderkey (shuffle key is the order id; payloads are brand codes),
+    min-support HAVING prunes the tail before the marginals join in,
+    the order total is a 1-row broadcast, top-20 by lift is a
+    TakeOrdered. The a<b predicate halves the pair space and makes
+    each pair unique."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    nb = ob.agg(F.countDistinct("ok").cast("long").alias("__n"))
+    bc = ob.groupBy("b").agg(F.count("*").cast("long").alias("c"))
+    a, x = ob.alias("a"), ob.alias("x")
+    pc = (
+        a.join(x, (F.col("x.ok") == F.col("a.ok")) & (F.col("a.b") < F.col("x.b")))
+        .groupBy(F.col("a.b").alias("brand_a"), F.col("x.b").alias("brand_b"))
+        .agg(F.count("*").cast("long").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= 5)
+    )
+    ca = bc.withColumnsRenamed({"b": "brand_a", "c": "__ca"})
+    cb = bc.withColumnsRenamed({"b": "brand_b", "c": "__cb"})
+    return (
+        pc.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_orders",
+            F.round(F.col("pair_orders").cast("double") / F.col("__n"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("pair_orders").cast("double")
+                * F.col("__n")
+                / (F.col("__ca").cast("double") * F.col("__cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+CATALOG["basket_brand_pair_lift"].fn = _dbasketlift
+
+register(
+    "dq_outlier_iqr_fences",
+    # Tukey IQR fences per event type: exact-interpolation quartiles,
+    # 1.5*IQR fences, outlier counts and share — the robust
+    # complement to the z-score (m2) and MAD (evt_anomaly_mad)
+    # outlier families.
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           MAX(q.q1) AS q1, MAX(q.q3) AS q3,
+           MAX(q.q1 - 1.5 * (q.q3 - q.q1)) AS lo_fence,
+           MAX(q.q3 + 1.5 * (q.q3 - q.q1)) AS hi_fence,
+           CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           round(CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                                 OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS outlier_share
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+
+
+def _diqr(spark, sf_dir):
+    """IQR fence audit: quartiles per type (one aggregate to a
+    |event_types|-row frame), broadcast back onto the stream, one
+    conditional-count pass. Identical interpolation on both engines
+    (F.percentile == quantile_cont), identical fence arithmetic."""
+    ev = t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("__q1"),
+        F.percentile("value", F.lit(0.75)).alias("__q3"),
+    )
+    lo = F.col("__q1") - 1.5 * (F.col("__q3") - F.col("__q1"))
+    hi = F.col("__q3") + 1.5 * (F.col("__q3") - F.col("__q1"))
+    out = F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0)
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("__q1").alias("q1"),
+            F.max("__q3").alias("q3"),
+            F.max(lo).alias("lo_fence"),
+            F.max(hi).alias("hi_fence"),
+            F.sum(out).cast("long").alias("n_outliers"),
+            F.count("*").cast("long").alias("n_total"),
+            F.round(F.sum(out).cast("double") / F.count("*"), 6).alias(
+                "outlier_share"
+            ),
+        )
+    )
+
+
+CATALOG["dq_outlier_iqr_fences"].fn = _diqr
+
+
+# ===========================================================================
 # catalog ordering: the driver's evidence window
 # ===========================================================================
 # The correctness driver samples the FIRST 50 catalog entries each round.

@@ -133,6 +133,9 @@ _SCALAR_BROADCAST_OK = {
     "supplier_pareto_report",      # 1-row revenue-total scalar
     "doc_token_burstiness",        # 1-row corpus doc-count scalar
     "evt_user_ltv_deciles",        # 1-row purchase-total scalar
+    "ml_chi_square_mktseg_priority",  # 1-row contingency-total scalar
+    "ml_anova_price_by_segment",   # 1-row grand-moment scalar (N, S, k)
+    "basket_brand_pair_lift",      # 1-row order-total scalar (lift denominator)
 }
 
 
@@ -149,6 +152,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "cust_rfm_segmentation",       # ntile windows over the per-customer aggregate
     "supplier_pareto_report",      # ranked running share over the per-supplier aggregate
     "evt_user_ltv_deciles",        # ntile over the per-user purchase aggregate
+    "cust_revenue_gini",           # ranked sum over the per-customer aggregate
 }
 
 
