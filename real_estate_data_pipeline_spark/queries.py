@@ -12304,10 +12304,12 @@ def _dlocalcc(spark, sf_dir):
 CATALOG["graph_local_clustering_topk"].fn = _dlocalcc
 
 
-def _label_prop_oracle(rounds: int = 3) -> str:
-    """Unrolled synchronous min-label propagation: l0 = own id, each
-    round takes the min of own and neighbor labels — fully
-    deterministic (no tie-break randomness), so exactly oracle-able."""
+def _label_prop_cte(rounds: int = 3) -> tuple[str, str]:
+    """(WITH-body, final-label-table-name) for unrolled synchronous
+    min-label propagation: l0 = own id, each round takes the min of
+    own and neighbor labels — fully deterministic (no tie-break
+    randomness), so exactly oracle-able. Shared by the community-size
+    query and the cluster-purity query."""
     prev = "l0"
     iters = []
     for r in range(1, rounds + 1):
@@ -12322,14 +12324,20 @@ def _label_prop_oracle(rounds: int = 3) -> str:
       FROM {prev} p LEFT JOIN nm{r} ON nm{r}.node = p.node
     )""")
         prev = f"l{r}"
-    return f"""
-    WITH pairs AS ({_minhash_portable_oracle()}),
+    body = f"""pairs AS ({_minhash_portable_oracle()}),
     {_DUP_EDGE_CTE},
     nodes AS (SELECT DISTINCT s AS node FROM edges),
-    l0 AS (SELECT node, node AS lbl FROM nodes){"".join(iters)}
+    l0 AS (SELECT node, node AS lbl FROM nodes){"".join(iters)}"""
+    return body, prev
+
+
+def _label_prop_oracle(rounds: int = 3) -> str:
+    body, final = _label_prop_cte(rounds)
+    return f"""
+    WITH {body}
     SELECT CAST(lbl AS BIGINT) AS community,
            CAST(COUNT(*) AS BIGINT) AS n_members
-    FROM {prev}
+    FROM {final}
     GROUP BY lbl
     ORDER BY n_members DESC, community
     LIMIT 20
@@ -12339,20 +12347,21 @@ def _label_prop_oracle(rounds: int = 3) -> str:
 register("graph_label_propagation_communities", oracle=_label_prop_oracle())
 
 
-def _dlabelprop(spark, sf_dir):
-    """Synchronous min-label propagation (3 rounds) over the near-dup
-    graph — the deterministic community-detection variant (the classic
-    random-tie LPA is not reproducible across engines; min-label is,
-    and converges to connected components in diameter rounds). Each
-    round is one neighbor-min aggregate + one left join; each round's
-    label frame is localCheckpoint'ed per the iterative-op convention,
-    so executed plan depth is constant in the round count."""
+def _min_label_frames(spark, sf_dir, rounds: int = 3):
+    """Final (node, lbl) frame of synchronous min-label propagation
+    over the near-dup graph — the deterministic community-detection
+    variant (the classic random-tie LPA is not reproducible across
+    engines; min-label is, and converges to connected components in
+    diameter rounds). Each round is one neighbor-min aggregate + one
+    left join; each round's label frame is localCheckpoint'ed per the
+    iterative-op convention, so executed plan depth is constant in
+    the round count."""
     _, edges = _dup_pairs_edges(spark, sf_dir)
     edges = edges.persist()
     try:
         nodes = edges.select(F.col("s").alias("node")).distinct()
         lbl = nodes.select("node", F.col("node").alias("lbl"))
-        for _ in range(3):
+        for _ in range(rounds):
             nm = (
                 edges.join(
                     lbl.withColumnsRenamed({"node": "s", "lbl": "__l"}), "s"
@@ -12370,14 +12379,21 @@ def _dlabelprop(spark, sf_dir):
                 )
                 .localCheckpoint(eager=True)
             )
-        return (
-            lbl.groupBy(F.col("lbl").cast("long").alias("community"))
-            .agg(F.count("*").cast("long").alias("n_members"))
-            .orderBy(F.desc("n_members"), "community")
-            .limit(20)
-        )
+        return lbl
     finally:
         edges.unpersist()
+
+
+def _dlabelprop(spark, sf_dir):
+    """Community sizes from 3-round min-label propagation (see
+    _min_label_frames); top-20 by size, deterministic ties."""
+    lbl = _min_label_frames(spark, sf_dir, rounds=3)
+    return (
+        lbl.groupBy(F.col("lbl").cast("long").alias("community"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
 
 
 CATALOG["graph_label_propagation_communities"].fn = _dlabelprop
@@ -15573,6 +15589,602 @@ def _diqr(spark, sf_dir):
 
 
 CATALOG["dq_outlier_iqr_fences"].fn = _diqr
+
+register(
+    "graph_degree_assortativity",
+    # degree assortativity of the near-dup graph: Pearson correlation
+    # of endpoint degrees over all directed edges — positive means
+    # template families clump with each other, negative means hubs
+    # attach to leaves. Exact integer moments, one rounded division.
+    oracle=f"""
+    WITH pairs AS ({_minhash_portable_oracle()}),
+    {_DUP_EDGE_CTE},
+    e2 AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM edges e
+      JOIN deg da ON da.node = e.s
+      JOIN deg db ON db.node = e.d
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM e2
+    )
+    SELECT n AS n_directed_edges,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt(NULLIF((CAST(n AS DOUBLE) * sxx - sx * sx)
+                               * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0)), 6)
+             AS degree_assortativity
+    FROM m
+    """,
+)
+
+
+def _dassort(spark, sf_dir):
+    """Degree assortativity: the degree table joins onto both edge
+    endpoints (id-keyed equi-joins, id payloads), then one moment
+    aggregate — the same exact-integer Pearson recipe as the corr
+    matrix, on graph structure instead of measures."""
+    _, edges = _dup_pairs_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    da = deg.withColumnsRenamed({"node": "s", "deg": "x"})
+    db = deg.withColumnsRenamed({"node": "d", "deg": "y"})
+    e2 = edges.join(da, "s").join(db, "d").select("x", "y")
+    m = e2.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(18,0)") * F.col("y").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                F.nullif(
+                    (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (nd * F.col("syy") - F.col("sy") * F.col("sy")),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("degree_assortativity"),
+    )
+
+
+CATALOG["graph_degree_assortativity"].fn = _dassort
+
+
+def _kcore_oracle(rounds: int = 3, k: int = 2) -> str:
+    """Unrolled k-core peeling: each round drops nodes with degree < k
+    and keeps only edges between survivors — fully deterministic."""
+    cte = []
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        cte.append(f""",
+    d{r} AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT id_a AS node FROM {prev} UNION ALL SELECT id_b FROM {prev})
+      GROUP BY node
+    ),
+    k{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+    e{r} AS (
+      SELECT e.id_a, e.id_b FROM {prev} e
+      JOIN k{r} a ON a.node = e.id_a
+      JOIN k{r} b ON b.node = e.id_b
+    )""")
+        prev = f"e{r}"
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS peel_round,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM k{r}) AS nodes_ge_k,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS edges_kept"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH pairs AS ({_minhash_portable_oracle()}),
+    e0 AS (SELECT id_a, id_b FROM pairs){"".join(cte)}
+    {rows}
+    """
+
+
+register("graph_kcore_peel_rounds", oracle=_kcore_oracle())
+
+
+def _dkcore(spark, sf_dir):
+    """k-core decomposition (k=2, 3 peel rounds) of the near-dup
+    graph: each round is one degree aggregate + two semi-join-shaped
+    equi-joins onto the survivor set; the surviving edge frame is
+    localCheckpoint'ed per round (the iterative-frame convention) so
+    executed plan depth stays constant in the round count. The core
+    sizes separate deeply-templated duplicate mass from incidental
+    pairs."""
+    pairs, _ = _dup_pairs_edges(spark, sf_dir)
+    e = pairs
+    out = []
+    for r in range(1, 4):
+        both = e.select(F.col("id_a").alias("node")).unionByName(
+            e.select(F.col("id_b").alias("node"))
+        )
+        keep = (
+            both.groupBy("node")
+            .agg(F.count("*").cast("long").alias("__deg"))
+            .filter(F.col("__deg") >= 2)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "id_a"), "id_a")
+            .join(keep.withColumnRenamed("node", "id_b"), "id_b")
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=False)
+        )
+        stats = (
+            keep.agg(F.count("*").cast("long").alias("nodes_ge_k"))
+            .crossJoin(
+                F.broadcast(e.agg(F.count("*").cast("long").alias("edges_kept")))
+            )
+            .select(
+                F.lit(r).cast("long").alias("peel_round"),
+                "nodes_ge_k",
+                "edges_kept",
+            )
+        )
+        out.append(stats)
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return res
+
+
+CATALOG["graph_kcore_peel_rounds"].fn = _dkcore
+
+register(
+    "evt_session_path_trigrams",
+    # sequence-pattern mining: the 20 most common 3-step event-type
+    # paths inside gap sessions (the same 30-min sessionization the
+    # batch/streaming session queries use). LEAD twice within the
+    # session window; NULL tails drop out via concat's NULL
+    # propagation on both engines.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    tri AS (
+      SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+                        || '>' || LEAD(event_type, 2) OVER w2 AS path
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM tri WHERE path IS NOT NULL
+    GROUP BY path ORDER BY n_paths DESC, path LIMIT 20
+    """,
+)
+
+
+def _dpathtri(spark, sf_dir):
+    """Top session path trigrams: gaps-and-islands sessionization
+    (user-partitioned windows), two LEADs inside the session window,
+    one count shuffle on the path string, TakeOrdered top-20 — the
+    navigation-pattern miner over the same session definition the
+    rest of the engine uses."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    flagged = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(wsum))
+    w2 = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    path = F.concat(
+        F.col("event_type"),
+        F.lit(">"),
+        F.lead("event_type", 1).over(w2),
+        F.lit(">"),
+        F.lead("event_type", 2).over(w2),
+    )
+    return (
+        sess.select(path.alias("path"))
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(20)
+    )
+
+
+CATALOG["evt_session_path_trigrams"].fn = _dpathtri
+
+register(
+    "evt_survival_km_weekly",
+    # Kaplan-Meier user-retention curve at weekly resolution with
+    # right-censoring: lifetime = last minus first activity, censored
+    # if the user was still active within 7 days of the dataset
+    # horizon. S(w) = prod(1 - d_j/n_j) via the micro-nat ln-sum
+    # convention; extinction (d_j = n_j) pins survival to exactly 0.
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(ts) AS fts, MAX(ts) AS lts FROM events GROUP BY user_id
+    ),
+    h AS (SELECT MAX(lts) AS hmax FROM u),
+    lt AS (
+      SELECT CAST(FLOOR((FLOOR(epoch(lts)) - FLOOR(epoch(fts))) / 604800.0)
+                  AS BIGINT) AS wk,
+             CASE WHEN FLOOR(epoch(hmax)) - FLOOR(epoch(lts)) < 604800
+                  THEN 1 ELSE 0 END AS censored
+      FROM u, h
+    ),
+    g AS (
+      SELECT wk, censored, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lt GROUP BY wk, censored
+    ),
+    tab AS (
+      SELECT w.w,
+             CAST(SUM(CASE WHEN g.wk >= w.w - 1 THEN g.c ELSE 0 END) AS BIGINT)
+               AS at_risk,
+             CAST(SUM(CASE WHEN g.wk = w.w - 1 AND g.censored = 0 THEN g.c
+                           ELSE 0 END) AS BIGINT) AS deaths
+      FROM (SELECT unnest(generate_series(1, 4)) AS w) w
+      CROSS JOIN g GROUP BY w.w
+    ),
+    km AS (
+      SELECT w, at_risk, deaths,
+             CASE WHEN deaths >= at_risk THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round(round(ln(1.0 - CAST(deaths AS DOUBLE) / at_risk), 6)
+                                  * 1000000) AS BIGINT) END AS t6,
+             CASE WHEN deaths >= at_risk THEN 1 ELSE 0 END AS ext
+      FROM tab
+    )
+    SELECT w AS week, at_risk, deaths,
+           CASE WHEN MAX(ext) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE round(exp(CAST(SUM(t6) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
+                                    AS DOUBLE) / 1000000), 6) END AS survival
+    FROM km
+    """,
+)
+
+
+def _dkmweekly(spark, sf_dir):
+    """Weekly Kaplan-Meier retention: one per-user aggregate, a 1-row
+    horizon broadcast, a grouped life table (weeks x censored — a
+    bounded frame), the 4-week interval grid broadcast across it, and
+    a running micro-nat sum over the 4-row table. Everything after
+    the first aggregate runs on frames bounded by the calendar."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("fts"), F.max("ts").alias("lts"))
+    h = u.agg(F.max("lts").alias("hmax"))
+    lt = u.crossJoin(F.broadcast(h)).select(
+        F.floor(
+            (F.unix_timestamp("lts") - F.unix_timestamp("fts")) / F.lit(604800.0)
+        ).alias("wk"),
+        F.when(
+            F.unix_timestamp("hmax") - F.unix_timestamp("lts") < 604800, 1
+        ).otherwise(0).alias("censored"),
+    )
+    g = lt.groupBy("wk", "censored").agg(F.count("*").cast("long").alias("c"))
+    wx = spark.range(1, 5).select(F.col("id").alias("w"))
+    tab = (
+        g.crossJoin(F.broadcast(wx))
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("wk") >= F.col("w") - 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("at_risk"),
+            F.sum(
+                F.when(
+                    (F.col("wk") == F.col("w") - 1) & (F.col("censored") == 0),
+                    F.col("c"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("deaths"),
+        )
+    )
+    km = tab.select(
+        "w",
+        "at_risk",
+        "deaths",
+        F.when(F.col("deaths") >= F.col("at_risk"), F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                F.round(
+                    F.log(F.lit(1.0) - F.col("deaths").cast("double") / F.col("at_risk")),
+                    6,
+                )
+                * F.lit(1000000.0)
+            ).cast("bigint")
+        )
+        .alias("t6"),
+        F.when(F.col("deaths") >= F.col("at_risk"), 1).otherwise(0).alias("ext"),
+    )
+    wrun = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return km.select(
+        F.col("w").alias("week"),
+        "at_risk",
+        "deaths",
+        F.when(F.max("ext").over(wrun) == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("t6").over(wrun).cast("double") / F.lit(1000000)), 6)
+        )
+        .alias("survival"),
+    )
+
+
+CATALOG["evt_survival_km_weekly"].fn = _dkmweekly
+
+register(
+    "orders_open_by_day_sweepline",
+    # concurrent open orders per day via the sweep-line trick: +1 at
+    # order date, -1 the day after the last shipment, prefix-summed —
+    # the interval-stabbing count WITHOUT a day-x-interval range join
+    # (which is quadratic at 100 TB; the delta encoding is linear and
+    # the running sum is over the bounded calendar-day aggregate).
+    oracle="""
+    WITH close AS (
+      SELECT l_orderkey AS ok, MAX(l_shipdate) AS close_ts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    iv AS (
+      SELECT CAST(FLOOR(epoch(o.o_orderdate) / 86400.0) AS BIGINT) AS d_open,
+             CAST(FLOOR(epoch(c.close_ts) / 86400.0) AS BIGINT) AS d_close
+      FROM orders o JOIN close c ON c.ok = o.o_orderkey
+    ),
+    delta AS (
+      SELECT d_open AS dn, CAST(1 AS BIGINT) AS dl FROM iv
+      UNION ALL
+      SELECT d_close + 1, CAST(-1 AS BIGINT) FROM iv
+    ),
+    daily AS (SELECT dn, CAST(SUM(dl) AS BIGINT) AS net FROM delta GROUP BY dn)
+    SELECT dn AS day_num, net AS net_change,
+           CAST(SUM(net) OVER (ORDER BY dn ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+
+
+def _dsweepline(spark, sf_dir):
+    """Open orders per day, sweep-line: per-order close date (one
+    lineitem aggregate), two delta rows per order, a day-keyed sum,
+    and one running sum over the calendar-day frame. The classic
+    interval-count rewrite that replaces an O(days x orders) range
+    join with O(orders) deltas."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    close = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("l_shipdate").alias("close_ts")
+    )
+    iv = o.join(close, o.o_orderkey == close.ok).select(
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400.0)).alias("d_open"),
+        F.floor(F.unix_timestamp("close_ts") / F.lit(86400.0)).alias("d_close"),
+    )
+    delta = iv.select(
+        F.col("d_open").alias("dn"), F.lit(1).cast("long").alias("dl")
+    ).unionByName(
+        iv.select((F.col("d_close") + 1).alias("dn"), F.lit(-1).cast("long").alias("dl"))
+    )
+    daily = delta.groupBy("dn").agg(F.sum("dl").cast("long").alias("net"))
+    wrun = Window.orderBy("dn").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("dn").alias("day_num"),
+        F.col("net").alias("net_change"),
+        F.sum("net").over(wrun).cast("long").alias("open_orders"),
+    )
+
+
+CATALOG["orders_open_by_day_sweepline"].fn = _dsweepline
+
+register(
+    "doc_dsir_importance_weights",
+    # DSIR-style importance weighting (Xie et al. 2023, "Data
+    # Selection for Language Models via Importance Resampling"): score
+    # every document by its unigram log-likelihood ratio under the
+    # target distribution (here: the English subcorpus) vs the raw
+    # distribution, both Laplace-smoothed over the shared vocabulary.
+    # The per-token log ratios are micro-nat integers, so per-doc
+    # weights are exact integer dot products; top-20 selection.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, tok
+    ),
+    rawc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY tok),
+    tgtc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM tok WHERE lang = 'en' GROUP BY tok
+    ),
+    tots AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tr,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      FROM tok
+    ),
+    lr AS (
+      SELECT r.tok,
+             CAST(round(round(ln((COALESCE(t.ct, 0) + 1.0) / (tots.tt + tots.v)), 6)
+                        * 1000000) AS BIGINT)
+             - CAST(round(round(ln((r.cr + 1.0) / (tots.tr + tots.v)), 6)
+                          * 1000000) AS BIGINT) AS lr6
+      FROM rawc r LEFT JOIN tgtc t ON t.tok = r.tok, tots
+    ),
+    wd AS (
+      SELECT c.doc_id, CAST(SUM(c.c * lr.lr6) AS BIGINT) AS w6,
+             CAST(SUM(c.c) AS BIGINT) AS n_tokens
+      FROM cnt c JOIN lr ON lr.tok = c.tok GROUP BY c.doc_id
+    )
+    SELECT d.doc_id, d.lang, wd.n_tokens,
+           round(CAST(wd.w6 AS DOUBLE) / 1000000, 6) AS dsir_weight
+    FROM wd JOIN documents d ON d.doc_id = wd.doc_id
+    ORDER BY dsir_weight DESC, d.doc_id LIMIT 20
+    """,
+)
+
+
+def _ddsir(spark, sf_dir):
+    """DSIR importance weights: per-(doc, token) counts and the two
+    corpus-level unigram tables come from ONE tokenize pass; the
+    log-ratio table is token-keyed (shuffles carry tokens and small
+    integers, never text); per-doc weights are exact BIGINT dot
+    products via the micro-nat convention; top-20 is a TakeOrdered.
+    The selection step of a quality-targeted pretraining pipeline."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
+    )
+    tok = d.select("doc_id", "lang", F.explode(tk).alias("tok"))
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("c"))
+    rawc = tok.groupBy("tok").agg(F.count("*").cast("long").alias("cr"))
+    tgtc = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    tots = tok.agg(
+        F.count("*").cast("long").alias("__tr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("__tt"),
+        F.countDistinct("tok").cast("long").alias("__v"),
+    )
+
+    def _micro(x):
+        return F.round(F.round(F.log(x), 6) * F.lit(1000000.0)).cast("bigint")
+
+    lr = (
+        rawc.join(tgtc, "tok", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "tok",
+            (
+                _micro(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("__tt") + F.col("__v"))
+                )
+                - _micro((F.col("cr") + F.lit(1.0)) / (F.col("__tr") + F.col("__v")))
+            ).alias("lr6"),
+        )
+    )
+    wd = (
+        cnt.join(lr, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("lr6")).cast("long").alias("w6"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        wd.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(F.col("w6").cast("double") / F.lit(1000000), 6).alias(
+                "dsir_weight"
+            ),
+        )
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(20)
+    )
+
+
+CATALOG["doc_dsir_importance_weights"].fn = _ddsir
+
+register(
+    "doc_cluster_source_purity",
+    # external validation of the near-dup communities: per community,
+    # the majority source and its share — high purity means duplicate
+    # families live inside one crawl source (boilerplate), low purity
+    # means cross-source syndication. Composes the min-label
+    # propagation frames with the documents dimension.
+    oracle=f"""
+    WITH {_label_prop_cte(3)[0]},
+    m AS (
+      SELECT l.lbl AS comm, d.source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {_label_prop_cte(3)[1]} l JOIN documents d ON d.doc_id = l.node
+      GROUP BY l.lbl, d.source
+    ),
+    tot AS (SELECT comm, CAST(SUM(c) AS BIGINT) AS n_members FROM m GROUP BY comm),
+    top AS (
+      SELECT comm, source, c,
+             ROW_NUMBER() OVER (PARTITION BY comm ORDER BY c DESC, source) AS rn
+      FROM m
+    )
+    SELECT CAST(t.comm AS BIGINT) AS community, tot.n_members,
+           t.source AS majority_source,
+           round(CAST(t.c AS DOUBLE) / tot.n_members, 6) AS purity
+    FROM top t JOIN tot ON tot.comm = t.comm
+    WHERE t.rn = 1
+    ORDER BY tot.n_members DESC, community LIMIT 20
+    """,
+)
+
+
+def _dclusterpurity(spark, sf_dir):
+    """Cluster-source purity: the propagated label frame joins the
+    documents dimension on doc id, one (community, source) count, a
+    per-community argmax via the partitioned rank window, top-20 by
+    community size. All shuffle keys are ids/labels."""
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "source"
+    )
+    lbl = _min_label_frames(spark, sf_dir, rounds=3)
+    m = (
+        lbl.join(d, "node")
+        .groupBy(F.col("lbl").alias("comm"), "source")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = m.groupBy("comm").agg(F.sum("c").cast("long").alias("n_members"))
+    w = Window.partitionBy("comm").orderBy(F.desc("c"), "source")
+    top = m.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        top.join(tot, "comm")
+        .select(
+            F.col("comm").cast("long").alias("community"),
+            "n_members",
+            F.col("source").alias("majority_source"),
+            F.round(F.col("c").cast("double") / F.col("n_members"), 6).alias(
+                "purity"
+            ),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+
+
+CATALOG["doc_cluster_source_purity"].fn = _dclusterpurity
 
 
 # ===========================================================================

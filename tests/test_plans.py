@@ -136,6 +136,9 @@ _SCALAR_BROADCAST_OK = {
     "ml_chi_square_mktseg_priority",  # 1-row contingency-total scalar
     "ml_anova_price_by_segment",   # 1-row grand-moment scalar (N, S, k)
     "basket_brand_pair_lift",      # 1-row order-total scalar (lift denominator)
+    "graph_kcore_peel_rounds",     # 1x1 join of per-round node/edge count rows
+    "evt_survival_km_weekly",      # 1-row horizon scalar + 4-row week grid
+    "doc_dsir_importance_weights",  # 1-row token-total/vocab scalar
 }
 
 
@@ -153,6 +156,8 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "supplier_pareto_report",      # ranked running share over the per-supplier aggregate
     "evt_user_ltv_deciles",        # ntile over the per-user purchase aggregate
     "cust_revenue_gini",           # ranked sum over the per-customer aggregate
+    "evt_survival_km_weekly",      # running product over the 4-row week table
+    "orders_open_by_day_sweepline",  # prefix sum over the calendar-day aggregate
 }
 
 
