@@ -16001,17 +16001,9 @@ def _dsweepline(spark, sf_dir):
 
 CATALOG["orders_open_by_day_sweepline"].fn = _dsweepline
 
-register(
-    "doc_dsir_importance_weights",
-    # DSIR-style importance weighting (Xie et al. 2023, "Data
-    # Selection for Language Models via Importance Resampling"): score
-    # every document by its unigram log-likelihood ratio under the
-    # target distribution (here: the English subcorpus) vs the raw
-    # distribution, both Laplace-smoothed over the shared vocabulary.
-    # The per-token log ratios are micro-nat integers, so per-doc
-    # weights are exact integer dot products; top-20 selection.
-    oracle="""
-    WITH tok AS (
+# Shared DSIR CTE body (tok -> per-doc weight table wd) — used by the
+# corpus-wide top-k selection AND the per-source budgeted selection.
+_DSIR_CTE = """tok AS (
       SELECT doc_id, lang,
              unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                                 x -> x <> '')) AS tok
@@ -16044,7 +16036,19 @@ register(
       SELECT c.doc_id, CAST(SUM(c.c * lr.lr6) AS BIGINT) AS w6,
              CAST(SUM(c.c) AS BIGINT) AS n_tokens
       FROM cnt c JOIN lr ON lr.tok = c.tok GROUP BY c.doc_id
-    )
+    )"""
+
+register(
+    "doc_dsir_importance_weights",
+    # DSIR-style importance weighting (Xie et al. 2023, "Data
+    # Selection for Language Models via Importance Resampling"): score
+    # every document by its unigram log-likelihood ratio under the
+    # target distribution (here: the English subcorpus) vs the raw
+    # distribution, both Laplace-smoothed over the shared vocabulary.
+    # The per-token log ratios are micro-nat integers, so per-doc
+    # weights are exact integer dot products; top-20 selection.
+    oracle=f"""
+    WITH {_DSIR_CTE}
     SELECT d.doc_id, d.lang, wd.n_tokens,
            round(CAST(wd.w6 AS DOUBLE) / 1000000, 6) AS dsir_weight
     FROM wd JOIN documents d ON d.doc_id = wd.doc_id
@@ -16053,13 +16057,14 @@ register(
 )
 
 
-def _ddsir(spark, sf_dir):
-    """DSIR importance weights: per-(doc, token) counts and the two
-    corpus-level unigram tables come from ONE tokenize pass; the
-    log-ratio table is token-keyed (shuffles carry tokens and small
-    integers, never text); per-doc weights are exact BIGINT dot
-    products via the micro-nat convention; top-20 is a TakeOrdered.
-    The selection step of a quality-targeted pretraining pipeline."""
+def _dsir_weight_frame(spark, sf_dir):
+    """Per-doc DSIR weight frame (doc_id, w6, n_tokens): per-(doc,
+    token) counts and the two corpus-level unigram tables come from
+    ONE tokenize pass; the log-ratio table is token-keyed (shuffles
+    carry tokens and small integers, never text); per-doc weights are
+    exact BIGINT dot products via the micro-nat convention. The
+    selection-scoring step of a quality-targeted pretraining
+    pipeline; consumers rank globally or under per-source budgets."""
     d = t(spark, sf_dir, "documents")
     tk = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
@@ -16097,7 +16102,7 @@ def _ddsir(spark, sf_dir):
             ).alias("lr6"),
         )
     )
-    wd = (
+    return (
         cnt.join(lr, "tok")
         .groupBy("doc_id")
         .agg(
@@ -16105,6 +16110,13 @@ def _ddsir(spark, sf_dir):
             F.sum("c").cast("long").alias("n_tokens"),
         )
     )
+
+
+def _ddsir(spark, sf_dir):
+    """Corpus-wide DSIR selection: top-20 documents by importance
+    weight (see _dsir_weight_frame), TakeOrdered with doc-id ties."""
+    d = t(spark, sf_dir, "documents")
+    wd = _dsir_weight_frame(spark, sf_dir)
     return (
         wd.join(d.select("doc_id", "lang"), "doc_id")
         .select(
@@ -16121,6 +16133,55 @@ def _ddsir(spark, sf_dir):
 
 
 CATALOG["doc_dsir_importance_weights"].fn = _ddsir
+
+register(
+    "doc_dsir_topk_per_source",
+    # budgeted DSIR selection: the top-3 documents per crawl source by
+    # importance weight — the per-domain quota shape real curation
+    # uses so one high-scoring source cannot monopolize the training
+    # mix. Partitioned rank over the shared weight frame; integer
+    # weights make the ranking exactly reproducible.
+    oracle=f"""
+    WITH {_DSIR_CTE},
+    ranked AS (
+      SELECT d.source, d.doc_id, d.lang, wd.w6, wd.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY wd.w6 DESC, d.doc_id) AS rank_in_source
+      FROM wd JOIN documents d ON d.doc_id = wd.doc_id
+    )
+    SELECT source, CAST(rank_in_source AS BIGINT) AS rank_in_source, doc_id, lang,
+           n_tokens, round(CAST(w6 AS DOUBLE) / 1000000, 6) AS dsir_weight
+    FROM ranked WHERE rank_in_source <= 3
+    """,
+)
+
+
+def _ddsirtopk(spark, sf_dir):
+    """Per-source DSIR quota: one partitioned rank window over the
+    weight frame joined to the documents dimension — no global sort,
+    no broadcast beyond the weight pipeline's own scalars; at 100 TB
+    each source ranks independently inside its shuffle partition."""
+    d = t(spark, sf_dir, "documents")
+    wd = _dsir_weight_frame(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("w6"), "doc_id")
+    return (
+        wd.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_source") <= 3)
+        .select(
+            "source",
+            "rank_in_source",
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(F.col("w6").cast("double") / F.lit(1000000), 6).alias(
+                "dsir_weight"
+            ),
+        )
+    )
+
+
+CATALOG["doc_dsir_topk_per_source"].fn = _ddsirtopk
 
 register(
     "doc_cluster_source_purity",
@@ -16185,6 +16246,351 @@ def _dclusterpurity(spark, sf_dir):
 
 
 CATALOG["doc_cluster_source_purity"].fn = _dclusterpurity
+
+register(
+    "doc_ttr_hapax_by_lang",
+    # lexical diversity per language: type-token ratio and hapax
+    # share from the per-(lang, token) count table — the vocabulary
+    # richness panel next to the Zipf and Heaps fits.
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, tok)
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+           round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_share
+    FROM tc GROUP BY lang
+    """,
+)
+
+
+def _dttr(spark, sf_dir):
+    """Type-token ratio + hapax share: one tokenize pass to the
+    (lang, token) count table (token-keyed shuffle with map-side
+    combine), then a per-lang rollup — the working set after the
+    first aggregate is vocabulary-sized, not corpus-sized."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
+    )
+    tc = (
+        d.select("lang", F.explode(tk).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        hapax.cast("long").alias("n_hapax"),
+        F.round(
+            F.count("*").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("ttr"),
+        F.round(hapax.cast("double") / F.count("*"), 6).alias("hapax_share"),
+    )
+
+
+CATALOG["doc_ttr_hapax_by_lang"].fn = _dttr
+
+register(
+    "doc_bigram_entropy_rate_by_lang",
+    # conditional bigram entropy H(W2|W1) per language in exact
+    # micro-nats: -(1/N) * sum over bigram instances of ln(c12/c1) —
+    # the information-rate diagnostic that separates repetitive
+    # template languages from diverse prose (low H = predictable).
+    # Same bigram construction as the LM-scoring family.
+    oracle="""
+    WITH tk AS (
+      SELECT lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT lang, tk[i] AS w1, tk[i + 1] AS w2
+      FROM tk, (SELECT unnest(range(1, (SELECT MAX(len(tk)) FROM tk) + 1)) AS i) g
+      WHERE i < len(tk) AND tk[i] <> '' AND tk[i + 1] <> ''
+    ),
+    c2 AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+           GROUP BY lang, w1, w2),
+    c1 AS (SELECT lang, w1, CAST(SUM(c) AS BIGINT) AS c FROM c2 GROUP BY lang, w1),
+    terms AS (
+      SELECT c2.lang,
+             c2.c * CAST(round(round(ln(CAST(c2.c AS DOUBLE) / c1.c), 6) * 1000000)
+                         AS BIGINT) AS t6,
+             c2.c AS n_inst
+      FROM c2 JOIN c1 ON c1.lang = c2.lang AND c1.w1 = c2.w1
+    )
+    SELECT lang,
+           CAST(SUM(n_inst) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+           round(-(CAST(SUM(t6) AS DOUBLE) / 1000000)
+                 / CAST(SUM(n_inst) AS DOUBLE), 6) AS entropy_rate_nats
+    FROM terms GROUP BY lang
+    """,
+)
+
+
+def _dbgentropy(spark, sf_dir):
+    """Bigram entropy rate per language: positional lead within each
+    document builds bigram instances (one doc-partitioned window),
+    the bigram-type count table carries the sum — each type
+    contributes c12 * ln(c12/c1) as an exact micro-nat product, so
+    the per-lang total never touches instance-level floats. The
+    conditional count c1 rolls up from c2 (no second scan)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bg = (
+        d.select("lang", "doc_id", F.posexplode(toks).alias("__p", "__w"))
+        .filter(F.col("__w") != "")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("__p")
+    pairs = (
+        bg.withColumn("__w2", F.lead("__w").over(wnd))
+        .filter(F.col("__w2").isNotNull())
+        .select("lang", F.col("__w").alias("w1"), F.col("__w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("lang", "w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    c1 = c2.groupBy("lang", "w1").agg(F.sum("c").cast("long").alias("__c1"))
+    t6 = (
+        F.col("c")
+        * F.round(
+            F.round(F.log(F.col("c").cast("double") / F.col("__c1")), 6)
+            * F.lit(1000000.0)
+        ).cast("bigint")
+    )
+    terms = c2.join(c1, ["lang", "w1"]).select(
+        "lang", t6.alias("t6"), F.col("c").alias("n_inst")
+    )
+    return terms.groupBy("lang").agg(
+        F.sum("n_inst").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_bigram_types"),
+        F.round(
+            -(F.sum("t6").cast("double") / F.lit(1000000))
+            / F.sum("n_inst").cast("double"),
+            6,
+        ).alias("entropy_rate_nats"),
+    )
+
+
+CATALOG["doc_bigram_entropy_rate_by_lang"].fn = _dbgentropy
+
+register(
+    "doc_dedup_token_loss_by_source",
+    # curation accounting: how much token mass exact-dedup removes
+    # from each source (keep = min doc id per identical text, the
+    # engine-wide exact-dup convention). The per-source loss table is
+    # the report that justifies — or indicts — a dedup stage.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, sha256(text) AS h,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(SUM(CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(d.n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN d.doc_id = k.keep_id THEN 0 ELSE d.n_tok END) AS BIGINT)
+             AS tokens_removed,
+           round(CAST(SUM(CASE WHEN d.doc_id = k.keep_id THEN 0 ELSE d.n_tok END)
+                      AS DOUBLE) / CAST(SUM(d.n_tok) AS DOUBLE), 6) AS token_loss_share
+    FROM d JOIN k ON k.h = d.h
+    GROUP BY d.source
+    """,
+)
+
+
+def _ddeduploss(spark, sf_dir):
+    """Exact-dedup token-loss accounting: documents hash once (sha2 —
+    the shuffle key is a digest, never the text), the keep-id table is
+    one min-aggregate on the digest, and the per-source report is one
+    conditional-sum pass over the back-join. Token counts ride along
+    from the same single scan."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.size(tk).cast("long").alias("n_tok"),
+    )
+    k = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    j = base.join(k, "h")
+    removed_tok = F.sum(
+        F.when(F.col("doc_id") == F.col("keep_id"), 0).otherwise(F.col("n_tok"))
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_total"),
+        F.sum(F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+        removed_tok.cast("long").alias("tokens_removed"),
+        F.round(
+            removed_tok.cast("double") / F.sum("n_tok").cast("double"), 6
+        ).alias("token_loss_share"),
+    )
+
+
+CATALOG["doc_dedup_token_loss_by_source"].fn = _ddeduploss
+
+register(
+    "orders_fill_rate_sla",
+    # shipment SLA attainment per order priority: share of orders
+    # fully shipped within 30/60/90 days of order date (close = last
+    # lineitem shipment — the sweep-line query's close definition).
+    # Pure integer day arithmetic, three banded conditional counts.
+    oracle="""
+    WITH close AS (
+      SELECT l_orderkey AS ok, MAX(l_shipdate) AS close_ts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(FLOOR(epoch(c.close_ts) / 86400.0) AS BIGINT)
+             - CAST(FLOOR(epoch(o.o_orderdate) / 86400.0) AS BIGINT) AS days_to_ship
+      FROM orders o JOIN close c ON c.ok = o.o_orderkey
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN days_to_ship <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shipped_30d,
+           CAST(SUM(CASE WHEN days_to_ship <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shipped_60d,
+           CAST(SUM(CASE WHEN days_to_ship <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shipped_90d,
+           round(CAST(SUM(CASE WHEN days_to_ship <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS fill_rate_30d,
+           round(CAST(SUM(CASE WHEN days_to_ship <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS fill_rate_90d
+    FROM j GROUP BY priority
+    """,
+)
+
+
+def _dfillrate(spark, sf_dir):
+    """SLA fill rates: per-order close date (one lineitem aggregate
+    on the orderkey the join also uses), integer day difference,
+    single conditional-count pass per priority."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    close = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("l_shipdate").alias("close_ts")
+    )
+    j = o.join(close, o.o_orderkey == close.ok).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.floor(F.unix_timestamp("close_ts") / F.lit(86400.0))
+            - F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400.0))
+        ).alias("days_to_ship"),
+    )
+
+    def within(dth, nm):
+        return (
+            F.sum(F.when(F.col("days_to_ship") <= dth, 1).otherwise(0))
+            .cast("long")
+            .alias(nm)
+        )
+
+    return j.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        within(30, "shipped_30d"),
+        within(60, "shipped_60d"),
+        within(90, "shipped_90d"),
+        F.round(
+            F.sum(F.when(F.col("days_to_ship") <= 30, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("fill_rate_30d"),
+        F.round(
+            F.sum(F.when(F.col("days_to_ship") <= 90, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("fill_rate_90d"),
+    )
+
+
+CATALOG["orders_fill_rate_sla"].fn = _dfillrate
+
+register(
+    "lineitem_return_rate_wilson",
+    # brand return-rate ranking by the Wilson-score lower bound
+    # (z = 1.96) — the confidence-aware sort that keeps low-volume
+    # brands from topping the list on noise. Worst-10 brands.
+    oracle="""
+    WITH b AS (
+      SELECT p.p_brand AS brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returned
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ),
+    s AS (SELECT brand, n, n_returned, CAST(n_returned AS DOUBLE) / n AS p FROM b)
+    SELECT brand, n, n_returned, round(p, 6) AS return_rate,
+           round((p + 1.96 * 1.96 / (2 * n)
+                  - 1.96 * sqrt((p * (1.0 - p) + 1.96 * 1.96 / (4 * n)) / n))
+                 / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lb
+    FROM s
+    ORDER BY wilson_lb DESC, brand LIMIT 10
+    """,
+)
+
+
+def _dwilson(spark, sf_dir):
+    """Wilson lower-bound return-rate ranking: one broadcast dim join,
+    one conditional count per brand, identical IEEE score arithmetic
+    on both engines, TakeOrdered worst-10. The ranking-by-confidence
+    pattern every review/defect leaderboard needs."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+        )
+    )
+    s = b.withColumn("p", F.col("n_returned").cast("double") / F.col("n"))
+    z2 = F.lit(1.96) * F.lit(1.96)
+    wilson = (
+        F.col("p")
+        + z2 / (2 * F.col("n"))
+        - F.lit(1.96)
+        * F.sqrt(
+            (F.col("p") * (F.lit(1.0) - F.col("p")) + z2 / (4 * F.col("n")))
+            / F.col("n")
+        )
+    ) / (F.lit(1.0) + z2 / F.col("n"))
+    return (
+        s.select(
+            "brand",
+            "n",
+            "n_returned",
+            F.round(F.col("p"), 6).alias("return_rate"),
+            F.round(wilson, 6).alias("wilson_lb"),
+        )
+        .orderBy(F.desc("wilson_lb"), "brand")
+        .limit(10)
+    )
+
+
+CATALOG["lineitem_return_rate_wilson"].fn = _dwilson
 
 
 # ===========================================================================

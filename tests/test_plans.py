@@ -139,6 +139,7 @@ _SCALAR_BROADCAST_OK = {
     "graph_kcore_peel_rounds",     # 1x1 join of per-round node/edge count rows
     "evt_survival_km_weekly",      # 1-row horizon scalar + 4-row week grid
     "doc_dsir_importance_weights",  # 1-row token-total/vocab scalar
+    "doc_dsir_topk_per_source",    # same DSIR 1-row scalar via the shared frame
 }
 
 
