@@ -16054,6 +16054,7 @@ register(
     FROM wd JOIN documents d ON d.doc_id = wd.doc_id
     ORDER BY dsir_weight DESC, d.doc_id LIMIT 20
     """,
+    bench=True,
 )
 
 

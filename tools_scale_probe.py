@@ -61,6 +61,14 @@ HEAVY = [
     "doc_winnowing_fingerprint_overlap",
     "ml_knn_classifier_eval",
     "doc_textrank_keywords",
+    # round-7 wave 3: DSIR weighting (token-keyed log-ratio joins over a
+    # 10x token stream), per-lang bigram entropy (type-table products),
+    # basket pair lift (order-key self-join — baskets bound the pair
+    # space), and 3-round k-core peeling on the 10x-denser dup graph
+    "doc_dsir_importance_weights",
+    "doc_bigram_entropy_rate_by_lang",
+    "basket_brand_pair_lift",
+    "graph_kcore_peel_rounds",
 ]
 
 
