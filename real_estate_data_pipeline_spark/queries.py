@@ -16593,6 +16593,222 @@ def _dwilson(spark, sf_dir):
 
 CATALOG["lineitem_return_rate_wilson"].fn = _dwilson
 
+register(
+    "emb_class_margin_audit",
+    # embedding-space class separation over the banded-LSH candidate
+    # pairs: cosine stats split by same-label vs cross-label — the
+    # metric-learning health check (a healthy space shows a clear gap
+    # between the two rows). Candidates only, like the cosine
+    # histogram: the audit an index can afford at scale.
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, label,
+             {_EMB_BAND_SQL[0]} AS bkt0,
+             {_EMB_BAND_SQL[1]} AS bkt1,
+             {_EMB_BAND_SQL[2]} AS bkt2,
+             {_EN_NORM_SQL} AS n
+      FROM embeddings
+    ),
+    pc AS (
+      SELECT CAST(CASE WHEN a.label = c.label THEN 1 ELSE 0 END AS BIGINT)
+               AS same_label,
+             {_cos6_sql('a.embedding', 'c.embedding', 'a.n', 'c.n')} AS cos6
+      FROM b a JOIN b c
+        ON a.vec_id < c.vec_id
+       AND (a.bkt0 = c.bkt0 OR a.bkt1 = c.bkt1 OR a.bkt2 = c.bkt2)
+    )
+    SELECT same_label,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(FLOOR(cos6 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000 / COUNT(*), 6) AS mean_cosine,
+           round(quantile_cont(cos6, 0.10), 6) AS p10_cosine,
+           round(quantile_cont(cos6, 0.90), 6) AS p90_cosine
+    FROM pc GROUP BY same_label
+    """,
+)
+
+
+def _dclassmargin(spark, sf_dir):
+    """Class-margin audit: the banded pair expansion (signatures and
+    norms computed once), labels equi-joined onto both endpoints by
+    id, one 2-row grouped aggregate — micro-unit cosine sums so the
+    means are order-independent, exact-interpolation percentiles."""
+    e = t(spark, sf_dir, "embeddings")
+    p = similarity.embedding_dup_pairs(e, threshold=-1.0, bits=6, bands=3)
+    lab = e.select("vec_id", "label")
+    la = lab.withColumnsRenamed({"vec_id": "id_a", "label": "__la"})
+    lb = lab.withColumnsRenamed({"vec_id": "id_b", "label": "__lb"})
+    cos6 = F.round(F.col("cosine_sim"), 6)
+    pc = (
+        p.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), "id_b")
+        .select(
+            F.when(F.col("__la") == F.col("__lb"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("same_label"),
+            cos6.alias("cos6"),
+        )
+    )
+    return pc.groupBy("same_label").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.floor(F.col("cos6") * 1000000 + 0.5).cast("long")).cast("double")
+            / F.lit(1000000)
+            / F.count("*"),
+            6,
+        ).alias("mean_cosine"),
+        F.round(F.percentile("cos6", F.lit(0.10)), 6).alias("p10_cosine"),
+        F.round(F.percentile("cos6", F.lit(0.90)), 6).alias("p90_cosine"),
+    )
+
+
+CATALOG["emb_class_margin_audit"].fn = _dclassmargin
+
+register(
+    "doc_source_perplexity_rank",
+    # source-level quality ranking by self-trained bigram perplexity —
+    # the corpus-level rollup of the per-doc LM filter (CCNet ranks
+    # whole dumps this way before any per-doc decision): micro-nat
+    # instance sums per source, perplexity = exp(-avg logprob).
+    oracle="""
+    WITH tk AS (
+      SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT source, tk[i] AS w1, tk[i + 1] AS w2
+      FROM tk, (SELECT unnest(range(1, (SELECT MAX(len(tk)) FROM tk) + 1)) AS i) g
+      WHERE i < len(tk) AND tk[i] <> '' AND tk[i + 1] <> ''
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
+    terms AS (
+      SELECT bg.source,
+             CAST(round(round(ln(CAST(c2.c AS DOUBLE) / c1.c), 6) * 1000000)
+                  AS BIGINT) AS t
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round((CAST(SUM(t) AS DOUBLE) / 1000000.0) / COUNT(*), 6) AS avg_logprob,
+           round(exp(-((CAST(SUM(t) AS DOUBLE) / 1000000.0) / COUNT(*))), 6)
+             AS perplexity
+    FROM terms GROUP BY source
+    """,
+)
+
+
+def _dsrcppl(spark, sf_dir):
+    """Per-source bigram perplexity: the corpus-trained conditional
+    counts (the same train-once artifact the per-doc scorer uses)
+    join back onto the bigram stream, instance micro-nats sum per
+    source — high perplexity flags sources whose text fights the
+    corpus distribution (spam, wrong language, boilerplate soup)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bg = (
+        d.select("source", "doc_id", F.posexplode(toks).alias("__p", "__w"))
+        .filter(F.col("__w") != "")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("__p")
+    pairs = (
+        bg.withColumn("__w2", F.lead("__w").over(wnd))
+        .filter(F.col("__w2").isNotNull())
+        .select("source", F.col("__w").alias("w1"), F.col("__w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("__c1"))
+    term = (
+        F.round(
+            F.round(F.log(F.col("__c2").cast("double") / F.col("__c1")), 6)
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("__t")
+    )
+    scored = pairs.join(c2, ["w1", "w2"]).join(c1, ["w1"]).select("source", term)
+    avg_lp = (F.sum("__t").cast("double") / F.lit(1000000.0)) / F.count("*")
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(avg_lp, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg_lp), 6).alias("perplexity"),
+    )
+
+
+CATALOG["doc_source_perplexity_rank"].fn = _dsrcppl
+
+register(
+    "cust_nation_revenue_entropy",
+    # revenue-concentration entropy per nation: H = ln(T) - sum(x ln x)/T
+    # over per-customer revenue shares, in exact micro-nat products
+    # (HUGEINT/DECIMAL(38) for the x*ln(x) sums); effective_customers =
+    # exp(H) is the "how many customers does this market really have"
+    # diversification number next to the global Gini.
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY nk, o.o_custkey
+    ),
+    agg AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(x) AS BIGINT) AS tot,
+             CAST(SUM(CAST(x AS HUGEINT)
+                      * CAST(round(round(ln(CAST(x AS DOUBLE)), 6) * 1000000)
+                             AS BIGINT)) AS DOUBLE) AS s6
+      FROM rev GROUP BY nk
+    )
+    SELECT n.n_name AS nation, a.n_customers,
+           CAST(a.tot AS DOUBLE) / 100 AS total_revenue,
+           round(round(ln(CAST(a.tot AS DOUBLE)), 6)
+                 - (a.s6 / 1000000) / a.tot, 6) AS revenue_entropy_nats,
+           round(exp(round(ln(CAST(a.tot AS DOUBLE)), 6)
+                     - (a.s6 / 1000000) / a.tot), 6) AS effective_customers
+    FROM agg a JOIN nation n ON n.n_nationkey = a.nk
+    """,
+)
+
+
+def _dnatentropy(spark, sf_dir):
+    """Revenue entropy per nation: per-customer exact cents (one fact
+    aggregate), per-nation moment row with x*ln(x) as exact
+    integer-unit products, a broadcast nation-name join. The entropy/
+    effective-count pair reads concentration the way the Gini reads
+    inequality — both now first-class."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("long")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), "o_custkey")
+        .agg(F.sum(cents).cast("long").alias("x"))
+    )
+    micro_lnx = F.round(
+        F.round(F.log(F.col("x").cast("double")), 6) * F.lit(1000000.0)
+    ).cast("bigint")
+    agg = rev.groupBy("nk").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("x").cast("long").alias("tot"),
+        F.sum(F.col("x").cast("decimal(38,0)") * micro_lnx).cast("double").alias("s6"),
+    )
+    h = F.round(F.log(F.col("tot").cast("double")), 6) - (
+        F.col("s6") / F.lit(1000000)
+    ) / F.col("tot")
+    return agg.join(F.broadcast(n), agg.nk == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        "n_customers",
+        (F.col("tot").cast("double") / 100).alias("total_revenue"),
+        F.round(h, 6).alias("revenue_entropy_nats"),
+        F.round(F.exp(h), 6).alias("effective_customers"),
+    )
+
+
+CATALOG["cust_nation_revenue_entropy"].fn = _dnatentropy
+
 
 # ===========================================================================
 # catalog ordering: the driver's evidence window
