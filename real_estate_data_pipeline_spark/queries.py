@@ -1224,8 +1224,12 @@ register(
     "evt_sessionization",
     oracle="""
     WITH flagged AS (
+      -- second-truncated gap to match Spark's floored unix seconds
+      -- exactly (a raw INTERVAL compare diverges when a gap is 1800s
+      -- truncated but >1800s at microsecond precision)
       SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -8624,13 +8628,17 @@ def _dbglm(spark, sf_dir):
     # the filtered positions pairs exactly the oracle's adjacent
     # non-empty array slots — one window shuffle, no self-join
     wnd = Window.partitionBy("doc_id").orderBy("p")
+    # the bigram stream fans into c2, c1 AND the scoring back-join:
+    # lazy checkpoint so the tokenize/window stage runs once; c1 rolls
+    # up from c2 instead of re-counting the stream
     pairs = (
         bg.withColumn("w2", F.lead("w1").over(wnd))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "w1", "w2")
+        .localCheckpoint(eager=False)
     )
     c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
-    c1 = pairs.groupBy("w1").agg(F.count("*").alias("__c1"))
+    c1 = c2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
     term = (
         F.round(
             F.round(F.log(F.col("__c2").cast("double") / F.col("__c1")), 6)
@@ -14999,6 +15007,7 @@ def _dchisq(spark, sf_dir):
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(F.count("*").cast("long").alias("observed"))
+        .localCheckpoint(eager=False)  # feeds N + both marginal windows
     )
     tot = obs.agg(F.sum("observed").cast("long").alias("__n"))
     cells = obs.select(
@@ -15086,7 +15095,7 @@ def _danova(spark, sf_dir):
         F.sum(F.col("cents").cast("decimal(18,0)") * F.col("cents").cast("decimal(18,0)"))
         .cast("double")
         .alias("ss_g"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the grand totals AND the terms
     tot = g.agg(
         F.sum("n_g").cast("long").alias("__N"),
         F.sum("s_g").cast("long").alias("__S"),
@@ -15422,9 +15431,11 @@ def _dtheilsen(spark, sf_dir):
     slopes are ratios of exact integers. The 14-row explode mirrors
     the DAU/WAU bounded fan-out convention."""
     ev = t(spark, sf_dir, "events")
-    days = ev.groupBy(
-        F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).alias("dn")
-    ).agg(F.count("*").cast("long").alias("y"))
+    days = (
+        ev.groupBy(F.floor(F.unix_timestamp("ts") / F.lit(86400.0)).alias("dn"))
+        .agg(F.count("*").cast("long").alias("y"))
+        .localCheckpoint(eager=False)  # both sides of the gap join
+    )
     left = days.select(
         F.col("dn"),
         F.col("y").alias("y1"),
@@ -15486,10 +15497,13 @@ def _dbasketlift(spark, sf_dir):
     each pair unique."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # the per-order brand set feeds the total, the marginals, and both
+    # self-join sides — lazy checkpoint so the join+distinct runs once
     ob = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nb = ob.agg(F.countDistinct("ok").cast("long").alias("__n"))
     bc = ob.groupBy("b").agg(F.count("*").cast("long").alias("c"))
@@ -15629,8 +15643,10 @@ def _dassort(spark, sf_dir):
     aggregate — the same exact-integer Pearson recipe as the corr
     matrix, on graph structure instead of measures."""
     _, edges = _dup_pairs_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("s").alias("node")).agg(
-        F.count("*").cast("long").alias("deg")
+    deg = (
+        edges.groupBy(F.col("s").alias("node"))
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=False)  # joined onto both edge endpoints
     )
     da = deg.withColumnsRenamed({"node": "s", "deg": "x"})
     db = deg.withColumnsRenamed({"node": "d", "deg": "y"})
@@ -15674,6 +15690,10 @@ def _kcore_oracle(rounds: int = 3, k: int = 2) -> str:
     and keeps only edges between survivors — fully deterministic."""
     cte = []
     prev = "e0"
+    # every e{r} is consumed 3-4x (both UNION ALL arms of the next
+    # degree count, the next survivor join, the final scalar counts) —
+    # without MATERIALIZED DuckDB inlines the whole minhash pair
+    # pipeline multiplicatively per round (~100x oracle wall time)
     for r in range(1, rounds + 1):
         cte.append(f""",
     d{r} AS (
@@ -15681,8 +15701,8 @@ def _kcore_oracle(rounds: int = 3, k: int = 2) -> str:
       FROM (SELECT id_a AS node FROM {prev} UNION ALL SELECT id_b FROM {prev})
       GROUP BY node
     ),
-    k{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
-    e{r} AS (
+    k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (
       SELECT e.id_a, e.id_b FROM {prev} e
       JOIN k{r} a ON a.node = e.id_a
       JOIN k{r} b ON b.node = e.id_b
@@ -15695,7 +15715,7 @@ def _kcore_oracle(rounds: int = 3, k: int = 2) -> str:
         for r in range(1, rounds + 1)
     )
     return f"""
-    WITH pairs AS ({_minhash_portable_oracle()}),
+    WITH pairs AS MATERIALIZED ({_minhash_portable_oracle()}),
     e0 AS (SELECT id_a, id_b FROM pairs){"".join(cte)}
     {rows}
     """
@@ -15761,8 +15781,12 @@ register(
     # propagation on both engines.
     oracle="""
     WITH flagged AS (
+      -- second-truncated gap: the Spark side compares floored epoch
+      -- seconds, and a raw-interval compare can sessionize differently
+      -- when a gap is exactly 1800s after truncation but >1800s raw
       SELECT user_id, ts, event_id, event_type,
-             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -15878,7 +15902,11 @@ def _dkmweekly(spark, sf_dir):
     a running micro-nat sum over the 4-row table. Everything after
     the first aggregate runs on frames bounded by the calendar."""
     ev = t(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(F.min("ts").alias("fts"), F.max("ts").alias("lts"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("fts"), F.max("ts").alias("lts"))
+        .localCheckpoint(eager=False)  # feeds the horizon AND the life table
+    )
     h = u.agg(F.max("lts").alias("hmax"))
     lt = u.crossJoin(F.broadcast(h)).select(
         F.floor(
@@ -15981,9 +16009,13 @@ def _dsweepline(spark, sf_dir):
     close = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.max("l_shipdate").alias("close_ts")
     )
-    iv = o.join(close, o.o_orderkey == close.ok).select(
-        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400.0)).alias("d_open"),
-        F.floor(F.unix_timestamp("close_ts") / F.lit(86400.0)).alias("d_close"),
+    iv = (
+        o.join(close, o.o_orderkey == close.ok)
+        .select(
+            F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400.0)).alias("d_open"),
+            F.floor(F.unix_timestamp("close_ts") / F.lit(86400.0)).alias("d_close"),
+        )
+        .localCheckpoint(eager=False)  # both arms of the delta union
     )
     delta = iv.select(
         F.col("d_open").alias("dn"), F.lit(1).cast("long").alias("dl")
@@ -16071,16 +16103,25 @@ def _dsir_weight_frame(spark, sf_dir):
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
     )
     tok = d.select("doc_id", "lang", F.explode(tk).alias("tok"))
-    cnt = tok.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("c"))
-    rawc = tok.groupBy("tok").agg(F.count("*").cast("long").alias("cr"))
-    tgtc = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("tok")
-        .agg(F.count("*").cast("long").alias("ct"))
+    # ONE tokenize pass: the (doc, lang, token) count table is lazily
+    # checkpointed and every other distribution — raw counts, target
+    # counts, the totals scalar — rolls up from it (the multi-consumer
+    # convention _dup_pairs_edges documents; without it each aggregate
+    # re-scans and re-explodes the corpus)
+    cnt = (
+        tok.groupBy("doc_id", "lang", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    tots = tok.agg(
-        F.count("*").cast("long").alias("__tr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    rawc = cnt.groupBy("tok").agg(F.sum("c").cast("long").alias("cr"))
+    tgtc = (
+        cnt.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.sum("c").cast("long").alias("ct"))
+    )
+    tots = cnt.agg(
+        F.sum("c").cast("long").alias("__tr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0))
         .cast("long")
         .alias("__tt"),
         F.countDistinct("tok").cast("long").alias("__v"),
@@ -16421,12 +16462,14 @@ def _ddeduploss(spark, sf_dir):
     tk = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
     )
+    # consumed by the keep-id aggregate AND the back-join: checkpoint
+    # so the corpus is hashed/tokenize-counted once
     base = d.select(
         "doc_id",
         "source",
         F.sha2(F.col("text"), 256).alias("h"),
         F.size(tk).cast("long").alias("n_tok"),
-    )
+    ).localCheckpoint(eager=False)
     k = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     j = base.join(k, "h")
     removed_tok = F.sum(
@@ -16712,13 +16755,17 @@ def _dsrcppl(spark, sf_dir):
         .filter(F.col("__w") != "")
     )
     wnd = Window.partitionBy("doc_id").orderBy("__p")
+    # bigram stream feeds the count tables AND the back-join: lazy
+    # checkpoint so the tokenize/window stage runs once; c1 rolls up
+    # from c2 instead of re-counting the stream
     pairs = (
         bg.withColumn("__w2", F.lead("__w").over(wnd))
         .filter(F.col("__w2").isNotNull())
         .select("source", F.col("__w").alias("w1"), F.col("__w2").alias("w2"))
+        .localCheckpoint(eager=False)
     )
     c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
-    c1 = pairs.groupBy("w1").agg(F.count("*").alias("__c1"))
+    c1 = c2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
     term = (
         F.round(
             F.round(F.log(F.col("__c2").cast("double") / F.col("__c1")), 6)

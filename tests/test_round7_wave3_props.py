@@ -205,7 +205,8 @@ def test_session_path_trigrams_match_python_reference(spark, con):
     for u, evs in by_user.items():
         sessions, cur, prev_ts = [], [], None
         for ts, eid, et in evs:
-            if prev_ts is not None and (ts - prev_ts).total_seconds() > 1800:
+            # floored-seconds gap — the engine-wide sessionization compare
+            if prev_ts is not None and _esec(ts) - _esec(prev_ts) > 1800:
                 sessions.append(cur)
                 cur = []
             cur.append(et)
