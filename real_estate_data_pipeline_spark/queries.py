@@ -16856,6 +16856,337 @@ def _dnatentropy(spark, sf_dir):
 
 CATALOG["cust_nation_revenue_entropy"].fn = _dnatentropy
 
+register(
+    "emb_centroid_separation_report",
+    # per-label cluster geometry: micro-unit-exact per-dimension
+    # centroids, within-label RMS distance, nearest other centroid,
+    # separation ratio — the Davies-Bouldin-style compactness/
+    # separation audit for a labeled embedding space. Every float sum
+    # is an integer micro-unit sum, so the report is engine-exact.
+    oracle="""
+    WITH ex AS (
+      SELECT e.label, g.i AS i, CAST(e.embedding[g.i] AS DOUBLE) AS x
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) g
+    ),
+    cent AS (
+      SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+             round(CAST(SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / COUNT(*), 6) AS c
+      FROM ex GROUP BY label, i
+    ),
+    nv AS (SELECT label, n AS n_vecs FROM cent WHERE i = 1),
+    within AS (
+      SELECT ex.label,
+             CAST(SUM(CAST(floor((ex.x - cent.c) * (ex.x - cent.c) * 1000000 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000.0 AS ss
+      FROM ex JOIN cent ON cent.label = ex.label AND cent.i = ex.i
+      GROUP BY ex.label
+    ),
+    pd AS (
+      SELECT a.label AS la, b.label AS lb,
+             CAST(SUM(CAST(floor((a.c - b.c) * (a.c - b.c) * 1000000 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000.0 AS d2
+      FROM cent a JOIN cent b ON b.i = a.i AND a.label < b.label
+      GROUP BY a.label, b.label
+    ),
+    nearest AS (
+      SELECT label, MIN(d2) AS nd2 FROM (
+        SELECT la AS label, d2 FROM pd UNION ALL SELECT lb, d2 FROM pd
+      ) GROUP BY label
+    )
+    SELECT nv.label, nv.n_vecs,
+           round(sqrt(w.ss / nv.n_vecs), 6) AS within_rms,
+           round(sqrt(nr.nd2), 6) AS nearest_centroid_dist,
+           round(sqrt(nr.nd2) / sqrt(w.ss / nv.n_vecs), 6) AS separation_ratio
+    FROM nv
+    JOIN within w ON w.label = nv.label
+    JOIN nearest nr ON nr.label = nv.label
+    """,
+)
+
+
+def _dcentroidsep(spark, sf_dir):
+    """Centroid separation report: one posexplode to (label, dim,
+    value) rows, micro-unit centroid means, a back-join for within-
+    label scatter, a dim-keyed centroid self-join for the 45 pairwise
+    label distances — the per-dim frames are (labels x 64) rows, so
+    everything after the first aggregate is broadcast-sized. cent is
+    lazily checkpointed (4 consumers)."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("__p", "__xf")
+    ).select(
+        "label", (F.col("__p") + 1).alias("i"), F.col("__xf").cast("double").alias("x")
+    ).localCheckpoint(eager=False)
+    cent = (
+        ex.groupBy("label", "i")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(F.floor(F.col("x") * 1000000 + 0.5).cast("long")).cast("double")
+                / F.lit(1000000.0)
+                / F.count("*"),
+                6,
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nv = cent.filter(F.col("i") == 1).select("label", F.col("n").alias("n_vecs"))
+    within = (
+        ex.join(cent.select("label", "i", "c"), ["label", "i"])
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * 1000000
+                        + 0.5
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("ss")
+        )
+    )
+    a = cent.select(F.col("label").alias("la"), "i", F.col("c").alias("ca"))
+    b = cent.select(
+        F.col("label").alias("lb"), F.col("i").alias("ib"), F.col("c").alias("cb")
+    )
+    pd_ = (
+        a.join(b, (F.col("i") == F.col("ib")) & (F.col("la") < F.col("lb")))
+        .groupBy("la", "lb")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")) * 1000000
+                        + 0.5
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("d2")
+        )
+    )
+    nearest = (
+        pd_.select(F.col("la").alias("label"), "d2")
+        .unionByName(pd_.select(F.col("lb").alias("label"), "d2"))
+        .groupBy("label")
+        .agg(F.min("d2").alias("nd2"))
+    )
+    wr = F.sqrt(F.col("ss") / F.col("n_vecs"))
+    return (
+        nv.join(within, "label")
+        .join(nearest, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(wr, 6).alias("within_rms"),
+            F.round(F.sqrt(F.col("nd2")), 6).alias("nearest_centroid_dist"),
+            F.round(F.sqrt(F.col("nd2")) / wr, 6).alias("separation_ratio"),
+        )
+    )
+
+
+CATALOG["emb_centroid_separation_report"].fn = _dcentroidsep
+
+register(
+    "evt_transition_entropy_by_src",
+    # behavioral predictability: entropy (and exp-entropy = effective
+    # branching factor) of each event type's outgoing transition
+    # distribution — the rollup of the Markov matrix that says which
+    # states are deterministic funnels vs free-for-alls. Exact n*ln(n)
+    # micro-nat products, one division.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    agg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS n_dst_types,
+             CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(SUM(CAST(n AS HUGEINT)
+                      * CAST(round(round(ln(CAST(n AS DOUBLE)), 6) * 1000000)
+                             AS BIGINT)) AS DOUBLE) AS s6
+      FROM c GROUP BY src
+    )
+    SELECT src, tot AS n_transitions, n_dst_types,
+           round(round(ln(CAST(tot AS DOUBLE)), 6)
+                 - (s6 / 1000000) / tot, 6) AS entropy_nats,
+           round(exp(round(ln(CAST(tot AS DOUBLE)), 6)
+                     - (s6 / 1000000) / tot), 6) AS effective_branching
+    FROM agg
+    """,
+)
+
+
+def _dtransentropy(spark, sf_dir):
+    """Transition entropy per source state: the same lead-window
+    transition counts the Markov matrix uses, rolled into one moment
+    row per state with exact integer n*ln(n) products — k rows out
+    for k event types."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count("*").cast("long").alias("n"))
+    micro_lnn = F.round(
+        F.round(F.log(F.col("n").cast("double")), 6) * F.lit(1000000.0)
+    ).cast("bigint")
+    agg = c.groupBy("src").agg(
+        F.count("*").cast("long").alias("n_dst_types"),
+        F.sum("n").cast("long").alias("tot"),
+        F.sum(F.col("n").cast("decimal(38,0)") * micro_lnn).cast("double").alias("s6"),
+    )
+    h = F.round(F.log(F.col("tot").cast("double")), 6) - (
+        F.col("s6") / F.lit(1000000)
+    ) / F.col("tot")
+    return agg.select(
+        "src",
+        F.col("tot").alias("n_transitions"),
+        "n_dst_types",
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(F.exp(h), 6).alias("effective_branching"),
+    )
+
+
+CATALOG["evt_transition_entropy_by_src"].fn = _dtransentropy
+
+register(
+    "graph_rich_club",
+    # rich-club coefficient of the near-dup graph at k in {2,4,8}:
+    # phi(k) = 2*E_k / (N_k*(N_k-1)) over the subgraph of nodes with
+    # degree > k — do the heavy-duplicate documents preferentially
+    # duplicate EACH OTHER (template families) or spread thin?
+    oracle=f"""
+    WITH pairs AS MATERIALIZED ({_minhash_portable_oracle()}),
+    {_DUP_EDGE_CTE},
+    ks AS (SELECT unnest([2, 4, 8]) AS k),
+    nk AS (
+      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM ks CROSS JOIN deg WHERE deg.deg > ks.k GROUP BY ks.k
+    ),
+    ek AS (
+      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_edges
+      FROM ks
+      CROSS JOIN pairs p
+      JOIN deg da ON da.node = p.id_a
+      JOIN deg db ON db.node = p.id_b
+      WHERE da.deg > ks.k AND db.deg > ks.k
+      GROUP BY ks.k
+    )
+    SELECT nk.k, nk.n_nodes, COALESCE(ek.n_edges, 0) AS n_edges,
+           round(2.0 * COALESCE(ek.n_edges, 0)
+                 / NULLIF(CAST(nk.n_nodes AS DOUBLE) * (nk.n_nodes - 1), 0.0), 6)
+             AS rich_club_phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    """,
+)
+
+
+def _drichclub(spark, sf_dir):
+    """Rich-club: the degree table filters both endpoints of the pair
+    set per k (a 3-row literal grid broadcast across the id-keyed
+    joins), two grouped counts, one guarded division. deg is lazily
+    checkpointed — it gates the node count and both endpoint joins."""
+    pairs, edges = _dup_pairs_edges(spark, sf_dir)
+    deg = (
+        edges.groupBy(F.col("s").alias("node"))
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(4), F.lit(8))).alias("k")
+    )
+    nk = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    da = deg.withColumnsRenamed({"node": "id_a", "deg": "__da"})
+    db = deg.withColumnsRenamed({"node": "id_b", "deg": "__db"})
+    ek = (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("__da") > F.col("k")) & (F.col("__db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_edges"), F.lit(0))
+                / F.nullif(
+                    F.col("n_nodes").cast("double") * (F.col("n_nodes") - 1),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rich_club_phi"),
+        )
+    )
+
+
+CATALOG["graph_rich_club"].fn = _drichclub
+
+register(
+    "evt_hourly_dispersion_by_type",
+    # arrival-process dispersion per event type: variance-to-mean
+    # ratio of hourly counts over observed hours (Poisson arrivals
+    # give VMR ~ 1; bursty traffic inflates it). Exact integer
+    # moments, sample variance, one rounded division each.
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts) / 3600.0) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, hr
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS mean_per_hour,
+           round(((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE)
+                   - CAST(SUM(y) AS DOUBLE) * SUM(y))
+                  / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)))
+                 / (CAST(SUM(y) AS DOUBLE) / COUNT(*)), 6) AS vmr
+    FROM h GROUP BY event_type
+    """,
+)
+
+
+def _dhourlyvmr(spark, sf_dir):
+    """Hourly dispersion index: one (type, hour) count aggregate, one
+    moment rollup per type — the burstiness gauge for capacity
+    planning, next to the token-burstiness VMR on the text side."""
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(3600.0)).alias("hr"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    nd = F.count("*").cast("double")
+    var = (
+        nd * F.sum(F.col("y").cast("decimal(18,0)") * F.col("y").cast("decimal(18,0)")).cast("double")
+        - F.sum("y").cast("double") * F.sum("y")
+    ) / (nd * (F.count("*") - 1))
+    return h.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.round(F.sum("y").cast("double") / F.count("*"), 6).alias("mean_per_hour"),
+        F.round(var / (F.sum("y").cast("double") / F.count("*")), 6).alias("vmr"),
+    )
+
+
+CATALOG["evt_hourly_dispersion_by_type"].fn = _dhourlyvmr
+
 
 # ===========================================================================
 # catalog ordering: the driver's evidence window

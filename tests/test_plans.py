@@ -140,6 +140,7 @@ _SCALAR_BROADCAST_OK = {
     "evt_survival_km_weekly",      # 1-row horizon scalar + 4-row week grid
     "doc_dsir_importance_weights",  # 1-row token-total/vocab scalar
     "doc_dsir_topk_per_source",    # same DSIR 1-row scalar via the shared frame
+    "graph_rich_club",             # 3-row k-threshold literal grid
 }
 
 
