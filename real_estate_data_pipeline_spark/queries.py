@@ -17187,6 +17187,90 @@ def _dhourlyvmr(spark, sf_dir):
 
 CATALOG["evt_hourly_dispersion_by_type"].fn = _dhourlyvmr
 
+register(
+    "evt_cusum_drift_per_user",
+    # per-user CUSUM drift statistic S_t = max(0, S_{t-1} + d_t) —
+    # the recursive change-detector that looks window-inexpressible,
+    # computed EXACTLY in window algebra via the identity
+    # S_t = P_t - min(0, min_{j<=t} P_j) over prefix sums P (so no
+    # per-row recursion, no UDF, one user-partitioned shuffle).
+    # Deviations are exact cents against the floored global mean;
+    # alarms fire above 1000.00 of accumulated positive drift.
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT CAST(FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+      FROM x
+    ),
+    p AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(cents - mu) OVER w AS BIGINT) AS pre
+      FROM x, m
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    s AS (
+      SELECT user_id,
+             pre - LEAST(CAST(0 AS BIGINT), CAST(MIN(pre) OVER w AS BIGINT)) AS cu
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(cu) AS DOUBLE) / 100 AS max_cusum,
+           CAST(SUM(CASE WHEN cu > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+    FROM s GROUP BY user_id
+    """,
+)
+
+
+def _dcusum(spark, sf_dir):
+    """CUSUM per user without recursion: prefix sums and a running min
+    share ONE user-partitioned sort (two stacked window functions over
+    the same frame — a single shuffle), then a per-user rollup. The
+    identity S_t = P_t - min(0, min_{j<=t} P_j) turns the sequential
+    max(0, .) recursion into two scans any engine parallelizes; a
+    property test checks it against the direct recursion."""
+    ev = t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    x = ev.select("user_id", "ts", "event_id", cents.alias("cents"))
+    m = x.agg(
+        F.floor(F.sum("cents").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("__mu")
+    )
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = x.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("cents") - F.col("__mu")).over(wp).cast("long").alias("pre"),
+    )
+    s = p.select(
+        "user_id",
+        (
+            F.col("pre")
+            - F.least(F.lit(0).cast("long"), F.min("pre").over(wp).cast("long"))
+        ).alias("cu"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("cu").cast("double") / 100).alias("max_cusum"),
+        F.sum(F.when(F.col("cu") > 100000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms"),
+    )
+
+
+CATALOG["evt_cusum_drift_per_user"].fn = _dcusum
+
 
 # ===========================================================================
 # catalog ordering: the driver's evidence window

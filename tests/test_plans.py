@@ -141,6 +141,7 @@ _SCALAR_BROADCAST_OK = {
     "doc_dsir_importance_weights",  # 1-row token-total/vocab scalar
     "doc_dsir_topk_per_source",    # same DSIR 1-row scalar via the shared frame
     "graph_rich_club",             # 3-row k-threshold literal grid
+    "evt_cusum_drift_per_user",    # 1-row global-mean scalar
 }
 
 

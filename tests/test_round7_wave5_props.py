@@ -188,6 +188,35 @@ def test_centroid_separation_matches_python_reference(spark, con):
     assert got == expect
 
 
+def test_cusum_matches_direct_recursion(spark, con):
+    """The window identity S_t = P_t - min(0, min P_j) vs the direct
+    S_t = max(0, S_{t-1} + d_t) recursion, event by event."""
+    rows = con.execute(
+        f"""SELECT user_id, ts, event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM '{SF}/events.parquet' ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    total = sum(r[3] for r in rows)
+    mu = math.floor(total / len(rows))
+    by_user = defaultdict(list)
+    for u, _, _, c in rows:
+        by_user[u].append(c - mu)
+    expect = []
+    for u, ds in by_user.items():
+        s, mx, alarms = 0, 0, 0
+        for d in ds:
+            s = max(0, s + d)
+            mx = max(mx, s)
+            if s > 100000:
+                alarms += 1
+        expect.append((u, len(ds), mx / 100, alarms))
+    expect.sort()
+    got = sorted(
+        (r["user_id"], r["n_events"], r["max_cusum"], r["n_alarms"])
+        for r in _run(spark, "evt_cusum_drift_per_user")
+    )
+    assert got == expect
+
+
 def test_bigram_entropy_rate_matches_python_reference(spark, con):
     """Per-lang conditional entropy from adjacent-token bigram type
     counts with micro-nat c*ln(c12/c1) products."""
