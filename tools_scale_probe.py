@@ -69,6 +69,8 @@ HEAVY = [
     "doc_bigram_entropy_rate_by_lang",
     "basket_brand_pair_lift",
     "graph_kcore_peel_rounds",
+    # CUSUM identity: two stacked windows over 10x users, one shuffle
+    "evt_cusum_drift_per_user",
 ]
 
 
