@@ -45,6 +45,8 @@ SHOW_NOTES = {
     "doc_segment_dedup_rewrite": "Corpus-global substring dedup: one segment-keyed window (the inherent shuffle of global first-occurrence semantics) and one doc-keyed reassembly aggregate; segments explode map-side, nothing cartesian, no driver collection.",
     "doc_span_corruption": "Training-example construction stays JVM-side end to end: posexplode -> ONE doc-keyed shuffle shared by the lag window and the running-sum sentinel numbering -> groupBy(doc) sorted-struct reassembly; the masking draw is a projected sha2 expression, not an RNG or UDF.",
     "sim_pq_adc_topk": "PQ-ADC: the corpus meets the codebook only through <=128-row broadcast builds (the encode pass is a bounded BroadcastNestedLoopJoin, the ADC lookup a BroadcastHashJoin on (sub, code)); the encode shuffle carries (id, sub, code) triples — never vectors — and the final ranking is TakeOrderedAndProject over per-id BIGINT sums.",
+    "doc_dsir_importance_weights": "DSIR selection: ONE tokenize/explode pass builds the checkpointed (doc, lang, token) count table; raw/target distributions and the totals scalar all roll up from it (no re-scan); the log-ratio table joins on the token key carrying only small integers; top-20 is TakeOrderedAndProject.",
+    "evt_cusum_drift_per_user": "CUSUM without recursion: the prefix sum and the running min are two Window functions over the SAME (user) partitioning and (ts, event_id) order — one exchange, one sort, both scans pipelined; the global mean is a 1-row broadcast; the recursive max(0, S+d) never appears in the plan.",
 }
 
 
