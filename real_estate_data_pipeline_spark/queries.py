@@ -17271,6 +17271,434 @@ def _dcusum(spark, sf_dir):
 
 CATALOG["evt_cusum_drift_per_user"].fn = _dcusum
 
+register(
+    "ml_bootstrap_mean_se",
+    # uncertainty quantification at scale: the Poisson bootstrap
+    # (each row enters replicate b with weight ~ Poisson(1), decided
+    # by the row's hash — the streamable bootstrap, no resampled
+    # copies of the data) over 32 deterministic replicates gives the
+    # standard error and a 95% CI of mean order value. Replicate
+    # means go to integer micro-dollars so the across-replicate
+    # moments are exact.
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    full_m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean_revenue
+      FROM x
+    ),
+    r AS (
+      SELECT b.b, x.cents,
+             {_HASH01_SQL.format(key="CAST(o_orderkey AS VARCHAR) || 'boot' || CAST(b AS VARCHAR)")} AS u
+      FROM x CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS b) b
+    ),
+    w AS (
+      SELECT b, cents,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  ELSE 5 END AS w
+      FROM r
+    ),
+    rep AS (
+      SELECT b, CAST(SUM(w) AS BIGINT) AS nw,
+             CAST(SUM(CAST(w AS HUGEINT) * cents) AS BIGINT) AS swc
+      FROM w GROUP BY b
+    ),
+    mb AS (
+      SELECT CAST(FLOOR(CAST(swc AS DOUBLE) / NULLIF(nw, 0) / 100.0 * 1000000 + 0.5)
+                  AS BIGINT) AS m
+      FROM rep
+    ),
+    se AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+             round(sqrt((CAST(COUNT(*) AS DOUBLE)
+                         * CAST(SUM(CAST(m AS HUGEINT) * m) AS DOUBLE)
+                         - CAST(SUM(m) AS DOUBLE) * SUM(m))
+                        / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)))
+                   / 1000000, 6) AS boot_se
+      FROM mb
+    )
+    SELECT f.n_orders, f.mean_revenue, s.n_replicates, s.boot_se,
+           round(f.mean_revenue - 1.96 * s.boot_se, 6) AS ci_lo,
+           round(f.mean_revenue + 1.96 * s.boot_se, 6) AS ci_hi
+    FROM full_m f, se s
+    """,
+)
+
+
+def _dbootstrap(spark, sf_dir):
+    """Poisson bootstrap SE of mean order value: a 32-way replicate
+    explode (map-side — no resampled data copies ever materialize),
+    per-row weights from the engine-wide sha2 uniform draw mapped
+    through the Poisson(1) CDF, one (replicate) aggregate, exact
+    micro-dollar moments across the 32 replicate means, a 1x1 join of
+    the SE row with the full-sample mean row. The streamable
+    bootstrap — at 100 TB each row is touched once per replicate with
+    no shuffle bigger than 32 rows after the first aggregate."""
+    from .ops.sampling import hash_uniform01
+
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("long")
+    x = o.select("o_orderkey", cents.alias("cents")).localCheckpoint(eager=False)
+    full_m = x.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        (F.sum("cents").cast("double") / F.count("*") / F.lit(100.0)).alias(
+            "mean_revenue"
+        ),
+    )
+    r = x.select(
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b"),
+        "o_orderkey",
+    ).select(
+        "b",
+        "cents",
+        hash_uniform01(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("boot"),
+                F.col("b").cast("string"),
+            )
+        ).alias("u"),
+    )
+    w = r.select(
+        "b",
+        "cents",
+        F.when(F.col("u") < 0.36787944117144233, 0)
+        .when(F.col("u") < 0.7357588823428847, 1)
+        .when(F.col("u") < 0.9196986029286058, 2)
+        .when(F.col("u") < 0.9810118431238462, 3)
+        .when(F.col("u") < 0.9963401531726563, 4)
+        .otherwise(5)
+        .alias("w"),
+    )
+    rep = w.groupBy("b").agg(
+        F.sum("w").cast("long").alias("nw"),
+        F.sum(F.col("w").cast("decimal(18,0)") * F.col("cents"))
+        .cast("long")
+        .alias("swc"),
+    )
+    mb = rep.select(
+        F.floor(
+            F.col("swc").cast("double")
+            / F.nullif(F.col("nw"), F.lit(0))
+            / F.lit(100.0)
+            * 1000000
+            + 0.5
+        ).alias("m")
+    )
+    bd = F.count("*").cast("double")
+    se = mb.agg(
+        F.count("*").cast("long").alias("n_replicates"),
+        F.round(
+            F.sqrt(
+                (
+                    bd
+                    * F.sum(F.col("m").cast("decimal(18,0)") * F.col("m").cast("decimal(18,0)")).cast("double")
+                    - F.sum("m").cast("double") * F.sum("m")
+                )
+                / (bd * (F.count("*") - 1))
+            )
+            / F.lit(1000000),
+            6,
+        ).alias("boot_se"),
+    )
+    return full_m.crossJoin(F.broadcast(se)).select(
+        "n_orders",
+        "mean_revenue",
+        "n_replicates",
+        "boot_se",
+        F.round(F.col("mean_revenue") - 1.96 * F.col("boot_se"), 6).alias("ci_lo"),
+        F.round(F.col("mean_revenue") + 1.96 * F.col("boot_se"), 6).alias("ci_hi"),
+    )
+
+
+CATALOG["ml_bootstrap_mean_se"].fn = _dbootstrap
+
+register(
+    "evt_conversion_attribution",
+    # multi-touch attribution inside gap sessions: every purchase
+    # credits its preceding same-session touches — last-touch counts
+    # AND linear (1/k split across distinct preceding touch types,
+    # in exact micro-credit integers so the totals are
+    # order-independent). The session join is (user, session)-keyed;
+    # the pair space is bounded by session sizes, like baskets.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM flagged
+    ),
+    conv AS (
+      SELECT user_id, sid, ts, event_id FROM sess WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT c.user_id, c.sid, c.event_id AS conv_id, t.event_type AS touch_type,
+             t.ts AS tts, t.event_id AS tid
+      FROM conv c
+      JOIN sess t ON t.user_id = c.user_id AND t.sid = c.sid
+      WHERE t.event_type <> 'purchase'
+        AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id))
+    ),
+    dist AS (
+      SELECT DISTINCT user_id, conv_id, touch_type FROM touch
+    ),
+    k AS (
+      SELECT user_id, conv_id, CAST(COUNT(*) AS BIGINT) AS k
+      FROM dist GROUP BY user_id, conv_id
+    ),
+    -- last touch is the EVENT-level latest (ts, event_id) — never
+    -- independent per-type maxes, which can pair a ts from one event
+    -- with an id from another
+    lastev AS (
+      SELECT user_id, conv_id, touch_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                                ORDER BY tts DESC, tid DESC) AS rn
+      FROM touch
+    ),
+    lt AS (
+      SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS last_touch_conversions
+      FROM lastev WHERE rn = 1 GROUP BY touch_type
+    ),
+    cr AS (
+      SELECT d.touch_type,
+             round(CAST(SUM(CAST(FLOOR(1000000.0 / k.k + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000, 6) AS linear_credit
+      FROM dist d
+      JOIN k ON k.user_id = d.user_id AND k.conv_id = d.conv_id
+      GROUP BY d.touch_type
+    )
+    SELECT cr.touch_type,
+           CAST(COALESCE(lt.last_touch_conversions, 0) AS BIGINT)
+             AS last_touch_conversions,
+           cr.linear_credit
+    FROM cr LEFT JOIN lt ON lt.touch_type = cr.touch_type
+    """,
+)
+
+
+def _dattribution(spark, sf_dir):
+    """Conversion attribution: the engine-wide sessionization, a
+    (user, session)-keyed join of purchases onto their session's
+    earlier touches, per-conversion distinct touch rollup, then
+    last-touch (rank window over the bounded per-conversion frame)
+    and linear credits as exact micro-credit sums."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    flagged = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sid", F.sum("new_sess").over(wsum)).select(
+        "user_id", "sid", "ts", "event_id", "event_type"
+    ).localCheckpoint(eager=False)  # feeds both join sides
+    conv = sess.filter(F.col("event_type") == "purchase").select(
+        "user_id", "sid", F.col("ts").alias("cts"), F.col("event_id").alias("conv_id")
+    )
+    tch = sess.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "sid",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+    )
+    touch = conv.join(tch, ["user_id", "sid"]).filter(
+        (F.col("tts") < F.col("cts"))
+        | ((F.col("tts") == F.col("cts")) & (F.col("tid") < F.col("conv_id")))
+    )
+    touch = touch.localCheckpoint(eager=False)  # feeds dist + the last-touch rank
+    dist = (
+        touch.select("user_id", "conv_id", "touch_type")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds k and the credit rollup
+    )
+    kf = dist.groupBy("user_id", "conv_id").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    wl = Window.partitionBy("user_id", "conv_id").orderBy(
+        F.desc("tts"), F.desc("tid")
+    )
+    lt = (
+        touch.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .groupBy("touch_type")
+        .agg(F.count("*").cast("long").alias("last_touch_conversions"))
+    )
+    cr = (
+        dist.join(kf, ["user_id", "conv_id"])
+        .groupBy("touch_type")
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(F.lit(1000000.0) / F.col("k") + 0.5).cast("long")
+                ).cast("double")
+                / F.lit(1000000),
+                6,
+            ).alias("linear_credit"),
+        )
+    )
+    return cr.join(lt, "touch_type", "left").select(
+        "touch_type",
+        F.coalesce(F.col("last_touch_conversions"), F.lit(0))
+        .cast("long")
+        .alias("last_touch_conversions"),
+        "linear_credit",
+    )
+
+
+CATALOG["evt_conversion_attribution"].fn = _dattribution
+
+
+def _mmr_oracle(k: int = 5, lam: str = "0.7", mu: str = "0.3") -> str:
+    """Unrolled greedy Maximal-Marginal-Relevance re-ranking: top-16
+    candidates by rounded cosine, then k rounds of
+    argmax(lam*rel - mu*max_sim_to_selected) with vec_id ties —
+    fully deterministic because every score input is a rounded-6
+    double and the argmax is an ORDER BY ... LIMIT 1."""
+    ctes, rows = [], [
+        f"SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS relevance,"
+        f" round({lam} * rel, 6) AS mmr_score FROM s1"
+    ]
+    for r in range(2, k + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, r)
+        )
+        ctes.append(f""",
+    u{r} AS ({prev_union}),
+    ms{r} AS (
+      SELECT c.vec_id, c.rel, MAX(pw.sim) AS msim
+      FROM cand c
+      JOIN pw ON pw.va = c.vec_id
+      JOIN u{r} u ON u.vec_id = pw.vb
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM u{r})
+      GROUP BY c.vec_id, c.rel
+    ),
+    s{r} AS (
+      SELECT vec_id, rel, msim FROM ms{r}
+      ORDER BY {lam} * rel - {mu} * msim DESC, vec_id LIMIT 1
+    )""")
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT), vec_id, rel,"
+            f" round({lam} * rel - {mu} * msim, 6) FROM s{r}"
+        )
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT e.vec_id,
+             round({_DOT_SQL} / (SQRT({_NORM_SQL_E}) * SQRT({_NORM_SQL_Q})), 6) AS rel
+      FROM embeddings e, q
+      ORDER BY rel DESC, e.vec_id LIMIT 16
+    ),
+    cv AS MATERIALIZED (
+      SELECT c.vec_id, c.rel, e.embedding, {_EN_NORM_SQL} AS n
+      FROM cand c JOIN embeddings e USING (vec_id)
+    ),
+    pw AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {_cos6_sql('a.embedding', 'b.embedding', 'a.n', 'b.n')} AS sim
+      FROM cv a JOIN cv b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1){"".join(ctes)}
+    {" UNION ALL ".join(rows)}
+    """
+
+
+register("sim_mmr_diverse_topk", oracle=_mmr_oracle())
+
+
+def _dmmr(spark, sf_dir):
+    """MMR diversity re-ranking (the RAG retrieval step after ANN):
+    brute-force top-16 candidates, a 16x16 rounded pairwise-cosine
+    table, then 5 greedy rounds of lam*relevance - mu*redundancy —
+    each round a left-anti + max-sim aggregate + TakeOrdered(1) over
+    frames of at most 16 rows (bounded model-frame convention). At
+    100 TB only the candidate generation touches the corpus; the
+    re-rank runs on broadcast-sized frames."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).agg(F.first("embedding").alias("qv"))
+    cand = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(16)
+        .localCheckpoint(eager=False)
+    )
+    a = cand.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pw = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(similarity.cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cand_slim = cand.select("vec_id", "rel")
+    s1 = cand_slim.orderBy(F.desc("rel"), "vec_id").limit(1)
+    out = [
+        s1.select(
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            F.col("rel").alias("relevance"),
+            F.round(F.lit(0.7) * F.col("rel"), 6).alias("mmr_score"),
+        )
+    ]
+    picked = s1.select("vec_id").localCheckpoint(eager=False)
+    for r in range(2, 6):
+        rem = cand_slim.join(picked, "vec_id", "left_anti")
+        ms = (
+            rem.join(pw, rem.vec_id == pw.va)
+            .join(picked.withColumnRenamed("vec_id", "vb"), "vb")
+            .groupBy(rem.vec_id, "rel")
+            .agg(F.max("sim").alias("msim"))
+        )
+        sr = ms.orderBy(
+            F.desc(F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("msim")), "vec_id"
+        ).limit(1).localCheckpoint(eager=False)
+        out.append(
+            sr.select(
+                F.lit(r).cast("long").alias("rank"),
+                "vec_id",
+                F.col("rel").alias("relevance"),
+                F.round(
+                    F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("msim"), 6
+                ).alias("mmr_score"),
+            )
+        )
+        picked = picked.unionByName(sr.select("vec_id")).localCheckpoint(eager=False)
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return res
+
+
+CATALOG["sim_mmr_diverse_topk"].fn = _dmmr
+
 
 # ===========================================================================
 # catalog ordering: the driver's evidence window

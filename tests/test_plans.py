@@ -142,6 +142,8 @@ _SCALAR_BROADCAST_OK = {
     "doc_dsir_topk_per_source",    # same DSIR 1-row scalar via the shared frame
     "graph_rich_club",             # 3-row k-threshold literal grid
     "evt_cusum_drift_per_user",    # 1-row global-mean scalar
+    "ml_bootstrap_mean_se",        # 1x1 join of full-mean row and SE row
+    "sim_mmr_diverse_topk",        # 1-row query vector + 16x16 candidate pair table
 }
 
 

@@ -217,6 +217,94 @@ def test_cusum_matches_direct_recursion(spark, con):
     assert got == expect
 
 
+def test_mmr_matches_python_greedy(spark, con):
+    """Greedy MMR re-derived in plain Python: top-16 by rounded
+    cosine, then 5 rounds of argmax(0.7*rel - 0.3*max_sim)."""
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {vid: [float(v) for v in emb] for vid, emb in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    qv = vecs[0]
+    rel = {vid: cos(v, qv) for vid, v in vecs.items()}
+    cand = sorted(vecs, key=lambda vid: (-rel[vid], vid))[:16]
+    picked = [max(cand, key=lambda v: (rel[v], -v))]
+    expect = [(1, picked[0], rel[picked[0]], round(0.7 * rel[picked[0]], 6))]
+    for r in range(2, 6):
+        best, best_key, best_ms = None, None, None
+        for c in cand:
+            if c in picked:
+                continue
+            ms = max(cos(vecs[c], vecs[p]) for p in picked)
+            score = 0.7 * rel[c] - 0.3 * ms
+            key = (-score, c)
+            if best_key is None or key < best_key:
+                best, best_key, best_ms = c, key, ms
+        picked.append(best)
+        expect.append((r, best, rel[best], round(0.7 * rel[best] - 0.3 * best_ms, 6)))
+    got = sorted(
+        (r["rank"], r["vec_id"], r["relevance"], r["mmr_score"])
+        for r in _run(spark, "sim_mmr_diverse_topk")
+    )
+    assert got == expect
+
+
+def test_attribution_matches_python_reference(spark, con):
+    """Session, touch-set, last-touch and 1/k linear credits in plain
+    Python loops (floored-second session gaps)."""
+    rows = con.execute(
+        f"SELECT user_id, ts, event_id, event_type FROM '{SF}/events.parquet'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    from datetime import datetime
+
+    epoch = datetime(1970, 1, 1)
+    by_user = defaultdict(list)
+    for u, ts, eid, et in rows:
+        by_user[u].append((math.floor((ts - epoch).total_seconds()), ts, eid, et))
+    last_touch = Counter()
+    credit_u = Counter()
+    for u, evs in by_user.items():
+        sessions, cur, prev = [], [], None
+        for sec, ts, eid, et in evs:
+            if prev is not None and sec - prev > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append((ts, eid, et))
+            prev = sec
+        sessions.append(cur)
+        for s in sessions:
+            for i, (ts, eid, et) in enumerate(s):
+                if et != "purchase":
+                    continue
+                touches, last = set(), None
+                for pts, pid, pet in s[:i]:
+                    if pet != "purchase":
+                        touches.add(pet)
+                        last = pet  # event-level latest in (ts, id) order
+                if not touches:
+                    continue
+                k = len(touches)
+                last_touch[last] += 1
+                for tt in touches:
+                    credit_u[tt] += math.floor(1000000.0 / k + 0.5)
+    expect = sorted(
+        (tt, last_touch.get(tt, 0), round(credit_u[tt] / 1000000, 6))
+        for tt in credit_u
+    )
+    got = sorted(
+        (r["touch_type"], r["last_touch_conversions"], r["linear_credit"])
+        for r in _run(spark, "evt_conversion_attribution")
+    )
+    assert got == expect
+
+
 def test_bigram_entropy_rate_matches_python_reference(spark, con):
     """Per-lang conditional entropy from adjacent-token bigram type
     counts with micro-nat c*ln(c12/c1) products."""
