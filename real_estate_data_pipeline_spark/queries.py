@@ -1220,25 +1220,52 @@ def _sliding(spark, sf_dir):
 
 CATALOG["evt_sliding_halfhour"].fn = _sliding
 
-register(
-    "evt_sessionization",
-    oracle="""
-    WITH flagged AS (
-      -- second-truncated gap to match Spark's floored unix seconds
-      -- exactly (a raw INTERVAL compare diverges when a gap is 1800s
-      -- truncated but >1800s at microsecond precision)
-      SELECT user_id, ts, event_id,
+
+def _sess_cte(extra: str = "") -> str:
+    """flagged+sess CTE pair for the engine-wide 30-minute-gap batch
+    sessionization — the SINGLE source of the gap convention (the
+    round-7 review found 4 drifting copies; a raw INTERVAL compare
+    diverges from Spark's floored unix seconds when a gap is exactly
+    1800s truncated but longer at microsecond precision, so the gap
+    compares second-truncated epochs). ``extra`` carries additional
+    event columns (e.g. ``", event_type"``) through to ``sess``."""
+    return f"""flagged AS (
+      SELECT user_id, ts, event_id{extra},
              CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
                        - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sess AS (
-      SELECT user_id, ts, event_id,
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id{extra},
              CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
+    )"""
+
+
+def _gap_sessions(e: DataFrame, *extra: str) -> DataFrame:
+    """(user_id, ts, event_id, *extra, session_id) — the Spark twin of
+    _sess_cte: floored-second gaps, (ts, event_id) tie order, running
+    new-session flag sum. Every batch consumer of gap sessions
+    (sessionization, path mining, attribution) goes through here."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    flagged = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
     )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.withColumn("session_id", F.sum("new_sess").over(wsum)).select(
+        "user_id", "ts", "event_id", *extra, "session_id"
+    )
+
+
+register(
+    "evt_sessionization",
+    oracle=f"""
+    WITH {_sess_cte()}
     SELECT user_id, session_id, COUNT(*) AS n_events,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
            CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_secs
@@ -1252,16 +1279,7 @@ def _sessions(spark, sf_dir):
     """Session windows via gaps-and-islands (30-min inactivity gap) —
     batch analogue of streaming session windows."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    flagged = e.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
-    )
-    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sess = flagged.withColumn("session_id", F.sum("new_sess").over(wsum))
+    sess = _gap_sessions(e)
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start_s"),
@@ -12170,6 +12188,18 @@ def _dup_pairs_edges(spark, sf_dir):
     ).unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
     return pairs, edges
 
+
+def _dup_degrees(edges: DataFrame) -> DataFrame:
+    """Checkpointed (node, deg) table of the near-dup graph — the
+    Spark twin of _DUP_EDGE_CTE's deg, single-sourced so the degree
+    definition cannot drift between its consumers (assortativity,
+    rich-club, and any future degree-conditioned metric)."""
+    return (
+        edges.groupBy(F.col("s").alias("node"))
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+
 register(
     "graph_triangle_count",
     # global triangle census of the near-dup graph: triangles via the
@@ -15643,11 +15673,7 @@ def _dassort(spark, sf_dir):
     aggregate — the same exact-integer Pearson recipe as the corr
     matrix, on graph structure instead of measures."""
     _, edges = _dup_pairs_edges(spark, sf_dir)
-    deg = (
-        edges.groupBy(F.col("s").alias("node"))
-        .agg(F.count("*").cast("long").alias("deg"))
-        .localCheckpoint(eager=False)  # joined onto both edge endpoints
-    )
+    deg = _dup_degrees(edges)  # joined onto both edge endpoints
     da = deg.withColumnsRenamed({"node": "s", "deg": "x"})
     db = deg.withColumnsRenamed({"node": "d", "deg": "y"})
     e2 = edges.join(da, "s").join(db, "d").select("x", "y")
@@ -15779,24 +15805,8 @@ register(
     # batch/streaming session queries use). LEAD twice within the
     # session window; NULL tails drop out via concat's NULL
     # propagation on both engines.
-    oracle="""
-    WITH flagged AS (
-      -- second-truncated gap: the Spark side compares floored epoch
-      -- seconds, and a raw-interval compare can sessionize differently
-      -- when a gap is exactly 1800s after truncation but >1800s raw
-      SELECT user_id, ts, event_id, event_type,
-             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
-                       - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
-                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-      SELECT user_id, ts, event_id, event_type,
-             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      FROM flagged
-    ),
+    oracle=f"""
+    WITH {_sess_cte(", event_type")},
     tri AS (
       SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
                         || '>' || LEAD(event_type, 2) OVER w2 AS path
@@ -15815,16 +15825,9 @@ def _dpathtri(spark, sf_dir):
     (user-partitioned windows), two LEADs inside the session window,
     one count shuffle on the path string, TakeOrdered top-20 — the
     navigation-pattern miner over the same session definition the
-    rest of the engine uses."""
+    rest of the engine uses (_gap_sessions)."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    flagged = e.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
-    )
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = flagged.withColumn("session_id", F.sum("new_sess").over(wsum))
+    sess = _gap_sessions(e, "event_type")
     w2 = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
     path = F.concat(
         F.col("event_type"),
@@ -17095,11 +17098,7 @@ def _drichclub(spark, sf_dir):
     joins), two grouped counts, one guarded division. deg is lazily
     checkpointed — it gates the node count and both endpoint joins."""
     pairs, edges = _dup_pairs_edges(spark, sf_dir)
-    deg = (
-        edges.groupBy(F.col("s").alias("node"))
-        .agg(F.count("*").cast("long").alias("deg"))
-        .localCheckpoint(eager=False)
-    )
+    deg = _dup_degrees(edges)
     ks = spark.range(1).select(
         F.explode(F.array(F.lit(2), F.lit(4), F.lit(8))).alias("k")
     )
@@ -17430,29 +17429,17 @@ register(
     # in exact micro-credit integers so the totals are
     # order-independent). The session join is (user, session)-keyed;
     # the pair space is bounded by session sizes, like baskets.
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, ts, event_id, event_type,
-             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
-                       - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
-                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-      SELECT user_id, ts, event_id, event_type,
-             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
-      FROM flagged
-    ),
+    oracle=f"""
+    WITH {_sess_cte(", event_type")},
     conv AS (
-      SELECT user_id, sid, ts, event_id FROM sess WHERE event_type = 'purchase'
+      SELECT user_id, session_id, ts, event_id
+      FROM sess WHERE event_type = 'purchase'
     ),
     touch AS (
-      SELECT c.user_id, c.sid, c.event_id AS conv_id, t.event_type AS touch_type,
-             t.ts AS tts, t.event_id AS tid
+      SELECT c.user_id, c.session_id, c.event_id AS conv_id,
+             t.event_type AS touch_type, t.ts AS tts, t.event_id AS tid
       FROM conv c
-      JOIN sess t ON t.user_id = c.user_id AND t.sid = c.sid
+      JOIN sess t ON t.user_id = c.user_id AND t.session_id = c.session_id
       WHERE t.event_type <> 'purchase'
         AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id))
     ),
@@ -17500,27 +17487,23 @@ def _dattribution(spark, sf_dir):
     last-touch (rank window over the bounded per-conversion frame)
     and linear credits as exact micro-credit sums."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    flagged = e.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
-    )
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = flagged.withColumn("sid", F.sum("new_sess").over(wsum)).select(
-        "user_id", "sid", "ts", "event_id", "event_type"
-    ).localCheckpoint(eager=False)  # feeds both join sides
+    sess = _gap_sessions(e, "event_type").localCheckpoint(
+        eager=False
+    )  # feeds both join sides
     conv = sess.filter(F.col("event_type") == "purchase").select(
-        "user_id", "sid", F.col("ts").alias("cts"), F.col("event_id").alias("conv_id")
+        "user_id",
+        "session_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("conv_id"),
     )
     tch = sess.filter(F.col("event_type") != "purchase").select(
         "user_id",
-        "sid",
+        "session_id",
         F.col("event_type").alias("touch_type"),
         F.col("ts").alias("tts"),
         F.col("event_id").alias("tid"),
     )
-    touch = conv.join(tch, ["user_id", "sid"]).filter(
+    touch = conv.join(tch, ["user_id", "session_id"]).filter(
         (F.col("tts") < F.col("cts"))
         | ((F.col("tts") == F.col("cts")) & (F.col("tid") < F.col("conv_id")))
     )
@@ -17602,9 +17585,13 @@ def _mmr_oracle(k: int = 5, lam: str = "0.7", mu: str = "0.3") -> str:
     return f"""
     WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
     cand AS MATERIALIZED (
+      -- the query vector itself is excluded: without the filter the
+      -- retrieval's rank 1 is always the query document (rel = 1.0)
+      -- and every later redundancy penalty against it degenerates
       SELECT e.vec_id,
              round({_DOT_SQL} / (SQRT({_NORM_SQL_E}) * SQRT({_NORM_SQL_Q})), 6) AS rel
       FROM embeddings e, q
+      WHERE e.vec_id <> 0
       ORDER BY rel DESC, e.vec_id LIMIT 16
     ),
     cv AS MATERIALIZED (
@@ -17635,7 +17622,8 @@ def _dmmr(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).agg(F.first("embedding").alias("qv"))
     cand = (
-        e.crossJoin(F.broadcast(q))
+        e.filter(F.col("vec_id") != 0)  # never retrieve the query itself
+        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "embedding",

@@ -232,10 +232,13 @@ def test_mmr_matches_python_greedy(spark, con):
         return round(d / (na * nb), 6)
 
     qv = vecs[0]
-    rel = {vid: cos(v, qv) for vid, v in vecs.items()}
-    cand = sorted(vecs, key=lambda vid: (-rel[vid], vid))[:16]
+    rel = {vid: cos(v, qv) for vid, v in vecs.items() if vid != 0}
+    cand = sorted(rel, key=lambda vid: (-rel[vid], vid))[:16]
+    # scores are linear combinations of 6-dp inputs, so exact 5e-7
+    # ties happen — _r6 (HALF_UP) matches the engines where builtin
+    # round (half-even) does not
     picked = [max(cand, key=lambda v: (rel[v], -v))]
-    expect = [(1, picked[0], rel[picked[0]], round(0.7 * rel[picked[0]], 6))]
+    expect = [(1, picked[0], rel[picked[0]], _r6(0.7 * rel[picked[0]]))]
     for r in range(2, 6):
         best, best_key, best_ms = None, None, None
         for c in cand:
@@ -247,7 +250,7 @@ def test_mmr_matches_python_greedy(spark, con):
             if best_key is None or key < best_key:
                 best, best_key, best_ms = c, key, ms
         picked.append(best)
-        expect.append((r, best, rel[best], round(0.7 * rel[best] - 0.3 * best_ms, 6)))
+        expect.append((r, best, rel[best], _r6(0.7 * rel[best] - 0.3 * best_ms)))
     got = sorted(
         (r["rank"], r["vec_id"], r["relevance"], r["mmr_score"])
         for r in _run(spark, "sim_mmr_diverse_topk")
@@ -258,16 +261,15 @@ def test_mmr_matches_python_greedy(spark, con):
 def test_attribution_matches_python_reference(spark, con):
     """Session, touch-set, last-touch and 1/k linear credits in plain
     Python loops (floored-second session gaps)."""
+    from tests.test_round7_wave3_props import _esec
+
     rows = con.execute(
         f"SELECT user_id, ts, event_id, event_type FROM '{SF}/events.parquet'"
         " ORDER BY user_id, ts, event_id"
     ).fetchall()
-    from datetime import datetime
-
-    epoch = datetime(1970, 1, 1)
     by_user = defaultdict(list)
     for u, ts, eid, et in rows:
-        by_user[u].append((math.floor((ts - epoch).total_seconds()), ts, eid, et))
+        by_user[u].append((_esec(ts), ts, eid, et))
     last_touch = Counter()
     credit_u = Counter()
     for u, evs in by_user.items():
