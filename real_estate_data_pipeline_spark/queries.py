@@ -17774,34 +17774,26 @@ _PREVIOUSLY_SAMPLED = frozenset({
     "q20_dominant_share_suppliers", "q21_sole_late_supplier",
     "q22_idle_wealthy_customers", "w2_running_totals", "w3_order_gaps",
     "w4_rank_family", "a9_rollup_sales",
-})
-
-_DRIVER_WINDOW = [
-    # round-6 late additions: graph / ML-in-relational-algebra family
+    # round-7 rotated window
     "graph_pagerank_dup_nodes", "evt_markov_transition_matrix",
     "emb_pca_top_component", "doc_pmi_collocations",
     "ml_naive_bayes_lang_eval", "doc_trigram_backoff_logprob",
     "ml_group_ols_outliers", "doc_token_zipf_fit",
-    # round-6 time-series family
     "d8_iso_week_rollup", "evt_dau_wau_stickiness",
     "evt_change_point_hourly", "evt_cohort_retention",
     "evt_funnel_ordered_conversion", "evt_anomaly_mad",
     "evt_interpolate_linear_hourly", "evt_resample_ffill_hourly",
     "evt_error_burst_islands", "asof_nearest_event",
-    # round-6 streaming runs (13th/14th/min-max fit)
     "evt_stream_topk_now", "evt_stream_minmax_now",
     "doc_stream_incremental_minhash_now",
-    # round-6 sampling / scaling / multimodal-oracle family
     "sample_balanced_class_downsample", "m10_minmax_scaler",
     "mm_wav_feature_oracle",
-    # round-6 lakehouse + ANN diagnostics
     "scd2_point_in_time", "io_version_history_report",
     "io_schema_evolution_scan", "dq_schema_profile_diff",
     "sim_ivf_cell_stats", "sim_knn_graph_degree_stats",
     "minhash_threshold_sweep", "doc_bpe_apply_merges",
     "doc_lang_confusion_matrix", "doc_quality_filter_funnel",
     "emb_norm_percentiles",
-    # r1-era stragglers: the last never-sampled basics
     "a8_fillna_defaults", "a10_pivot_status", "a11_grouping_sets",
     "a12_moving_avg_hourly", "a9b_cube_grouping_id",
     "d1_multiformat_roundtrip", "u2_intersect_except",
@@ -17809,6 +17801,43 @@ _DRIVER_WINDOW = [
     "w6_rank_distribution_family", "j4_null_safe_join",
     "j5_full_outer_reconcile", "n_nested_bundle", "m_unit_ratio_bundle",
     "q1_pricing_summary_tpch",
+})
+
+_DRIVER_WINDOW = [
+    # round-7 lakehouse composition (judge-requested feature-store shape)
+    "scd2_asof_feature_join",
+    # round-7 statistical-inference family
+    "ml_chi_square_mktseg_priority", "ml_anova_price_by_segment",
+    "ml_ab_conversion_ztest", "ml_corr_matrix_lineitem",
+    "cust_revenue_gini", "evt_theil_sen_daily_trend",
+    "basket_brand_pair_lift", "dq_outlier_iqr_fences",
+    "lineitem_return_rate_wilson", "ml_bootstrap_mean_se",
+    "evt_conversion_attribution", "evt_cusum_drift_per_user",
+    # round-7 graph family over the near-dup graph
+    "graph_triangle_count", "graph_local_clustering_topk",
+    "graph_label_propagation_communities", "graph_neighbor_jaccard_topk",
+    "graph_degree_assortativity", "graph_kcore_peel_rounds",
+    "graph_rich_club",
+    # round-7 text / LM family
+    "doc_good_turing_counts", "doc_kneser_ney_bigram_logprob",
+    "doc_heaps_law_fit", "doc_textrank_keywords",
+    "doc_idf_weighted_jaccard_pairs", "doc_winnowing_fingerprint_overlap",
+    "doc_dsir_importance_weights", "doc_dsir_topk_per_source",
+    "doc_cluster_source_purity", "doc_ttr_hapax_by_lang",
+    "doc_bigram_entropy_rate_by_lang", "doc_dedup_token_loss_by_source",
+    "doc_source_perplexity_rank",
+    # round-7 retrieval / embedding diagnostics
+    "sim_ivf_recall_nprobe_sweep", "sim_mips_topk",
+    "sim_range_search_count", "emb_quantization_error_report",
+    "ml_knn_classifier_eval", "emb_class_margin_audit",
+    "emb_centroid_separation_report", "sim_mmr_diverse_topk",
+    # round-7 sessions / survival / time-series
+    "evt_survival_km_weekly", "orders_open_by_day_sweepline",
+    "evt_session_path_trigrams", "evt_bounce_rate_daily",
+    "evt_ewma_hourly",
+    # round-7 DQ / BI
+    "dq_benford_first_digit", "dq_quantile_normalized_features",
+    "cust_rfm_segmentation", "cust_nation_revenue_entropy",
 ]
 
 
