@@ -17689,6 +17689,496 @@ CATALOG["sim_mmr_diverse_topk"].fn = _dmmr
 
 
 # ===========================================================================
+# round-8 additions: revenue analytics, inference, retrieval scoring,
+# graph centrality, sketch accuracy, and dedup-quality evaluation
+# ===========================================================================
+
+register(
+    "orders_new_vs_returning_revenue",
+    # the growth-accounting split every revenue dashboard leads with:
+    # each month's orders and revenue divided into first-ever-month
+    # customers ('new') vs repeat buyers ('returning'). First month is
+    # one customer-partitioned window min — no self-join.
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             date_trunc('month', o_orderdate) AS m,
+             MIN(date_trunc('month', o_orderdate))
+                 OVER (PARTITION BY o_custkey) AS first_m,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT month,
+           CASE WHEN m = first_m THEN 'new' ELSE 'returning' END AS cohort_flag,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           round(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS revenue
+    FROM o GROUP BY month, cohort_flag
+    """,
+)
+
+
+def _dnewret(spark, sf_dir):
+    """New-vs-returning monthly revenue split: the first-order month is
+    a customer-partitioned window MIN (shuffles once on the customer
+    key), the rollup a plain grouped aggregate over exact cents — the
+    whole query is two shuffles on natural keys at any scale."""
+    o = t(spark, sf_dir, "orders")
+    m = F.date_trunc("month", F.col("o_orderdate"))
+    x = o.select(
+        "o_custkey",
+        F.date_format(m, "yyyy-MM").alias("month"),
+        m.alias("__m"),
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+    ).withColumn("__first", F.min("__m").over(Window.partitionBy("o_custkey")))
+    return x.groupBy(
+        "month",
+        F.when(F.col("__m") == F.col("__first"), "new")
+        .otherwise("returning")
+        .alias("cohort_flag"),
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
+    )
+
+
+CATALOG["orders_new_vs_returning_revenue"].fn = _dnewret
+
+register(
+    "cust_cohort_ltv_curve",
+    # cohort lifetime-value curve: customers grouped by first-order
+    # month, cumulative revenue per cohort tracked by months-since-
+    # first — the curve that tells you when a cohort pays back. The
+    # running sum is cohort-partitioned over the (cohort, age)
+    # aggregate (bounded: months x months), never over raw orders.
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cm
+      FROM orders GROUP BY o_custkey
+    ),
+    cs AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM f GROUP BY cm),
+    r AS (
+      SELECT f.cm,
+             CAST(date_diff('month', f.cm, date_trunc('month', o.o_orderdate))
+                  AS BIGINT) AS age_months,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+    ),
+    a AS (
+      SELECT cm, age_months, CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM r GROUP BY cm, age_months
+    ),
+    c AS (
+      SELECT cm, age_months,
+             CAST(SUM(rev_cents) OVER (PARTITION BY cm ORDER BY age_months)
+                  AS BIGINT) AS cum_cents
+      FROM a
+    )
+    SELECT strftime(c.cm, '%Y-%m') AS cohort_month, c.age_months,
+           cs.cohort_size,
+           round(CAST(c.cum_cents AS DOUBLE) / 100.0, 2) AS cum_revenue,
+           round(CAST(c.cum_cents AS DOUBLE) / cs.cohort_size / 100.0, 6)
+               AS ltv_per_customer
+    FROM c JOIN cs ON cs.cm = c.cm
+    """,
+)
+
+
+def _dltv(spark, sf_dir):
+    """Cohort LTV curve: one grouped aggregate finds each customer's
+    cohort month, orders join it back on the customer key (broadcast-
+    able: one row per customer), the (cohort, age) revenue table is
+    months x months small, and the cumulative window is partitioned by
+    cohort — at 100 TB the only big shuffles are the two customer-keyed
+    ones and they reuse the same partitioning."""
+    o = t(spark, sf_dir, "orders")
+    m = F.date_trunc("month", F.col("o_orderdate"))
+    f = o.groupBy("o_custkey").agg(F.min(m).alias("cm")).localCheckpoint(eager=False)
+    cs = f.groupBy("cm").agg(F.count("*").cast("long").alias("cohort_size"))
+    r = (
+        o.select(
+            "o_custkey",
+            m.alias("__om"),
+            (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+        )
+        .join(f, "o_custkey")
+        .select(
+            "cm",
+            F.months_between(F.col("__om"), F.col("cm")).cast("long").alias("age_months"),
+            "cents",
+        )
+    )
+    a = r.groupBy("cm", "age_months").agg(F.sum("cents").cast("long").alias("rev_cents"))
+    c = a.withColumn(
+        "cum_cents",
+        F.sum("rev_cents")
+        .over(Window.partitionBy("cm").orderBy("age_months"))
+        .cast("long"),
+    )
+    return c.join(cs, "cm").select(
+        F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+        "age_months",
+        "cohort_size",
+        F.round(F.col("cum_cents").cast("double") / 100.0, 2).alias("cum_revenue"),
+        F.round(
+            F.col("cum_cents").cast("double") / F.col("cohort_size") / 100.0, 6
+        ).alias("ltv_per_customer"),
+    )
+
+
+CATALOG["cust_cohort_ltv_curve"].fn = _dltv
+
+register(
+    "part_skyline_by_brand",
+    # per-brand Pareto frontier of (min price, max size): a part is on
+    # the skyline iff no same-brand part is cheaper-or-equal AND
+    # bigger-or-equal with one strict. The classic dominance query
+    # without any inequality self-join: group to (brand, price) ->
+    # max size, then one brand-partitioned running max over the
+    # strictly-cheaper prefix decides dominance.
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM part
+    ),
+    g AS (
+      SELECT p_brand, price_cents, MAX(p_size) AS gmax
+      FROM p GROUP BY p_brand, price_cents
+    ),
+    w AS (
+      SELECT p_brand, price_cents, gmax,
+             MAX(gmax) OVER (PARTITION BY p_brand ORDER BY price_cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max
+      FROM g
+    ),
+    sk AS (
+      SELECT p_brand, price_cents, gmax FROM w
+      WHERE prev_max IS NULL OR prev_max < gmax
+    )
+    SELECT p.p_brand, p.p_partkey,
+           round(CAST(p.price_cents AS DOUBLE) / 100.0, 2) AS price,
+           p.p_size
+    FROM p JOIN sk ON sk.p_brand = p.p_brand AND sk.price_cents = p.price_cents
+                   AND p.p_size = sk.gmax
+    ORDER BY p.p_brand, p.price_cents, p.p_partkey
+    """,
+)
+
+
+def _dskyline(spark, sf_dir):
+    """2-D skyline (Pareto frontier) per brand via the sort-and-running-
+    max identity: dominance against all strictly-cheaper parts is one
+    brand-partitioned window over the (brand, price) aggregate; ties in
+    price dominate only with a strictly larger size, which the
+    group-max equality check encodes. No quadratic NOT EXISTS — the
+    candidate table is value-domain sized, and the final join back to
+    parts is equi-keyed on (brand, price)."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("price_cents"),
+    )
+    g = p.groupBy("p_brand", "price_cents").agg(F.max("p_size").alias("gmax"))
+    w = g.withColumn(
+        "prev_max",
+        F.max("gmax").over(
+            Window.partitionBy("p_brand")
+            .orderBy("price_cents")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    sk = w.filter(F.col("prev_max").isNull() | (F.col("prev_max") < F.col("gmax"))).select(
+        F.col("p_brand").alias("__b"),
+        F.col("price_cents").alias("__pc"),
+        F.col("gmax").alias("__gmax"),
+    )
+    return (
+        p.join(
+            sk,
+            on=[
+                p["p_brand"] == sk["__b"],
+                p["price_cents"] == sk["__pc"],
+                p["p_size"] == sk["__gmax"],
+            ],
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round(F.col("price_cents").cast("double") / 100.0, 2).alias("price"),
+            "p_size",
+        )
+        .orderBy("p_brand", F.col("price"), "p_partkey")
+    )
+
+
+CATALOG["part_skyline_by_brand"].fn = _dskyline
+
+register(
+    "ml_permutation_test_ab",
+    # distribution-free significance: a deterministic permutation test
+    # of mean order value between two customer segments. Each of 32
+    # replicates relabels every order by the engine-wide sha2 draw
+    # (P(a) = observed segment share), replicate mean-diffs go to
+    # exact micro-dollars, and the p-value is the smoothed extreme
+    # share (1 + #{|perm| >= |obs|}) / (B + 1).
+    oracle=f"""
+    WITH x AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS seg,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN seg = 'BUILDING' THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN cents ELSE 0 END) AS BIGINT) AS s_b
+      FROM x
+    ),
+    obs AS (
+      SELECT n_a, n_b,
+             CAST(floor(CAST(s_a AS DOUBLE) / n_a / 100.0 * 1000000 + 0.5) AS BIGINT) AS ma6,
+             CAST(floor(CAST(s_b AS DOUBLE) / n_b / 100.0 * 1000000 + 0.5) AS BIGINT) AS mb6,
+             CAST(n_a AS DOUBLE) / (n_a + n_b) AS frac_a
+      FROM m
+    ),
+    r AS (
+      SELECT b.b, x.cents,
+             CASE WHEN {_HASH01_SQL.format(key="CAST(x.o_orderkey AS VARCHAR) || 'perm' || CAST(b.b AS VARCHAR)")}
+                       < o.frac_a
+                  THEN 'a' ELSE 'b' END AS pseg
+      FROM x
+      CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS b) b
+      CROSS JOIN obs o
+    ),
+    rep AS (
+      SELECT b,
+             CAST(floor(CAST(SUM(CASE WHEN pseg = 'a' THEN cents ELSE 0 END) AS DOUBLE)
+                        / NULLIF(SUM(CASE WHEN pseg = 'a' THEN 1 ELSE 0 END), 0)
+                        / 100.0 * 1000000 + 0.5) AS BIGINT)
+             - CAST(floor(CAST(SUM(CASE WHEN pseg = 'b' THEN cents ELSE 0 END) AS DOUBLE)
+                          / NULLIF(SUM(CASE WHEN pseg = 'b' THEN 1 ELSE 0 END), 0)
+                          / 100.0 * 1000000 + 0.5) AS BIGINT) AS d6
+      FROM r GROUP BY b
+    ),
+    pv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+             CAST(SUM(CASE WHEN abs(d6) >= abs(o.ma6 - o.mb6) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_extreme
+      FROM rep CROSS JOIN obs o
+    )
+    SELECT o.n_a, o.n_b,
+           round(o.ma6 / 1000000.0, 6) AS mean_a,
+           round(o.mb6 / 1000000.0, 6) AS mean_b,
+           round((o.ma6 - o.mb6) / 1000000.0, 6) AS obs_diff,
+           p.n_replicates, p.n_extreme,
+           round((1.0 + p.n_extreme) / (p.n_replicates + 1.0), 6) AS p_value
+    FROM obs o CROSS JOIN pv p
+    """,
+)
+
+
+def _dpermtest(spark, sf_dir):
+    """Permutation test as a streamable plan: the observed moments are
+    one aggregate, each row then fans out to 32 replicate labels
+    decided by the row's hash against the observed group share (the
+    label-shuffle distribution under H0, no materialized permutation),
+    replicate diffs reduce to 32 rows, and the p-value is a 1x1
+    broadcast join. Like the Poisson bootstrap, every shuffle after
+    the fan-out carries <=32 rows."""
+    from .ops.sampling import hash_uniform01
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    x = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    is_a = F.col("seg") == "BUILDING"
+    m = x.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, F.col("cents")).otherwise(0)).cast("long").alias("s_a"),
+        F.sum(F.when(~is_a, F.col("cents")).otherwise(0)).cast("long").alias("s_b"),
+    )
+    obs = m.select(
+        "n_a",
+        "n_b",
+        F.floor(F.col("s_a").cast("double") / F.col("n_a") / 100.0 * 1e6 + 0.5)
+        .cast("long")
+        .alias("ma6"),
+        F.floor(F.col("s_b").cast("double") / F.col("n_b") / 100.0 * 1e6 + 0.5)
+        .cast("long")
+        .alias("mb6"),
+        (F.col("n_a").cast("double") / (F.col("n_a") + F.col("n_b"))).alias("frac_a"),
+    ).localCheckpoint(eager=False)
+    r = (
+        x.select("o_orderkey", "cents", F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b"))
+        .crossJoin(F.broadcast(obs.select("frac_a")))
+        .select(
+            "b",
+            "cents",
+            F.when(
+                hash_uniform01(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("perm"),
+                        F.col("b").cast("string"),
+                    )
+                )
+                < F.col("frac_a"),
+                "a",
+            )
+            .otherwise("b")
+            .alias("pseg"),
+        )
+    )
+    pa = F.col("pseg") == "a"
+    rep = r.groupBy("b").agg(
+        (
+            F.floor(
+                F.sum(F.when(pa, F.col("cents")).otherwise(0)).cast("double")
+                / F.nullif(F.sum(F.when(pa, 1).otherwise(0)), F.lit(0))
+                / 100.0
+                * 1e6
+                + 0.5
+            ).cast("long")
+            - F.floor(
+                F.sum(F.when(~pa, F.col("cents")).otherwise(0)).cast("double")
+                / F.nullif(F.sum(F.when(~pa, 1).otherwise(0)), F.lit(0))
+                / 100.0
+                * 1e6
+                + 0.5
+            ).cast("long")
+        ).alias("d6")
+    )
+    pv = (
+        rep.crossJoin(F.broadcast(obs.select("ma6", "mb6")))
+        .agg(
+            F.count("*").cast("long").alias("n_replicates"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("d6")) >= F.abs(F.col("ma6") - F.col("mb6")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme"),
+        )
+    )
+    return obs.crossJoin(F.broadcast(pv)).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("ma6") / 1e6, 6).alias("mean_a"),
+        F.round(F.col("mb6") / 1e6, 6).alias("mean_b"),
+        F.round((F.col("ma6") - F.col("mb6")) / 1e6, 6).alias("obs_diff"),
+        "n_replicates",
+        "n_extreme",
+        F.round(
+            (F.lit(1.0) + F.col("n_extreme")) / (F.col("n_replicates") + F.lit(1.0)), 6
+        ).alias("p_value"),
+    )
+
+
+CATALOG["ml_permutation_test_ab"].fn = _dpermtest
+
+register(
+    "dq_fd_auto_histogram",
+    # auto-binned distribution profile: the Freedman-Diaconis rule
+    # (bin width = 2*IQR/n^(1/3)) picks the histogram granularity from
+    # the data itself — the binning a profiler should default to.
+    # Width snaps to whole cents (>= 1) so every bin edge is an exact
+    # integer and the histogram is engine-exact.
+    oracle="""
+    WITH x AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(cents) AS BIGINT) AS min_c,
+             quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.75) AS q3
+      FROM x
+    ),
+    wdt AS (
+      SELECT min_c,
+             GREATEST(CAST(floor(2.0 * (q3 - q1) / cbrt(CAST(n AS DOUBLE)) + 0.5)
+                           AS BIGINT), 1) AS w_cents
+      FROM s
+    )
+    SELECT CAST(floor(CAST(x.cents - w.min_c AS DOUBLE) / w.w_cents) AS BIGINT) AS bin_id,
+           round((w.min_c
+                  + CAST(floor(CAST(x.cents - w.min_c AS DOUBLE) / w.w_cents) AS BIGINT)
+                    * w.w_cents) / 100.0, 2) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM x CROSS JOIN wdt w
+    GROUP BY 1, 2 ORDER BY bin_id
+    """,
+)
+
+
+def _dfdhist(spark, sf_dir):
+    """Freedman-Diaconis auto-histogram: one exact-percentile aggregate
+    produces the 1-row width scalar (broadcast), binning is then a
+    map-side integer expression and the histogram one grouped count —
+    at scale this is a scan + scalar + count, with the IQR pass the
+    only sort-y step (Spark's exact percentile aggregates per
+    partition before merging)."""
+    o = t(spark, sf_dir, "orders")
+    x = o.select(
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents")
+    ).localCheckpoint(eager=False)
+    s = x.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("cents").cast("long").alias("min_c"),
+        F.percentile("cents", F.lit(0.25)).alias("q1"),
+        F.percentile("cents", F.lit(0.75)).alias("q3"),
+    )
+    wdt = s.select(
+        "min_c",
+        F.greatest(
+            F.floor(
+                F.lit(2.0)
+                * (F.col("q3") - F.col("q1"))
+                / F.cbrt(F.col("n").cast("double"))
+                + F.lit(0.5)
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("w_cents"),
+    )
+    b = F.floor(
+        (F.col("cents") - F.col("min_c")).cast("double") / F.col("w_cents")
+    ).cast("long")
+    return (
+        x.crossJoin(F.broadcast(wdt))
+        .select(
+            b.alias("bin_id"),
+            F.round(
+                (F.col("min_c") + b * F.col("w_cents")) / 100.0, 2
+            ).alias("bin_lo"),
+        )
+        .groupBy("bin_id", "bin_lo")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .orderBy("bin_id")
+    )
+
+
+CATALOG["dq_fd_auto_histogram"].fn = _dfdhist
+
+
+# ===========================================================================
 # catalog ordering: the driver's evidence window
 # ===========================================================================
 # The correctness driver samples the FIRST 50 catalog entries each round.

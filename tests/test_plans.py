@@ -144,6 +144,8 @@ _SCALAR_BROADCAST_OK = {
     "evt_cusum_drift_per_user",    # 1-row global-mean scalar
     "ml_bootstrap_mean_se",        # 1x1 join of full-mean row and SE row
     "sim_mmr_diverse_topk",        # 1-row query vector + 16x16 candidate pair table
+    "ml_permutation_test_ab",      # 1-row observed-moment scalar (share + obs diff)
+    "dq_fd_auto_histogram",        # 1-row FD bin-width scalar
 }
 
 
