@@ -18177,6 +18177,516 @@ def _dfdhist(spark, sf_dir):
 
 CATALOG["dq_fd_auto_histogram"].fn = _dfdhist
 
+_BM25_TERMS = ("hash", "join", "stream")
+
+register(
+    "doc_bm25_topk",
+    # the standard lexical retrieval scorer: Okapi BM25 (k1=1.2,
+    # b=0.75) of every document against a fixed query term set, top-15.
+    # IDF uses the ln((N-df+0.5)/(df+0.5)+1) form; per-(doc, term)
+    # score terms round to micro-units so the per-doc sum is an exact
+    # integer regardless of term order.
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM tk)
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    idf AS (
+      SELECT d.tok,
+             round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS idf
+      FROM dfreq d CROSS JOIN s
+    ),
+    terms AS (
+      SELECT tf.doc_id,
+             CAST(floor(round(i.idf * (tf.tf * 2.2)
+                              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                              6) * 1000000 + 0.5) AS BIGINT) AS t6
+      FROM tf
+      JOIN idf i ON i.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           round(CAST(SUM(t6) AS DOUBLE) / 1000000.0, 6) AS bm25
+    FROM terms GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+    bench=True,
+)
+
+
+def _dbm25(spark, sf_dir):
+    """Okapi BM25 top-k: one tokenize pass feeds both the document
+    lengths and the query-term tf table (the explode filters to the
+    query terms BEFORE the aggregate, so the shuffle carries only
+    matching instances); df and idf live in a terms-sized frame that
+    broadcasts back; the corpus stats are a 1-row broadcast scalar;
+    the final ranking is a TakeOrdered top-15. At 100 TB the only
+    corpus-sized shuffle is the (doc, term) count — everything after
+    is bounded by matches and the k of top-k."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = d.select("doc_id", tk.alias("tk")).localCheckpoint(eager=False)
+    dl = base.select("doc_id", F.size("tk").cast("long").alias("dl")).localCheckpoint(
+        eager=False
+    )
+    s = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("tk").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(s.select("n_docs"))).select(
+        "tok",
+        F.round(
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
+        ).alias("idf"),
+    )
+    terms = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(s.select("avgdl")))
+        .select(
+            "doc_id",
+            F.floor(
+                F.round(
+                    F.col("idf")
+                    * (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    ),
+                    6,
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("t6"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.sum("t6").cast("double") / 1e6, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
+
+
+CATALOG["doc_bm25_topk"].fn = _dbm25
+
+register(
+    "doc_source_kl_divergence",
+    # corpus mixing diagnostics: smoothed unigram KL divergence between
+    # every source pair (both directions + the symmetric Jeffreys sum).
+    # The closed form (Na+V)*KL = sum over the pair's UNION tokens of
+    # (ca+1)*ln((ca+1)/(cb+1)) + (Na+V)*ln((Nb+V)/(Na+V)) makes the
+    # token sum an exact integer micro-nat dot product — tokens outside
+    # the union contribute exactly through the closed-form remainder,
+    # so this is the TRUE Laplace-smoothed KL, not a truncation.
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY source, tok),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY source),
+    voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tc),
+    grid AS (
+      SELECT a.source AS src_a, a.n AS na, b.source AS src_b, b.n AS nb
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    u AS (
+      SELECT g.src_a, g.src_b, g.na, g.nb, t.tok,
+             COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+      FROM grid g
+      CROSS JOIN (SELECT DISTINCT tok FROM tc) t
+      LEFT JOIN tc ca ON ca.source = g.src_a AND ca.tok = t.tok
+      LEFT JOIN tc cb ON cb.source = g.src_b AND cb.tok = t.tok
+      WHERE COALESCE(ca.c, 0) > 0 OR COALESCE(cb.c, 0) > 0
+    ),
+    terms AS (
+      SELECT src_a, src_b, na, nb,
+             CAST(COUNT(*) AS BIGINT) AS n_union_tokens,
+             CAST(SUM((ca + 1) * CAST(round(round(ln((ca + 1.0) / (cb + 1.0)), 6)
+                                            * 1000000) AS BIGINT)) AS BIGINT) AS sab6,
+             CAST(SUM((cb + 1) * CAST(round(round(ln((cb + 1.0) / (ca + 1.0)), 6)
+                                            * 1000000) AS BIGINT)) AS BIGINT) AS sba6
+      FROM u GROUP BY src_a, src_b, na, nb
+    )
+    SELECT src_a, src_b, n_union_tokens,
+           round(CAST(sab6 AS DOUBLE) / 1000000.0 / (na + voc.v)
+                 + round(ln(CAST(nb + voc.v AS DOUBLE) / (na + voc.v)), 6), 6) AS kl_ab,
+           round(CAST(sba6 AS DOUBLE) / 1000000.0 / (nb + voc.v)
+                 + round(ln(CAST(na + voc.v AS DOUBLE) / (nb + voc.v)), 6), 6) AS kl_ba,
+           round(CAST(sab6 AS DOUBLE) / 1000000.0 / (na + voc.v)
+                 + round(ln(CAST(nb + voc.v AS DOUBLE) / (na + voc.v)), 6)
+                 + CAST(sba6 AS DOUBLE) / 1000000.0 / (nb + voc.v)
+                 + round(ln(CAST(na + voc.v AS DOUBLE) / (nb + voc.v)), 6), 6) AS jeffreys
+    FROM terms CROSS JOIN voc
+    """,
+)
+
+
+def _dsrckl(spark, sf_dir):
+    """Pairwise source KL: the (source, token) count table groups once
+    into a per-token count MAP (bounded by the source-domain size),
+    the 190-row source-pair grid broadcasts against it, and each pair's
+    micro-nat dot product reduces in one aggregate — the corpus is
+    scanned once, the only big shuffle is token-keyed, and the pair
+    space lives entirely in the vocabulary x grid frame, never in the
+    document space."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
+    )
+    tc = (
+        d.select("source", F.explode(tk).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = tc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    voc = tc.agg(F.countDistinct("tok").cast("long").alias("v"))
+    ta, tb = tot.withColumnsRenamed({"source": "src_a", "n": "na"}), tot.withColumnsRenamed(
+        {"source": "src_b", "n": "nb"}
+    )
+    grid = ta.join(tb, ta.src_a < tb.src_b)
+    m = tc.groupBy("tok").agg(
+        F.map_from_entries(F.collect_list(F.struct("source", "c"))).alias("cm")
+    )
+    u = (
+        m.crossJoin(F.broadcast(grid))
+        .select(
+            "src_a",
+            "src_b",
+            "na",
+            "nb",
+            F.coalesce(F.element_at("cm", F.col("src_a")), F.lit(0)).alias("ca"),
+            F.coalesce(F.element_at("cm", F.col("src_b")), F.lit(0)).alias("cb"),
+        )
+        .filter((F.col("ca") > 0) | (F.col("cb") > 0))
+    )
+    mn = lambda x, y: F.round(F.round(F.log((x + 1.0) / (y + 1.0)), 6) * 1e6).cast("long")  # noqa: E731
+    terms = u.groupBy("src_a", "src_b", "na", "nb").agg(
+        F.count("*").cast("long").alias("n_union_tokens"),
+        F.sum((F.col("ca") + 1) * mn(F.col("ca"), F.col("cb"))).cast("long").alias("sab6"),
+        F.sum((F.col("cb") + 1) * mn(F.col("cb"), F.col("ca"))).cast("long").alias("sba6"),
+    )
+    kl_ab = F.col("sab6").cast("double") / 1e6 / (F.col("na") + F.col("v")) + F.round(
+        F.log((F.col("nb") + F.col("v")).cast("double") / (F.col("na") + F.col("v"))), 6
+    )
+    kl_ba = F.col("sba6").cast("double") / 1e6 / (F.col("nb") + F.col("v")) + F.round(
+        F.log((F.col("na") + F.col("v")).cast("double") / (F.col("nb") + F.col("v"))), 6
+    )
+    return terms.crossJoin(F.broadcast(voc)).select(
+        "src_a",
+        "src_b",
+        "n_union_tokens",
+        F.round(kl_ab, 6).alias("kl_ab"),
+        F.round(kl_ba, 6).alias("kl_ba"),
+        F.round(kl_ab + kl_ba, 6).alias("jeffreys"),
+    )
+
+
+CATALOG["doc_source_kl_divergence"].fn = _dsrckl
+
+
+def _hits_oracle(rounds: int = 2) -> str:
+    """Oracle for unrolled HITS over the near-dup graph: edges directed
+    low-id -> high-id, each round computes hub scores from authority
+    scores and vice versa with L1 normalization; neighbor sums are
+    micro-unit integer dot products, normalized scores round to 6 dp
+    (ratio of exact integers -> identical doubles)."""
+    prev_a = "a0"
+    iters = []
+    for r in range(1, rounds + 1):
+        iters.append(f""",
+    h{r}r AS (
+      SELECT e.src AS node,
+             CAST(SUM(CAST(floor(round(p.a, 6) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      FROM e JOIN {prev_a} p ON p.node = e.dst GROUP BY e.src
+    ),
+    h{r}t AS (SELECT CAST(SUM(s) AS BIGINT) AS tot FROM h{r}r),
+    h{r} AS (
+      SELECT n.node,
+             round(CAST(COALESCE(h{r}r.s, 0) AS DOUBLE) / NULLIF(t.tot, 0), 6) AS h
+      FROM nodes n LEFT JOIN h{r}r ON h{r}r.node = n.node CROSS JOIN h{r}t t
+    ),
+    a{r}r AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(floor(round(p.h, 6) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      FROM e JOIN h{r} p ON p.node = e.src GROUP BY e.dst
+    ),
+    a{r}t AS (SELECT CAST(SUM(s) AS BIGINT) AS tot FROM a{r}r),
+    a{r} AS (
+      SELECT n.node,
+             round(CAST(COALESCE(a{r}r.s, 0) AS DOUBLE) / NULLIF(t.tot, 0), 6) AS a
+      FROM nodes n LEFT JOIN a{r}r ON a{r}r.node = n.node CROSS JOIN a{r}t t
+    )""")
+        prev_a = f"a{r}"
+    return f"""
+    WITH pairs AS MATERIALIZED ({_minhash_portable_oracle()}),
+    e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    a0 AS (SELECT node, 1.0 AS a FROM nodes){"".join(iters)}
+    SELECT n.node AS doc_id, h.h AS hub, x.a AS authority
+    FROM nodes n
+    JOIN h{rounds} h ON h.node = n.node
+    JOIN a{rounds} x ON x.node = n.node
+    ORDER BY authority DESC, doc_id LIMIT 15
+    """
+
+
+register("graph_hits_rounds", oracle=_hits_oracle())
+
+
+def _dhits(spark, sf_dir):
+    """Two unrolled HITS rounds (Kleinberg hubs/authorities) over the
+    near-dup graph with edges directed low-id -> high-id: the
+    mutual-reinforcement counterpart to PageRank — a doc is a strong
+    authority when many strong hubs point at it. Same iterative
+    conventions as PageRank: the edge set is computed once and
+    persisted, every round's score frame is localCheckpoint'ed so plan
+    depth stays constant, neighbor sums are micro-unit integers, and
+    each L1 normalization is a 1-row broadcast scalar."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dup_pairs_portable(
+        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).persist()
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        a = nodes.select("node", F.lit(1.0).alias("a"))
+        h = None
+        for _ in range(2):
+            hr = (
+                e.join(a.withColumnsRenamed({"node": "dst"}), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(
+                    F.sum(F.floor(F.round(F.col("a"), 6) * 1e6 + F.lit(0.5)).cast("long"))
+                    .cast("long")
+                    .alias("s")
+                )
+            )
+            ht = hr.agg(F.sum("s").cast("long").alias("tot"))
+            h = (
+                nodes.join(hr, "node", "left")
+                .crossJoin(F.broadcast(ht))
+                .select(
+                    "node",
+                    F.round(
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.nullif(F.col("tot"), F.lit(0)),
+                        6,
+                    ).alias("h"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            ar = (
+                e.join(h.withColumnsRenamed({"node": "src"}), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(
+                    F.sum(F.floor(F.round(F.col("h"), 6) * 1e6 + F.lit(0.5)).cast("long"))
+                    .cast("long")
+                    .alias("s")
+                )
+            )
+            at = ar.agg(F.sum("s").cast("long").alias("tot"))
+            a = (
+                nodes.join(ar, "node", "left")
+                .crossJoin(F.broadcast(at))
+                .select(
+                    "node",
+                    F.round(
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.nullif(F.col("tot"), F.lit(0)),
+                        6,
+                    ).alias("a"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return (
+            nodes.join(h, "node")
+            .join(a, "node")
+            .select(F.col("node").alias("doc_id"), F.col("h").alias("hub"), F.col("a").alias("authority"))
+            .orderBy(F.desc("authority"), "doc_id")
+            .limit(15)
+        )
+    finally:
+        e.unpersist()
+
+
+CATALOG["graph_hits_rounds"].fn = _dhits
+
+register(
+    "dedup_minhash_pr_vs_exact",
+    # the dedup-quality scorecard: precision/recall/F1 of the MinHash
+    # near-dup decision (estimate >= 0.5) against EXACT shingle Jaccard
+    # ground truth, evaluated over the union of two independent
+    # candidate generators (all LSH band collisions + all same-block
+    # pairs) — the standard ER evaluation universe, since exact
+    # all-pairs truth is quadratic. F1 uses 2tp/(pred+truth).
+    oracle=f"""
+    WITH cand AS MATERIALIZED ({_minhash_portable_oracle(thr=0.0)}),
+    g AS MATERIALIZED (
+      SELECT doc_id, source, lang, n_chars // 100 AS lb, {_GRAMS3_SQL} AS gs
+      FROM (SELECT doc_id, source, lang, n_chars,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+            FROM documents)
+    ),
+    be AS (
+      SELECT c.id_a, c.id_b, c.jaccard_est,
+             CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+               / (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))
+               AS true_j
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b
+    ),
+    bl AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+               / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS true_j
+      FROM g a JOIN g b
+        ON a.source = b.source AND a.lang = b.lang AND a.lb = b.lb
+       AND a.doc_id < b.doc_id
+    ),
+    u AS (
+      SELECT COALESCE(be.id_a, bl.id_a) AS id_a,
+             COALESCE(be.true_j, bl.true_j) AS true_j,
+             be.jaccard_est
+      FROM be FULL OUTER JOIN bl ON be.id_a = bl.id_a AND be.id_b = bl.id_b
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_universe,
+             CAST(SUM(CASE WHEN true_j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+             CAST(SUM(CASE WHEN jaccard_est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+             CAST(SUM(CASE WHEN jaccard_est >= 0.5 AND true_j >= 0.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM u
+    )
+    SELECT n_universe, n_truth, n_pred, tp,
+           round(CAST(tp AS DOUBLE) / NULLIF(n_pred, 0), 6) AS precision_at_05,
+           round(CAST(tp AS DOUBLE) / NULLIF(n_truth, 0), 6) AS recall_at_05,
+           round(2.0 * tp / NULLIF(n_pred + n_truth, 0), 6) AS f1_at_05
+    FROM m
+    """,
+)
+
+
+def _dmhpr(spark, sf_dir):
+    """MinHash precision/recall vs exact Jaccard: the LSH candidate set
+    (all band collisions, threshold 0) full-outer-joins the blocked
+    exact pair set, exact truth is computed only inside that bounded
+    universe, and the scorecard is one aggregate. The expensive exact
+    Jaccard never touches the full pair space — candidates come from
+    equi-joins on band hashes and block keys."""
+    from .ops.dedup import norm_tokens, shingles_from_tokens
+
+    d = t(spark, sf_dir, "documents")
+    cand = dedup.minhash_dup_pairs_portable(
+        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.0
+    ).select("id_a", "id_b", "jaccard_est")
+    g = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr("n_chars div 100").alias("lb"),
+        shingles_from_tokens(norm_tokens(F.col("text")), 3).alias("gs"),
+    ).localCheckpoint(eager=False)
+
+    def _exact(ga, gb):
+        inter = F.size(F.array_intersect(ga, gb))
+        return inter.cast("double") / (F.size(ga) + F.size(gb) - inter)
+
+    be = (
+        cand.join(g.withColumnsRenamed({"doc_id": "id_a"}).select("id_a", F.col("gs").alias("__ga")), "id_a")
+        .join(g.withColumnsRenamed({"doc_id": "id_b"}).select("id_b", F.col("gs").alias("__gb")), "id_b")
+        .select("id_a", "id_b", "jaccard_est", _exact(F.col("__ga"), F.col("__gb")).alias("true_j"))
+    )
+    ga = g.select("source", "lang", "lb", F.col("doc_id").alias("__ia"), F.col("gs").alias("__ga"))
+    gb = g.select("source", "lang", "lb", F.col("doc_id").alias("__ib"), F.col("gs").alias("__gb"))
+    bl = (
+        ga.join(gb, ["source", "lang", "lb"])
+        .filter(F.col("__ia") < F.col("__ib"))
+        .select(
+            F.col("__ia").alias("id_a"),
+            F.col("__ib").alias("id_b"),
+            _exact(F.col("__ga"), F.col("__gb")).alias("true_j"),
+        )
+    )
+    u = be.withColumnsRenamed({"true_j": "__tj_be"}).join(
+        bl.withColumnsRenamed({"true_j": "__tj_bl"}), ["id_a", "id_b"], "full"
+    ).select(
+        F.coalesce(F.col("__tj_be"), F.col("__tj_bl")).alias("true_j"),
+        "jaccard_est",
+    )
+    truth = F.col("true_j") >= 0.5
+    pred = F.col("jaccard_est") >= 0.5
+    m = u.agg(
+        F.count("*").cast("long").alias("n_universe"),
+        F.sum(F.when(truth, 1).otherwise(0)).cast("long").alias("n_truth"),
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("n_pred"),
+        F.sum(F.when(pred & truth, 1).otherwise(0)).cast("long").alias("tp"),
+    )
+    return m.select(
+        "n_universe",
+        "n_truth",
+        "n_pred",
+        "tp",
+        F.round(F.col("tp").cast("double") / F.nullif(F.col("n_pred"), F.lit(0)), 6).alias(
+            "precision_at_05"
+        ),
+        F.round(F.col("tp").cast("double") / F.nullif(F.col("n_truth"), F.lit(0)), 6).alias(
+            "recall_at_05"
+        ),
+        F.round(
+            F.lit(2.0) * F.col("tp") / F.nullif(F.col("n_pred") + F.col("n_truth"), F.lit(0)),
+            6,
+        ).alias("f1_at_05"),
+    )
+
+
+CATALOG["dedup_minhash_pr_vs_exact"].fn = _dmhpr
+
 
 # ===========================================================================
 # catalog ordering: the driver's evidence window

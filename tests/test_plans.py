@@ -146,6 +146,9 @@ _SCALAR_BROADCAST_OK = {
     "sim_mmr_diverse_topk",        # 1-row query vector + 16x16 candidate pair table
     "ml_permutation_test_ab",      # 1-row observed-moment scalar (share + obs diff)
     "dq_fd_auto_histogram",        # 1-row FD bin-width scalar
+    "doc_bm25_topk",               # 1-row corpus doc-count / avgdl scalar
+    "doc_source_kl_divergence",    # 190-row source-pair grid + 1-row vocab scalar
+    "graph_hits_rounds",           # 1-row L1-normalization scalar per half-round
 }
 
 
