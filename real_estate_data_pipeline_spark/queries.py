@@ -18687,6 +18687,297 @@ def _dmhpr(spark, sf_dir):
 
 CATALOG["dedup_minhash_pr_vs_exact"].fn = _dmhpr
 
+register(
+    "evt_markov_next_event_accuracy",
+    # sequence-model evaluation in relational algebra: transition
+    # counts trained on a deterministic 80% user split predict each
+    # test-user transition's next event type (argmax count, ties
+    # broken lexicographically); accuracy reported per current state.
+    # Train/test share one lag pass — the split is a hash predicate.
+    oracle=f"""
+    WITH u AS (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN {_HASH01_SQL.format(key="CAST(user_id AS VARCHAR) || 'mkv'")} < 0.8
+                  THEN 1 ELSE 0 END AS is_train
+      FROM events
+    ),
+    tr AS (
+      SELECT user_id, is_train, event_type AS s,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM u
+    ),
+    trans AS (SELECT * FROM tr WHERE nxt IS NOT NULL),
+    cnt AS (
+      SELECT s, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM trans WHERE is_train = 1 GROUP BY s, nxt
+    ),
+    pred AS (
+      SELECT s, nxt AS pred FROM (
+        SELECT s, nxt, ROW_NUMBER() OVER (PARTITION BY s ORDER BY c DESC, nxt) AS rn
+        FROM cnt
+      ) WHERE rn = 1
+    )
+    SELECT t.s AS state, p.pred AS predicted_next,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.nxt = p.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(CAST(SUM(CASE WHEN t.nxt = p.pred THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM trans t JOIN pred p ON p.s = t.s
+    WHERE t.is_train = 0
+    GROUP BY t.s, p.pred
+    """,
+)
+
+
+def _dmkvacc(spark, sf_dir):
+    """Markov next-event prediction accuracy: one user-partitioned lag
+    window builds every transition, the hash split sends 80% of users
+    to training counts (a state-keyed aggregate over a bounded type
+    domain), the argmax predictor is a tiny frame that broadcasts onto
+    test transitions, and accuracy is one grouped aggregate — the
+    train/eval loop of a sequence model with zero data movement beyond
+    the session shuffle."""
+    from .ops.sampling import hash_uniform01
+
+    ev = t(spark, sf_dir, "events")
+    u = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        (
+            hash_uniform01(F.concat(F.col("user_id").cast("string"), F.lit("mkv")))
+            < 0.8
+        ).alias("is_train"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        u.select(
+            "is_train",
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    cnt = (
+        trans.filter(F.col("is_train"))
+        .groupBy("s", "nxt")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pred = (
+        cnt.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("s").orderBy(F.desc("c"), "nxt")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("s", F.col("nxt").alias("pred"))
+    )
+    hit = F.col("nxt") == F.col("pred")
+    return (
+        trans.filter(~F.col("is_train"))
+        .join(F.broadcast(pred), "s")
+        .groupBy(F.col("s").alias("state"), F.col("pred").alias("predicted_next"))
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_correct"),
+            F.round(
+                F.sum(F.when(hit, 1).otherwise(0)).cast("double") / F.count("*"), 6
+            ).alias("accuracy"),
+        )
+    )
+
+
+CATALOG["evt_markov_next_event_accuracy"].fn = _dmkvacc
+
+register(
+    "sketch_cms_user_counts",
+    # Count-Min sketch accuracy report: a 4x512 CMS over per-user event
+    # counts (cells from the portable sha2 hash family), point
+    # estimates (min over the 4 rows) checked against exact counts for
+    # the top-20 users. CMS never underestimates; the report shows the
+    # collision overestimate the width buys at this cardinality.
+    oracle="""
+    WITH uc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT u.user_id, u.c, r.r,
+             ('0x' || substr(sha256(CAST(u.user_id AS VARCHAR) || 'cms'
+                                    || CAST(r.r AS VARCHAR)), 1, 8))::UBIGINT % 512
+                 AS cell
+      FROM uc u CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r
+    ),
+    sk AS (
+      SELECT r, cell, CAST(SUM(c) AS BIGINT) AS total
+      FROM cells GROUP BY r, cell
+    ),
+    top20 AS (
+      SELECT user_id, c FROM uc ORDER BY c DESC, user_id LIMIT 20
+    ),
+    est AS (
+      SELECT t.user_id, t.c AS exact_count,
+             CAST(MIN(s.total) AS BIGINT) AS cms_estimate
+      FROM top20 t
+      JOIN cells ce ON ce.user_id = t.user_id
+      JOIN sk s ON s.r = ce.r AND s.cell = ce.cell
+      GROUP BY t.user_id, t.c
+    )
+    SELECT user_id, exact_count, cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est ORDER BY exact_count DESC, user_id
+    """,
+)
+
+
+def _dcms(spark, sf_dir):
+    """Count-Min sketch build + accuracy probe: per-user counts fan out
+    to 4 deterministic (row, cell) coordinates, the sketch is one
+    (row, cell)-keyed aggregate of 2048 cells (mergeable across
+    partitions and days, like the HLL family), and the probe joins the
+    top-20 users' coordinates back to the sketch through an equi-join
+    and takes the row-wise MIN. At stream scale the sketch is the
+    fixed-size state; the exact side here exists only to score it."""
+    ev = t(spark, sf_dir, "events")
+    uc = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cell = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("cms"),
+                        F.col("r").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 512
+    )
+    cells = uc.select(
+        "user_id", "c", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    ).withColumn("cell", cell).localCheckpoint(eager=False)
+    sk = cells.groupBy("r", "cell").agg(F.sum("c").cast("long").alias("total"))
+    top20 = uc.orderBy(F.desc("c"), "user_id").limit(20).select(
+        "user_id", F.col("c").alias("exact_count")
+    )
+    est = (
+        top20.join(cells.select("user_id", "r", "cell"), "user_id")
+        .join(sk, ["r", "cell"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("total").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).cast("long").alias("overestimate"),
+    ).orderBy(F.desc("exact_count"), "user_id")
+
+
+CATALOG["sketch_cms_user_counts"].fn = _dcms
+
+register(
+    "ml_winsorized_segment_stats",
+    # robust moments: per-segment order values winsorized at the
+    # within-segment exact p05/p95 (clamp bounds snap to whole cents,
+    # so the clamped column is integer-exact) with raw-vs-winsorized
+    # mean and the winsorized standard deviation from exact integer
+    # moments — the outlier-insensitive summary a feature pipeline
+    # prefers over raw means.
+    oracle="""
+    WITH x AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    q AS (
+      SELECT segment,
+             CAST(floor(quantile_cont(cents, 0.05) + 0.5) AS BIGINT) AS lo_c,
+             CAST(floor(quantile_cont(cents, 0.95) + 0.5) AS BIGINT) AS hi_c
+      FROM x GROUP BY segment
+    ),
+    w AS (
+      SELECT x.segment, x.cents,
+             LEAST(GREATEST(x.cents, q.lo_c), q.hi_c) AS wc
+      FROM x JOIN q ON q.segment = x.segment
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(MIN(wc) / 100.0, 2) AS clamp_lo,
+           round(MAX(wc) / 100.0, 2) AS clamp_hi,
+           round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 6) AS mean_raw,
+           round(CAST(SUM(wc) AS DOUBLE) / COUNT(*) / 100.0, 6) AS mean_winsorized,
+           round(sqrt((CAST(COUNT(*) AS DOUBLE)
+                       * CAST(SUM(CAST(wc AS HUGEINT) * wc) AS DOUBLE)
+                       - CAST(SUM(wc) AS DOUBLE) * SUM(wc))
+                      / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1))) / 100.0, 6)
+               AS sd_winsorized
+    FROM w GROUP BY segment
+    """,
+)
+
+
+def _dwinsor(spark, sf_dir):
+    """Winsorized per-segment stats: exact within-segment percentiles
+    come from one grouped aggregate (a segment-count-sized frame that
+    broadcasts back onto the rows), clamping is a map-side expression,
+    and the robust moments are one more grouped aggregate over integer
+    cents — two shuffles on the segment key, no window over raw rows."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    x = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    q = x.groupBy("segment").agg(
+        F.floor(F.percentile("cents", F.lit(0.05)) + 0.5).cast("long").alias("lo_c"),
+        F.floor(F.percentile("cents", F.lit(0.95)) + 0.5).cast("long").alias("hi_c"),
+    )
+    w = x.join(F.broadcast(q), "segment").select(
+        "segment",
+        "cents",
+        F.least(F.greatest(F.col("cents"), F.col("lo_c")), F.col("hi_c")).alias("wc"),
+    )
+    nd = F.count("*").cast("double")
+    return w.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.min("wc") / 100.0, 2).alias("clamp_lo"),
+        F.round(F.max("wc") / 100.0, 2).alias("clamp_hi"),
+        F.round(F.sum("cents").cast("double") / F.count("*") / 100.0, 6).alias("mean_raw"),
+        F.round(F.sum("wc").cast("double") / F.count("*") / 100.0, 6).alias(
+            "mean_winsorized"
+        ),
+        F.round(
+            F.sqrt(
+                (
+                    nd
+                    * F.sum(F.col("wc").cast("decimal(28,0)") * F.col("wc")).cast("double")
+                    - F.sum("wc").cast("double") * F.sum("wc")
+                )
+                / (nd * (F.count("*") - 1))
+            )
+            / 100.0,
+            6,
+        ).alias("sd_winsorized"),
+    )
+
+
+CATALOG["ml_winsorized_segment_stats"].fn = _dwinsor
+
 
 # ===========================================================================
 # catalog ordering: the driver's evidence window
