@@ -1,0 +1,362 @@
+"""Independent Python references for the round-8 operators. Spark ==
+DuckDB is proven by the parity suite; these prove both == a third
+implementation built from first principles, guarding against
+same-bug-in-both-engines failures (shared formula typos, shared
+rounding mistakes, shared off-by-one in unrolled iterations).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name, sf=SF):
+    from real_estate_data_pipeline_spark.queries import CATALOG
+
+    return CATALOG[name].fn(spark, sf).collect()
+
+
+def _hash01(key: str) -> float:
+    """The engine-wide sha2 uniform draw: first 8 hex chars / 2^32."""
+    return int(hashlib.sha256(key.encode()).hexdigest()[:8], 16) / 4294967296.0
+
+
+def _r6(x: float) -> float:
+    """round(x, 6) with the engines' HALF_UP tie rule (see wave5 props)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _r2(x: float) -> float:
+    return float(Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
+
+def _micro(x: float) -> int:
+    """floor(x * 1e6 + 0.5) — the micro-unit integer snap."""
+    return math.floor(x * 1e6 + 0.5)
+
+
+def _micro_ln(x: float) -> int:
+    """CAST(round(round(ln(x), 6) * 1e6) AS BIGINT)."""
+    return int(round(_r6(math.log(x)) * 1e6))
+
+
+def _quantile_cont(sorted_vals, q: float) -> float:
+    """quantile_cont / F.percentile linear interpolation."""
+    pos = (len(sorted_vals) - 1) * q
+    lo = math.floor(pos)
+    if lo + 1 >= len(sorted_vals):
+        return float(sorted_vals[-1])
+    frac = pos - lo
+    return sorted_vals[lo] + frac * (sorted_vals[lo + 1] - sorted_vals[lo])
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    yield c
+    c.close()
+
+
+def _order_cents(con):
+    return con.execute(
+        f"""SELECT o_orderkey, o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+
+
+def test_permutation_test_matches_python_reference(spark, con):
+    rows = con.execute(
+        f"""SELECT o.o_orderkey, c.c_mktsegment,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')"""
+    ).fetchall()
+    n_a = sum(1 for _, s, _ in rows if s == "BUILDING")
+    n_b = len(rows) - n_a
+    s_a = sum(c for _, s, c in rows if s == "BUILDING")
+    s_b = sum(c for _, s, c in rows if s != "BUILDING")
+    ma6 = math.floor(s_a / n_a / 100.0 * 1e6 + 0.5)
+    mb6 = math.floor(s_b / n_b / 100.0 * 1e6 + 0.5)
+    frac_a = n_a / (n_a + n_b)
+    n_extreme = 0
+    for b in range(1, 33):
+        sa = na = sb = nb = 0
+        for ok, _, cents in rows:
+            if _hash01(f"{ok}perm{b}") < frac_a:
+                sa += cents
+                na += 1
+            else:
+                sb += cents
+                nb += 1
+        d6 = math.floor(sa / na / 100.0 * 1e6 + 0.5) - math.floor(
+            sb / nb / 100.0 * 1e6 + 0.5
+        )
+        if abs(d6) >= abs(ma6 - mb6):
+            n_extreme += 1
+    [r] = _run(spark, "ml_permutation_test_ab")
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    assert r["mean_a"] == _r6(ma6 / 1e6)
+    assert r["obs_diff"] == _r6((ma6 - mb6) / 1e6)
+    assert r["n_extreme"] == n_extreme
+    assert r["p_value"] == _r6((1.0 + n_extreme) / 33.0)
+
+
+def test_bm25_matches_python_reference(spark, con):
+    terms = ("hash", "join", "stream")
+    docs = con.execute(f"SELECT doc_id, text FROM '{SF}/documents.parquet'").fetchall()
+    toks = {d: [w for w in t.lower().strip().split() if w] for d, t in docs}
+    dl = {d: len(tk) for d, tk in toks.items()}
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / n_docs
+    tf = {d: Counter(w for w in tk if w in terms) for d, tk in toks.items()}
+    df = Counter(term for d in tf.values() for term in d)
+    idf = {term: _r6(math.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)) for term in df}
+    scores = {}
+    for d, cnt in tf.items():
+        if not cnt:
+            continue
+        t6 = sum(
+            _micro(
+                _r6(
+                    idf[term]
+                    * (c * 2.2)
+                    / (c + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+                )
+            )
+            for term, c in cnt.items()
+        )
+        scores[d] = (len(cnt), _r6(t6 / 1e6))
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:15]
+    got = [(r["doc_id"], (r["n_terms"], r["bm25"])) for r in _run(spark, "doc_bm25_topk")]
+    assert got == expect
+
+
+def test_source_kl_matches_python_reference(spark, con):
+    rows = con.execute(f"SELECT source, text FROM '{SF}/documents.parquet'").fetchall()
+    tc = defaultdict(Counter)
+    for s, txt in rows:
+        tc[s].update(w for w in txt.lower().strip().split() if w)
+    tot = {s: sum(c.values()) for s, c in tc.items()}
+    vocab = len({w for c in tc.values() for w in c})
+    expect = {}
+    srcs = sorted(tc)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            union = set(tc[a]) | set(tc[b])
+            sab6 = sum(
+                (tc[a][w] + 1) * _micro_ln((tc[a][w] + 1) / (tc[b][w] + 1)) for w in union
+            )
+            sba6 = sum(
+                (tc[b][w] + 1) * _micro_ln((tc[b][w] + 1) / (tc[a][w] + 1)) for w in union
+            )
+            kl_ab = sab6 / 1e6 / (tot[a] + vocab) + _r6(
+                math.log((tot[b] + vocab) / (tot[a] + vocab))
+            )
+            kl_ba = sba6 / 1e6 / (tot[b] + vocab) + _r6(
+                math.log((tot[a] + vocab) / (tot[b] + vocab))
+            )
+            expect[(a, b)] = (len(union), _r6(kl_ab), _r6(kl_ba), _r6(kl_ab + kl_ba))
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_union_tokens"], r["kl_ab"], r["kl_ba"], r["jeffreys"])
+        for r in _run(spark, "doc_source_kl_divergence")
+    }
+    assert got == expect
+
+
+def test_hits_matches_python_reference(spark):
+    """2 HITS rounds in plain Python over the SAME directed pair set
+    (collected from the registered portable-MinHash op), checking the
+    micro-unit/L1-normalization algebra of the unrolled Spark loop."""
+    from real_estate_data_pipeline_spark.ops import dedup
+    from real_estate_data_pipeline_spark.queries import t
+
+    d = t(spark, SF, "documents")
+    edges = [
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dup_pairs_portable(
+            d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
+        )
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    nodes = sorted({n for e in edges for n in e})
+    a = {n: 1.0 for n in nodes}
+    h = {}
+    for _ in range(2):
+        hraw = defaultdict(int)
+        for s, dst in edges:
+            hraw[s] += math.floor(_r6(a[dst]) * 1e6 + 0.5)
+        tot = sum(hraw.values())
+        h = {n: _r6(hraw.get(n, 0) / tot) for n in nodes}
+        araw = defaultdict(int)
+        for s, dst in edges:
+            araw[dst] += math.floor(_r6(h[s]) * 1e6 + 0.5)
+        tot = sum(araw.values())
+        a = {n: _r6(araw.get(n, 0) / tot) for n in nodes}
+    expect = sorted(((n, h[n], a[n]) for n in nodes), key=lambda x: (-x[2], x[0]))[:15]
+    got = [(r["doc_id"], r["hub"], r["authority"]) for r in _run(spark, "graph_hits_rounds")]
+    assert got == expect
+
+
+def test_skyline_matches_brute_force(spark, con):
+    """O(n^2) dominance check per brand — the definition, not the
+    window identity the engines share."""
+    parts = con.execute(
+        f"""SELECT p_partkey, p_brand, p_size,
+                   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+            FROM '{SF}/part.parquet'"""
+    ).fetchall()
+    by_brand = defaultdict(list)
+    for pk, b, sz, pc in parts:
+        by_brand[b].append((pk, pc, sz))
+    expect = []
+    for b in sorted(by_brand):
+        for pk, pc, sz in by_brand[b]:
+            dominated = any(
+                qc <= pc and qs >= sz and (qc < pc or qs > sz)
+                for _, qc, qs in by_brand[b]
+            )
+            if not dominated:
+                expect.append((b, pk, _r2(pc / 100.0), sz))
+    expect.sort(key=lambda x: (x[0], x[2], x[1]))
+    got = [
+        (r["p_brand"], r["p_partkey"], r["price"], r["p_size"])
+        for r in _run(spark, "part_skyline_by_brand")
+    ]
+    assert got == expect
+
+
+def test_cms_matches_python_reference(spark, con):
+    rows = con.execute(
+        f"SELECT user_id, COUNT(*) FROM '{SF}/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    uc = dict(rows)
+    sketch = defaultdict(int)
+
+    def cell(uid, r):
+        return int(hashlib.sha256(f"{uid}cms{r}".encode()).hexdigest()[:8], 16) % 512
+
+    for uid, c in uc.items():
+        for r in range(4):
+            sketch[(r, cell(uid, r))] += c
+    top20 = sorted(uc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    expect = [
+        (uid, c, min(sketch[(r, cell(uid, r))] for r in range(4)))
+        for uid, c in top20
+    ]
+    got = [
+        (r["user_id"], r["exact_count"], r["cms_estimate"])
+        for r in _run(spark, "sketch_cms_user_counts")
+    ]
+    assert got == [(u, c, e) for u, c, e in expect]
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in _run(spark, "sketch_cms_user_counts"))
+
+
+def test_markov_accuracy_matches_python_reference(spark, con):
+    rows = con.execute(
+        f"SELECT user_id, ts, event_id, event_type FROM '{SF}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    seqs = defaultdict(list)
+    for uid, _, _, et in rows:
+        seqs[uid].append(et)
+    train_cnt = Counter()
+    test_trans = []
+    for uid, seq in seqs.items():
+        is_train = _hash01(f"{uid}mkv") < 0.8
+        for s, nxt in zip(seq, seq[1:]):
+            if is_train:
+                train_cnt[(s, nxt)] += 1
+            else:
+                test_trans.append((s, nxt))
+    states = {s for s, _ in train_cnt}
+    pred = {
+        s: min(
+            (t for (s2, t) in train_cnt if s2 == s),
+            key=lambda t: (-train_cnt[(s, t)], t),
+        )
+        for s in states
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for s, nxt in test_trans:
+        if s in pred:
+            agg[(s, pred[s])][0] += 1
+            if nxt == pred[s]:
+                agg[(s, pred[s])][1] += 1
+    got = {
+        (r["state"], r["predicted_next"]): (r["n_test"], r["n_correct"], r["accuracy"])
+        for r in _run(spark, "evt_markov_next_event_accuracy")
+    }
+    expect = {k: (n, c, _r6(c / n)) for k, (n, c) in agg.items()}
+    assert got == expect
+
+
+def test_winsorized_stats_matches_python_reference(spark, con):
+    rows = con.execute(
+        f"""SELECT c.c_mktsegment,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON c.c_custkey = o.o_custkey"""
+    ).fetchall()
+    by_seg = defaultdict(list)
+    for seg, cents in rows:
+        by_seg[seg].append(cents)
+    expect = {}
+    for seg, vals in by_seg.items():
+        sv = sorted(vals)
+        lo = math.floor(_quantile_cont(sv, 0.05) + 0.5)
+        hi = math.floor(_quantile_cont(sv, 0.95) + 0.5)
+        wc = [min(max(v, lo), hi) for v in vals]
+        n = len(vals)
+        sw, sw2 = sum(wc), sum(v * v for v in wc)
+        sd = math.sqrt((n * sw2 - sw * sw) / (n * (n - 1))) / 100.0
+        expect[seg] = (
+            n,
+            _r2(min(wc) / 100.0),
+            _r2(max(wc) / 100.0),
+            _r6(sum(vals) / n / 100.0),
+            _r6(sw / n / 100.0),
+            _r6(sd),
+        )
+    got = {
+        r["segment"]: (
+            r["n_orders"],
+            r["clamp_lo"],
+            r["clamp_hi"],
+            r["mean_raw"],
+            r["mean_winsorized"],
+            r["sd_winsorized"],
+        )
+        for r in _run(spark, "ml_winsorized_segment_stats")
+    }
+    assert got == expect
+
+
+def test_fd_histogram_matches_python_reference(spark, con):
+    [(n,)] = con.execute(f"SELECT COUNT(*) FROM '{SF}/orders.parquet'").fetchall()
+    cents = sorted(
+        c
+        for (c,) in con.execute(
+            f"""SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                FROM '{SF}/orders.parquet'"""
+        ).fetchall()
+    )
+    q1 = _quantile_cont(cents, 0.25)
+    q3 = _quantile_cont(cents, 0.75)
+    w = max(math.floor(2.0 * (q3 - q1) / (n ** (1.0 / 3.0)) + 0.5), 1)
+    min_c = cents[0]
+    hist = Counter(math.floor((c - min_c) / w) for c in cents)
+    expect = [
+        (b, _r2((min_c + b * w) / 100.0), hist[b]) for b in sorted(hist)
+    ]
+    got = [(r["bin_id"], r["bin_lo"], r["n_rows"]) for r in _run(spark, "dq_fd_auto_histogram")]
+    assert got == expect
