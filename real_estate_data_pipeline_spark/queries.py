@@ -18978,6 +18978,348 @@ def _dwinsor(spark, sf_dir):
 
 CATALOG["ml_winsorized_segment_stats"].fn = _dwinsor
 
+register(
+    "sim_lsh_recall_vs_bits",
+    # the sign-LSH tuning curve: recall@10 and candidate-set size of
+    # the bucket-filtered search at 4/8/12 hyperplanes against the
+    # exact cosine top-10 — more bits = smaller buckets = cheaper
+    # probes = lower recall. The per-operator counterpart of the IVF
+    # nprobe sweep; this is the table an ANN deployment reads before
+    # picking its bit width.
+    oracle=f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    exact10 AS (
+      SELECT e.vec_id
+      FROM embeddings e, q
+      ORDER BY {_DOT_SQL} / (SQRT({_NORM_SQL_E}) * SQRT({_NORM_SQL_Q})) DESC,
+               e.vec_id
+      LIMIT 10
+    ),
+    {", ".join(f'''
+    cand{bits} AS (
+      SELECT e.vec_id,
+             {_DOT_SQL} / (SQRT({_NORM_SQL_E}) * SQRT({_NORM_SQL_Q})) AS cs
+      FROM embeddings e, q
+      WHERE {similarity.sign_bucket_sql("e.embedding", bits)}
+            = {similarity.sign_bucket_sql("q.embedding", bits)}
+    ),
+    top{bits} AS (SELECT vec_id FROM cand{bits} ORDER BY cs DESC, vec_id LIMIT 10),
+    row{bits} AS (
+      SELECT CAST({bits} AS BIGINT) AS bits,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{bits}) AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM top{bits} t JOIN exact10 x ON x.vec_id = t.vec_id) AS n_hits
+    )''' for bits in (4, 8, 12))}
+    SELECT bits, n_candidates, n_hits,
+           round(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall_at_10
+    FROM (SELECT * FROM row4 UNION ALL SELECT * FROM row8 UNION ALL
+          SELECT * FROM row12)
+    ORDER BY bits
+    """,
+)
+
+
+def _dlshsweep(spark, sf_dir):
+    """Sign-LSH recall sweep: the corpus is scanned once per bit level
+    with a bucket-equality predicate (at scale the bucket is the
+    partition key, so each probe is a pruned scan, not a full pass);
+    top-10s are TakeOrdered; hits and candidate counts are 1-row
+    aggregates stitched by broadcast. Everything downstream of the
+    bucket filter is k-row sized."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).agg(F.first("embedding").alias("qv"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "qv",
+            similarity.cosine(F.col("embedding"), F.col("qv")).alias("cs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    exact10 = scored.orderBy(F.desc("cs"), "vec_id").limit(10).select("vec_id")
+    out = None
+    for bits in (4, 8, 12):
+        cand = scored.filter(
+            similarity.sign_bucket(F.col("embedding"), bits)
+            == similarity.sign_bucket(F.col("qv"), bits)
+        )
+        n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        top = cand.orderBy(F.desc("cs"), "vec_id").limit(10).select("vec_id")
+        hits = top.join(exact10, "vec_id").agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        row = (
+            n_cand.crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(bits).cast("long").alias("bits"),
+                "n_candidates",
+                "n_hits",
+                F.round(F.col("n_hits").cast("double") / 10.0, 6).alias("recall_at_10"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bits")
+
+
+CATALOG["sim_lsh_recall_vs_bits"].fn = _dlshsweep
+
+_BEWMA_WIN = "(PARTITION BY event_type ORDER BY h)"
+_BEWMA_NUM1, _BEWMA_DEN1 = _ewma_terms("cents", _BEWMA_WIN)
+_BEWMA_NUM2, _BEWMA_DEN2 = _ewma_terms("s16", _BEWMA_WIN)
+
+register(
+    "evt_brown_double_ewma_hourly",
+    # Brown's double exponential smoothing (the one-parameter linear
+    # trend forecaster): the 8-tap truncated EWMA applied twice —
+    # second pass over the FIRST pass's micro-unit-quantized output, so
+    # both smoothing stages stay engine-exact — then level
+    # a = 2*s1 - s2, trend b = (alpha/(1-alpha))*(s1 - s2), and the
+    # one-step forecast a + b per event type.
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    s1t AS (
+      SELECT event_type, h, cents,
+             CAST(floor((({_BEWMA_NUM1}) / ({_BEWMA_DEN1})) * 10000 + 0.5)
+                  AS BIGINT) AS s16
+      FROM obs
+    ),
+    s2t AS (
+      SELECT event_type, h, cents, s16,
+             (({_BEWMA_NUM2}) / ({_BEWMA_DEN2})) / 10000.0 AS s2c
+      FROM s1t
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           CAST(cents AS DOUBLE) / 100.0 AS total_value,
+           round(s16 / 10000.0 / 100.0, 6) AS s1,
+           round(s2c / 100.0, 6) AS s2,
+           round((2.0 * (s16 / 10000.0) - s2c
+                  + 0.3333333333333333 * (s16 / 10000.0 - s2c)) / 100.0, 6)
+               AS forecast_next
+    FROM s2t
+    ORDER BY event_type, h
+    """,
+)
+
+
+def _dbrown(spark, sf_dir):
+    """Double EWMA: two stacked 8-tap windowed filters sharing ONE
+    event_type-partitioned sort (the second window has the same spec,
+    so Catalyst plans a single exchange+sort), the inter-stage value
+    quantized to integer ten-thousandths so the second filter's input
+    is bit-identical across engines. Linear work, one shuffle, the
+    standard scale-out shape for recursive smoothers."""
+    ev = t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg((F.sum(F.col("value").cast(DEC)) * 100).cast("long").alias("cents"))
+    s1t = obs.withColumn(
+        "s16",
+        F.expr(
+            f"CAST(floor((({_BEWMA_NUM1}) / ({_BEWMA_DEN1})) * 10000 + 0.5) AS BIGINT)"
+        ),
+    )
+    s2t = s1t.withColumn(
+        "s2c", F.expr(f"(({_BEWMA_NUM2}) / ({_BEWMA_DEN2})) / 10000.0")
+    )
+    return (
+        s2t.select(
+            "event_type",
+            "h",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            (F.col("cents").cast("double") / 100.0).alias("total_value"),
+            F.round(F.col("s16") / 10000.0 / 100.0, 6).alias("s1"),
+            F.round(F.col("s2c") / 100.0, 6).alias("s2"),
+            F.round(
+                (
+                    2.0 * (F.col("s16") / 10000.0)
+                    - F.col("s2c")
+                    + (0.25 / 0.75) * (F.col("s16") / 10000.0 - F.col("s2c"))
+                )
+                / 100.0,
+                6,
+            ).alias("forecast_next"),
+        )
+        .orderBy("event_type", "h")
+        .drop("h")
+    )
+
+
+CATALOG["evt_brown_double_ewma_hourly"].fn = _dbrown
+
+register(
+    "lineitem_seasonality_index",
+    # classical seasonal index per brand: each month's revenue over the
+    # brand's mean monthly revenue (1.0 = an average month). Revenue in
+    # exact scale-4 integer units; the index is a ratio of exact
+    # integers. The window runs over the (brand, month) aggregate —
+    # bounded by brands x months, partitioned by brand.
+    oracle="""
+    WITH r AS (
+      SELECT p.p_brand,
+             strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                      * 10000) AS BIGINT) AS units
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT p_brand, month, units,
+             CAST(COUNT(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n_months,
+             CAST(SUM(units) OVER (PARTITION BY p_brand) AS BIGINT) AS total_units
+      FROM r
+    )
+    SELECT p_brand, month,
+           round(CAST(units AS DOUBLE) / 10000.0, 4) AS revenue,
+           round(CAST(units AS DOUBLE) * n_months / total_units, 6)
+               AS seasonal_index
+    FROM w
+    """,
+)
+
+
+def _dseason(spark, sf_dir):
+    """Per-brand monthly seasonal index: the join carries only
+    (partkey -> brand), the aggregate reduces to brands x months rows,
+    and the normalizing moments are brand-partitioned windows over
+    that already-tiny frame — no scalar broadcast, no second scan of
+    lineitem."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    one = F.lit(1).cast("decimal(3,2)")
+    units = (
+        F.col("l_extendedprice").cast(DEC) * (one - F.col("l_discount").cast(DEC)) * 10000
+    )
+    r = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum(units).cast("long").alias("units"))
+    )
+    w = Window.partitionBy("p_brand")
+    return r.select(
+        "p_brand",
+        "month",
+        F.round(F.col("units") / 10000.0, 4).alias("revenue"),
+        F.round(
+            F.col("units").cast("double")
+            * F.count("*").over(w).cast("long")
+            / F.sum("units").over(w).cast("long"),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+CATALOG["lineitem_seasonality_index"].fn = _dseason
+
+register(
+    "evt_stream_cms_now",
+    # fifteenth streaming run: a Count-Min sketch maintained AS
+    # STREAMING STATE — the (row, cell) counts aggregate is the entire
+    # state (2048 rows regardless of stream length, the fixed-memory
+    # promise that makes CMS the streaming frequency sketch), probed
+    # after the run for the top-20 users' estimates. Same cells and
+    # algebra as the batch CMS, so the same oracle applies.
+    oracle="""
+    WITH uc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT u.user_id, u.c, r.r,
+             ('0x' || substr(sha256(CAST(u.user_id AS VARCHAR) || 'cms'
+                                    || CAST(r.r AS VARCHAR)), 1, 8))::UBIGINT % 512
+                 AS cell
+      FROM uc u CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r
+    ),
+    sk AS (
+      SELECT r, cell, CAST(SUM(c) AS BIGINT) AS total
+      FROM cells GROUP BY r, cell
+    ),
+    top20 AS (
+      SELECT user_id, c FROM uc ORDER BY c DESC, user_id LIMIT 20
+    ),
+    est AS (
+      SELECT t.user_id, t.c AS exact_count,
+             CAST(MIN(s.total) AS BIGINT) AS cms_estimate
+      FROM top20 t
+      JOIN cells ce ON ce.user_id = t.user_id
+      JOIN sk s ON s.r = ce.r AND s.cell = ce.cell
+      GROUP BY t.user_id, t.c
+    )
+    SELECT user_id, exact_count, cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est ORDER BY exact_count DESC, user_id
+    """,
+)
+
+
+def _dstreamcms(spark, sf_dir):
+    """Streaming CMS: every event fans out to its 4 deterministic
+    (row, cell) coordinates INSIDE the stream and the running sums are
+    the streaming state (complete mode, 2048 rows — never per-user
+    state). The post-run probe joins the top-20 users' coordinates to
+    the sink. An unbounded-cardinality frequency question answered
+    with O(1) streaming memory."""
+    schema = _events_stream_schema(ts_ntz=False)
+    src = _stream_file_source(spark, sf_dir, "events.parquet", schema)
+    cell = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("cms"),
+                        F.col("r").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 512
+    )
+    stream_cells = (
+        src.select("user_id")
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"))
+        .withColumn("cell", cell)
+        .groupBy("r", "cell")
+        .agg(F.count("*").cast("long").alias("total"))
+    )
+    sk = _run_stream_to_memory(stream_cells, "evt_stream_cms_sink", "complete")
+    ev = t(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    top20 = uc.orderBy(F.desc("c"), "user_id").limit(20).select(
+        "user_id", F.col("c").alias("exact_count")
+    )
+    coords = top20.select(
+        "user_id", "exact_count", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    ).withColumn("cell", cell)
+    est = (
+        coords.join(sk, ["r", "cell"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("total").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).cast("long").alias("overestimate"),
+    ).orderBy(F.desc("exact_count"), "user_id")
+
+
+CATALOG["evt_stream_cms_now"].fn = _dstreamcms
+
 
 # ===========================================================================
 # catalog ordering: the driver's evidence window

@@ -149,6 +149,7 @@ _SCALAR_BROADCAST_OK = {
     "doc_bm25_topk",               # 1-row corpus doc-count / avgdl scalar
     "doc_source_kl_divergence",    # 190-row source-pair grid + 1-row vocab scalar
     "graph_hits_rounds",           # 1-row L1-normalization scalar per half-round
+    "sim_lsh_recall_vs_bits",      # broadcast 1-row query vector + 1-row count scalars
 }
 
 

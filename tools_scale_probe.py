@@ -71,6 +71,17 @@ HEAVY = [
     "graph_kcore_peel_rounds",
     # CUSUM identity: two stacked windows over 10x users, one shuffle
     "evt_cusum_drift_per_user",
+    # round-8: source-pair KL (token-keyed count map x pair grid — the
+    # token shuffle is the only corpus-sized stage), 2 HITS rounds on
+    # the 10x-denser dup graph, the MinHash PR scorecard (band + block
+    # candidate joins, exact Jaccard only inside the universe), BM25
+    # (one tokenize pass, term-filtered tf shuffle), and the 32-way
+    # permutation-test fan-out
+    "doc_source_kl_divergence",
+    "graph_hits_rounds",
+    "dedup_minhash_pr_vs_exact",
+    "doc_bm25_topk",
+    "ml_permutation_test_ab",
 ]
 
 
