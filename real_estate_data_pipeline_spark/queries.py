@@ -5717,19 +5717,11 @@ def _dvideo(spark, sf_dir):
 
 CATALOG["mm_video_frame_dedup"].fn = _dvideo
 
-register(
-    "ml_naive_bayes_lang_eval",
-    # a COMPLETE supervised-ML pipeline — train, predict, evaluate —
-    # as exact relational algebra: multinomial Naive Bayes with
-    # Laplace smoothing fit on the u<0.7 hash split's (lang, token)
-    # counts, applied to the held-out docs (including tokens the
-    # training split never saw — the smoothing term), scored per
-    # (doc, lang) in micro-nat integer sums, argmax with deterministic
-    # ties, rolled up into the label-vs-prediction confusion matrix.
-    # Every probability is a ratio of exact integer counts; ln rounds
-    # to 6 dp before the integer scaling (the bigram-LM convention).
-    oracle=f"""
-    WITH d AS (
+# Shared Naive-Bayes train+score CTE chain (through `scored`): consumed
+# by the confusion-matrix eval AND the margin-calibration report so the
+# model pipeline is single-sourced in SQL exactly as _nb_frames
+# single-sources it in Spark.
+_NB_CTES = f"""d AS (
       SELECT doc_id, lang,
              list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                          x -> x <> '') AS tk,
@@ -5771,7 +5763,21 @@ register(
       CROSS JOIN langs l
       JOIN prior p ON p.lang = l.lang
       LEFT JOIN tsum ON tsum.doc_id = td.doc_id AND tsum.lang = l.lang
-    ),
+    )"""
+
+register(
+    "ml_naive_bayes_lang_eval",
+    # a COMPLETE supervised-ML pipeline — train, predict, evaluate —
+    # as exact relational algebra: multinomial Naive Bayes with
+    # Laplace smoothing fit on the u<0.7 hash split's (lang, token)
+    # counts, applied to the held-out docs (including tokens the
+    # training split never saw — the smoothing term), scored per
+    # (doc, lang) in micro-nat integer sums, argmax with deterministic
+    # ties, rolled up into the label-vs-prediction confusion matrix.
+    # Every probability is a ratio of exact integer counts; ln rounds
+    # to 6 dp before the integer scaling (the bigram-LM convention).
+    oracle=f"""
+    WITH {_NB_CTES},
     pred AS (
       SELECT doc_id, lang AS lang_pred FROM (
         SELECT doc_id, lang,
@@ -5788,14 +5794,11 @@ register(
 )
 
 
-def _dnb(spark, sf_dir):
-    """Multinomial Naive Bayes, trained and evaluated entirely in
-    DataFrame algebra (no MLlib, no UDF): token-count likelihoods with
-    Laplace smoothing from the training split, per-(doc, lang) log
-    scores as exact micro-nat integer sums (5-row lang table broadcast,
-    term joins on (lang, token)), deterministic argmax, held-out
-    confusion matrix. The count tables are the train-once model
-    artifact — the persisted-index pattern applied to a classifier."""
+def _nb_frames(spark, sf_dir):
+    """Shared Naive-Bayes train+score pipeline (the Spark twin of
+    _NB_CTES): returns (test, scored) where scored carries the exact
+    micro-nat per-(doc, lang) log score — consumed by the confusion
+    matrix AND the margin-calibration report."""
     from .ops.sampling import hash_uniform01
 
     d = t(spark, sf_dir, "documents")
@@ -5847,6 +5850,18 @@ def _dnb(spark, sf_dir):
             (F.col("__p6") + F.coalesce(F.col("__s6"), F.lit(0))).alias("__score6"),
         )
     )
+    return test, scored
+
+
+def _dnb(spark, sf_dir):
+    """Multinomial Naive Bayes, trained and evaluated entirely in
+    DataFrame algebra (no MLlib, no UDF): token-count likelihoods with
+    Laplace smoothing from the training split, per-(doc, lang) log
+    scores as exact micro-nat integer sums (5-row lang table broadcast,
+    term joins on (lang, token)), deterministic argmax, held-out
+    confusion matrix. The count tables are the train-once model
+    artifact — the persisted-index pattern applied to a classifier."""
+    test, scored = _nb_frames(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.desc("__score6"), "lang")
     pred = (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -19319,6 +19334,208 @@ def _dstreamcms(spark, sf_dir):
 
 
 CATALOG["evt_stream_cms_now"].fn = _dstreamcms
+
+register(
+    "ml_nb_margin_calibration",
+    # classifier calibration WITHOUT transcendental softmax: the NB
+    # decision margin (top log-score minus runner-up, in exact
+    # micro-nats) banded into 5 ranges, accuracy per band — a
+    # well-calibrated classifier is more often right when its margin
+    # is wide. Composes the shared _NB_CTES/_nb_frames pipeline; every
+    # margin is an integer difference, so the report is engine-exact
+    # with no exp() anywhere.
+    oracle=f"""
+    WITH {_NB_CTES},
+    r AS (
+      SELECT doc_id, lang, score6,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score6 DESC, lang) AS rn
+      FROM scored
+    ),
+    top AS (SELECT doc_id, lang AS lang_pred, score6 AS s1 FROM r WHERE rn = 1),
+    runner AS (SELECT doc_id, score6 AS s2 FROM r WHERE rn = 2),
+    m AS (
+      SELECT t.doc_id, t.lang_pred, CAST(t.s1 - ru.s2 AS BIGINT) AS m6, td.lang
+      FROM top t
+      JOIN runner ru ON ru.doc_id = t.doc_id
+      JOIN test_docs td ON td.doc_id = t.doc_id
+    )
+    SELECT CASE WHEN m6 < 1000000 THEN '0: <1'
+                WHEN m6 < 2000000 THEN '1: 1-2'
+                WHEN m6 < 4000000 THEN '2: 2-4'
+                WHEN m6 < 8000000 THEN '3: 4-8'
+                ELSE '4: 8+' END AS margin_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(m6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+               AS mean_margin_nats,
+           round(CAST(SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+def _dnbcalib(spark, sf_dir):
+    """NB margin calibration: one doc-partitioned rank window over the
+    shared scored frame yields the top/runner-up pair, the margin is
+    an exact integer micro-nat difference, and the report is one
+    grouped aggregate over 5 bands — the reliability check every
+    deployed classifier ships with, here in pure log-odds space so
+    no exp() can diverge between engines."""
+    test, scored = _nb_frames(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__score6"), "lang")
+    ranked = scored.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
+    top = ranked.filter(F.col("__rn") == 1).select(
+        "doc_id", F.col("lang").alias("lang_pred"), F.col("__score6").alias("__s1")
+    )
+    runner = ranked.filter(F.col("__rn") == 2).select(
+        "doc_id", F.col("__score6").alias("__s2")
+    )
+    m = (
+        top.join(runner, "doc_id")
+        .join(test.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            "lang_pred",
+            (F.col("__s1") - F.col("__s2")).cast("long").alias("m6"),
+        )
+    )
+    band = (
+        F.when(F.col("m6") < 1000000, "0: <1")
+        .when(F.col("m6") < 2000000, "1: 1-2")
+        .when(F.col("m6") < 4000000, "2: 2-4")
+        .when(F.col("m6") < 8000000, "3: 4-8")
+        .otherwise("4: 8+")
+    )
+    hit = F.col("lang") == F.col("lang_pred")
+    return (
+        m.groupBy(band.alias("margin_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.sum("m6").cast("double") / F.count("*") / 1e6, 6).alias(
+                "mean_margin_nats"
+            ),
+            F.round(
+                F.sum(F.when(hit, 1).otherwise(0)).cast("double") / F.count("*"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("margin_band")
+    )
+
+
+CATALOG["ml_nb_margin_calibration"].fn = _dnbcalib
+
+register(
+    "ml_lift_curve_deciles",
+    # the gains/lift table — the standard targeting-model evaluation:
+    # users scored by pre-period engagement (clicks+views before Jan
+    # 21), outcome = purchased in the post-period; decile the scores,
+    # report per-decile conversion, cumulative gain share and lift vs
+    # the base rate. Model-free here (activity as the score), but the
+    # evaluation harness is exactly what a propensity model plugs into.
+    oracle="""
+    WITH pre AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-21' AND event_type IN ('click', 'view')
+      GROUP BY user_id
+    ),
+    post AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-21' AND event_type = 'purchase'
+    ),
+    s AS (
+      SELECT p.user_id, p.score,
+             CASE WHEN post.user_id IS NULL THEN 0 ELSE 1 END AS converted,
+             NTILE(10) OVER (ORDER BY p.score DESC, p.user_id) AS decile
+      FROM pre p LEFT JOIN post ON post.user_id = p.user_id
+    ),
+    d AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converters
+      FROM s GROUP BY decile
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_users) AS BIGINT) AS nu,
+             CAST(SUM(n_converters) AS BIGINT) AS nc
+      FROM d
+    )
+    SELECT CAST(d.decile AS BIGINT) AS decile, d.n_users, d.n_converters,
+           round(CAST(d.n_converters AS DOUBLE) / d.n_users, 6) AS conv_rate,
+           round(CAST(SUM(d.n_converters) OVER (ORDER BY d.decile) AS DOUBLE)
+                 / NULLIF(t.nc, 0), 6) AS cum_gain_share,
+           round((CAST(d.n_converters AS DOUBLE) / d.n_users)
+                 / NULLIF(CAST(t.nc AS DOUBLE) / t.nu, 0), 6) AS lift
+    FROM d CROSS JOIN tot t
+    ORDER BY decile
+    """,
+)
+
+
+def _dlift(spark, sf_dir):
+    """Decile gains/lift: the scored population is a per-user aggregate
+    (users with pre-period activity), the decile assignment one ntile
+    window over that aggregate, and the curve a 10-row frame — the
+    cumulative window and the base-rate scalar both run over
+    decile-cardinality data, never raw events."""
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-21")
+    pre = (
+        ev.filter((F.col("ts") < cut) & F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("score"))
+    )
+    post = (
+        ev.filter((F.col("ts") >= cut) & (F.col("event_type") == "purchase"))
+        .select("user_id")
+        .distinct()
+        .withColumn("__conv", F.lit(1))
+    )
+    s = (
+        pre.join(post, "user_id", "left")
+        .select(
+            "user_id",
+            "score",
+            F.coalesce(F.col("__conv"), F.lit(0)).alias("converted"),
+        )
+        .withColumn(
+            "decile", F.ntile(10).over(Window.orderBy(F.desc("score"), "user_id"))
+        )
+    )
+    d = s.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converters"),
+    ).localCheckpoint(eager=False)
+    tot = d.agg(
+        F.sum("n_users").cast("long").alias("nu"),
+        F.sum("n_converters").cast("long").alias("nc"),
+    )
+    cum = F.sum("n_converters").over(Window.orderBy("decile"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_users",
+            "n_converters",
+            F.round(F.col("n_converters").cast("double") / F.col("n_users"), 6).alias(
+                "conv_rate"
+            ),
+            F.round(
+                cum.cast("double") / F.nullif(F.col("nc"), F.lit(0)), 6
+            ).alias("cum_gain_share"),
+            F.round(
+                (F.col("n_converters").cast("double") / F.col("n_users"))
+                / F.nullif(F.col("nc").cast("double") / F.col("nu"), F.lit(0.0)),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+CATALOG["ml_lift_curve_deciles"].fn = _dlift
 
 
 # ===========================================================================

@@ -150,6 +150,8 @@ _SCALAR_BROADCAST_OK = {
     "doc_source_kl_divergence",    # 190-row source-pair grid + 1-row vocab scalar
     "graph_hits_rounds",           # 1-row L1-normalization scalar per half-round
     "sim_lsh_recall_vs_bits",      # broadcast 1-row query vector + 1-row count scalars
+    "ml_nb_margin_calibration",    # same NB 5-row lang table + 1-row scalars as the eval
+    "ml_lift_curve_deciles",       # 1-row base-rate scalar over the 10-row decile frame
 }
 
 
@@ -169,6 +171,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "cust_revenue_gini",           # ranked sum over the per-customer aggregate
     "evt_survival_km_weekly",      # running product over the 4-row week table
     "orders_open_by_day_sweepline",  # prefix sum over the calendar-day aggregate
+    "ml_lift_curve_deciles",       # ntile over the per-user aggregate; cum over 10 deciles
 }
 
 

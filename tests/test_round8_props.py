@@ -360,3 +360,108 @@ def test_fd_histogram_matches_python_reference(spark, con):
     ]
     got = [(r["bin_id"], r["bin_lo"], r["n_rows"]) for r in _run(spark, "dq_fd_auto_histogram")]
     assert got == expect
+
+
+def test_nb_margin_calibration_matches_python_reference(spark, con):
+    """Full NB from scratch: 0.7 hash split, Laplace likelihoods in
+    rounded micro-nats, per-(doc, lang) score sums, argmax/runner-up
+    margins, 5-band report — independent of both engines' join logic."""
+    docs = con.execute(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    train, test = [], []
+    for did, lang, txt in docs:
+        tk = [w for w in txt.lower().strip().split() if w]
+        (train if _hash01(f"{did}nb") < 0.7 else test).append((did, lang, tk))
+    c = defaultdict(Counter)
+    for _, lang, tk in train:
+        c[lang].update(tk)
+    tl = {lang: sum(cnt.values()) for lang, cnt in c.items()}
+    vocab = len({w for cnt in c.values() for w in cnt})
+    nd = Counter(lang for _, lang, _ in train)
+    langs = sorted(nd)
+    prior = {lang: _micro_ln(nd[lang] / len(train)) for lang in langs}
+    agg = defaultdict(lambda: [0, 0, 0])
+    for did, true_lang, tk in test:
+        scores = {}
+        for lang in langs:
+            s = prior[lang] + sum(
+                _micro_ln((c[lang].get(w, 0) + 1.0) / (tl[lang] + vocab)) for w in tk
+            )
+            scores[lang] = s
+        ranked = sorted(langs, key=lambda g: (-scores[g], g))
+        pred, runner = ranked[0], ranked[1]
+        m6 = scores[pred] - scores[runner]
+        band = (
+            "0: <1" if m6 < 1_000_000
+            else "1: 1-2" if m6 < 2_000_000
+            else "2: 2-4" if m6 < 4_000_000
+            else "3: 4-8" if m6 < 8_000_000
+            else "4: 8+"
+        )
+        agg[band][0] += 1
+        agg[band][1] += m6
+        agg[band][2] += int(pred == true_lang)
+    expect = {
+        band: (n, _r6(s6 / n / 1e6), _r6(ok / n)) for band, (n, s6, ok) in agg.items()
+    }
+    got = {
+        r["margin_band"]: (r["n_docs"], r["mean_margin_nats"], r["accuracy"])
+        for r in _run(spark, "ml_nb_margin_calibration")
+    }
+    assert got == expect
+
+
+def test_lift_curve_matches_python_reference(spark, con):
+    """NTILE semantics from scratch (first n%10 deciles get the extra
+    row), plus the gains/lift arithmetic."""
+    import datetime
+
+    cut = datetime.datetime(2024, 1, 21)
+    rows = con.execute(
+        f"SELECT user_id, ts, event_type FROM '{SF}/events.parquet'"
+    ).fetchall()
+    score = Counter(
+        u for u, ts, et in rows if ts < cut and et in ("click", "view")
+    )
+    post = {u for u, ts, et in rows if ts >= cut and et == "purchase"}
+    users = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(users)
+    base, extra = divmod(n, 10)
+    deciles = defaultdict(lambda: [0, 0])
+    i = 0
+    for d in range(1, 11):
+        size = base + (1 if d <= extra else 0)
+        for u, _ in users[i : i + size]:
+            deciles[d][0] += 1
+            deciles[d][1] += int(u in post)
+        i += size
+    nu = sum(v[0] for v in deciles.values())
+    nc = sum(v[1] for v in deciles.values())
+    cum = 0
+    expect = []
+    for d in sorted(deciles):
+        du, dc = deciles[d]
+        cum += dc
+        expect.append(
+            (
+                d,
+                du,
+                dc,
+                _r6(dc / du),
+                _r6(cum / nc) if nc else None,
+                _r6((dc / du) / (nc / nu)) if nc else None,
+            )
+        )
+    got = [
+        (
+            r["decile"],
+            r["n_users"],
+            r["n_converters"],
+            r["conv_rate"],
+            r["cum_gain_share"],
+            r["lift"],
+        )
+        for r in _run(spark, "ml_lift_curve_deciles")
+    ]
+    assert got == expect
