@@ -47,6 +47,9 @@ SHOW_NOTES = {
     "sim_pq_adc_topk": "PQ-ADC: the corpus meets the codebook only through <=128-row broadcast builds (the encode pass is a bounded BroadcastNestedLoopJoin, the ADC lookup a BroadcastHashJoin on (sub, code)); the encode shuffle carries (id, sub, code) triples — never vectors — and the final ranking is TakeOrderedAndProject over per-id BIGINT sums.",
     "doc_dsir_importance_weights": "DSIR selection: ONE tokenize/explode pass builds the checkpointed (doc, lang, token) count table; raw/target distributions and the totals scalar all roll up from it (no re-scan); the log-ratio table joins on the token key carrying only small integers; top-20 is TakeOrderedAndProject.",
     "evt_cusum_drift_per_user": "CUSUM without recursion: the prefix sum and the running min are two Window functions over the SAME (user) partitioning and (ts, event_id) order — one exchange, one sort, both scans pipelined; the global mean is a 1-row broadcast; the recursive max(0, S+d) never appears in the plan.",
+    "doc_bm25_topk": "BM25: the explode filters to the 3 query terms BEFORE the (doc, term) aggregate, so the tf shuffle carries only matches; idf and the corpus scalar are broadcasts; document lengths join on the doc key; the ranking is TakeOrderedAndProject over per-doc BIGINT micro-unit sums — the one corpus-sized stage is the tokenize scan.",
+    "doc_source_kl_divergence": "Pairwise source KL: ONE token-keyed aggregate builds the per-token count map (bounded by the source domain); the 190-row pair grid arrives via a broadcast nested loop over that vocabulary-sized frame — the corpus is scanned once and the pair space never touches document rows; per-pair micro-nat dot products reduce in a single hash aggregate.",
+    "graph_hits_rounds": "HITS: edges persist once (InMemoryTableScan in every round); each half-round is an equi-join of the checkpointed score frame onto the edge list plus a partial-aggregated neighbor sum; the L1 normalizers are 1-row broadcasts; plan depth is constant in the round count because each round's frame is a LogicalRDD, not a growing lineage.",
 }
 
 
