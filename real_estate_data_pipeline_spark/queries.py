@@ -5807,8 +5807,11 @@ def _nb_frames(spark, sf_dir):
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
     )
     base = d.select("doc_id", "lang", tk.alias("__tk"), u.alias("__u"))
-    train = base.filter(F.col("__u") < 0.7)
-    test = base.filter(F.col("__u") >= 0.7)
+    # 2+-consumer convention: train feeds ttok/langs/nd/ndt and test
+    # feeds etok/scored plus the caller's label join — without the lazy
+    # checkpoints every branch re-scans and re-tokenizes documents.
+    train = base.filter(F.col("__u") < 0.7).localCheckpoint(eager=False)
+    test = base.filter(F.col("__u") >= 0.7).localCheckpoint(eager=False)
     ttok = train.select("lang", F.explode("__tk").alias("tok"))
     langs = train.select("lang").distinct()
     c = ttok.groupBy("lang", "tok").agg(F.count("*").alias("__c"))
@@ -18332,7 +18335,9 @@ register(
                                 x -> x <> '')) AS tok
       FROM documents
     ),
-    tc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY source, tok),
+    tc AS MATERIALIZED (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY source, tok
+    ),
     tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY source),
     voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tc),
     grid AS (
@@ -18805,18 +18810,15 @@ def _dmkvacc(spark, sf_dir):
 
 CATALOG["evt_markov_next_event_accuracy"].fn = _dmkvacc
 
-register(
-    "sketch_cms_user_counts",
-    # Count-Min sketch accuracy report: a 4x512 CMS over per-user event
-    # counts (cells from the portable sha2 hash family), point
-    # estimates (min over the 4 rows) checked against exact counts for
-    # the top-20 users. CMS never underestimates; the report shows the
-    # collision overestimate the width buys at this cardinality.
-    oracle="""
-    WITH uc AS (
+# Single-sourced CMS pieces: the 4x512 sketch geometry, the sha2 cell
+# function and the top-20 probe are shared by the batch build AND the
+# streaming-state run — changing width/depth/salt in one place keeps
+# both queries (and their common oracle) in sync by construction.
+_CMS_ORACLE = """
+    WITH uc AS MATERIALIZED (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
     ),
-    cells AS (
+    cells AS MATERIALIZED (
       SELECT u.user_id, u.c, r.r,
              ('0x' || substr(sha256(CAST(u.user_id AS VARCHAR) || 'cms'
                                     || CAST(r.r AS VARCHAR)), 1, 8))::UBIGINT % 512
@@ -18841,25 +18843,13 @@ register(
     SELECT user_id, exact_count, cms_estimate,
            CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
     FROM est ORDER BY exact_count DESC, user_id
-    """,
-)
+    """
 
 
-def _dcms(spark, sf_dir):
-    """Count-Min sketch build + accuracy probe: per-user counts fan out
-    to 4 deterministic (row, cell) coordinates, the sketch is one
-    (row, cell)-keyed aggregate of 2048 cells (mergeable across
-    partitions and days, like the HLL family), and the probe joins the
-    top-20 users' coordinates back to the sketch through an equi-join
-    and takes the row-wise MIN. At stream scale the sketch is the
-    fixed-size state; the exact side here exists only to score it."""
-    ev = t(spark, sf_dir, "events")
-    uc = (
-        ev.groupBy("user_id")
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    cell = (
+def _cms_cell():
+    """Deterministic CMS cell index for the (user_id, r) coordinate —
+    the Spark twin of the sha2 expression inside _CMS_ORACLE."""
+    return (
         F.conv(
             F.substring(
                 F.sha2(
@@ -18878,16 +18868,19 @@ def _dcms(spark, sf_dir):
         ).cast("long")
         % 512
     )
-    cells = uc.select(
-        "user_id", "c", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
-    ).withColumn("cell", cell).localCheckpoint(eager=False)
-    sk = cells.groupBy("r", "cell").agg(F.sum("c").cast("long").alias("total"))
+
+
+def _cms_probe(uc, sk):
+    """Top-20 exact counts probed against a built sketch: 4 coordinates
+    per user through an equi-join, min over the rows."""
     top20 = uc.orderBy(F.desc("c"), "user_id").limit(20).select(
         "user_id", F.col("c").alias("exact_count")
     )
+    coords = top20.select(
+        "user_id", "exact_count", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    ).withColumn("cell", _cms_cell())
     est = (
-        top20.join(cells.select("user_id", "r", "cell"), "user_id")
-        .join(sk, ["r", "cell"])
+        coords.join(sk, ["r", "cell"])
         .groupBy("user_id", "exact_count")
         .agg(F.min("total").cast("long").alias("cms_estimate"))
     )
@@ -18897,6 +18890,38 @@ def _dcms(spark, sf_dir):
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_count")).cast("long").alias("overestimate"),
     ).orderBy(F.desc("exact_count"), "user_id")
+
+
+register(
+    "sketch_cms_user_counts",
+    # Count-Min sketch accuracy report: a 4x512 CMS over per-user event
+    # counts (cells from the portable sha2 hash family), point
+    # estimates (min over the 4 rows) checked against exact counts for
+    # the top-20 users. CMS never underestimates; the report shows the
+    # collision overestimate the width buys at this cardinality.
+    oracle=_CMS_ORACLE,
+)
+
+
+def _dcms(spark, sf_dir):
+    """Count-Min sketch build + accuracy probe: per-user counts fan out
+    to 4 deterministic (row, cell) coordinates, the sketch is one
+    (row, cell)-keyed aggregate of 2048 cells (mergeable across
+    partitions and days, like the HLL family), and the probe joins the
+    top-20 users' coordinates back to the sketch through an equi-join
+    and takes the row-wise MIN. At stream scale the sketch is the
+    fixed-size state; the exact side here exists only to score it."""
+    ev = t(spark, sf_dir, "events")
+    uc = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cells = uc.select(
+        "user_id", "c", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    ).withColumn("cell", _cms_cell())
+    sk = cells.groupBy("r", "cell").agg(F.sum("c").cast("long").alias("total"))
+    return _cms_probe(uc, sk)
 
 
 CATALOG["sketch_cms_user_counts"].fn = _dcms
@@ -19241,38 +19266,9 @@ register(
     # STREAMING STATE — the (row, cell) counts aggregate is the entire
     # state (2048 rows regardless of stream length, the fixed-memory
     # promise that makes CMS the streaming frequency sketch), probed
-    # after the run for the top-20 users' estimates. Same cells and
-    # algebra as the batch CMS, so the same oracle applies.
-    oracle="""
-    WITH uc AS (
-      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
-    ),
-    cells AS (
-      SELECT u.user_id, u.c, r.r,
-             ('0x' || substr(sha256(CAST(u.user_id AS VARCHAR) || 'cms'
-                                    || CAST(r.r AS VARCHAR)), 1, 8))::UBIGINT % 512
-                 AS cell
-      FROM uc u CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r
-    ),
-    sk AS (
-      SELECT r, cell, CAST(SUM(c) AS BIGINT) AS total
-      FROM cells GROUP BY r, cell
-    ),
-    top20 AS (
-      SELECT user_id, c FROM uc ORDER BY c DESC, user_id LIMIT 20
-    ),
-    est AS (
-      SELECT t.user_id, t.c AS exact_count,
-             CAST(MIN(s.total) AS BIGINT) AS cms_estimate
-      FROM top20 t
-      JOIN cells ce ON ce.user_id = t.user_id
-      JOIN sk s ON s.r = ce.r AND s.cell = ce.cell
-      GROUP BY t.user_id, t.c
-    )
-    SELECT user_id, exact_count, cms_estimate,
-           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
-    FROM est ORDER BY exact_count DESC, user_id
-    """,
+    # after the run for the top-20 users' estimates. Same single-sourced
+    # cells and algebra as the batch CMS, so the same oracle applies.
+    oracle=_CMS_ORACLE,
 )
 
 
@@ -19285,52 +19281,17 @@ def _dstreamcms(spark, sf_dir):
     with O(1) streaming memory."""
     schema = _events_stream_schema(ts_ntz=False)
     src = _stream_file_source(spark, sf_dir, "events.parquet", schema)
-    cell = (
-        F.conv(
-            F.substring(
-                F.sha2(
-                    F.concat(
-                        F.col("user_id").cast("string"),
-                        F.lit("cms"),
-                        F.col("r").cast("string"),
-                    ),
-                    256,
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 512
-    )
     stream_cells = (
         src.select("user_id")
         .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"))
-        .withColumn("cell", cell)
+        .withColumn("cell", _cms_cell())
         .groupBy("r", "cell")
         .agg(F.count("*").cast("long").alias("total"))
     )
     sk = _run_stream_to_memory(stream_cells, "evt_stream_cms_sink", "complete")
     ev = t(spark, sf_dir, "events")
     uc = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
-    top20 = uc.orderBy(F.desc("c"), "user_id").limit(20).select(
-        "user_id", F.col("c").alias("exact_count")
-    )
-    coords = top20.select(
-        "user_id", "exact_count", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
-    ).withColumn("cell", cell)
-    est = (
-        coords.join(sk, ["r", "cell"])
-        .groupBy("user_id", "exact_count")
-        .agg(F.min("total").cast("long").alias("cms_estimate"))
-    )
-    return est.select(
-        "user_id",
-        "exact_count",
-        "cms_estimate",
-        (F.col("cms_estimate") - F.col("exact_count")).cast("long").alias("overestimate"),
-    ).orderBy(F.desc("exact_count"), "user_id")
+    return _cms_probe(uc, sk)
 
 
 CATALOG["evt_stream_cms_now"].fn = _dstreamcms
@@ -19346,7 +19307,7 @@ register(
     # with no exp() anywhere.
     oracle=f"""
     WITH {_NB_CTES},
-    r AS (
+    r AS MATERIALIZED (
       SELECT doc_id, lang, score6,
              ROW_NUMBER() OVER (PARTITION BY doc_id
                                 ORDER BY score6 DESC, lang) AS rn
@@ -19554,7 +19515,8 @@ CATALOG["ml_lift_curve_deciles"].fn = _dlift
 # so reordering here is the single source of truth.
 
 # Every query name that has EVER appeared in a driver CORRECTNESS_r*.json
-# sample (rounds 1-5; r1-r4 shared one window, r5 rotated).  The rotation
+# sample (rounds 1-7: r1-r4 shared one window; r5, r6 and r7 each
+# rotated a fresh 50).  The rotation
 # exists to convert never-sampled queries into driver evidence — this
 # frozen set plus the disjointness assert below make it impossible for a
 # refactor to silently re-burn evidence slots on already-green names.

@@ -254,12 +254,10 @@ def test_cms_matches_python_reference(spark, con):
         (uid, c, min(sketch[(r, cell(uid, r))] for r in range(4)))
         for uid, c in top20
     ]
-    got = [
-        (r["user_id"], r["exact_count"], r["cms_estimate"])
-        for r in _run(spark, "sketch_cms_user_counts")
-    ]
+    rows = _run(spark, "sketch_cms_user_counts")
+    got = [(r["user_id"], r["exact_count"], r["cms_estimate"]) for r in rows]
     assert got == [(u, c, e) for u, c, e in expect]
-    assert all(r["cms_estimate"] >= r["exact_count"] for r in _run(spark, "sketch_cms_user_counts"))
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
 
 
 def test_markov_accuracy_matches_python_reference(spark, con):
@@ -352,7 +350,7 @@ def test_fd_histogram_matches_python_reference(spark, con):
     )
     q1 = _quantile_cont(cents, 0.25)
     q3 = _quantile_cont(cents, 0.75)
-    w = max(math.floor(2.0 * (q3 - q1) / (n ** (1.0 / 3.0)) + 0.5), 1)
+    w = max(math.floor(2.0 * (q3 - q1) / math.cbrt(n) + 0.5), 1)
     min_c = cents[0]
     hist = Counter(math.floor((c - min_c) / w) for c in cents)
     expect = [
