@@ -19498,6 +19498,177 @@ def _dlift(spark, sf_dir):
 
 CATALOG["ml_lift_curve_deciles"].fn = _dlift
 
+register(
+    "er_part_golden_records",
+    # entity resolution END TO END — the MDM golden-record pipeline:
+    # blocked Levenshtein matching over parts + planted typo twins,
+    # transitive closure into entity clusters, then field-level
+    # survivorship (canonical id = min pid, name from the canonical
+    # row via arg_min, max size, min price) — one golden row per
+    # multi-member entity. Composes fuzzy_string_pairs +
+    # connected_components + a survivorship aggregate.
+    oracle="""
+    WITH RECURSIVE base AS MATERIALIZED (
+      SELECT p_partkey AS pid, p_name, p_brand, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM part
+      UNION ALL
+      SELECT p_partkey + 1000000, 'z' || substr(p_name, 2), p_brand, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+      FROM part WHERE p_partkey % 7 = 0
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.pid AS id_a, b.pid AS id_b
+      FROM base a JOIN base b
+        ON a.p_brand = b.p_brand AND len(a.p_name) = len(b.p_name)
+       AND a.pid < b.pid
+      WHERE levenshtein(a.p_name, b.p_name) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, w.lab FROM edges e JOIN walk w ON e.dst = w.id
+    ),
+    lbl AS (SELECT id AS pid, MIN(lab) AS cluster FROM walk GROUP BY id),
+    m AS (
+      SELECT b.pid, b.p_name, b.p_brand, b.p_size, b.price_cents,
+             COALESCE(l.cluster, b.pid) AS cluster
+      FROM base b LEFT JOIN lbl l ON l.pid = b.pid
+    )
+    SELECT CAST(MIN(pid) AS BIGINT) AS canonical_id,
+           arg_min(p_brand, pid) AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           arg_min(p_name, pid) AS canonical_name,
+           MAX(p_size) AS max_size,
+           round(CAST(MIN(price_cents) AS DOUBLE) / 100.0, 2) AS min_price
+    FROM m GROUP BY cluster
+    HAVING COUNT(*) >= 2
+    ORDER BY canonical_id
+    """,
+)
+
+
+def _der_golden(spark, sf_dir):
+    """Golden records: the full master-data pipeline as a DAG of
+    equi-joins — blocked fuzzy pairs (the pair space bounded by
+    (brand, length) blocks), distributed min-label closure (bounded
+    rounds, checkpointed labels), and ONE survivorship aggregate whose
+    per-field rules (min_by name, max size, min price) produce the
+    canonical row. Isolated records never enter the closure; the
+    report carries only the merged entities a steward reviews."""
+    from .ops import graph
+
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        "p_name",
+        "p_brand",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("price_cents"),
+    )
+    twins = p.filter(F.col("pid") % 7 == 0).select(
+        (F.col("pid") + 1000000).alias("pid"),
+        F.concat(F.lit("z"), F.substring("p_name", 2, 1000)).alias("p_name"),
+        "p_brand",
+        "p_size",
+        "price_cents",
+    )
+    base = p.unionByName(twins).localCheckpoint(eager=False)
+    pairs = dedup.fuzzy_string_pairs(
+        base.withColumn("__len", F.length("p_name")),
+        "pid",
+        "p_name",
+        ["p_brand", "__len"],
+        max_distance=1,
+    )
+    lbl = graph.connected_components(pairs.select("id_a", "id_b"))
+    m = base.join(lbl, base.pid == lbl.id, "left").select(
+        "pid",
+        "p_name",
+        "p_brand",
+        "p_size",
+        "price_cents",
+        F.coalesce(F.col("cluster"), F.col("pid")).alias("__cl"),
+    )
+    return (
+        m.groupBy("__cl")
+        .agg(
+            F.min("pid").cast("long").alias("canonical_id"),
+            F.min_by("p_brand", "pid").alias("brand"),
+            F.count("*").cast("long").alias("n_members"),
+            F.min_by("p_name", "pid").alias("canonical_name"),
+            F.max("p_size").alias("max_size"),
+            F.round(F.min("price_cents").cast("double") / 100.0, 2).alias("min_price"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .drop("__cl")
+        .orderBy("canonical_id")
+    )
+
+
+CATALOG["er_part_golden_records"].fn = _der_golden
+
+register(
+    "evt_sliding_median_hourly",
+    # robust rolling smoother: the exact 7-bucket sliding MEDIAN of
+    # hourly totals per event type — the spike-resistant counterpart
+    # of the centered moving average (one outlier hour shifts the mean
+    # but not the median). The frame is 7 rows, so the exact
+    # interpolated median stays a bounded per-row computation.
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           CAST(cents AS DOUBLE) / 100.0 AS total_value,
+           round(quantile_cont(cents, 0.5) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) / 100.0, 6)
+               AS rolling_median
+    FROM obs
+    ORDER BY event_type, h
+    """,
+)
+
+
+def _dslidemed(spark, sf_dir):
+    """Sliding exact median: one event_type-partitioned window whose
+    7-row frame feeds Spark's exact percentile aggregate — same single
+    exchange+sort as the moving average, linear work, and the
+    interpolation (mean of two middle integers on even frames) is
+    exact in both engines."""
+    ev = t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg((F.sum(F.col("value").cast(DEC)) * 100).cast("long").alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-3, 3)
+    )
+    return (
+        obs.select(
+            "event_type",
+            "h",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            (F.col("cents").cast("double") / 100.0).alias("total_value"),
+            F.round(
+                F.percentile("cents", F.lit(0.5)).over(w) / 100.0, 6
+            ).alias("rolling_median"),
+        )
+        .orderBy("event_type", "h")
+        .drop("h")
+    )
+
+
+CATALOG["evt_sliding_median_hourly"].fn = _dslidemed
+
 
 # ===========================================================================
 # catalog ordering: the driver's evidence window

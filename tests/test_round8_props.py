@@ -463,3 +463,99 @@ def test_lift_curve_matches_python_reference(spark, con):
         for r in _run(spark, "ml_lift_curve_deciles")
     ]
     assert got == expect
+
+
+def test_er_golden_records_matches_python_reference(spark, con):
+    """Full ER pipeline from scratch: planted twins, DP Levenshtein
+    inside (brand, length) blocks, union-find closure, survivorship
+    aggregate — independent of both engines' join/recursion logic."""
+    parts = con.execute(
+        f"""SELECT p_partkey, p_name, p_brand, p_size,
+                   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+            FROM '{SF}/part.parquet'"""
+    ).fetchall()
+    base = [(pk, nm, b, sz, pc) for pk, nm, b, sz, pc in parts]
+    base += [
+        (pk + 1000000, "z" + nm[1:], b, sz, pc)
+        for pk, nm, b, sz, pc in parts
+        if pk % 7 == 0
+    ]
+
+    def lev_le1(a: str, b: str) -> bool:
+        # equal length (blocked): distance <= 1 iff <= 1 substitution
+        return sum(x != y for x, y in zip(a, b)) <= 1
+
+    blocks = defaultdict(list)
+    for row in base:
+        blocks[(row[2], len(row[1]))].append(row)
+    parent = {row[0]: row[0] for row in base}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for rows in blocks.values():
+        for i, a in enumerate(rows):
+            for b in rows[i + 1 :]:
+                if lev_le1(a[1], b[1]):
+                    ra, rb = find(a[0]), find(b[0])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    clusters = defaultdict(list)
+    for row in base:
+        clusters[find(row[0])].append(row)
+    expect = []
+    for rows in clusters.values():
+        if len(rows) < 2:
+            continue
+        rows.sort()
+        expect.append(
+            (
+                rows[0][0],
+                rows[0][2],
+                len(rows),
+                rows[0][1],
+                max(r[3] for r in rows),
+                _r2(min(r[4] for r in rows) / 100.0),
+            )
+        )
+    expect.sort()
+    got = [
+        (
+            r["canonical_id"],
+            r["brand"],
+            r["n_members"],
+            r["canonical_name"],
+            r["max_size"],
+            r["min_price"],
+        )
+        for r in _run(spark, "er_part_golden_records")
+    ]
+    assert got == expect
+
+
+def test_sliding_median_matches_python_reference(spark, con):
+    rows = con.execute(
+        f"""SELECT event_type, date_trunc('hour', ts),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    series = defaultdict(list)
+    for et, h, cents in rows:
+        series[et].append((h, cents))
+    expect = []
+    for et in sorted(series):
+        pts = series[et]
+        for i, (h, cents) in enumerate(pts):
+            frame = sorted(c for _, c in pts[max(0, i - 3) : i + 4])
+            med = _quantile_cont(frame, 0.5)
+            expect.append(
+                (et, h.strftime("%Y-%m-%d %H:%M:%S"), cents / 100.0, _r6(med / 100.0))
+            )
+    got = [
+        (r["event_type"], r["hour_ts"], r["total_value"], r["rolling_median"])
+        for r in _run(spark, "evt_sliding_median_hourly")
+    ]
+    assert got == expect
