@@ -1490,26 +1490,90 @@ def _dcont(spark, sf_dir):
 
 CATALOG["ngram_containment_pairs"].fn = _dcont
 
+# Shared ER fixture + blocked-pair skeleton: parts + planted typo twins
+# (pid+1000000, first char -> 'z' for partkey%7==0) and the capped
+# (brand, name-length) pair join — single-sourced for the fuzzy-pair
+# query AND the golden-record pipeline so the planted recipe and the
+# blocking can never drift between copies. The cap mirrors
+# ops/pairs.pairs_within_groups' hot-block guard EXACTLY (blocks over
+# DEFAULT_MAX_BLOCK keep only their smallest-id members), so the oracle
+# stays engine-exact at every scale instead of silently diverging the
+# first time a block outgrows the cap.
+_ER_TWIN_BASE_SQL = """base AS MATERIALIZED (
+      SELECT p_partkey AS pid, p_name, p_brand, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM part
+      UNION ALL
+      SELECT p_partkey + 1000000, 'z' || substr(p_name, 2), p_brand, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+      FROM part WHERE p_partkey % 7 = 0
+    )"""
+
+_ER_PAIRS_SQL = f"""capped AS (
+      SELECT * FROM (
+        SELECT pid, p_name, p_brand,
+               ROW_NUMBER() OVER (PARTITION BY p_brand, len(p_name)
+                                  ORDER BY pid) AS __rn
+        FROM base
+      ) WHERE __rn <= {{max_block}}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.pid AS id_a, b.pid AS id_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+      FROM capped a JOIN capped b
+        ON a.p_brand = b.p_brand AND len(a.p_name) = len(b.p_name)
+       AND a.pid < b.pid
+      WHERE levenshtein(a.p_name, b.p_name) <= 1
+    )"""
+
+
+def _twin_base(spark, sf_dir):
+    """Spark twin of _ER_TWIN_BASE_SQL: parts + planted typo twins with
+    exact cents — shared by fuzzy_part_name_pairs and
+    er_part_golden_records."""
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        "p_name",
+        "p_brand",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("price_cents"),
+    )
+    twins = p.filter(F.col("pid") % 7 == 0).select(
+        (F.col("pid") + 1000000).alias("pid"),
+        F.concat(F.lit("z"), F.substring("p_name", 2, 1000)).alias("p_name"),
+        "p_brand",
+        "p_size",
+        "price_cents",
+    )
+    return p.unionByName(twins)
+
+
+def _twin_fuzzy_pairs(base):
+    """Spark twin of _ER_PAIRS_SQL: blocked Levenshtein <= 1 pairs over
+    the twin base, with ops/pairs' default hot-block cap (which the SQL
+    mirrors member-for-member)."""
+    return dedup.fuzzy_string_pairs(
+        base.select("pid", "p_name", "p_brand").withColumn("__len", F.length("p_name")),
+        "pid",
+        "p_name",
+        ["p_brand", "__len"],
+        max_distance=1,
+    )
+
+
 register(
     "fuzzy_part_name_pairs",
     # entity-resolution fuzzy match: parts + planted one-character typo
     # twins (first char -> 'z' for partkey%7==0), blocked on (brand,
     # name length) — a substitution typo preserves both — and paired at
     # Levenshtein <= 1. Both engines ship the same unit-cost
-    # levenshtein built-in, so distances hash-match exactly.
-    oracle="""
-    WITH base AS (
-      SELECT p_partkey AS pid, p_name, p_brand FROM part
-      UNION ALL
-      SELECT p_partkey + 1000000, 'z' || substr(p_name, 2), p_brand
-      FROM part WHERE p_partkey % 7 = 0
-    )
-    SELECT a.pid AS id_a, b.pid AS id_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
-    FROM base a JOIN base b
-      ON a.p_brand = b.p_brand AND len(a.p_name) = len(b.p_name)
-         AND a.pid < b.pid
-    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    # levenshtein built-in, so distances hash-match exactly; the oracle
+    # carries the SAME hot-block cap as ops/pairs, so parity holds at
+    # any scale.
+    oracle=f"""
+    WITH {_ER_TWIN_BASE_SQL},
+    {_ER_PAIRS_SQL.format(max_block=dedup.DEFAULT_MAX_BLOCK)}
+    SELECT id_a, id_b, distance FROM pairs
     """,
 )
 
@@ -1521,19 +1585,9 @@ def _dfuzzy(spark, sf_dir):
     (first char swapped) so distance-1 recovery is actually exercised,
     not just distance-0 duplicates; blocking on (brand, length) keeps
     the pair space bounded while guaranteeing the planted pairs stay
-    co-blocked."""
-    p = t(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("pid"), "p_name", "p_brand"
-    )
-    twins = p.filter(F.col("pid") % 7 == 0).select(
-        (F.col("pid") + 1000000).alias("pid"),
-        F.concat(F.lit("z"), F.substring("p_name", 2, 1000)).alias("p_name"),
-        "p_brand",
-    )
-    base = p.unionByName(twins).withColumn("__len", F.length("p_name"))
-    out = dedup.fuzzy_string_pairs(
-        base, "pid", "p_name", ["p_brand", "__len"], max_distance=1
-    )
+    co-blocked. Base and pair skeleton shared with the golden-record
+    pipeline (_twin_base/_twin_fuzzy_pairs)."""
+    out = _twin_fuzzy_pairs(_twin_base(spark, sf_dir))
     return out.select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
 
 
@@ -5964,18 +6018,34 @@ def _dbalance(spark, sf_dir):
 
 CATALOG["sample_balanced_class_downsample"].fn = _dbalance
 
+# Shared hourly-totals stage: exact cents per (event_type, hour) — the
+# obs CTE/frame consumed by the MAD anomaly report, the moving average,
+# the EWMA family (single and Brown double), the change-point detector
+# and the sliding median. Single-sourced so the bucketing recipe (the
+# decimal cast and the *100 snap) can never drift between copies.
+_HOURLY_TYPE_CENTS_CTE = """obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )"""
+
+
+def _hourly_type_cents(spark, sf_dir):
+    """Spark twin of _HOURLY_TYPE_CENTS_CTE."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg((F.sum(F.col("value").cast(DEC)) * 100).cast("long").alias("cents"))
+
+
 register(
     "evt_change_point_hourly",
     # simple change-point detection: per event_type, the hour with the
     # largest absolute hour-over-hour jump in total value (lag window +
     # deterministic argmax). Totals ride as exact cents; the jump is an
     # exact integer difference.
-    oracle="""
-    WITH obs AS (
-      SELECT event_type, date_trunc('hour', ts) AS h,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
-    ),
+    oracle=f"""
+    WITH {_HOURLY_TYPE_CENTS_CTE},
     d AS (
       SELECT event_type, h, cents,
              cents - LAG(cents) OVER (PARTITION BY event_type ORDER BY h) AS jump
@@ -9811,12 +9881,8 @@ register(
     # totals x 100), so frame-summation order can't matter; the single
     # final division of exact integers is identical IEEE on both
     # engines.
-    oracle="""
-    WITH obs AS (
-      SELECT event_type, date_trunc('hour', ts) AS h,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
-    )
+    oracle=f"""
+    WITH {_HOURLY_TYPE_CENTS_CTE}
     SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
            CAST(cents AS DOUBLE) / 100.0 AS total_value,
            CAST(SUM(cents) OVER w AS DOUBLE)
@@ -10265,6 +10331,7 @@ def _dlangconf(spark, sf_dir):
 
 
 CATALOG["doc_lang_confusion_matrix"].fn = _dlangconf
+
 
 register(
     "evt_anomaly_mad",
@@ -11671,11 +11738,7 @@ register(
     # on both engines and the additions run in identical written order
     # over exact BIGINT cents, so the 6-dp round is bit-stable.
     oracle=f"""
-    WITH obs AS (
-      SELECT event_type, date_trunc('hour', ts) AS h,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
-    )
+    WITH {_HOURLY_TYPE_CENTS_CTE}
     SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
            CAST(cents AS DOUBLE) / 100.0 AS total_value,
            round((({_EWMA_NUM}) / ({_EWMA_DEN})) / 100.0, 6) AS ewma8
@@ -11692,10 +11755,7 @@ def _dewma(spark, sf_dir):
     partitioned window, no self-join, each output row touching a
     bounded O(taps) neighborhood. At 100 TB this is a single shuffle by
     event_type with linear work."""
-    ev = t(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg((F.sum(F.col("value").cast(DEC)) * 100).cast("long").alias("cents"))
+    obs = _hourly_type_cents(spark, sf_dir)
     return (
         obs.select(
             "event_type",
@@ -12047,12 +12107,8 @@ register(
     # beats both neighbors (boundary rows never qualify); prominence =
     # height above the taller neighbor. Everything is exact BIGINT
     # cents until the final /100 display division.
-    oracle="""
-    WITH obs AS (
-      SELECT event_type, date_trunc('hour', ts) AS h,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
-    ),
+    oracle=f"""
+    WITH {_HOURLY_TYPE_CENTS_CTE},
     nb AS (
       SELECT event_type, h, cents,
              lag(cents) OVER w AS prev_c, lead(cents) OVER w AS next_c
@@ -12073,10 +12129,7 @@ def _dpeaks(spark, sf_dir):
     bucket aggregate + one lag/lead window — the O(n) peak finder that
     feeds spike triage. Strict inequalities drop plateaus and boundary
     buckets on both engines identically (NULL neighbors fail >)."""
-    ev = t(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg((F.sum(F.col("value").cast(DEC)) * 100).cast("long").alias("cents"))
+    obs = _hourly_type_cents(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("h")
     nb = obs.select(
         "event_type",
@@ -19118,11 +19171,7 @@ register(
     # a = 2*s1 - s2, trend b = (alpha/(1-alpha))*(s1 - s2), and the
     # one-step forecast a + b per event type.
     oracle=f"""
-    WITH obs AS (
-      SELECT event_type, date_trunc('hour', ts) AS h,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
-    ),
+    WITH {_HOURLY_TYPE_CENTS_CTE},
     s1t AS (
       SELECT event_type, h, cents,
              CAST(floor((({_BEWMA_NUM1}) / ({_BEWMA_DEN1})) * 10000 + 0.5)
@@ -19154,10 +19203,7 @@ def _dbrown(spark, sf_dir):
     quantized to integer ten-thousandths so the second filter's input
     is bit-identical across engines. Linear work, one shuffle, the
     standard scale-out shape for recursive smoothers."""
-    ev = t(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg((F.sum(F.col("value").cast(DEC)) * 100).cast("long").alias("cents"))
+    obs = _hourly_type_cents(spark, sf_dir)
     s1t = obs.withColumn(
         "s16",
         F.expr(
@@ -19507,23 +19553,9 @@ register(
     # row via arg_min, max size, min price) — one golden row per
     # multi-member entity. Composes fuzzy_string_pairs +
     # connected_components + a survivorship aggregate.
-    oracle="""
-    WITH RECURSIVE base AS MATERIALIZED (
-      SELECT p_partkey AS pid, p_name, p_brand, p_size,
-             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
-      FROM part
-      UNION ALL
-      SELECT p_partkey + 1000000, 'z' || substr(p_name, 2), p_brand, p_size,
-             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
-      FROM part WHERE p_partkey % 7 = 0
-    ),
-    pairs AS MATERIALIZED (
-      SELECT a.pid AS id_a, b.pid AS id_b
-      FROM base a JOIN base b
-        ON a.p_brand = b.p_brand AND len(a.p_name) = len(b.p_name)
-       AND a.pid < b.pid
-      WHERE levenshtein(a.p_name, b.p_name) <= 1
-    ),
+    oracle=f"""
+    WITH RECURSIVE {_ER_TWIN_BASE_SQL},
+    {_ER_PAIRS_SQL.format(max_block=dedup.DEFAULT_MAX_BLOCK)},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs
@@ -19563,28 +19595,8 @@ def _der_golden(spark, sf_dir):
     report carries only the merged entities a steward reviews."""
     from .ops import graph
 
-    p = t(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("pid"),
-        "p_name",
-        "p_brand",
-        "p_size",
-        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("price_cents"),
-    )
-    twins = p.filter(F.col("pid") % 7 == 0).select(
-        (F.col("pid") + 1000000).alias("pid"),
-        F.concat(F.lit("z"), F.substring("p_name", 2, 1000)).alias("p_name"),
-        "p_brand",
-        "p_size",
-        "price_cents",
-    )
-    base = p.unionByName(twins).localCheckpoint(eager=False)
-    pairs = dedup.fuzzy_string_pairs(
-        base.withColumn("__len", F.length("p_name")),
-        "pid",
-        "p_name",
-        ["p_brand", "__len"],
-        max_distance=1,
-    )
+    base = _twin_base(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = _twin_fuzzy_pairs(base)
     lbl = graph.connected_components(pairs.select("id_a", "id_b"))
     m = base.join(lbl, base.pid == lbl.id, "left").select(
         "pid",
@@ -19619,12 +19631,8 @@ register(
     # of the centered moving average (one outlier hour shifts the mean
     # but not the median). The frame is 7 rows, so the exact
     # interpolated median stays a bounded per-row computation.
-    oracle="""
-    WITH obs AS (
-      SELECT event_type, date_trunc('hour', ts) AS h,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
-    )
+    oracle=f"""
+    WITH {_HOURLY_TYPE_CENTS_CTE}
     SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
            CAST(cents AS DOUBLE) / 100.0 AS total_value,
            round(quantile_cont(cents, 0.5) OVER (
@@ -19643,10 +19651,7 @@ def _dslidemed(spark, sf_dir):
     exchange+sort as the moving average, linear work, and the
     interpolation (mean of two middle integers on even frames) is
     exact in both engines."""
-    ev = t(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg((F.sum(F.col("value").cast(DEC)) * 100).cast("long").alias("cents"))
+    obs = _hourly_type_cents(spark, sf_dir)
     w = (
         Window.partitionBy("event_type")
         .orderBy("h")

@@ -488,6 +488,12 @@ def test_er_golden_records_matches_python_reference(spark, con):
     blocks = defaultdict(list)
     for row in base:
         blocks[(row[2], len(row[1]))].append(row)
+    # mirror ops/pairs' hot-block cap: blocks over 8192 keep only their
+    # smallest-id members (a no-op at sf0.001, but the semantics the
+    # Spark op AND the SQL oracle now share at every scale)
+    blocks = {
+        k: sorted(v, key=lambda r: r[0])[:8192] for k, v in blocks.items()
+    }
     parent = {row[0]: row[0] for row in base}
 
     def find(x):
@@ -537,14 +543,22 @@ def test_er_golden_records_matches_python_reference(spark, con):
 
 
 def test_sliding_median_matches_python_reference(spark, con):
-    rows = con.execute(
-        f"""SELECT event_type, date_trunc('hour', ts),
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
-            FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    raw = con.execute(
+        f"SELECT event_type, ts, value FROM '{SF}/events.parquet'"
     ).fetchall()
+    # bucket + cents from first principles: quantize each value to 2 dp
+    # (the DECIMAL(18,2) cast) and sum exact cents per (type, hour)
+    sums = defaultdict(int)
+    for et, ts, val in raw:
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        cents = int(
+            (Decimal(repr(val)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+            * 100
+        )
+        sums[(et, h)] += cents
     series = defaultdict(list)
-    for et, h, cents in rows:
-        series[et].append((h, cents))
+    for (et, h) in sorted(sums):
+        series[et].append((h, sums[(et, h)]))
     expect = []
     for et in sorted(series):
         pts = series[et]
