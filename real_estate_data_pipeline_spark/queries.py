@@ -19674,6 +19674,190 @@ def _dslidemed(spark, sf_dir):
 
 CATALOG["evt_sliding_median_hourly"].fn = _dslidemed
 
+register(
+    "cust_value_quartile_migration",
+    # the CRM segment-migration matrix: customers quartiled by revenue
+    # within each of two adjacent half-years (deterministic ntile over
+    # the per-customer aggregate), then the Q_from x Q_to transition
+    # counts — customers absent from a period land in the 'none'
+    # segment, so churn and acquisition appear as matrix rows/columns
+    # instead of silently dropping out.
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1995-07-01' THEN 'h1'
+                  ELSE 'h2' END AS period,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    cr AS (
+      SELECT period, o_custkey, CAST(SUM(cents) AS BIGINT) AS rev
+      FROM r GROUP BY period, o_custkey
+    ),
+    q AS (
+      SELECT period, o_custkey,
+             'Q' || CAST(NTILE(4) OVER (PARTITION BY period
+                                        ORDER BY rev DESC, o_custkey)
+                         AS VARCHAR) AS seg
+      FROM cr
+    ),
+    h1 AS (SELECT o_custkey, seg FROM q WHERE period = 'h1'),
+    h2 AS (SELECT o_custkey, seg FROM q WHERE period = 'h2')
+    SELECT COALESCE(h1.seg, 'none') AS seg_from,
+           COALESCE(h2.seg, 'none') AS seg_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM h1 FULL OUTER JOIN h2 ON h2.o_custkey = h1.o_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+
+
+def _dquartmig(spark, sf_dir):
+    """Value-quartile migration: two per-period customer aggregates,
+    ONE period-partitioned ntile window over that (small) frame, and a
+    customer-keyed full outer join — churners and new customers
+    surface as 'none' rows. At scale both heavy shuffles are on the
+    customer key and the windowed frame is customers-per-period sized,
+    never order-level."""
+    o = t(spark, sf_dir, "orders")
+    r = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    ).select(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < F.lit("1995-07-01"), "h1")
+        .otherwise("h2")
+        .alias("period"),
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+    cr = r.groupBy("period", "o_custkey").agg(F.sum("cents").cast("long").alias("rev"))
+    q = cr.select(
+        "period",
+        "o_custkey",
+        F.concat(
+            F.lit("Q"),
+            F.ntile(4)
+            .over(Window.partitionBy("period").orderBy(F.desc("rev"), "o_custkey"))
+            .cast("string"),
+        ).alias("seg"),
+    ).localCheckpoint(eager=False)
+    h1 = q.filter(F.col("period") == "h1").select("o_custkey", F.col("seg").alias("__s1"))
+    h2 = q.filter(F.col("period") == "h2").select("o_custkey", F.col("seg").alias("__s2"))
+    return (
+        h1.join(h2, "o_custkey", "full")
+        .groupBy(
+            F.coalesce(F.col("__s1"), F.lit("none")).alias("seg_from"),
+            F.coalesce(F.col("__s2"), F.lit("none")).alias("seg_to"),
+        )
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("seg_from", "seg_to")
+    )
+
+
+CATALOG["cust_value_quartile_migration"].fn = _dquartmig
+
+register(
+    "graph_link_prediction_cn_eval",
+    # link-prediction evaluation on the near-dup graph: hold out ~20%
+    # of verified edges (deterministic pair hash), score held-out
+    # positives AND the band-collision near-misses (candidates whose
+    # signature agreement fell below the threshold) by COMMON-NEIGHBOR
+    # count in the retained graph — if the graph has community
+    # structure, true edges should out-score the near-misses. Mean CN
+    # and the share with at least one common neighbor, per side.
+    oracle=f"""
+    WITH cand AS MATERIALIZED ({_minhash_portable_oracle(thr=0.0)}),
+    pos_all AS (
+      SELECT id_a, id_b,
+             {_HASH01_SQL.format(key="CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR) || 'lp'")} AS u
+      FROM cand WHERE jaccard_est >= 0.5
+    ),
+    test AS (SELECT id_a, id_b, 'positive' AS side FROM pos_all WHERE u < 0.2),
+    neg AS (
+      SELECT id_a, id_b, 'negative' AS side FROM cand WHERE jaccard_est < 0.5
+    ),
+    ev AS (SELECT * FROM test UNION ALL SELECT * FROM neg),
+    adj AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pos_all WHERE u >= 0.2
+      UNION ALL
+      SELECT id_b, id_a FROM pos_all WHERE u >= 0.2
+    ),
+    cn AS (
+      SELECT e.id_a, e.id_b, e.side, CAST(COUNT(n2.dst) AS BIGINT) AS cn
+      FROM ev e
+      LEFT JOIN adj n1 ON n1.src = e.id_a
+      LEFT JOIN adj n2 ON n2.src = e.id_b AND n2.dst = n1.dst
+      GROUP BY e.id_a, e.id_b, e.side
+    )
+    SELECT side, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(cn) AS DOUBLE) / COUNT(*), 6) AS mean_common_neighbors,
+           round(CAST(SUM(CASE WHEN cn >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS share_with_cn
+    FROM cn GROUP BY side ORDER BY side
+    """,
+)
+
+
+def _dlinkpred(spark, sf_dir):
+    """Common-neighbor link prediction eval: the retained adjacency
+    joins each evaluation pair twice on plain node keys (pair x degree
+    bounded — never the full wedge space), zero-CN pairs survive
+    through the left joins, and the report is one grouped aggregate.
+    The train/test edge split is the same reproducible hash draw every
+    sampler in the engine uses."""
+    from .ops.sampling import hash_uniform01
+
+    d = t(spark, sf_dir, "documents")
+    cand = dedup.minhash_dup_pairs_portable(
+        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.0
+    ).select("id_a", "id_b", "jaccard_est").localCheckpoint(eager=False)
+    u = hash_uniform01(
+        F.concat(
+            F.col("id_a").cast("string"), F.lit("_"), F.col("id_b").cast("string"), F.lit("lp")
+        )
+    )
+    pos_all = cand.filter(F.col("jaccard_est") >= 0.5).select(
+        "id_a", "id_b", u.alias("__u")
+    ).localCheckpoint(eager=False)
+    test = pos_all.filter(F.col("__u") < 0.2).select(
+        "id_a", "id_b", F.lit("positive").alias("side")
+    )
+    neg = cand.filter(F.col("jaccard_est") < 0.5).select(
+        "id_a", "id_b", F.lit("negative").alias("side")
+    )
+    ev = test.unionByName(neg)
+    retained = pos_all.filter(F.col("__u") >= 0.2)
+    adj = retained.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        retained.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).localCheckpoint(eager=False)
+    n1 = adj.withColumnsRenamed({"src": "id_a", "dst": "__w"})
+    n2 = adj.withColumnsRenamed({"src": "id_b", "dst": "__w"}).withColumn(
+        "__hit", F.lit(1)
+    )
+    cn = (
+        ev.join(n1, "id_a", "left")
+        .join(n2, ["id_b", "__w"], "left")
+        .groupBy("id_a", "id_b", "side")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("cn"))
+    )
+    return cn.groupBy("side").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.sum("cn").cast("double") / F.count("*"), 6).alias(
+            "mean_common_neighbors"
+        ),
+        F.round(
+            F.sum(F.when(F.col("cn") >= 1, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("share_with_cn"),
+    ).orderBy("side")
+
+
+CATALOG["graph_link_prediction_cn_eval"].fn = _dlinkpred
+
 
 # ===========================================================================
 # catalog ordering: the driver's evidence window

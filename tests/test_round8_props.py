@@ -573,3 +573,77 @@ def test_sliding_median_matches_python_reference(spark, con):
         for r in _run(spark, "evt_sliding_median_hourly")
     ]
     assert got == expect
+
+
+def test_quartile_migration_matches_python_reference(spark, con):
+    import datetime
+
+    rows = con.execute(
+        f"""SELECT o_custkey, o_orderdate,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM '{SF}/orders.parquet'
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'"""
+    ).fetchall()
+    cut = datetime.datetime(1995, 7, 1)
+    rev = defaultdict(lambda: defaultdict(int))
+    for ck, od, cents in rows:
+        rev["h1" if od < cut else "h2"][ck] += cents
+
+    def ntile4(period):
+        users = sorted(rev[period].items(), key=lambda kv: (-kv[1], kv[0]))
+        n = len(users)
+        base, extra = divmod(n, 4)
+        seg, i = {}, 0
+        for q in range(1, 5):
+            size = base + (1 if q <= extra else 0)
+            for ck, _ in users[i : i + size]:
+                seg[ck] = f"Q{q}"
+            i += size
+        return seg
+
+    s1, s2 = ntile4("h1"), ntile4("h2")
+    mat = Counter(
+        (s1.get(ck, "none"), s2.get(ck, "none")) for ck in set(s1) | set(s2)
+    )
+    got = {
+        (r["seg_from"], r["seg_to"]): r["n_customers"]
+        for r in _run(spark, "cust_value_quartile_migration")
+    }
+    assert got == dict(mat)
+
+
+def test_link_prediction_cn_matches_python_reference(spark):
+    """Hold-out split, retained adjacency, and common-neighbor counts
+    re-derived in plain Python over the SAME collected candidate set."""
+    from real_estate_data_pipeline_spark.ops import dedup
+    from real_estate_data_pipeline_spark.queries import t
+
+    d = t(spark, SF, "documents")
+    cand = [
+        (r["id_a"], r["id_b"], r["jaccard_est"])
+        for r in dedup.minhash_dup_pairs_portable(
+            d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.0
+        ).collect()
+    ]
+    pos = [(a, b) for a, b, e in cand if e >= 0.5]
+    neg = [(a, b) for a, b, e in cand if e < 0.5]
+    test = [(a, b) for a, b in pos if _hash01(f"{a}_{b}lp") < 0.2]
+    retained = [(a, b) for a, b in pos if _hash01(f"{a}_{b}lp") >= 0.2]
+    nbrs = defaultdict(set)
+    for a, b in retained:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    expect = {}
+    for side, pairs in (("positive", test), ("negative", neg)):
+        cns = [len(nbrs[a] & nbrs[b]) for a, b in pairs]
+        expect[side] = (
+            len(pairs),
+            _r6(sum(cns) / len(pairs)),
+            _r6(sum(1 for c in cns if c >= 1) / len(pairs)),
+        )
+    got = {
+        r["side"]: (r["n_pairs"], r["mean_common_neighbors"], r["share_with_cn"])
+        for r in _run(spark, "graph_link_prediction_cn_eval")
+    }
+    assert got == expect
