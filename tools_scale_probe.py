@@ -82,6 +82,16 @@ HEAVY = [
     "dedup_minhash_pr_vs_exact",
     "doc_bm25_topk",
     "ml_permutation_test_ab",
+    # round-8 wave 5-7: link prediction (pair x degree CN joins on the
+    # 10x-denser dup graph), NB margin calibration (the shared NB chain
+    # at 10x docs), sliding median (one partitioned window at 10x
+    # events). er_part_golden_records and ml_permutation_test_ab are
+    # deliberately NOT probed: their inputs (part, orders) are the
+    # dims this harness holds fixed, so a "10x" ratio for them would
+    # be a no-op measurement, not evidence.
+    "graph_link_prediction_cn_eval",
+    "ml_nb_margin_calibration",
+    "evt_sliding_median_hourly",
 ]
 
 
