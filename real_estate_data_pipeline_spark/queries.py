@@ -6019,9 +6019,9 @@ def _dbalance(spark, sf_dir):
 CATALOG["sample_balanced_class_downsample"].fn = _dbalance
 
 # Shared hourly-totals stage: exact cents per (event_type, hour) — the
-# obs CTE/frame consumed by the MAD anomaly report, the moving average,
-# the EWMA family (single and Brown double), the change-point detector
-# and the sliding median. Single-sourced so the bucketing recipe (the
+# obs CTE/frame consumed by the moving average, the EWMA family (single
+# and Brown double), the change-point detector, the peak detector and
+# the sliding median. Single-sourced so the bucketing recipe (the
 # decimal cast and the *100 snap) can never drift between copies.
 _HOURLY_TYPE_CENTS_CTE = """obs AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
@@ -6071,16 +6071,7 @@ def _dchangepoint(spark, sf_dir):
     partitioned by type, all exact-integer cents."""
     from pyspark.sql import Window as W
 
-    ev = t(spark, sf_dir, "events")
-    obs = (
-        ev.select(
-            "event_type",
-            F.date_trunc("hour", F.col("ts")).alias("h"),
-            F.col("value").cast(DEC).alias("__v"),
-        )
-        .groupBy("event_type", "h")
-        .agg((F.sum("__v") * 100).cast("long").alias("cents"))
-    )
+    obs = _hourly_type_cents(spark, sf_dir)
     wl = W.partitionBy("event_type").orderBy("h")
     d = obs.withColumn("jump", F.col("cents") - F.lag("cents").over(wl)).filter(
         F.col("jump").isNotNull()
@@ -6736,6 +6727,8 @@ def _minhash_portable_oracle(
     DuckDB SQL. Generated so num_perm/bands stay in sync with the Spark
     call; ``src`` lets composed pipelines run it over a CTE of
     survivors instead of the base table."""
+    from .ops.pairs import DEFAULT_MAX_BLOCK as _CAP
+
     rpb = num_perm // bands
     min_cols = ",\n             ".join(
         f"MIN(h1 + {i} * h2) AS m{i}" for i in range(num_perm)
@@ -6746,8 +6739,29 @@ def _minhash_portable_oracle(
         + f")) AS bh{b}"
         for b in range(bands)
     )
-    band_or = " OR ".join(f"a.bh{b} = c.bh{b}" for b in range(bands))
     agree = " + ".join(f"CASE WHEN a.m{i} = c.m{i} THEN 1 ELSE 0 END" for i in range(num_perm))
+    # Per-band capped pairing: ops/pairs.pairs_within_groups keeps each
+    # (band, bucket)'s DEFAULT_MAX_BLOCK smallest ids before expanding
+    # pairs — the oracle mirrors the cap member-for-member so parity
+    # holds even on a corpus with a pathological hot bucket (the
+    # pre-cap OR-join + DISTINCT is equivalent to this per-band union
+    # whenever no bucket exceeds the cap).
+    ranked = ",\n    ".join(
+        f"""r{b} AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bh{b} ORDER BY doc_id) AS rn
+      FROM b
+    )"""
+        for b in range(bands)
+    )
+    branches = "\n      UNION ALL\n".join(
+        f"""      SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+             ({agree}) / {float(num_perm)!r} AS jaccard_est
+      FROM r{b} a JOIN r{b} c
+        ON a.bh{b} = c.bh{b} AND a.doc_id < c.doc_id
+      WHERE a.rn <= {_CAP} AND c.rn <= {_CAP}
+        AND ({agree}) / {float(num_perm)!r} >= {thr!r}"""
+        for b in range(bands)
+    )
     return f"""
     WITH tk AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
@@ -6765,15 +6779,15 @@ def _minhash_portable_oracle(
              {min_cols}
       FROM h GROUP BY doc_id
     ),
-    b AS (
+    b AS MATERIALIZED (
       SELECT *,
              {band_cols}
       FROM sig
+    ),
+    {ranked}
+    SELECT DISTINCT id_a, id_b, jaccard_est FROM (
+{branches}
     )
-    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-           ({agree}) / {float(num_perm)!r} AS jaccard_est
-    FROM b a JOIN b c ON a.doc_id < c.doc_id AND ({band_or})
-    WHERE ({agree}) / {float(num_perm)!r} >= {thr!r}
     """
 
 
@@ -9902,16 +9916,7 @@ def _dmovavg(spark, sf_dir):
     BIGINT cents through the frame sum (see oracle comment)."""
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events")
-    obs = (
-        ev.select(
-            "event_type",
-            F.date_trunc("hour", F.col("ts")).alias("h"),
-            F.col("value").cast(DEC).alias("__v"),
-        )
-        .groupBy("event_type", "h")
-        .agg((F.sum("__v") * 100).cast("long").alias("cents"))
-    )
+    obs = _hourly_type_cents(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-3, 3)
     return obs.select(
         "event_type",
@@ -19770,7 +19775,7 @@ register(
     # and the share with at least one common neighbor, per side.
     oracle=f"""
     WITH cand AS MATERIALIZED ({_minhash_portable_oracle(thr=0.0)}),
-    pos_all AS (
+    pos_all AS MATERIALIZED (
       SELECT id_a, id_b,
              {_HASH01_SQL.format(key="CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR) || 'lp'")} AS u
       FROM cand WHERE jaccard_est >= 0.5

@@ -488,11 +488,15 @@ def test_er_golden_records_matches_python_reference(spark, con):
     blocks = defaultdict(list)
     for row in base:
         blocks[(row[2], len(row[1]))].append(row)
-    # mirror ops/pairs' hot-block cap: blocks over 8192 keep only their
+    # mirror ops/pairs' hot-block cap: oversized blocks keep only their
     # smallest-id members (a no-op at sf0.001, but the semantics the
-    # Spark op AND the SQL oracle now share at every scale)
+    # Spark op AND the SQL oracle now share at every scale) — import the
+    # constant so a future cap tune moves all three implementations
+    from real_estate_data_pipeline_spark.ops.pairs import DEFAULT_MAX_BLOCK
+
     blocks = {
-        k: sorted(v, key=lambda r: r[0])[:8192] for k, v in blocks.items()
+        k: sorted(v, key=lambda r: r[0])[:DEFAULT_MAX_BLOCK]
+        for k, v in blocks.items()
     }
     parent = {row[0]: row[0] for row in base}
 
@@ -636,6 +640,7 @@ def test_link_prediction_cn_matches_python_reference(spark):
         nbrs[b].add(a)
     expect = {}
     for side, pairs in (("positive", test), ("negative", neg)):
+        assert pairs, f"fixture produced no {side} pairs — split/threshold changed"
         cns = [len(nbrs[a] & nbrs[b]) for a, b in pairs]
         expect[side] = (
             len(pairs),

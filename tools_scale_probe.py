@@ -75,13 +75,11 @@ HEAVY = [
     # token shuffle is the only corpus-sized stage), 2 HITS rounds on
     # the 10x-denser dup graph, the MinHash PR scorecard (band + block
     # candidate joins, exact Jaccard only inside the universe), BM25
-    # (one tokenize pass, term-filtered tf shuffle), and the 32-way
-    # permutation-test fan-out
+    # (one tokenize pass, term-filtered tf shuffle)
     "doc_source_kl_divergence",
     "graph_hits_rounds",
     "dedup_minhash_pr_vs_exact",
     "doc_bm25_topk",
-    "ml_permutation_test_ab",
     # round-8 wave 5-7: link prediction (pair x degree CN joins on the
     # 10x-denser dup graph), NB margin calibration (the shared NB chain
     # at 10x docs), sliding median (one partitioned window at 10x
