@@ -19863,6 +19863,138 @@ def _dlinkpred(spark, sf_dir):
 
 CATALOG["graph_link_prediction_cn_eval"].fn = _dlinkpred
 
+register(
+    "sketch_bloom_fpr_report",
+    # Bloom-filter accuracy audit (the membership-sketch counterpart of
+    # the CMS report): a 4096-bit, 3-hash Bloom built over a 70% key
+    # split, probed with the held-out 30% (true negatives by
+    # construction — ids are distinct), observed false-positive rate
+    # vs the EXACT expected rate for the realized bit array
+    # ((bits_set/m)^3 as plain multiplication — no transcendental
+    # e^{-kn/m} approximation, nothing that can diverge between
+    # engines).
+    oracle=f"""
+    WITH keys AS (
+      SELECT doc_id,
+             CASE WHEN {_HASH01_SQL.format(key="CAST(doc_id AS VARCHAR) || 'bl'")} < 0.7
+                  THEN 1 ELSE 0 END AS is_train
+      FROM documents
+    ),
+    cells AS (
+      SELECT k.doc_id, k.is_train, r.r,
+             ('0x' || substr(sha256(CAST(k.doc_id AS VARCHAR) || 'bloom'
+                                    || CAST(r.r AS VARCHAR)), 1, 8))::UBIGINT % 4096
+                 AS cell
+      FROM keys k CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r) r
+    ),
+    bits AS MATERIALIZED (
+      SELECT DISTINCT cell FROM cells WHERE is_train = 1
+    ),
+    probe AS (
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN b.cell IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits
+      FROM cells c LEFT JOIN bits b ON b.cell = c.cell
+      WHERE c.is_train = 0
+      GROUP BY c.doc_id
+    ),
+    m AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keys WHERE is_train = 1) AS n_train,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+             (SELECT CAST(SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT)
+              FROM probe) AS n_false_positives
+    )
+    SELECT n_train, n_probes, bits_set,
+           round(CAST(bits_set AS DOUBLE) / 4096.0, 6) AS fill_ratio,
+           n_false_positives,
+           round(CAST(n_false_positives AS DOUBLE) / n_probes, 6) AS observed_fpr,
+           round((CAST(bits_set AS DOUBLE) / 4096.0)
+                 * (CAST(bits_set AS DOUBLE) / 4096.0)
+                 * (CAST(bits_set AS DOUBLE) / 4096.0), 6) AS expected_fpr
+    FROM m
+    """,
+)
+
+
+def _dbloomfpr(spark, sf_dir):
+    """Bloom FPR audit: the bit array is a DISTINCT over the train
+    keys' 3 deterministic cells (4096 rows max — the fixed-size
+    membership state, mergeable like every sketch here), the probe is
+    one left join + per-key hit count, and the expected rate comes
+    exactly from the realized fill ratio. At stream scale this is the
+    dedup/decontamination prefilter's quality gauge — the CMS tells
+    you how wrong counts are, this tells you how often membership
+    lies."""
+    from .ops.sampling import hash_uniform01
+
+    d = t(spark, sf_dir, "documents")
+    keys = d.select(
+        "doc_id",
+        (
+            hash_uniform01(F.concat(F.col("doc_id").cast("string"), F.lit("bl"))) < 0.7
+        ).alias("is_train"),
+    )
+    cell = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("bloom"),
+                        F.col("r").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4096
+    )
+    cells = keys.select(
+        "doc_id", "is_train", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r")
+    ).withColumn("cell", cell).localCheckpoint(eager=False)
+    bits = (
+        cells.filter(F.col("is_train")).select("cell").distinct().localCheckpoint(eager=False)
+    )
+    probe = (
+        cells.filter(~F.col("is_train"))
+        .join(bits.withColumn("__hit", F.lit(1)), "cell", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("hits"))
+    )
+    n_train = keys.filter(F.col("is_train")).agg(
+        F.count("*").cast("long").alias("n_train")
+    )
+    stats = probe.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("hits") == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+    )
+    nbits = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    fill = F.col("bits_set").cast("double") / 4096.0
+    return (
+        n_train.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(nbits))
+        .select(
+            "n_train",
+            "n_probes",
+            "bits_set",
+            F.round(fill, 6).alias("fill_ratio"),
+            "n_false_positives",
+            F.round(
+                F.col("n_false_positives").cast("double") / F.col("n_probes"), 6
+            ).alias("observed_fpr"),
+            F.round(fill * fill * fill, 6).alias("expected_fpr"),
+        )
+    )
+
+
+CATALOG["sketch_bloom_fpr_report"].fn = _dbloomfpr
+
 
 # ===========================================================================
 # catalog ordering: the driver's evidence window

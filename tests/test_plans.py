@@ -152,6 +152,7 @@ _SCALAR_BROADCAST_OK = {
     "sim_lsh_recall_vs_bits",      # broadcast 1-row query vector + 1-row count scalars
     "ml_nb_margin_calibration",    # same NB 5-row lang table + 1-row scalars as the eval
     "ml_lift_curve_deciles",       # 1-row base-rate scalar over the 10-row decile frame
+    "sketch_bloom_fpr_report",     # 1x1 joins of the train/probe/bits count rows
 }
 
 

@@ -652,3 +652,22 @@ def test_link_prediction_cn_matches_python_reference(spark):
         for r in _run(spark, "graph_link_prediction_cn_eval")
     }
     assert got == expect
+
+
+def test_bloom_fpr_matches_python_reference(spark, con):
+    ids = [d for (d,) in con.execute(f"SELECT doc_id FROM '{SF}/documents.parquet'").fetchall()]
+
+    def cell(did, r):
+        return int(hashlib.sha256(f"{did}bloom{r}".encode()).hexdigest()[:8], 16) % 4096
+
+    train = [d for d in ids if _hash01(f"{d}bl") < 0.7]
+    probe = [d for d in ids if _hash01(f"{d}bl") >= 0.7]
+    bits = {cell(d, r) for d in train for r in range(3)}
+    fp = sum(1 for d in probe if all(cell(d, r) in bits for r in range(3)))
+    fill = len(bits) / 4096.0
+    [r] = _run(spark, "sketch_bloom_fpr_report")
+    assert (r["n_train"], r["n_probes"], r["bits_set"]) == (len(train), len(probe), len(bits))
+    assert r["n_false_positives"] == fp
+    assert r["fill_ratio"] == _r6(fill)
+    assert r["observed_fpr"] == _r6(fp / len(probe))
+    assert r["expected_fpr"] == _r6(fill * fill * fill)
