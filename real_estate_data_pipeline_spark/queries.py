@@ -20110,24 +20110,18 @@ _PREVIOUSLY_SAMPLED = frozenset({
     "w6_rank_distribution_family", "j4_null_safe_join",
     "j5_full_outer_reconcile", "n_nested_bundle", "m_unit_ratio_bundle",
     "q1_pricing_summary_tpch",
-})
-
-_DRIVER_WINDOW = [
-    # round-7 lakehouse composition (judge-requested feature-store shape)
+    # round-8 rotated window
     "scd2_asof_feature_join",
-    # round-7 statistical-inference family
     "ml_chi_square_mktseg_priority", "ml_anova_price_by_segment",
     "ml_ab_conversion_ztest", "ml_corr_matrix_lineitem",
     "cust_revenue_gini", "evt_theil_sen_daily_trend",
     "basket_brand_pair_lift", "dq_outlier_iqr_fences",
     "lineitem_return_rate_wilson", "ml_bootstrap_mean_se",
     "evt_conversion_attribution", "evt_cusum_drift_per_user",
-    # round-7 graph family over the near-dup graph
     "graph_triangle_count", "graph_local_clustering_topk",
     "graph_label_propagation_communities", "graph_neighbor_jaccard_topk",
     "graph_degree_assortativity", "graph_kcore_peel_rounds",
     "graph_rich_club",
-    # round-7 text / LM family
     "doc_good_turing_counts", "doc_kneser_ney_bigram_logprob",
     "doc_heaps_law_fit", "doc_textrank_keywords",
     "doc_idf_weighted_jaccard_pairs", "doc_winnowing_fingerprint_overlap",
@@ -20135,18 +20129,54 @@ _DRIVER_WINDOW = [
     "doc_cluster_source_purity", "doc_ttr_hapax_by_lang",
     "doc_bigram_entropy_rate_by_lang", "doc_dedup_token_loss_by_source",
     "doc_source_perplexity_rank",
-    # round-7 retrieval / embedding diagnostics
     "sim_ivf_recall_nprobe_sweep", "sim_mips_topk",
     "sim_range_search_count", "emb_quantization_error_report",
     "ml_knn_classifier_eval", "emb_class_margin_audit",
     "emb_centroid_separation_report", "sim_mmr_diverse_topk",
-    # round-7 sessions / survival / time-series
     "evt_survival_km_weekly", "orders_open_by_day_sweepline",
     "evt_session_path_trigrams", "evt_bounce_rate_daily",
     "evt_ewma_hourly",
-    # round-7 DQ / BI
     "dq_benford_first_digit", "dq_quantile_normalized_features",
     "cust_rfm_segmentation", "cust_nation_revenue_entropy",
+})
+
+_DRIVER_WINDOW = [
+    # round-8 retrieval / LM / divergence family
+    "doc_bm25_topk", "doc_source_kl_divergence",
+    # round-8 dedup-quality / graph family
+    "graph_hits_rounds", "dedup_minhash_pr_vs_exact",
+    "sim_lsh_recall_vs_bits", "er_part_golden_records",
+    "graph_link_prediction_cn_eval",
+    # round-8 ML-in-relational-algebra family
+    "ml_nb_margin_calibration", "ml_lift_curve_deciles",
+    "evt_markov_next_event_accuracy", "ml_permutation_test_ab",
+    "ml_winsorized_segment_stats", "dq_fd_auto_histogram",
+    # round-8 sketch family (CMS batch + the 15th streaming run + Bloom)
+    "sketch_cms_user_counts", "evt_stream_cms_now",
+    "sketch_bloom_fpr_report",
+    # round-8 time-series / BI family
+    "evt_brown_double_ewma_hourly", "evt_sliding_median_hourly",
+    "lineitem_seasonality_index", "orders_new_vs_returning_revenue",
+    "cust_cohort_ltv_curve", "part_skyline_by_brand",
+    "cust_value_quartile_migration",
+    # round-7 leftovers: near-dup diagnostics / calibration
+    "doc_source_near_dup_matrix", "minhash_jaccard_calibration",
+    "doc_dedup_cluster_size_histogram", "doc_self_overlap_sample",
+    "simhash_hamming_histogram", "doc_sentence_dedup_ratio",
+    "doc_ngram_novelty_curve", "doc_token_burstiness",
+    # round-7 leftovers: embedding diagnostics
+    "emb_dim_variance_topk", "emb_cosine_histogram",
+    # round-7 leftovers: time-series / sessions
+    "evt_user_activity_percentiles", "evt_dow_seasonal_profile",
+    "evt_autocorr_lags", "evt_seasonal_decompose_weekly",
+    "evt_gap_percentiles_by_type", "evt_peak_detection_hourly",
+    "evt_funnel_time_to_convert", "evt_user_ltv_deciles",
+    "evt_transition_entropy_by_src", "evt_hourly_dispersion_by_type",
+    # round-7 leftovers: BI / DQ / export
+    "export_token_budget_shards", "dq_profile_timeline_weekly",
+    "io_partition_rows_skew_report", "supplier_pareto_report",
+    "orders_priority_mix_shift", "lineitem_discount_effectiveness",
+    "orders_fill_rate_sla",
 ]
 
 
