@@ -189,7 +189,7 @@ def recover_compact(path: str) -> str:
 
 
 def vacuum_snapshots(table_path: str, keep: int = 2) -> list[str]:
-    """Remove old ``_v<N>`` snapshot dirs of an Scd2Table, keeping the
+    """Remove old ``v<N>`` snapshot dirs of an Scd2Table, keeping the
     current one plus ``keep-1`` predecessors. Returns removed dirs."""
     marker = os.path.join(table_path, "_CURRENT")
     if not os.path.exists(marker):
@@ -198,8 +198,8 @@ def vacuum_snapshots(table_path: str, keep: int = 2) -> list[str]:
         current = int(fh.read().strip())
     removed = []
     for entry in sorted(os.listdir(table_path)):
-        if entry.startswith("_v"):
-            v = int(entry[2:])
+        if entry.startswith("v") and entry[1:].isdigit():
+            v = int(entry[1:])
             if v <= current - keep:
                 shutil.rmtree(os.path.join(table_path, entry))
                 removed.append(entry)

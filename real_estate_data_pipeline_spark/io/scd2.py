@@ -13,7 +13,9 @@ the divergence):
 4. unchanged keys are left alone (the reference re-appends them,
    creating duplicate history — we don't).
 
-Storage: each merge writes a full new snapshot under ``_v<N>/`` and then
+Storage: each merge writes a full new snapshot under ``v<N>/`` (no
+leading underscore — Spark's DataSource logs "All paths were ignored"
+for explicit roots whose basename starts with ``_`` or ``.``) and then
 atomically repoints a ``_CURRENT`` marker — a poor-man's transaction log.
 On a real cluster this class swaps its storage layer for Delta/Iceberg
 ``MERGE INTO`` (the compute_merge() output maps 1:1 onto
@@ -60,7 +62,7 @@ class Scd2Table:
         v = version if version is not None else self._current_version()
         if v is None:
             return None
-        target = os.path.join(self.path, f"_v{v}")
+        target = os.path.join(self.path, f"v{v}")
         if not os.path.isdir(target):
             raise FileNotFoundError(f"snapshot version {v} not found (vacuumed?)")
         return self.spark.read.parquet(target)
@@ -96,11 +98,15 @@ class Scd2Table:
         """Available snapshot versions, oldest first."""
         if not os.path.isdir(self.path):
             return []
-        return sorted(int(e[2:]) for e in os.listdir(self.path) if e.startswith("_v"))
+        return sorted(
+            int(e[1:])
+            for e in os.listdir(self.path)
+            if e.startswith("v") and e[1:].isdigit()
+        )
 
     def _write_snapshot(self, df: DataFrame) -> None:
         v = (self._current_version() or 0) + 1
-        target = os.path.join(self.path, f"_v{v}")
+        target = os.path.join(self.path, f"v{v}")
         df.write.mode("overwrite").parquet(target)
         marker = os.path.join(self.path, "_CURRENT")
         tmp = marker + ".tmp"
@@ -109,12 +115,12 @@ class Scd2Table:
         os.replace(tmp, marker)  # atomic pointer swap
 
     def _write_changes(self, changes: DataFrame, version: int) -> None:
-        """Persist one merge's change rows under ``_cdf/_v<N>`` — the
+        """Persist one merge's change rows under ``cdf/v<N>`` — the
         Change Data Feed analog (Delta's ``delta.enableChangeDataFeed``
         table feature): downstream incremental consumers read per-commit
         deltas instead of diffing whole snapshots."""
         changes.write.mode("overwrite").parquet(
-            os.path.join(self.path, "_cdf", f"_v{version}")
+            os.path.join(self.path, "cdf", f"v{version}")
         )
 
     def read_changes(
@@ -132,9 +138,9 @@ class Scd2Table:
             self._current_version() or 0
         )
         dirs = [
-            os.path.join(self.path, "_cdf", f"_v{v}")
+            os.path.join(self.path, "cdf", f"v{v}")
             for v in range(starting_version, end + 1)
-            if os.path.isdir(os.path.join(self.path, "_cdf", f"_v{v}"))
+            if os.path.isdir(os.path.join(self.path, "cdf", f"v{v}"))
         ]
         if not dirs:
             raise FileNotFoundError(

@@ -75,7 +75,7 @@ def test_vacuum_snapshots(spark, tmp_path):
     for i in range(4):
         df = spark.createDataFrame([("a", float(i), f"2024-01-0{i+1}")], "k string, v double, ts string")
         t.merge(df, batch_ts=F.lit(f"2024-01-0{i+1} 12:00:00"))
-    versions = [e for e in os.listdir(str(tmp_path / "t")) if e.startswith("_v")]
+    versions = [e for e in os.listdir(str(tmp_path / "t")) if e.startswith("v") and e[1:].isdigit()]
     assert len(versions) == 4
     removed = vacuum_snapshots(str(tmp_path / "t"), keep=2)
     assert len(removed) == 2
