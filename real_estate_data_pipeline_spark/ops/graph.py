@@ -37,7 +37,20 @@ def connected_components(
     """(id, cluster) for every id appearing in ``edges``; ``cluster``
     is the smallest id in the component. Isolated ids never appear in
     edges, so callers union them back with cluster = own id (see
-    ``keep_cluster_representative``)."""
+    ``keep_cluster_representative``).
+
+    Each round is min-label propagation over the edges followed by one
+    pointer-jumping shortcut (label <- label's label), so convergence
+    takes O(log diameter) rounds, not O(diameter) — the default
+    ``max_iter=10`` then covers any component of diameter ~2^10, and a
+    path graph (the typo-chain adversary for ER blocking) converges in
+    a handful of rounds instead of needing one per hop. The fixpoint
+    test lives on the propagation step: at its fixpoint every edge has
+    equal labels on both ends, which is exactly label == component
+    minimum, so shortcut steps in between can't fake convergence.
+    Exhausting ``max_iter`` without converging raises instead of
+    returning silently-partial labels (the oracles compute an unbounded
+    transitive closure, so a truncated result would diverge silently)."""
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
@@ -69,8 +82,21 @@ def connected_components(
         any_changed = new.filter(F.col("changed")).limit(1).count()
         labels = new.drop("changed")
         if any_changed == 0:
-            break
-    return labels.select(F.col("id"), F.col("label").alias("cluster"))
+            return labels.select(F.col("id"), F.col("label").alias("cluster"))
+        # Pointer jumping: every label value is itself an id in `labels`
+        # (labels only ever take min-of-ids values), so label-of-label is
+        # a node-table self-join — much smaller than the edge join — and
+        # halves the remaining propagation distance each round.
+        lab2 = labels.select(F.col("id").alias("lid"), F.col("label").alias("llabel"))
+        labels = (
+            labels.join(lab2, labels["label"] == lab2["lid"], "left")
+            .select("id", F.coalesce("llabel", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(component diameter > ~2^{max_iter}); raise max_iter"
+    )
 
 
 def keep_cluster_representative(

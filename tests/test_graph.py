@@ -29,6 +29,26 @@ def test_components_long_chain_converges(spark):
     assert set(got.values()) == {1} and len(got) == 9
 
 
+def test_components_chain_beyond_max_iter_diameter(spark):
+    # a 60-node path has diameter 59 — pure min-label propagation would
+    # need 59 rounds and silently truncate at max_iter=10 (the ADVICE r8
+    # finding); pointer jumping converges it within the default budget
+    e = _edges(spark, [(i, i + 1) for i in range(1, 60)])
+    got = {r["id"]: r["cluster"] for r in connected_components(e).collect()}
+    assert set(got.values()) == {1} and len(got) == 60
+
+
+def test_components_nonconvergence_raises(spark):
+    # with max_iter=1 a 60-node chain cannot converge: the failure must
+    # be loud (the oracles compute an unbounded closure, so a silently
+    # partial label table would diverge downstream)
+    import pytest
+
+    e = _edges(spark, [(i, i + 1) for i in range(1, 60)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iter=1)
+
+
 def test_components_direction_invariant(spark):
     a = connected_components(_edges(spark, [(4, 2), (2, 7)]))
     b = connected_components(_edges(spark, [(2, 4), (7, 2)]))
