@@ -18255,6 +18255,77 @@ CATALOG["dq_fd_auto_histogram"].fn = _dfdhist
 
 _BM25_TERMS = ("hash", "join", "stream")
 
+# Shared lexical-retrieval SQL chains: one tokenize pass (tk, dl) and one
+# per-(doc, query-term) tf table (qtf) feed BOTH scorers — Okapi BM25
+# (_BM25_SQL_CHAIN -> bscore(doc_id, n_terms, b6)) and Dirichlet-smoothed
+# query likelihood (_QL_SQL_CHAIN -> qscore(doc_id, n_hits, q6)) — so the
+# standalone queries and every ranker-pair diagnostic (RRF, Kendall tau,
+# average overlap, MRR eval) single-source the numeric spec and cannot
+# drift. MATERIALIZED because the combined oracles consume tk/dl/qtf 3+
+# times (the r7/r8 review rule).
+_TOK_SQL_CTES = """tk AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    dl AS MATERIALIZED (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+    qtf AS MATERIALIZED (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM tk)
+      WHERE tok IN {terms}
+      GROUP BY doc_id, tok
+    )""".format(terms=repr(_BM25_TERMS))
+
+_BM25_SQL_CHAIN = """s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY tok),
+    idf AS (
+      SELECT d.tok,
+             round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS idf
+      FROM dfreq d CROSS JOIN s
+    ),
+    bterms AS (
+      SELECT qtf.doc_id,
+             CAST(floor(round(i.idf * (qtf.tf * 2.2)
+                              / (qtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                              6) * 1000000 + 0.5) AS BIGINT) AS t6
+      FROM qtf
+      JOIN idf i ON i.tok = qtf.tok
+      JOIN dl ON dl.doc_id = qtf.doc_id
+      CROSS JOIN s
+    ),
+    bscore AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(t6) AS BIGINT) AS b6
+      FROM bterms GROUP BY doc_id
+    )"""
+
+_QL_MU = 2000.0
+
+_QL_SQL_CHAIN = """nc AS (SELECT CAST(SUM(dl) AS BIGINT) AS nc FROM dl),
+    cf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM qtf GROUP BY tok),
+    qlterms AS (
+      SELECT dl.doc_id,
+             CASE WHEN qtf.tf IS NOT NULL THEN 1 ELSE 0 END AS hit,
+             CAST(round(round(ln((COALESCE(qtf.tf, 0) + {mu} * cf.cf / nc.nc)
+                                 / (dl.dl + {mu})), 6) * 1000000) AS BIGINT) AS t6
+      FROM dl
+      CROSS JOIN cf
+      CROSS JOIN nc
+      LEFT JOIN qtf ON qtf.doc_id = dl.doc_id AND qtf.tok = cf.tok
+    ),
+    qscore AS (
+      SELECT doc_id,
+             CAST(SUM(hit) AS BIGINT) AS n_hits,
+             CAST(SUM(t6) AS BIGINT) AS q6
+      FROM qlterms GROUP BY doc_id
+    )""".format(mu=_QL_MU)
+
 register(
     "doc_bm25_topk",
     # the standard lexical retrieval scorer: Okapi BM25 (k1=1.2,
@@ -18263,59 +18334,25 @@ register(
     # score terms round to micro-units so the per-doc sum is an exact
     # integer regardless of term order.
     oracle=f"""
-    WITH tk AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                         x -> x <> '') AS tk
-      FROM documents
-    ),
-    dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
-    s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-      FROM dl
-    ),
-    tf AS (
-      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM (SELECT doc_id, unnest(tk) AS tok FROM tk)
-      WHERE tok IN {_BM25_TERMS!r}
-      GROUP BY doc_id, tok
-    ),
-    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-    idf AS (
-      SELECT d.tok,
-             round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS idf
-      FROM dfreq d CROSS JOIN s
-    ),
-    terms AS (
-      SELECT tf.doc_id,
-             CAST(floor(round(i.idf * (tf.tf * 2.2)
-                              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
-                              6) * 1000000 + 0.5) AS BIGINT) AS t6
-      FROM tf
-      JOIN idf i ON i.tok = tf.tok
-      JOIN dl ON dl.doc_id = tf.doc_id
-      CROSS JOIN s
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_terms,
-           round(CAST(SUM(t6) AS DOUBLE) / 1000000.0, 6) AS bm25
-    FROM terms GROUP BY doc_id
+    WITH {_TOK_SQL_CTES},
+    {_BM25_SQL_CHAIN}
+    SELECT doc_id, n_terms,
+           round(CAST(b6 AS DOUBLE) / 1000000.0, 6) AS bm25
+    FROM bscore
     ORDER BY bm25 DESC, doc_id LIMIT 15
     """,
     bench=True,
 )
 
 
-def _dbm25(spark, sf_dir):
-    """Okapi BM25 top-k: one tokenize pass feeds both the document
-    lengths and the query-term tf table (the explode filters to the
-    query terms BEFORE the aggregate, so the shuffle carries only
-    matching instances); df and idf live in a terms-sized frame that
-    broadcasts back; the corpus stats are a 1-row broadcast scalar;
-    the final ranking is a TakeOrdered top-15. At 100 TB the only
-    corpus-sized shuffle is the (doc, term) count — everything after
-    is bounded by matches and the k of top-k."""
+def _retrieval_frames(spark, sf_dir):
+    """Shared lexical-retrieval base (the Spark twin of _TOK_SQL_CTES):
+    ONE tokenize pass feeds the document-length table and the
+    per-(doc, query-term) tf table — the explode filters to the query
+    terms BEFORE the aggregate, so the only corpus-sized shuffle
+    carries matching (doc, term) instances. Both outputs are
+    multi-consumer (every scorer touches each at least twice), so they
+    localCheckpoint lazily inside the helper (the r8 review rule)."""
     d = t(spark, sf_dir, "documents")
     tk = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
@@ -18324,25 +18361,33 @@ def _dbm25(spark, sf_dir):
     dl = base.select("doc_id", F.size("tk").cast("long").alias("dl")).localCheckpoint(
         eager=False
     )
-    s = dl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tf = (
+    qtf = (
         base.select("doc_id", F.explode("tk").alias("tok"))
         .filter(F.col("tok").isin(*_BM25_TERMS))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    dfreq = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    return dl, qtf
+
+
+def _bm25_score_frame(dl, qtf):
+    """(doc_id, n_terms, b6): exact integer micro-unit BM25 scores —
+    the Spark twin of _BM25_SQL_CHAIN. df/idf live in a terms-sized
+    frame that broadcasts back; corpus stats are 1-row broadcasts."""
+    s = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    ).localCheckpoint(eager=False)
+    dfreq = qtf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     idf = dfreq.crossJoin(F.broadcast(s.select("n_docs"))).select(
         "tok",
         F.round(
             F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
         ).alias("idf"),
     )
-    terms = (
-        tf.join(F.broadcast(idf), "tok")
+    bterms = (
+        qtf.join(F.broadcast(idf), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(s.select("avgdl")))
         .select(
@@ -18364,11 +18409,60 @@ def _dbm25(spark, sf_dir):
             .alias("t6"),
         )
     )
+    return bterms.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("t6").cast("long").alias("b6"),
+    )
+
+
+def _ql_score_frame(dl, qtf):
+    """(doc_id, n_hits, q6): Dirichlet-smoothed query-likelihood scores
+    in exact integer micro-nats — the Spark twin of _QL_SQL_CHAIN.
+    Unlike BM25, QL scores EVERY document (missing terms contribute the
+    mu*cf/Nc background mass), so the score frame is dl x |query| rows:
+    the 3-row collection-frequency table and the 1-row collection size
+    broadcast onto the length table, the tf join fills the matches."""
+    nc = dl.agg(F.sum("dl").cast("long").alias("nc"))
+    cf = qtf.groupBy("tok").agg(F.sum("tf").cast("long").alias("cf"))
+    qlterms = (
+        dl.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(nc))
+        .join(qtf, ["doc_id", "tok"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("tf").isNotNull(), 1).otherwise(0).alias("hit"),
+            F.round(
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(_QL_MU) * F.col("cf") / F.col("nc"))
+                        / (F.col("dl") + F.lit(_QL_MU))
+                    ),
+                    6,
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("t6"),
+        )
+    )
+    return qlterms.groupBy("doc_id").agg(
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.sum("t6").cast("long").alias("q6"),
+    )
+
+
+def _dbm25(spark, sf_dir):
+    """Okapi BM25 top-k over the shared retrieval frames; the final
+    ranking is a TakeOrdered top-15. At 100 TB the only corpus-sized
+    shuffle is the (doc, term) count — everything after is bounded by
+    matches and the k of top-k."""
+    dl, qtf = _retrieval_frames(spark, sf_dir)
     return (
-        terms.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_terms"),
-            F.round(F.sum("t6").cast("double") / 1e6, 6).alias("bm25"),
+        _bm25_score_frame(dl, qtf)
+        .select(
+            "doc_id",
+            "n_terms",
+            F.round(F.col("b6").cast("double") / 1e6, 6).alias("bm25"),
         )
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(15)
@@ -19994,6 +20088,412 @@ def _dbloomfpr(spark, sf_dir):
 
 
 CATALOG["sketch_bloom_fpr_report"].fn = _dbloomfpr
+
+
+# ===========================================================================
+# round-9 retrieval family: Dirichlet QL, ranker A/B diagnostics, eval
+# ===========================================================================
+
+register(
+    "doc_dirichlet_query_likelihood",
+    # the language-modeling counterpart to BM25: Dirichlet-smoothed
+    # query likelihood (mu=2000), ln p(q|d) = sum over query terms of
+    # ln((tf + mu*cf/Nc)/(dl + mu)). EVERY document gets a score (the
+    # background mass covers missing terms), per-(doc, term) micro-nats
+    # make the per-doc sum an exact integer, top-15 by score.
+    oracle=f"""
+    WITH {_TOK_SQL_CTES},
+    {_QL_SQL_CHAIN}
+    SELECT doc_id, n_hits,
+           round(CAST(q6 AS DOUBLE) / 1000000.0, 6) AS ql
+    FROM qscore
+    ORDER BY ql DESC, doc_id LIMIT 15
+    """,
+    bench=True,
+)
+
+
+def _ddirichletql(spark, sf_dir):
+    """Dirichlet query likelihood top-k: the score frame is |docs| x
+    |query terms| rows built by broadcasting the 3-row collection-
+    frequency table and 1-row collection size onto the length table —
+    linear in the corpus with no shuffle beyond the shared tf
+    aggregate; ranking is TakeOrdered."""
+    dl, qtf = _retrieval_frames(spark, sf_dir)
+    return (
+        _ql_score_frame(dl, qtf)
+        .select(
+            "doc_id",
+            "n_hits",
+            F.round(F.col("q6").cast("double") / 1e6, 6).alias("ql"),
+        )
+        .orderBy(F.desc("ql"), "doc_id")
+        .limit(15)
+    )
+
+
+CATALOG["doc_dirichlet_query_likelihood"].fn = _ddirichletql
+
+
+def _ranked_top(scores, score_col: str, n: int):
+    """Top-n by (score desc, doc_id) with the 1-based rank attached.
+    The row_number window runs over the already-LIMITed frame, so the
+    global window in the plan is bounded (the catalog lint's rule)."""
+    top = scores.orderBy(F.desc(score_col), "doc_id").limit(n)
+    w = Window.orderBy(F.desc(score_col), "doc_id")
+    return top.withColumn("r", F.row_number().over(w).cast("long"))
+
+
+register(
+    "doc_ranker_rrf_fusion",
+    # reciprocal-rank fusion (k=60) of the two lexical rankers — BM25
+    # and Dirichlet QL — over their top-20 lists: rrf = sum over
+    # rankers of 1/(60+rank), absent docs contribute 0. Ranks are
+    # deterministic (integer scores, doc_id tiebreak) and each 1/(60+r)
+    # is one IEEE division, so the fused score is bit-identical across
+    # engines. Top-10 fused.
+    oracle=f"""
+    WITH {_TOK_SQL_CTES},
+    {_BM25_SQL_CHAIN},
+    {_QL_SQL_CHAIN},
+    ra AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY b6 DESC, doc_id) AS r
+      FROM bscore ORDER BY b6 DESC, doc_id LIMIT 20
+    ),
+    rb AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY q6 DESC, doc_id) AS r
+      FROM qscore ORDER BY q6 DESC, doc_id LIMIT 20
+    ),
+    fused AS (
+      SELECT doc_id,
+             COALESCE(ra.r, 0) AS rank_bm25,
+             COALESCE(rb.r, 0) AS rank_ql,
+             COALESCE(1.0 / (60 + ra.r), 0.0)
+               + COALESCE(1.0 / (60 + rb.r), 0.0) AS rrf
+      FROM ra FULL OUTER JOIN rb USING (doc_id)
+    )
+    SELECT doc_id, rank_bm25, rank_ql, round(rrf, 9) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+
+
+def _drrf(spark, sf_dir):
+    """RRF fusion: both scorers share ONE tokenize pass and ONE
+    (doc, term) tf aggregate; the rank lists are 20-row TakeOrdered
+    frames, so the fusion join touches at most 40 rows no matter the
+    corpus size — the classic cheap ensemble over heterogeneous
+    retrievers."""
+    dl, qtf = _retrieval_frames(spark, sf_dir)
+    ra = _ranked_top(_bm25_score_frame(dl, qtf), "b6", 20).select(
+        "doc_id", F.col("r").alias("ra")
+    )
+    rb = _ranked_top(_ql_score_frame(dl, qtf), "q6", 20).select(
+        "doc_id", F.col("r").alias("rb")
+    )
+    fused = ra.join(rb, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce(F.col("ra"), F.lit(0)).cast("long").alias("rank_bm25"),
+        F.coalesce(F.col("rb"), F.lit(0)).cast("long").alias("rank_ql"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rb")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.select("doc_id", "rank_bm25", "rank_ql", F.round("rrf_raw", 9).alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
+
+
+CATALOG["doc_ranker_rrf_fusion"].fn = _drrf
+
+register(
+    "doc_ranker_kendall_tau",
+    # ranker A/B agreement: Kendall's tau between the BM25 and QL
+    # orderings of the BM25 top-20. Both ranks are tie-free
+    # row_numbers, so tau = (concordant - discordant) / C(20,2) from
+    # pure integer pair counts — the rank-correlation A/B test for
+    # retrieval changes.
+    oracle=f"""
+    WITH {_TOK_SQL_CTES},
+    {_BM25_SQL_CHAIN},
+    {_QL_SQL_CHAIN},
+    top AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY b6 DESC, doc_id) AS ra
+      FROM bscore ORDER BY b6 DESC, doc_id LIMIT 20
+    ),
+    j AS MATERIALIZED (
+      SELECT top.doc_id, top.ra,
+             ROW_NUMBER() OVER (ORDER BY q.q6 DESC, top.doc_id) AS rb
+      FROM top JOIN qscore q ON q.doc_id = top.doc_id
+    ),
+    pairs AS (
+      SELECT CASE WHEN p2.rb > p1.rb THEN 1 ELSE 0 END AS conc
+      FROM j p1 JOIN j p2 ON p1.ra < p2.ra
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(conc) AS BIGINT) AS n_concordant
+      FROM pairs
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM j)
+    SELECT nd.n_docs, agg.n_pairs, agg.n_concordant,
+           CAST(agg.n_pairs - agg.n_concordant AS BIGINT) AS n_discordant,
+           round((agg.n_concordant - (agg.n_pairs - agg.n_concordant))
+                 / CAST(agg.n_pairs AS DOUBLE), 6) AS kendall_tau
+    FROM agg CROSS JOIN nd
+    """,
+)
+
+
+def _dkendalltau(spark, sf_dir):
+    """Kendall tau over the BM25 top-20 re-ranked by QL: the pair space
+    is C(20,2)=190 rows from a self-join of a 20-row frame (a bounded
+    BNLJ — the k of top-k caps it regardless of corpus size); the only
+    corpus-scale work is the shared scorer pipeline."""
+    dl, qtf = _retrieval_frames(spark, sf_dir)
+    top = _ranked_top(_bm25_score_frame(dl, qtf), "b6", 20).select(
+        "doc_id", F.col("r").alias("ra")
+    )
+    q = _ql_score_frame(dl, qtf)
+    wb = Window.orderBy(F.desc("q6"), "doc_id")
+    j = (
+        top.join(q, "doc_id")
+        .withColumn("rb", F.row_number().over(wb).cast("long"))
+        .select("ra", "rb")
+        .localCheckpoint(eager=False)
+    )
+    p1 = j.select(F.col("ra").alias("ra1"), F.col("rb").alias("rb1"))
+    p2 = j.select(F.col("ra").alias("ra2"), F.col("rb").alias("rb2"))
+    agg = (
+        p1.join(F.broadcast(p2), F.col("ra1") < F.col("ra2"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("rb2") > F.col("rb1"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_concordant"),
+        )
+    )
+    nd = j.agg(F.count("*").cast("long").alias("n_docs"))
+    disc = F.col("n_pairs") - F.col("n_concordant")
+    return agg.crossJoin(F.broadcast(nd)).select(
+        "n_docs",
+        "n_pairs",
+        "n_concordant",
+        disc.cast("long").alias("n_discordant"),
+        F.round(
+            (F.col("n_concordant") - disc) / F.col("n_pairs").cast("double"), 6
+        ).alias("kendall_tau"),
+    )
+
+
+CATALOG["doc_ranker_kendall_tau"].fn = _dkendalltau
+
+# suffix sums of 2520/d for d = m..10 (2520 = lcm(1..10)), so the
+# average-overlap accumulation is pure integer arithmetic: a doc ranked
+# (ra, rb) enters the depth-d overlap for every d >= max(ra, rb) and
+# contributes sum_{d>=m} 2520/d exact 2520ths.
+_AO_W = {1: 7381, 2: 4861, 3: 3601, 4: 2761, 5: 2131, 6: 1627, 7: 1207, 8: 847, 9: 532, 10: 252}
+
+register(
+    "doc_ranker_average_overlap",
+    # the prefix-overlap ranker-agreement curve collapsed to one
+    # number: average overlap AO@10 = (1/10) * sum over depths d=1..10
+    # of |topd(BM25)∩topd(QL)|/d — the RBO family's exact-arithmetic
+    # member (RBO's geometric p^d weights are transcendental-adjacent;
+    # AO's 1/d weights times lcm(1..10)=2520 are integers).
+    oracle=f"""
+    WITH {_TOK_SQL_CTES},
+    {_BM25_SQL_CHAIN},
+    {_QL_SQL_CHAIN},
+    ra AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY b6 DESC, doc_id) AS r
+      FROM bscore ORDER BY b6 DESC, doc_id LIMIT 10
+    ),
+    rb AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY q6 DESC, doc_id) AS r
+      FROM qscore ORDER BY q6 DESC, doc_id LIMIT 10
+    ),
+    j AS (
+      SELECT GREATEST(ra.r, rb.r) AS m
+      FROM ra JOIN rb USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(COALESCE(SUM(CASE m
+             {' '.join(f'WHEN {k} THEN {v}' for k, v in _AO_W.items())}
+           END), 0) AS BIGINT) AS ao_num,
+           round(COALESCE(SUM(CASE m
+             {' '.join(f'WHEN {k} THEN {v}' for k, v in _AO_W.items())}
+           END), 0) / 25200.0, 6) AS average_overlap
+    FROM j
+    """,
+)
+
+
+def _daveoverlap(spark, sf_dir):
+    """Average overlap AO@10 between the BM25 and QL rankings: the two
+    10-row rank lists join on doc_id, each common doc contributes the
+    integer suffix-weight of max(rank_a, rank_b), one aggregate — the
+    work is bounded by k, not the corpus."""
+    dl, qtf = _retrieval_frames(spark, sf_dir)
+    ra = _ranked_top(_bm25_score_frame(dl, qtf), "b6", 10).select(
+        "doc_id", F.col("r").alias("ra")
+    )
+    rb = _ranked_top(_ql_score_frame(dl, qtf), "q6", 10).select(
+        "doc_id", F.col("r").alias("rb")
+    )
+    m = F.greatest("ra", "rb")
+    w = None
+    for k, v in _AO_W.items():
+        w = F.when(m == k, v) if w is None else w.when(m == k, v)
+    j = ra.join(rb, "doc_id").select(w.alias("w"))
+    return j.agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("ao_num"),
+        F.round(
+            F.coalesce(F.sum("w"), F.lit(0)) / F.lit(25200.0), 6
+        ).alias("average_overlap"),
+    )
+
+
+CATALOG["doc_ranker_average_overlap"].fn = _daveoverlap
+
+register(
+    "doc_boolean_retrieval_and",
+    # inverted-index boolean retrieval: docs matching ALL query terms
+    # (AND = grouped term count equals the query arity — a pure
+    # equi-join shape, no per-term intersection loop), with the per-term
+    # tf pivot and total term mass, top-20 by mass.
+    oracle=f"""
+    WITH {_TOK_SQL_CTES}
+    SELECT doc_id,
+           CAST(MAX(CASE WHEN tok = 'hash' THEN tf END) AS BIGINT) AS tf_hash,
+           CAST(MAX(CASE WHEN tok = 'join' THEN tf END) AS BIGINT) AS tf_join,
+           CAST(MAX(CASE WHEN tok = 'stream' THEN tf END) AS BIGINT) AS tf_stream,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM qtf GROUP BY doc_id HAVING COUNT(*) = 3
+    ORDER BY total_tf DESC, doc_id LIMIT 20
+    """,
+)
+
+
+def _dbooland(spark, sf_dir):
+    """Boolean AND retrieval over the inverted index: the (doc, term)
+    tf table groups by doc and keeps groups whose term count equals the
+    query arity — set intersection as one aggregate, which is how a
+    distributed boolean index evaluates conjunctions without N-way
+    joins."""
+    _, qtf = _retrieval_frames(spark, sf_dir)
+    return (
+        qtf.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("tok") == "hash", F.col("tf"))).cast("long").alias("tf_hash"),
+            F.max(F.when(F.col("tok") == "join", F.col("tf"))).cast("long").alias("tf_join"),
+            F.max(F.when(F.col("tok") == "stream", F.col("tf"))).cast("long").alias("tf_stream"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.count("*").alias("__nt"),
+        )
+        .filter(F.col("__nt") == 3)
+        .drop("__nt")
+        .orderBy(F.desc("total_tf"), "doc_id")
+        .limit(20)
+    )
+
+
+CATALOG["doc_boolean_retrieval_and"].fn = _dbooland
+
+register(
+    "doc_retrieval_mrr_eval",
+    # retrieval quality eval: the BM25 top-20 scored against a
+    # deterministic relevance set (docs containing ALL query terms —
+    # the boolean-AND oracle set): precision@5/@10, recall@20, and MRR
+    # (1/rank of the first relevant hit). Integer hit counts; each
+    # metric is one IEEE division.
+    oracle=f"""
+    WITH {_TOK_SQL_CTES},
+    {_BM25_SQL_CHAIN},
+    rel AS MATERIALIZED (
+      SELECT doc_id FROM qtf GROUP BY doc_id HAVING COUNT(*) = 3
+    ),
+    nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rel),
+    ranked AS (
+      SELECT b.doc_id, ROW_NUMBER() OVER (ORDER BY b.b6 DESC, b.doc_id) AS r,
+             CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS flag
+      FROM (SELECT doc_id, b6 FROM bscore ORDER BY b6 DESC, doc_id LIMIT 20) b
+      LEFT JOIN rel ON rel.doc_id = b.doc_id
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN flag = 1 AND r <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_5,
+             CAST(SUM(CASE WHEN flag = 1 AND r <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+             CAST(SUM(CASE WHEN flag = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_20,
+             MIN(CASE WHEN flag = 1 THEN r END) AS frr
+      FROM ranked
+    )
+    SELECT nrel.n_relevant, agg.hits_at_5,
+           round(agg.hits_at_5 / 5.0, 6) AS p_at_5,
+           agg.hits_at_10,
+           round(agg.hits_at_10 / 10.0, 6) AS p_at_10,
+           agg.hits_at_20,
+           round(COALESCE(CAST(agg.hits_at_20 AS DOUBLE)
+                          / NULLIF(nrel.n_relevant, 0), 0.0), 6) AS recall_at_20,
+           CAST(COALESCE(agg.frr, 0) AS BIGINT) AS first_rel_rank,
+           round(COALESCE(1.0 / agg.frr, 0.0), 6) AS mrr
+    FROM agg CROSS JOIN nrel
+    """,
+)
+
+
+def _dmrreval(spark, sf_dir):
+    """MRR / precision@k eval of the BM25 ranking against the exact
+    boolean-AND relevance set: the relevance flag joins onto the 20-row
+    ranked frame, one aggregate computes every hit count, the scalar
+    relevance total broadcasts — eval cost is k plus one grouped count,
+    never a corpus re-scan (the tf table is shared and checkpointed)."""
+    dl, qtf = _retrieval_frames(spark, sf_dir)
+    rel = (
+        qtf.groupBy("doc_id")
+        .agg(F.count("*").alias("__nt"))
+        .filter(F.col("__nt") == 3)
+        .select("doc_id", F.lit(1).alias("flag"))
+        .localCheckpoint(eager=False)
+    )
+    nrel = rel.agg(F.count("*").cast("long").alias("n_relevant"))
+    ranked = _ranked_top(_bm25_score_frame(dl, qtf), "b6", 20).join(
+        rel, "doc_id", "left"
+    )
+    agg = ranked.agg(
+        F.sum(F.when((F.col("flag") == 1) & (F.col("r") <= 5), 1).otherwise(0))
+        .cast("long")
+        .alias("hits_at_5"),
+        F.sum(F.when((F.col("flag") == 1) & (F.col("r") <= 10), 1).otherwise(0))
+        .cast("long")
+        .alias("hits_at_10"),
+        F.sum(F.when(F.col("flag") == 1, 1).otherwise(0)).cast("long").alias("hits_at_20"),
+        F.min(F.when(F.col("flag") == 1, F.col("r"))).alias("frr"),
+    )
+    return agg.crossJoin(F.broadcast(nrel)).select(
+        "n_relevant",
+        "hits_at_5",
+        F.round(F.col("hits_at_5") / 5.0, 6).alias("p_at_5"),
+        "hits_at_10",
+        F.round(F.col("hits_at_10") / 10.0, 6).alias("p_at_10"),
+        "hits_at_20",
+        F.round(
+            F.coalesce(
+                F.col("hits_at_20").cast("double")
+                / F.nullif(F.col("n_relevant"), F.lit(0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("recall_at_20"),
+        F.coalesce(F.col("frr"), F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.round(F.coalesce(F.lit(1.0) / F.col("frr"), F.lit(0.0)), 6).alias("mrr"),
+    )
+
+
+CATALOG["doc_retrieval_mrr_eval"].fn = _dmrreval
 
 
 # ===========================================================================

@@ -153,6 +153,11 @@ _SCALAR_BROADCAST_OK = {
     "ml_nb_margin_calibration",    # same NB 5-row lang table + 1-row scalars as the eval
     "ml_lift_curve_deciles",       # 1-row base-rate scalar over the 10-row decile frame
     "sketch_bloom_fpr_report",     # 1x1 joins of the train/probe/bits count rows
+    "doc_dirichlet_query_likelihood",  # 3-row cf table + 1-row collection-size scalar
+    "doc_ranker_rrf_fusion",       # QL chain's 3-row cf + 1-row nc scalars
+    "doc_ranker_kendall_tau",      # 20x20 rank-pair join (k-bounded) + QL scalars
+    "doc_ranker_average_overlap",  # QL chain scalars; rank lists are 10-row limits
+    "doc_retrieval_mrr_eval",      # 1-row relevance-total scalar + BM25 corpus scalars
 }
 
 
@@ -173,6 +178,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_survival_km_weekly",      # running product over the 4-row week table
     "orders_open_by_day_sweepline",  # prefix sum over the calendar-day aggregate
     "ml_lift_curve_deciles",       # ntile over the per-user aggregate; cum over 10 deciles
+    "doc_ranker_kendall_tau",      # re-rank row_number over the 20-row top-k join
 }
 
 
