@@ -158,6 +158,7 @@ _SCALAR_BROADCAST_OK = {
     "doc_ranker_kendall_tau",      # 20x20 rank-pair join (k-bounded) + QL scalars
     "doc_ranker_average_overlap",  # QL chain scalars; rank lists are 10-row limits
     "doc_retrieval_mrr_eval",      # 1-row relevance-total scalar + BM25 corpus scalars
+    "evt_runs_test_daily",         # 1-row day-count/total scalar (sign threshold)
 }
 
 
@@ -179,6 +180,8 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "orders_open_by_day_sweepline",  # prefix sum over the calendar-day aggregate
     "ml_lift_curve_deciles",       # ntile over the per-user aggregate; cum over 10 deciles
     "doc_ranker_kendall_tau",      # re-rank row_number over the 20-row top-k join
+    "ml_mann_whitney_u_quantity",  # running sum over the 50-value quantity histogram
+    "evt_runs_test_daily",         # lag over the calendar-day aggregate
 }
 
 
