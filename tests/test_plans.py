@@ -159,6 +159,8 @@ _SCALAR_BROADCAST_OK = {
     "doc_ranker_average_overlap",  # QL chain scalars; rank lists are 10-row limits
     "doc_retrieval_mrr_eval",      # 1-row relevance-total scalar + BM25 corpus scalars
     "evt_runs_test_daily",         # 1-row day-count/total scalar (sign threshold)
+    "ml_isotonic_urgent_rate",     # 1-row decile edges + 10-row triangular bin joins
+    "ml_irls_huber_price_qty",     # 1-row parameter broadcast per IRLS round
 }
 
 
