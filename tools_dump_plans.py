@@ -50,6 +50,12 @@ SHOW_NOTES = {
     "doc_bm25_topk": "BM25: the explode filters to the 3 query terms BEFORE the (doc, term) aggregate, so the tf shuffle carries only matches; idf and the corpus scalar are broadcasts; document lengths join on the doc key; the ranking is TakeOrderedAndProject over per-doc BIGINT micro-unit sums — the one corpus-sized stage is the tokenize scan.",
     "doc_source_kl_divergence": "Pairwise source KL: ONE token-keyed aggregate builds the per-token count map (bounded by the source domain); the 190-row pair grid arrives via a broadcast nested loop over that vocabulary-sized frame — the corpus is scanned once and the pair space never touches document rows; per-pair micro-nat dot products reduce in a single hash aggregate.",
     "graph_hits_rounds": "HITS: edges persist once (InMemoryTableScan in every round); each half-round is an equi-join of the checkpointed score frame onto the edge list plus a partial-aggregated neighbor sum; the L1 normalizers are 1-row broadcasts; plan depth is constant in the round count because each round's frame is a LogicalRDD, not a growing lineage.",
+    "doc_dirichlet_query_likelihood": "Dirichlet QL: the score frame is |docs| x 3 rows — the length table crossed with the 3-row broadcast cf table and 1-row collection size, left-joined to the shared tf aggregate; missing terms cost a projection, not a join; ranking is TakeOrderedAndProject over per-doc BIGINT micro-nat sums.",
+    "doc_ranker_rrf_fusion": "RRF: both scorer chains hang off ONE tokenize pass and ONE checkpointed (doc, term) tf aggregate (LogicalRDD in both branches); each rank list is a 20-row TakeOrdered frame with the row_number window ABOVE the limit, so the fusion full-outer join touches at most 40 rows regardless of corpus size.",
+    "ml_irls_huber_price_qty": "Huber IRLS: the integer feature frame checkpoints once and feeds all three passes; each round is one hash aggregate (per-row BIGINT products summed as decimal(38,0)) plus a 1-row parameter broadcast nested loop — constant plan depth across rounds, no per-round corpus rewrite, the Lloyd-rounds discipline applied to regression.",
+    "ml_isotonic_urgent_rate": "Isotonic: the corpus contributes one decile-edge aggregate and one 10-bin grouped count; the PAVA fit itself (prefix sums, 55 range means, max-min reduction) runs in bin-count-sized broadcast joins — the sequential pooling loop never appears, and nothing after the bin aggregate scales with row count.",
+    "sketch_cms_merge_equivalence": "CMS merge check: the half flag is a map-side expression on a single checkpointed scan; three 2048-cell sketch aggregates and two full-outer joins on (r, cell) — every post-count stage is bounded by the sketch width, the exact property that lets per-partition sketches merge at 100 TB.",
+    "ml_mann_whitney_u_quantity": "Mann-Whitney U: the raw rows collapse into the 50-value quantity histogram in one partial-aggregated shuffle; the rank algebra (running sum, tie cubes, U moments) runs over that 50-row frame — a rank-sum test with the plan shape of a count(*) GROUP BY.",
 }
 
 

@@ -83,13 +83,40 @@ HEAVY = [
     # round-8 wave 5-7: link prediction (pair x degree CN joins on the
     # 10x-denser dup graph), NB margin calibration (the shared NB chain
     # at 10x docs), sliding median (one partitioned window at 10x
-    # events). er_part_golden_records and ml_permutation_test_ab are
-    # deliberately NOT probed: their inputs (part, orders) are the
-    # dims this harness holds fixed, so a "10x" ratio for them would
-    # be a no-op measurement, not evidence.
+    # events). er_part_golden_records is deliberately NOT probed: part
+    # is the one dim this harness holds fixed (remapping part ids would
+    # change the fuzzy-blocking behavior itself), so a "10x" ratio for
+    # it would be a no-op measurement, not evidence.
     "graph_link_prediction_cn_eval",
     "ml_nb_margin_calibration",
     "evt_sliding_median_hourly",
+    # round-9: orders now shards 10x in the derived corpus (aligned to
+    # the lineitem stride so the o_orderkey join stays consistent),
+    # which makes the orders-volume dimension probeable — including the
+    # two r8 stragglers the verdict flagged (quartile migration: two
+    # per-customer NTILEs + a full outer; permutation test: 32 relabel
+    # passes) and the r8 CMS/Brown entries (fixed-width sketch aggregate
+    # should be ~flat; two stacked hourly windows ~linear)
+    "evt_brown_double_ewma_hourly",
+    "sketch_cms_user_counts",
+    "cust_value_quartile_migration",
+    "ml_permutation_test_ab",
+    # round-9 newcomers: QL (|docs| x 3 score frame), RRF (both scorer
+    # chains end-to-end), Huber IRLS (3 passes over 10x lineitem),
+    # isotonic (decile agg over 10x orders), the rank statistics
+    # (value-domain histograms at 10x rows), runs test (daily agg),
+    # CMS merge (3 sketch builds off one scan), and the two
+    # vocabulary-richness rollups over the 10x duplicate-heavy corpus
+    "doc_dirichlet_query_likelihood",
+    "doc_ranker_rrf_fusion",
+    "ml_irls_huber_price_qty",
+    "ml_isotonic_urgent_rate",
+    "ml_mann_whitney_u_quantity",
+    "ml_spearman_qty_discount",
+    "evt_runs_test_daily",
+    "sketch_cms_merge_equivalence",
+    "doc_vocab_chao1_richness",
+    "doc_token_simpson_diversity",
 ]
 
 
@@ -146,7 +173,18 @@ def build_derived() -> None:
            (SELECT unnest(range(10)) AS s)
     ) TO '{DST}/events.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)
     """)
-    for tbl in ("orders", "customer", "nation", "region", "supplier", "part"):
+    # orders shards with the SAME stride as lineitem (their key domains
+    # coincide), so shard s of lineitem joins shard s of orders and the
+    # o_orderkey relation stays referentially intact; custkeys are kept
+    # as-is (10x orders per customer — the orders-volume dimension).
+    con.execute(f"""
+    COPY (
+      SELECT * REPLACE (o_orderkey + s * {ord_stride} AS o_orderkey)
+      FROM read_parquet('{SRC}/orders.parquet'),
+           (SELECT unnest(range(10)) AS s)
+    ) TO '{DST}/orders.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)
+    """)
+    for tbl in ("customer", "nation", "region", "supplier", "part"):
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')) "
             f"TO '{DST}/{tbl}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)"
@@ -219,13 +257,35 @@ def decon_amortization(spark) -> None:
     )
 
 
-def minhash_amortization(spark) -> None:
-    """Fixed 1x ingest batch vs a 10x corpus LSH index: full recompute
-    (shingle + minhash the 10x corpus on every ingest) vs the PERSISTED
-    band-bucket index read back from parquet
+DST30 = "/tmp/sf1x30docs"
+
+
+def build_derived_docs30() -> None:
+    """30x documents-only derivation for the amortization probe: the
+    round-8 verdict flagged the 10x measurement as inside run noise
+    (~2 s deltas), so the corpus grows until the rebuild-vs-reuse gap
+    can't be noise."""
+    os.makedirs(DST30, exist_ok=True)
+    con = duckdb.connect()
+    doc_stride = _stride(con, "documents", "doc_id")
+    con.execute(f"""
+    COPY (
+      SELECT doc_id + s * {doc_stride} AS doc_id, text, lang, source, n_chars
+      FROM read_parquet('{SRC}/documents.parquet'),
+           (SELECT unnest(range(30)) AS s)
+    ) TO '{DST30}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)
+    """)
+
+
+def minhash_amortization(spark, corpus_dir: str, label: str) -> None:
+    """Fixed 1x ingest batch vs a {label} corpus LSH index: full
+    recompute (shingle + minhash the whole corpus on every ingest) vs
+    the PERSISTED band-bucket index read back from parquet
     (ops/dedup.minhash_band_buckets — the production fast xxhash64
     family). The delta is the cost the persisted index amortizes across
-    ingest batches: at 100 TB the corpus side is never re-shingled."""
+    ingest batches: at 100 TB the corpus side is never re-shingled.
+    Median of 3 timed runs per path (the round-8 verdict's requirement:
+    a single ~2 s measurement cannot support the claim)."""
     from pyspark.sql import functions as F
 
     from real_estate_data_pipeline_spark.ops import dedup
@@ -235,8 +295,8 @@ def minhash_amortization(spark) -> None:
     def mat(df):
         df.write.format("noop").mode("overwrite").save()
 
-    corpus10 = (
-        t(spark, DST, "documents")
+    corpus = (
+        t(spark, corpus_dir, "documents")
         .filter(hash_uniform01(F.col("doc_id"), "incrmh") < 0.7)
         .select("doc_id", "text")
     )
@@ -245,25 +305,34 @@ def minhash_amortization(spark) -> None:
         .filter(hash_uniform01(F.col("doc_id"), "incrmh") >= 0.7)
         .select("doc_id", "text")
     )
-    idx = spark.read.parquet(f"/tmp/redp_mh_index{DST.replace('/', '_')}")
-    # warm both paths once, then time
-    mat(dedup.incremental_minhash_dup_pairs(
-        dedup.minhash_band_buckets(corpus10, "doc_id", "text"),
-        new1, "doc_id", "text",
-    ))
-    mat(dedup.incremental_minhash_dup_pairs(idx, new1, "doc_id", "text"))
-    t0 = time.perf_counter()
-    mat(dedup.incremental_minhash_dup_pairs(
-        dedup.minhash_band_buckets(corpus10, "doc_id", "text"),
-        new1, "doc_id", "text",
-    ))
-    rebuild = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    mat(dedup.incremental_minhash_dup_pairs(idx, new1, "doc_id", "text"))
-    reuse = time.perf_counter() - t0
+    idx = spark.read.parquet(f"/tmp/redp_mh_index{corpus_dir.replace('/', '_')}")
+
+    def _rebuild():
+        mat(dedup.incremental_minhash_dup_pairs(
+            dedup.minhash_band_buckets(corpus, "doc_id", "text"),
+            new1, "doc_id", "text",
+        ))
+
+    def _reuse():
+        mat(dedup.incremental_minhash_dup_pairs(idx, new1, "doc_id", "text"))
+
+    _rebuild()  # warm both paths once, then take the median of 3
+    _reuse()
+    rebuilds, reuses = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _rebuild()
+        rebuilds.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _reuse()
+        reuses.append(time.perf_counter() - t0)
+    rebuild = sorted(rebuilds)[1]
+    reuse = sorted(reuses)[1]
     print(
-        f"minhash fixed-batch, 10x corpus: rebuild={rebuild:6.2f}s "
-        f"reuse={reuse:6.2f}s amortized={rebuild / max(reuse, 1e-9):4.1f}x"
+        f"minhash fixed-batch, {label} corpus: rebuild={rebuild:6.2f}s "
+        f"reuse={reuse:6.2f}s amortized={rebuild / max(reuse, 1e-9):4.1f}x "
+        f"(medians of {[round(x, 2) for x in rebuilds]} / "
+        f"{[round(x, 2) for x in reuses]})"
     )
 
 
@@ -303,8 +372,10 @@ def _fn(name):
 
 
 def main() -> None:
-    if not os.path.exists(f"{DST}/lineitem.parquet"):
+    if not os.path.exists(f"{DST}/orders.parquet"):
         build_derived()
+    if not os.path.exists(f"{DST30}/documents.parquet"):
+        build_derived_docs30()
     spark = get_session("scale-probe")
 
     def mat(df):
@@ -313,6 +384,7 @@ def main() -> None:
     for d in ("/root/testdata/sf0.01", SRC, DST):
         _prebuild_gram_index(spark, d)
     _prebuild_mh_index(spark, DST)
+    _prebuild_mh_index(spark, DST30)
     for n in HEAVY:  # warm codegen at the small sf
         mat(_fn(n)(spark, "/root/testdata/sf0.01"))
     res: dict[str, dict[str, float]] = {}
@@ -327,7 +399,8 @@ def main() -> None:
             f"ratio={v['10x'] / v['1x']:5.1f}"
         )
     decon_amortization(spark)
-    minhash_amortization(spark)
+    minhash_amortization(spark, DST, "10x")
+    minhash_amortization(spark, DST30, "30x")
 
 
 if __name__ == "__main__":
