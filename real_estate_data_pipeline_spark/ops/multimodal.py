@@ -21,12 +21,16 @@ Two decode tiers:
   GIF89a spec-appendix sample stream) — the third compressed lane
   after PNG's zlib and JPEG's DCT.
 - audio is REAL too (ops/audio.py: RIFF/WAVE PCM16, value-oracled),
-  and the video tier's FRAME SAMPLING runs against real per-frame JPEG
-  decode through a minimal motion-JPEG container (``encode_mjpeg`` /
-  ``sample_video_frames`` at the bottom of this file).
+  and the video tier's FRAME SAMPLING runs against two real lanes:
+  per-frame JPEG decode through a minimal motion-JPEG container
+  (``encode_mjpeg``) and the standard UNCOMPRESSED interchange
+  container YUV4MPEG2 (``encode_y4m`` / ``parse_y4m`` — Cmono/C444/
+  C420 planar, stdlib-only), both dispatched by
+  ``sample_video_frames`` at the bottom of this file.
 - ``decode_image_features`` remains the documented STUB for the
-  remaining codecs (WebP, inter-frame video like H.264: no PIL/ffmpeg
-  in this container):
+  remaining codecs (WebP, inter-frame codecs like H.264 themselves:
+  no PIL/ffmpeg in this container — the y4m lane covers the
+  post-transcode frame contract those codecs feed):
   deterministic fake features from the bytes so the Spark-side
   plumbing — schema, batch iteration, partitioning, output shape — is
   real and testable. Swapping in PIL/torchvision/ffmpeg changes one
@@ -831,25 +835,39 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 
 def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """FRAME SAMPLING over video payloads (mapInPandas): parse the
-    container index, decode ONLY every ``every_n``-th frame through the
-    real JPEG pipeline (the index makes skipped frames free — the same
-    reason real pipelines sample on keyframes), and emit per-frame
-    timestamps + perceptual hashes. One input row fans out to
-    ceil(n_frames / every_n) rows — the frame table that video dedup
-    and shot detection aggregate."""
+    container index, decode ONLY every ``every_n``-th frame (the index
+    makes skipped frames free — the same reason real pipelines sample
+    on keyframes), and emit per-frame timestamps + perceptual hashes.
+    Dispatches on the container magic: MJPG frames go through the real
+    JPEG decoder, YUV4MPEG2 frames through the raw-planar y4m decoder —
+    one frame table regardless of lane, which is what video dedup and
+    shot detection aggregate. One input row fans out to
+    ceil(n_frames / every_n) rows."""
     from . import jpeg as J
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                parsed = parse_mjpeg(p)
-                if parsed is None:
-                    continue
-                fps, frames = parsed
+                mj = parse_mjpeg(p)
+                if mj is not None:
+                    fps, frames = mj
+
+                    def dec(fr):
+                        return J.decode_jpeg(fr)
+
+                else:
+                    y4 = parse_y4m(p)
+                    if y4 is None:
+                        continue
+                    w4, h4, fps, cs, frames = y4
+
+                    def dec(fr):
+                        return decode_y4m_frame(fr, w4, h4, cs)
+
                 for idx in range(0, len(frames), every_n):
                     try:
-                        px = J.decode_jpeg(frames[idx])
+                        px = dec(frames[idx])
                     except (NotImplementedError, ValueError, EOFError):
                         continue
                     h, w = px.shape[:2]
@@ -869,3 +887,144 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(extract, VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) tier: the standard UNCOMPRESSED video interchange
+# container — what ffmpeg pipes between pipeline stages — parsed from
+# scratch with stdlib bytes only, frames decoded to RGB through the same
+# BT.601 math as the JPEG tier (ops/jpeg.ycbcr_to_rgb). This retires the
+# "inter-frame video" gap the honest way: production samplers never
+# touch inter-frame codec state — the transcode boundary (H.264 -> y4m/
+# raw) exists precisely so downstream frame ops see independent frames —
+# and this is that downstream contract, for real. The inter-frame codecs
+# THEMSELVES (H.264/VP9) stay env-blocked (no ffmpeg in this container)
+# and keep raising through decode_image_features.
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _y4m_plane_sizes(w: int, h: int, colorspace: str):
+    """(luma_bytes, chroma_bytes_per_plane, chroma_w, chroma_h)."""
+    if colorspace == "Cmono":
+        return w * h, 0, 0, 0
+    if colorspace == "C444":
+        return w * h, w * h, w, h
+    if colorspace.startswith("C420"):  # C420, C420jpeg, C420paldv, C420mpeg2
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        return w * h, cw * ch, cw, ch
+    raise NotImplementedError(f"y4m colorspace {colorspace!r} not supported")
+
+
+def encode_y4m(frames: list, fps: float = 4.0, colorspace: str = "C444") -> bytes:
+    """YUV4MPEG2 container for a list of frames: (h, w, 3) uint8 RGB for
+    C444/C420jpeg (forward BT.601, chroma 2x2-mean subsampled for 420 —
+    even dimensions required there), or (h, w) uint8 gray for Cmono
+    (lossless: the Y plane IS the image)."""
+    import numpy as np
+
+    from . import jpeg as J
+
+    if not frames:
+        raise ValueError("encode_y4m: no frames")
+    f0 = np.asarray(frames[0])
+    h, w = f0.shape[:2]
+    if colorspace.startswith("C420") and (w % 2 or h % 2):
+        raise ValueError("encode_y4m: C420 needs even dimensions")
+    num = int(round(fps * 1000))
+    head = (
+        _Y4M_MAGIC
+        + f" W{w} H{h} F{num}:1000 Ip A1:1 {colorspace}\n".encode()
+    )
+    out = bytearray(head)
+    for fr in frames:
+        px = np.asarray(fr, dtype=np.uint8)
+        if px.shape[:2] != (h, w):
+            raise ValueError("encode_y4m: inconsistent frame shapes")
+        out += b"FRAME\n"
+        if colorspace == "Cmono":
+            if px.ndim != 2:
+                raise ValueError("encode_y4m: Cmono takes (h, w) gray frames")
+            out += px.tobytes()
+            continue
+        yc = J.rgb_to_ycbcr(px)
+        y = np.clip(np.round(yc[..., 0]), 0, 255).astype(np.uint8)
+        out += y.tobytes()
+        for c in (1, 2):
+            ch = yc[..., c]
+            if colorspace.startswith("C420"):
+                ch = (
+                    ch.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+                )
+            out += np.clip(np.round(ch), 0, 255).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def parse_y4m(payload):
+    """(width, height, fps, colorspace, [frame plane bytes]) for
+    YUV4MPEG2 payloads, None otherwise. Per-frame FRAME parameter tags
+    are tolerated; interlacing/extension tags are ignored (frame data
+    layout is planar either way)."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(_Y4M_MAGIC + b" "):
+        return None
+    w = h = None
+    fps = 0.0
+    colorspace = "C420jpeg"  # the spec default when C is absent
+    for tag in b[len(_Y4M_MAGIC) + 1 : nl].split(b" "):
+        if not tag:
+            continue
+        k, v = tag[:1], tag[1:]
+        if k == b"W":
+            w = int(v)
+        elif k == b"H":
+            h = int(v)
+        elif k == b"F":
+            num, _, den = v.partition(b":")
+            fps = int(num) / max(int(den or b"1"), 1)
+        elif k == b"C":
+            colorspace = tag.decode("ascii", "replace")
+    if not w or not h:
+        return None
+    ly, lc, _, _ = _y4m_plane_sizes(w, h, colorspace)
+    fsize = ly + 2 * lc
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or b[pos : pos + 5] != b"FRAME":
+            return None
+        pos = fnl + 1
+        if pos + fsize > len(b):
+            return None
+        frames.append(b[pos : pos + fsize])
+        pos += fsize
+    return w, h, fps, colorspace, frames
+
+
+def decode_y4m_frame(fr: bytes, w: int, h: int, colorspace: str) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from one planar y4m frame: Cmono replicates
+    luma, C444 converts per-pixel, C420* nearest-neighbor-upsamples the
+    half-res chroma (the sampler's perceptual hash is chroma-coarse
+    anyway — the same trade real thumbnailers make)."""
+    import numpy as np
+
+    from . import jpeg as J
+
+    ly, lc, cw, ch = _y4m_plane_sizes(w, h, colorspace)
+    y = np.frombuffer(fr[:ly], dtype=np.uint8).reshape(h, w).astype(np.float64)
+    if colorspace == "Cmono":
+        g = y.astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    u = np.frombuffer(fr[ly : ly + lc], dtype=np.uint8).reshape(ch, cw)
+    v = np.frombuffer(fr[ly + lc : ly + 2 * lc], dtype=np.uint8).reshape(ch, cw)
+    if colorspace.startswith("C420"):
+        u = u.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        v = v.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+    return J.ycbcr_to_rgb(
+        np.stack([y, u.astype(np.float64), v.astype(np.float64)], axis=2)
+    )

@@ -5708,13 +5708,15 @@ register("mm_video_frame_dedup", oracle=None)
 
 def _dvideo(spark, sf_dir):
     """The VIDEO-pipeline primitive end to end (rows-only like its
-    codec twins): per document, build a 4-frame motion-JPEG clip
-    (frames are deterministic gradients; frame 2 repeats frame 0 —
-    planted intra-clip duplication), sample every 2nd frame via the
-    container index, decode each sampled frame through the REAL
-    baseline-JPEG pipeline, and report per-clip duplicate-frame groups
-    — the shot-boundary/static-scene detection shape. Classes share
-    payloads, so group structure is deterministic."""
+    codec twins): per document, build a 4-frame clip (frames are
+    deterministic gradients; frame 2 repeats frame 0 — planted
+    intra-clip duplication) in a MIXED-container corpus — even classes
+    as motion-JPEG (per-frame DCT decode), odd classes as uncompressed
+    YUV4MPEG2 (raw planar decode) — sample every 2nd frame via the
+    container index, and report per-clip duplicate-frame groups: the
+    shot-boundary/static-scene detection shape, container-agnostic the
+    way a real curation pipeline must be. Classes share payloads, so
+    group structure is deterministic."""
     import numpy as np
 
     from .ops import multimodal as MM
@@ -5728,7 +5730,7 @@ def _dvideo(spark, sf_dir):
         import pandas as pd
 
         for pdf in batches:
-            payloads = []
+            payloads, mtypes = [], []
             for cls in pdf["__cls"]:
                 frames = []
                 for fi in (0, 1, 0, 3):  # frame 2 repeats frame 0
@@ -5744,11 +5746,16 @@ def _dvideo(spark, sf_dir):
                             axis=2,
                         ).astype(np.uint8)
                     )
-                payloads.append(MM.encode_mjpeg(frames, fps=4.0))
+                if int(cls) % 2:
+                    payloads.append(MM.encode_y4m(frames, fps=4.0, colorspace="C444"))
+                    mtypes.append("video/x-yuv4mpeg")
+                else:
+                    payloads.append(MM.encode_mjpeg(frames, fps=4.0))
+                    mtypes.append("video/x-mjpeg")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "media_type": "video/x-mjpeg",
+                    "media_type": mtypes,
                     "payload": payloads,
                     "width": None,
                     "height": None,

@@ -446,6 +446,82 @@ def test_mjpeg_container_and_frame_sampling(spark):
     assert (by_idx[0]["width"], by_idx[0]["height"]) == (16, 16)
 
 
+def test_y4m_container_roundtrip_and_robustness():
+    """YUV4MPEG2 codec contract: Cmono round trips LOSSLESSLY (the Y
+    plane is the image), C444 within color-transform rounding, C420
+    subsample/upsample preserves shape; garbage, None, mid-frame
+    truncation and odd-dimension 420 encodes all fail loudly or return
+    None — a bad payload can never kill a mapInPandas task."""
+    import numpy as np
+    import pytest
+
+    from real_estate_data_pipeline_spark.ops import multimodal as MM
+
+    rng = np.random.default_rng(7)
+    gray = [rng.integers(0, 256, (24, 32), dtype=np.uint8) for _ in range(5)]
+    blob = MM.encode_y4m(gray, fps=10.0, colorspace="Cmono")
+    w, h, fps, cs, frames = MM.parse_y4m(blob)
+    assert (w, h, fps, cs, len(frames)) == (32, 24, 10.0, "Cmono", 5)
+    for g, fr in zip(gray, frames):
+        px = MM.decode_y4m_frame(fr, w, h, cs)
+        assert px.shape == (24, 32, 3)
+        assert (px[..., 0] == g).all() and (px[..., 2] == g).all()
+
+    rgb = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(3)]
+    blob = MM.encode_y4m(rgb, fps=2.5, colorspace="C444")
+    w, h, fps, cs, frames = MM.parse_y4m(blob)
+    assert (w, h, fps, cs) == (16, 16, 2.5, "C444")
+    px = MM.decode_y4m_frame(frames[0], w, h, cs)
+    assert np.abs(px.astype(int) - rgb[0].astype(int)).max() <= 3
+
+    blob420 = MM.encode_y4m(rgb, fps=4.0, colorspace="C420jpeg")
+    w, h, _, cs, frames = MM.parse_y4m(blob420)
+    assert MM.decode_y4m_frame(frames[2], w, h, cs).shape == (16, 16, 3)
+
+    assert MM.parse_y4m(b"nonsense") is None
+    assert MM.parse_y4m(None) is None
+    assert MM.parse_y4m(blob420[: len(blob420) - 10]) is None
+    with pytest.raises(ValueError):
+        MM.encode_y4m(
+            [rng.integers(0, 256, (15, 16, 3), dtype=np.uint8)],
+            colorspace="C420jpeg",
+        )
+
+
+def test_y4m_frame_sampling_mixed_containers(spark):
+    """sample_video_frames dispatches per row on the container magic:
+    a mixed MJPEG + Y4M table yields ONE frame schema; the planted
+    frame-0/frame-2 duplicate shares an ahash in the LOSSLESS y4m lane
+    exactly, and the non-video row is skipped."""
+    import numpy as np
+
+    from real_estate_data_pipeline_spark.ops import multimodal as MM
+
+    y, x = np.mgrid[0:16, 0:16]
+
+    def frame(seed):
+        return np.stack(
+            [(x * 255 // 15), (y * 255 // 15), ((x + y) * seed) % 256], axis=2
+        ).astype(np.uint8)
+
+    frames = [frame(1), frame(2), frame(1), frame(4), frame(1)]
+    mj = MM.encode_mjpeg(frames, fps=2.0)
+    y4 = MM.encode_y4m(frames, fps=4.0, colorspace="C444")
+    rows = [
+        (1, "video/x-mjpeg", bytearray(mj), None, None, len(mj)),
+        (2, "video/x-yuv4mpeg", bytearray(y4), None, None, len(y4)),
+        (3, "text/plain", bytearray(b"not video"), None, None, 9),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = MM.sample_video_frames(media, every_n=2).collect()
+    assert {r["media_id"] for r in out} == {1, 2}
+    y4rows = {r["frame_idx"]: r for r in out if r["media_id"] == 2}
+    assert sorted(y4rows) == [0, 2, 4]
+    assert y4rows[2]["ts_ms"] == 500.0 and y4rows[4]["ts_ms"] == 1000.0
+    assert y4rows[0]["ahash"] == y4rows[2]["ahash"] == y4rows[4]["ahash"]
+    assert (y4rows[0]["width"], y4rows[0]["height"]) == (16, 16)
+
+
 def test_jpeg_malformed_streams_route_to_stub_not_crash():
     """Truncated/corrupt streams must surface as ValueError from
     decode_jpeg (not struct.error/KeyError/IndexError) so the tolerant

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -173,22 +174,81 @@ def test_source_kl_matches_python_reference(spark, con):
     assert got == expect
 
 
-def test_hits_matches_python_reference(spark):
-    """2 HITS rounds in plain Python over the SAME directed pair set
-    (collected from the registered portable-MinHash op), checking the
-    micro-unit/L1-normalization algebra of the unrolled Spark loop."""
+_NORM_WS = re.compile(r"[\t\n\x0b\f\r ]+")  # Java \s (ASCII), as in norm_tokens
+
+
+@pytest.fixture(scope="module")
+def py_minhash_candidates(con):
+    """Portable-MinHash candidate pairs from FIRST PRINCIPLES — pure
+    Python sha256 h1/h2 linear-mix minima, 4-band bucketing, in-bucket
+    pairing with signature-agreement estimates — NOT collected from the
+    Spark op (the round-8 advice's independence gap). Returns
+    {(id_a, id_b): jaccard_est} over the full candidate universe
+    (threshold 0); consumers filter. The 8192 hot-block cap is asserted
+    inert at this SF, so not mirrored."""
+    docs = con.execute(f"SELECT doc_id, text FROM '{SF}/documents.parquet'").fetchall()
+    buckets: dict = defaultdict(list)
+    for did, text in docs:
+        toks = _NORM_WS.sub(" ", text.strip(" ").lower()).split(" ")
+        cnt = max(len(toks) - 2, 1)
+        grams = {
+            g
+            for g in (
+                " ".join(toks[i + off] for off in range(3) if i + off < len(toks))
+                for i in range(cnt)
+            )
+            if g != ""
+        }
+        if not grams:
+            continue
+        hs = []
+        for g in grams:
+            hx = hashlib.sha256(g.encode()).hexdigest()
+            hs.append((int(hx[:8], 16), int(hx[8:16], 16)))
+        sig = [min(h1 + i * h2 for h1, h2 in hs) for i in range(16)]
+        for b in range(4):
+            bh = hashlib.sha256(
+                "_".join(str(v) for v in sig[b * 4 : (b + 1) * 4]).encode()
+            ).hexdigest()
+            buckets[(b, bh)].append((did, sig))
+    pairs: dict = {}
+    for members in buckets.values():
+        assert len(members) <= 8192, "hot-block cap would bind — mirror it here"
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                ia, sa = members[i]
+                ib, sb = members[j]
+                key = (min(ia, ib), max(ia, ib))
+                if key not in pairs:
+                    agree = sum(1 for u, v in zip(sa, sb) if u == v)
+                    pairs[key] = agree / 16.0
+    return pairs
+
+
+def test_python_minhash_generator_matches_op(spark, py_minhash_candidates):
+    """The first-principles generator and the registered op agree on
+    the ENTIRE candidate universe (ids + estimates) — making every
+    downstream consumer of the Python pairs end-to-end independent
+    evidence for the op, not a circular copy of it."""
     from real_estate_data_pipeline_spark.ops import dedup
     from real_estate_data_pipeline_spark.queries import t
 
     d = t(spark, SF, "documents")
-    edges = [
-        (r["id_a"], r["id_b"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
         for r in dedup.minhash_dup_pairs_portable(
-            d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
-        )
-        .select("id_a", "id_b")
-        .collect()
-    ]
+            d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.0
+        ).collect()
+    }
+    assert got == py_minhash_candidates
+
+
+def test_hits_matches_python_reference(spark, py_minhash_candidates):
+    """2 HITS rounds in plain Python over the first-principles pair set
+    (NOT collected from the Spark op — see py_minhash_candidates),
+    checking pair generation AND the micro-unit/L1-normalization
+    algebra of the unrolled Spark loop end to end."""
+    edges = [k for k, est in py_minhash_candidates.items() if est >= 0.5]
     nodes = sorted({n for e in edges for n in e})
     a = {n: 1.0 for n in nodes}
     h = {}
@@ -617,19 +677,12 @@ def test_quartile_migration_matches_python_reference(spark, con):
     assert got == dict(mat)
 
 
-def test_link_prediction_cn_matches_python_reference(spark):
+def test_link_prediction_cn_matches_python_reference(spark, py_minhash_candidates):
     """Hold-out split, retained adjacency, and common-neighbor counts
-    re-derived in plain Python over the SAME collected candidate set."""
-    from real_estate_data_pipeline_spark.ops import dedup
-    from real_estate_data_pipeline_spark.queries import t
-
-    d = t(spark, SF, "documents")
-    cand = [
-        (r["id_a"], r["id_b"], r["jaccard_est"])
-        for r in dedup.minhash_dup_pairs_portable(
-            d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.0
-        ).collect()
-    ]
+    re-derived in plain Python over the FIRST-PRINCIPLES candidate set
+    (not collected from the Spark op), so pair generation is covered
+    end to end too."""
+    cand = [(a, b, e) for (a, b), e in py_minhash_candidates.items()]
     pos = [(a, b) for a, b, e in cand if e >= 0.5]
     neg = [(a, b) for a, b, e in cand if e < 0.5]
     test = [(a, b) for a, b in pos if _hash01(f"{a}_{b}lp") < 0.2]
