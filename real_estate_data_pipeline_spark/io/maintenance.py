@@ -200,9 +200,13 @@ def vacuum_snapshots(table_path: str, keep: int = 2) -> list[str]:
     for entry in sorted(os.listdir(table_path)):
         if entry.startswith("v") and entry[1:].isdigit():
             v = int(entry[1:])
-            if v <= current - keep:
-                shutil.rmtree(os.path.join(table_path, entry))
-                removed.append(entry)
+        elif entry.startswith("_v") and entry[2:].isdigit():
+            v = int(entry[2:])  # pre-rename snapshot dirs vacuum too
+        else:
+            continue
+        if v <= current - keep:
+            shutil.rmtree(os.path.join(table_path, entry))
+            removed.append(entry)
     return removed
 
 

@@ -64,6 +64,12 @@ class Scd2Table:
             return None
         target = os.path.join(self.path, f"v{v}")
         if not os.path.isdir(target):
+            # tables written before the v<N> rename stored snapshots as
+            # _v<N>; fall back so they stay readable (Spark logs a
+            # harmless hidden-path WARN on them — new writes don't)
+            legacy = os.path.join(self.path, f"_v{v}")
+            if os.path.isdir(legacy):
+                return self.spark.read.parquet(legacy)
             raise FileNotFoundError(f"snapshot version {v} not found (vacuumed?)")
         return self.spark.read.parquet(target)
 
@@ -95,14 +101,17 @@ class Scd2Table:
         )
 
     def history(self) -> list[int]:
-        """Available snapshot versions, oldest first."""
+        """Available snapshot versions, oldest first (both the current
+        ``v<N>`` naming and the pre-rename ``_v<N>`` dirs count)."""
         if not os.path.isdir(self.path):
             return []
-        return sorted(
-            int(e[1:])
-            for e in os.listdir(self.path)
-            if e.startswith("v") and e[1:].isdigit()
-        )
+        vs = set()
+        for e in os.listdir(self.path):
+            if e.startswith("v") and e[1:].isdigit():
+                vs.add(int(e[1:]))
+            elif e.startswith("_v") and e[2:].isdigit():
+                vs.add(int(e[2:]))
+        return sorted(vs)
 
     def _write_snapshot(self, df: DataFrame) -> None:
         v = (self._current_version() or 0) + 1

@@ -57,7 +57,11 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    # max_iter + 1 propagation passes: the +1 is the boundary check —
+    # the last round's pointer jump may complete convergence, and only
+    # a propagation pass can observe that (so exhaustion on an
+    # already-exact label table never raises spuriously).
+    for it in range(max_iter + 1):
         neigh = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), F.col("label")
         )
@@ -83,6 +87,12 @@ def connected_components(
         labels = new.drop("changed")
         if any_changed == 0:
             return labels.select(F.col("id"), F.col("label").alias("cluster"))
+        if it == max_iter:
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iter} "
+                "propagate+jump rounds (component min-label distance still "
+                f"> ~2^{max_iter} hops); raise max_iter"
+            )
         # Pointer jumping: every label value is itself an id in `labels`
         # (labels only ever take min-of-ids values), so label-of-label is
         # a node-table self-join — much smaller than the edge join — and
@@ -93,10 +103,6 @@ def connected_components(
             .select("id", F.coalesce("llabel", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        f"(component diameter > ~2^{max_iter}); raise max_iter"
-    )
 
 
 def keep_cluster_representative(

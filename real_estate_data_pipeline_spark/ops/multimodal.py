@@ -975,22 +975,29 @@ def parse_y4m(payload):
     w = h = None
     fps = 0.0
     colorspace = "C420jpeg"  # the spec default when C is absent
-    for tag in b[len(_Y4M_MAGIC) + 1 : nl].split(b" "):
-        if not tag:
-            continue
-        k, v = tag[:1], tag[1:]
-        if k == b"W":
-            w = int(v)
-        elif k == b"H":
-            h = int(v)
-        elif k == b"F":
-            num, _, den = v.partition(b":")
-            fps = int(num) / max(int(den or b"1"), 1)
-        elif k == b"C":
-            colorspace = tag.decode("ascii", "replace")
-    if not w or not h:
+    # A malformed header (non-numeric W/H/F) or an unsupported
+    # colorspace must yield None, not an exception: this parser runs
+    # inside mapInPandas, where one bad payload must never kill the
+    # task (the same contract parse_mjpeg honors).
+    try:
+        for tag in b[len(_Y4M_MAGIC) + 1 : nl].split(b" "):
+            if not tag:
+                continue
+            k, v = tag[:1], tag[1:]
+            if k == b"W":
+                w = int(v)
+            elif k == b"H":
+                h = int(v)
+            elif k == b"F":
+                num, _, den = v.partition(b":")
+                fps = int(num) / max(int(den or b"1"), 1)
+            elif k == b"C":
+                colorspace = tag.decode("ascii", "replace")
+        if not w or not h:
+            return None
+        ly, lc, _, _ = _y4m_plane_sizes(w, h, colorspace)
+    except (ValueError, NotImplementedError):
         return None
-    ly, lc, _, _ = _y4m_plane_sizes(w, h, colorspace)
     fsize = ly + 2 * lc
     frames = []
     pos = nl + 1

@@ -142,6 +142,15 @@ def _scratch(name: str) -> str:
     return os.path.join(root, name)
 
 
+def tok_arr(col):
+    """Whitespace token array (lowercase, trimmed, empties dropped) —
+    the ONE tokenizer of the NB / retrieval / vocabulary families (the
+    SQL twin is the list_filter(regexp_split_to_array(...)) idiom).
+    Single-sourced so a tokenizer tweak can't silently diverge one
+    family's notion of a token from another's."""
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != F.lit(""))
+
+
 def dsum(col: str, alias: str):
     """Exact decimal sum of a 2-dp money column, emitted as double."""
     return F.sum(F.col(col).cast(DEC)).cast("double").alias(alias)
@@ -5864,9 +5873,7 @@ def _nb_frames(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     u = hash_uniform01(F.col("doc_id"), "nb")
-    tk = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
-    )
+    tk = tok_arr(F.col("text"))
     base = d.select("doc_id", "lang", tk.alias("__tk"), u.alias("__u"))
     # 2+-consumer convention: train feeds ttok/langs/nd/ndt and test
     # feeds etok/scored plus the caller's label join — without the lazy
@@ -16185,9 +16192,7 @@ def _dsir_weight_frame(spark, sf_dir):
     selection-scoring step of a quality-targeted pretraining
     pipeline; consumers rank globally or under per-source budgets."""
     d = t(spark, sf_dir, "documents")
-    tk = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
-    )
+    tk = tok_arr(F.col("text"))
     tok = d.select("doc_id", "lang", F.explode(tk).alias("tok"))
     # ONE tokenize pass: the (doc, lang, token) count table is lazily
     # checkpointed and every other distribution — raw counts, target
@@ -16406,9 +16411,7 @@ def _dttr(spark, sf_dir):
     combine), then a per-lang rollup — the working set after the
     first aggregate is vocabulary-sized, not corpus-sized."""
     d = t(spark, sf_dir, "documents")
-    tk = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
-    )
+    tk = tok_arr(F.col("text"))
     tc = (
         d.select("lang", F.explode(tk).alias("tok"))
         .groupBy("lang", "tok")
@@ -16545,9 +16548,7 @@ def _ddeduploss(spark, sf_dir):
     conditional-sum pass over the back-join. Token counts ride along
     from the same single scan."""
     d = t(spark, sf_dir, "documents")
-    tk = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
-    )
+    tk = tok_arr(F.col("text"))
     # consumed by the keep-id aggregate AND the back-join: checkpoint
     # so the corpus is hashed/tokenize-counted once
     base = d.select(
@@ -18361,9 +18362,7 @@ def _retrieval_frames(spark, sf_dir):
     multi-consumer (every scorer touches each at least twice), so they
     localCheckpoint lazily inside the helper (the r8 review rule)."""
     d = t(spark, sf_dir, "documents")
-    tk = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
-    )
+    tk = tok_arr(F.col("text"))
     base = d.select("doc_id", tk.alias("tk")).localCheckpoint(eager=False)
     dl = base.select("doc_id", F.size("tk").cast("long").alias("dl")).localCheckpoint(
         eager=False
@@ -18544,9 +18543,7 @@ def _dsrckl(spark, sf_dir):
     space lives entirely in the vocabulary x grid frame, never in the
     document space."""
     d = t(spark, sf_dir, "documents")
-    tk = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
-    )
+    tk = tok_arr(F.col("text"))
     tc = (
         d.select("source", F.explode(tk).alias("tok"))
         .groupBy("source", "tok")
@@ -20380,7 +20377,7 @@ register(
            CAST(MAX(CASE WHEN tok = 'join' THEN tf END) AS BIGINT) AS tf_join,
            CAST(MAX(CASE WHEN tok = 'stream' THEN tf END) AS BIGINT) AS tf_stream,
            CAST(SUM(tf) AS BIGINT) AS total_tf
-    FROM qtf GROUP BY doc_id HAVING COUNT(*) = 3
+    FROM qtf GROUP BY doc_id HAVING COUNT(*) = {len(_BM25_TERMS)}
     ORDER BY total_tf DESC, doc_id LIMIT 20
     """,
 )
@@ -20402,7 +20399,7 @@ def _dbooland(spark, sf_dir):
             F.sum("tf").cast("long").alias("total_tf"),
             F.count("*").alias("__nt"),
         )
-        .filter(F.col("__nt") == 3)
+        .filter(F.col("__nt") == len(_BM25_TERMS))
         .drop("__nt")
         .orderBy(F.desc("total_tf"), "doc_id")
         .limit(20)
@@ -20422,7 +20419,7 @@ register(
     WITH {_TOK_SQL_CTES},
     {_BM25_SQL_CHAIN},
     rel AS MATERIALIZED (
-      SELECT doc_id FROM qtf GROUP BY doc_id HAVING COUNT(*) = 3
+      SELECT doc_id FROM qtf GROUP BY doc_id HAVING COUNT(*) = {len(_BM25_TERMS)}
     ),
     nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rel),
     ranked AS (
@@ -20462,7 +20459,7 @@ def _dmrreval(spark, sf_dir):
     rel = (
         qtf.groupBy("doc_id")
         .agg(F.count("*").alias("__nt"))
-        .filter(F.col("__nt") == 3)
+        .filter(F.col("__nt") == len(_BM25_TERMS))
         .select("doc_id", F.lit(1).alias("flag"))
         .localCheckpoint(eager=False)
     )
@@ -20641,9 +20638,7 @@ _SRC_TC_CTES = """tok AS (
 def _src_tc_frame(spark, sf_dir):
     """(source, tok, c): the Spark twin of _SRC_TC_CTES."""
     d = t(spark, sf_dir, "documents")
-    tk = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != F.lit("")
-    )
+    tk = tok_arr(F.col("text"))
     return (
         d.select("source", F.explode(tk).alias("tok"))
         .groupBy("source", "tok")

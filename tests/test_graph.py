@@ -49,6 +49,16 @@ def test_components_nonconvergence_raises(spark):
         connected_components(e, max_iter=1)
 
 
+def test_components_boundary_jump_convergence_returns(spark):
+    # a 3-node path at max_iter=1: the one propagation round still
+    # reports changes, but the pointer jump after it completes the
+    # labels — the boundary check must RETURN the (correct) result,
+    # not raise on an already-exact table (round-9 review finding)
+    e = _edges(spark, [(1, 2), (2, 3)])
+    got = {r["id"]: r["cluster"] for r in connected_components(e, max_iter=1).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
 def test_components_direction_invariant(spark):
     a = connected_components(_edges(spark, [(4, 2), (2, 7)]))
     b = connected_components(_edges(spark, [(2, 4), (7, 2)]))

@@ -481,6 +481,10 @@ def test_y4m_container_roundtrip_and_robustness():
     assert MM.parse_y4m(b"nonsense") is None
     assert MM.parse_y4m(None) is None
     assert MM.parse_y4m(blob420[: len(blob420) - 10]) is None
+    # corrupt header tags and spec-valid-but-unsupported colorspaces
+    # must ALSO yield None (they run inside mapInPandas)
+    assert MM.parse_y4m(b"YUV4MPEG2 Wabc H16 F4:1 C444\nFRAME\n") is None
+    assert MM.parse_y4m(b"YUV4MPEG2 W4 H4 F25:1 C422\nFRAME\n" + b"\0" * 32) is None
     with pytest.raises(ValueError):
         MM.encode_y4m(
             [rng.integers(0, 256, (15, 16, 3), dtype=np.uint8)],

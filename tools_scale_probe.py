@@ -131,7 +131,19 @@ def _stride(con, table: str, id_col: str) -> int:
     return int(mx) + 1
 
 
+# Version sentinel: round 9 changed the derivation (orders now shards
+# 10x with the lineitem-aligned stride). A pre-round-9 /tmp/sf1x10 has
+# orders.parquet too (a verbatim 1x copy), so an existence check on the
+# files alone would silently reuse a referentially BROKEN corpus
+# (10x lineitem shards joined to 1x orders). The marker names the
+# derivation version; bump it whenever build_derived changes shape.
+_DERIVED_MARK = "_derived_v2_orders_sharded"
+
+
 def build_derived() -> None:
+    import shutil
+
+    shutil.rmtree(DST, ignore_errors=True)  # never mix derivation versions
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     doc_stride = _stride(con, "documents", "doc_id")
@@ -372,8 +384,10 @@ def _fn(name):
 
 
 def main() -> None:
-    if not os.path.exists(f"{DST}/orders.parquet"):
+    if not os.path.exists(f"{DST}/{_DERIVED_MARK}"):
         build_derived()
+        with open(f"{DST}/{_DERIVED_MARK}", "w") as fh:
+            fh.write("orders sharded 10x, lineitem-aligned o_orderkey stride\n")
     if not os.path.exists(f"{DST30}/documents.parquet"):
         build_derived_docs30()
     spark = get_session("scale-probe")
