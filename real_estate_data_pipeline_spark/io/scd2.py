@@ -146,11 +146,14 @@ class Scd2Table:
         end = ending_version if ending_version is not None else (
             self._current_version() or 0
         )
-        dirs = [
-            os.path.join(self.path, "cdf", f"v{v}")
-            for v in range(starting_version, end + 1)
-            if os.path.isdir(os.path.join(self.path, "cdf", f"v{v}"))
-        ]
+        dirs = []
+        for v in range(starting_version, end + 1):
+            d = os.path.join(self.path, "cdf", f"v{v}")
+            if not os.path.isdir(d):
+                # pre-rename tables stored the feed under _cdf/_v<N>
+                d = os.path.join(self.path, "_cdf", f"_v{v}")
+            if os.path.isdir(d):
+                dirs.append(d)
         if not dirs:
             raise FileNotFoundError(
                 f"no change data between versions {starting_version} and {end}"

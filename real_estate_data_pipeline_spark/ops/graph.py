@@ -51,6 +51,8 @@ def connected_components(
     Exhausting ``max_iter`` without converging raises instead of
     returning silently-partial labels (the oracles compute an unbounded
     transitive closure, so a truncated result would diverge silently)."""
+    if max_iter < 0:
+        raise ValueError(f"max_iter must be >= 0, got {max_iter}")
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )

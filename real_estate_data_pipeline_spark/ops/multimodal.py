@@ -993,7 +993,9 @@ def parse_y4m(payload):
                 fps = int(num) / max(int(den or b"1"), 1)
             elif k == b"C":
                 colorspace = tag.decode("ascii", "replace")
-        if not w or not h:
+        # negative dims would make fsize negative and the FRAME loop
+        # below spin forever on the same offset — reject, don't hang
+        if not w or not h or w < 0 or h < 0:
             return None
         ly, lc, _, _ = _y4m_plane_sizes(w, h, colorspace)
     except (ValueError, NotImplementedError):

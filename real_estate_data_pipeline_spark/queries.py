@@ -20373,9 +20373,7 @@ register(
     oracle=f"""
     WITH {_TOK_SQL_CTES}
     SELECT doc_id,
-           CAST(MAX(CASE WHEN tok = 'hash' THEN tf END) AS BIGINT) AS tf_hash,
-           CAST(MAX(CASE WHEN tok = 'join' THEN tf END) AS BIGINT) AS tf_join,
-           CAST(MAX(CASE WHEN tok = 'stream' THEN tf END) AS BIGINT) AS tf_stream,
+           {", ".join(f"CAST(MAX(CASE WHEN tok = '{t}' THEN tf END) AS BIGINT) AS tf_{t}" for t in _BM25_TERMS)},
            CAST(SUM(tf) AS BIGINT) AS total_tf
     FROM qtf GROUP BY doc_id HAVING COUNT(*) = {len(_BM25_TERMS)}
     ORDER BY total_tf DESC, doc_id LIMIT 20
@@ -20393,9 +20391,12 @@ def _dbooland(spark, sf_dir):
     return (
         qtf.groupBy("doc_id")
         .agg(
-            F.max(F.when(F.col("tok") == "hash", F.col("tf"))).cast("long").alias("tf_hash"),
-            F.max(F.when(F.col("tok") == "join", F.col("tf"))).cast("long").alias("tf_join"),
-            F.max(F.when(F.col("tok") == "stream", F.col("tf"))).cast("long").alias("tf_stream"),
+            *[
+                F.max(F.when(F.col("tok") == t, F.col("tf")))
+                .cast("long")
+                .alias(f"tf_{t}")
+                for t in _BM25_TERMS
+            ],
             F.sum("tf").cast("long").alias("total_tf"),
             F.count("*").alias("__nt"),
         )

@@ -485,6 +485,9 @@ def test_y4m_container_roundtrip_and_robustness():
     # must ALSO yield None (they run inside mapInPandas)
     assert MM.parse_y4m(b"YUV4MPEG2 Wabc H16 F4:1 C444\nFRAME\n") is None
     assert MM.parse_y4m(b"YUV4MPEG2 W4 H4 F25:1 C422\nFRAME\n" + b"\0" * 32) is None
+    # negative dims -> negative frame size -> would loop forever on the
+    # same FRAME offset (second-pass review finding); must be None
+    assert MM.parse_y4m(b"YUV4MPEG2 W2 H-1 F4:1 C444\nFRAME\n" + b"\0" * 16) is None
     with pytest.raises(ValueError):
         MM.encode_y4m(
             [rng.integers(0, 256, (15, 16, 3), dtype=np.uint8)],
