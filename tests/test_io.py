@@ -88,8 +88,6 @@ def test_scd2_legacy_layout_still_reads(spark, tmp_path):
     read_changes() all fall back to the legacy dirs (round-9 review
     findings — the first fix covered the snapshots, the second pass
     caught the change feed)."""
-    import os
-
     t = Scd2Table(spark, str(tmp_path / "t"), key="k", tracked=["v"], order_col="ts")
     d1 = spark.createDataFrame([("a", 1.0, "d1")], "k string, v double, ts string")
     d2 = spark.createDataFrame([("a", 2.0, "d2")], "k string, v double, ts string")

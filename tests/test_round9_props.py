@@ -188,19 +188,19 @@ def test_boolean_and_matches_python_reference(spark, scores):
     for (d, _), tf in scores["qtf"].items():
         per_doc[d] += 1
         total[d] += tf
-    hits = [d for d in per_doc if per_doc[d] == 3]
+    hits = [d for d in per_doc if per_doc[d] == len(_TERMS)]
     order = sorted(hits, key=lambda d: (-total[d], d))[:20]
     got = _run(spark, "doc_boolean_retrieval_and")
     assert [r["doc_id"] for r in got] == order
     for r in got:
-        assert r["tf_hash"] + r["tf_join"] + r["tf_stream"] == r["total_tf"] == total[r["doc_id"]]
+        assert sum(r[f"tf_{t}"] for t in _TERMS) == r["total_tf"] == total[r["doc_id"]]
 
 
 def test_mrr_eval_matches_python_reference(spark, scores):
     per_doc = Counter()
     for (d, _), _ in scores["qtf"].items():
         per_doc[d] += 1
-    rel = {d for d in per_doc if per_doc[d] == 3}
+    rel = {d for d in per_doc if per_doc[d] == len(_TERMS)}
     ra = _ranked(scores["b6"], 20)
     hits5 = sum(1 for d, r in ra.items() if d in rel and r <= 5)
     hits10 = sum(1 for d, r in ra.items() if d in rel and r <= 10)
