@@ -21414,6 +21414,512 @@ CATALOG["ml_irls_huber_price_qty"].fn = _dirlshuber
 
 
 # ===========================================================================
+# round-9 wave 2: k-group rank tests, dispersion, agreement, embedding QA
+# ===========================================================================
+
+register(
+    "ml_kruskal_wallis_quantity",
+    # the k-group extension of Mann-Whitney: Kruskal-Wallis rank ANOVA
+    # of quantity across all three return flags. Combined-sample
+    # average ranks come from the 50-value histogram (doubled to stay
+    # integer through ties); per-group rank sums are exact BIGINTs
+    # below 2^53, so every double they become is exact, and the H
+    # statistic is one written-order expression both engines share;
+    # the tie correction divides two exact integers.
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+    ),
+    vc AS (
+      SELECT q,
+             CAST(SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+             CAST(SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM x GROUP BY q
+    ),
+    cw AS (
+      SELECT q, ca, cn, cr, cnt,
+             2 * (SUM(cnt) OVER (ORDER BY q) - cnt) + cnt + 1 AS r2
+      FROM vc
+    ),
+    agg AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cn) AS BIGINT) AS nn,
+             CAST(SUM(cr) AS BIGINT) AS nr,
+             CAST(SUM(ca * r2) AS BIGINT) AS r2a,
+             CAST(SUM(cn * r2) AS BIGINT) AS r2n,
+             CAST(SUM(cr * r2) AS BIGINT) AS r2r,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum
+      FROM cw
+    )
+    SELECT n AS n_total, na AS n_a, nn AS n_n, nr AS n_r,
+           round(12.0 / (n * (n + 1.0))
+                 * ((r2a / 2.0) * (r2a / 2.0) / na
+                    + (r2n / 2.0) * (r2n / 2.0) / nn
+                    + (r2r / 2.0) * (r2r / 2.0) / nr)
+                 - 3.0 * (n + 1.0), 6) AS h_stat,
+           round(1.0 - CAST(tsum AS DOUBLE)
+                       / CAST(n * n * n - n AS DOUBLE), 6) AS tie_correction,
+           round((12.0 / (n * (n + 1.0))
+                  * ((r2a / 2.0) * (r2a / 2.0) / na
+                     + (r2n / 2.0) * (r2n / 2.0) / nn
+                     + (r2r / 2.0) * (r2r / 2.0) / nr)
+                  - 3.0 * (n + 1.0))
+                 / (1.0 - CAST(tsum AS DOUBLE)
+                          / CAST(n * n * n - n AS DOUBLE)), 6) AS h_corrected
+    FROM agg
+    """,
+)
+
+
+def _dkruskal(spark, sf_dir):
+    """Kruskal-Wallis over the value-domain histogram: one grouped
+    count over 50 quantity values carrying per-flag subcounts, a
+    running sum over that 50-row frame, one closing aggregate — the
+    k-group rank ANOVA for the cost of a GROUP BY, same skeleton the
+    Mann-Whitney query proved."""
+    li = t(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    vc = x.groupBy("q").agg(
+        F.sum(F.when(F.col("flag") == "A", 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("flag") == "N", 1).otherwise(0)).cast("long").alias("cn"),
+        F.sum(F.when(F.col("flag") == "R", 1).otherwise(0)).cast("long").alias("cr"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    w = Window.orderBy("q")
+    cw = vc.withColumn(
+        "r2", 2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1
+    )
+    agg = cw.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cn").cast("long").alias("nn"),
+        F.sum("cr").cast("long").alias("nr"),
+        F.sum(F.col("ca") * F.col("r2")).cast("long").alias("r2a"),
+        F.sum(F.col("cn") * F.col("r2")).cast("long").alias("r2n"),
+        F.sum(F.col("cr") * F.col("r2")).cast("long").alias("r2r"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tsum"),
+    )
+    n = F.col("n")
+    h = (
+        12.0
+        / (n * (n + 1.0))
+        * (
+            (F.col("r2a") / 2.0) * (F.col("r2a") / 2.0) / F.col("na")
+            + (F.col("r2n") / 2.0) * (F.col("r2n") / 2.0) / F.col("nn")
+            + (F.col("r2r") / 2.0) * (F.col("r2r") / 2.0) / F.col("nr")
+        )
+        - 3.0 * (n + 1.0)
+    )
+    tc = 1.0 - F.col("tsum").cast("double") / (n * n * n - n).cast("double")
+    return agg.select(
+        n.alias("n_total"),
+        F.col("na").alias("n_a"),
+        F.col("nn").alias("n_n"),
+        F.col("nr").alias("n_r"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(tc, 6).alias("tie_correction"),
+        F.round(h / tc, 6).alias("h_corrected"),
+    )
+
+
+CATALOG["ml_kruskal_wallis_quantity"].fn = _dkruskal
+
+register(
+    "ml_ks_two_sample_quantity",
+    # Kolmogorov-Smirnov two-sample test between returned and delivered
+    # quantities: D = max over values of |ecdf_R - ecdf_N|, kept exact
+    # by cross-multiplying the integer cumulative counts (|cum1*n2 -
+    # cum2*n1|) so the max and its argmax value are integer decisions;
+    # D and the scaled KS statistic are two final IEEE expressions.
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    vc AS (
+      SELECT q,
+             CAST(SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM x GROUP BY q
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM vc
+    ),
+    cw AS (
+      SELECT q,
+             SUM(c1) OVER (ORDER BY q) AS cum1,
+             SUM(c2) OVER (ORDER BY q) AS cum2
+      FROM vc
+    ),
+    gaps AS (
+      SELECT q, ABS(cum1 * tot.n2 - cum2 * tot.n1) AS num
+      FROM cw CROSS JOIN tot
+    ),
+    best AS (
+      SELECT CAST(MIN(q) AS BIGINT) AS at_value, MAX(num) AS dnum FROM gaps
+      WHERE num = (SELECT MAX(num) FROM gaps)
+    )
+    SELECT tot.n1 AS n_r, tot.n2 AS n_n, best.at_value,
+           round(CAST(best.dnum AS DOUBLE) / (tot.n1 * CAST(tot.n2 AS DOUBLE)), 6)
+               AS d_stat,
+           round(CAST(best.dnum AS DOUBLE) / (tot.n1 * CAST(tot.n2 AS DOUBLE))
+                 * sqrt(tot.n1 * CAST(tot.n2 AS DOUBLE) / (tot.n1 + tot.n2)), 6)
+               AS ks_stat
+    FROM best CROSS JOIN tot
+    """,
+)
+
+
+def _dkstest(spark, sf_dir):
+    """KS two-sample over the value-domain histogram: the ecdf gap is
+    an integer cross-multiplication per histogram row, the max and its
+    argmax are one aggregate over the 50-row frame — no per-row sort,
+    no quantile pass over raw data."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin("R", "N"))
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    vc = x.groupBy("q").agg(
+        F.sum(F.when(F.col("flag") == "R", 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("flag") == "N", 1).otherwise(0)).cast("long").alias("c2"),
+    ).localCheckpoint(eager=False)
+    tot = vc.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    w = Window.orderBy("q")
+    cw = vc.select(
+        "q", F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    gaps = cw.crossJoin(F.broadcast(tot)).select(
+        "q",
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias("num"),
+    )
+    best = gaps.agg(
+        F.max("num").alias("dnum"),
+        F.min(F.col("n1")).alias("n1"),
+        F.min(F.col("n2")).alias("n2"),
+    )
+    at_v = gaps.join(F.broadcast(best.select("dnum")), gaps.num == F.col("dnum")).agg(
+        F.min("q").cast("long").alias("at_value")
+    )
+    d = F.col("dnum").cast("double") / (F.col("n1") * F.col("n2").cast("double"))
+    return best.crossJoin(F.broadcast(at_v)).select(
+        F.col("n1").alias("n_r"),
+        F.col("n2").alias("n_n"),
+        "at_value",
+        F.round(d, 6).alias("d_stat"),
+        F.round(
+            d
+            * F.sqrt(
+                F.col("n1") * F.col("n2").cast("double") / (F.col("n1") + F.col("n2"))
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+CATALOG["ml_ks_two_sample_quantity"].fn = _dkstest
+
+register(
+    "evt_poisson_dispersion_daily",
+    # is daily traffic Poisson? The index of dispersion (variance-to-
+    # mean ratio) of daily event counts plus the chi-square dispersion
+    # statistic (n-1)*ID — both exact integer-sum rationals, one IEEE
+    # division each. ID >> 1 means burstier-than-Poisson (overdispersed)
+    # traffic, the signal that sizing on a Poisson assumption is wrong.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM daily
+    )
+    SELECT n AS n_days, s1 AS total_events,
+           round(s1 / CAST(n AS DOUBLE), 6) AS mean_daily,
+           round((n * s2 - s1 * s1) / (n * (n - 1.0)), 6) AS var_daily,
+           round((n * s2 - s1 * s1) / ((n - 1.0) * s1), 6) AS dispersion_index,
+           round((n * s2 - s1 * s1) / CAST(s1 AS DOUBLE), 6) AS chi2
+    FROM agg
+    """,
+)
+
+
+def _dpoissondisp(spark, sf_dir):
+    """Poisson dispersion check: the stream collapses to one day-keyed
+    count, the moments to one 3-column aggregate — every statistic
+    derives from (n, sum, sum-of-squares) integers."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    agg = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    num = n * s2 - s1 * s1
+    return agg.select(
+        n.alias("n_days"),
+        s1.alias("total_events"),
+        F.round(s1 / n.cast("double"), 6).alias("mean_daily"),
+        F.round(num / (n * (n - 1.0)), 6).alias("var_daily"),
+        F.round(num / ((n - 1.0) * s1), 6).alias("dispersion_index"),
+        F.round(num / s1.cast("double"), 6).alias("chi2"),
+    )
+
+
+CATALOG["evt_poisson_dispersion_daily"].fn = _dpoissondisp
+
+register(
+    "ml_cohens_kappa_lang",
+    # inter-rater agreement between TWO real classifiers over the NB
+    # test split: the trained Naive Bayes predictor vs the stopword
+    # lang-ID heuristic. Cohen's kappa stays exact until one division:
+    # kappa = (n*agree - S) / (n*n - S) with S = sum over classes of
+    # the two raters' marginal-count products — all BIGINTs.
+    oracle=f"""
+    WITH {_NB_CTES},
+    pred AS (
+      SELECT doc_id, lang AS nb_pred FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score6 DESC, lang) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    heur AS ({_LANG_CASE_SQL.replace("lang_pred", "heur_pred")}),
+    j AS MATERIALIZED (
+      SELECT p.nb_pred, h.heur_pred
+      FROM test_docs td
+      JOIN pred p USING (doc_id)
+      JOIN heur h USING (doc_id)
+    ),
+    nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN nb_pred = heur_pred THEN 1 ELSE 0 END) AS BIGINT)
+                 AS agree
+      FROM j
+    ),
+    ma AS (SELECT nb_pred AS cls, CAST(COUNT(*) AS BIGINT) AS cnt FROM j GROUP BY 1),
+    mb AS (SELECT heur_pred AS cls, CAST(COUNT(*) AS BIGINT) AS cnt FROM j GROUP BY 1),
+    s AS (
+      SELECT CAST(SUM(COALESCE(ma.cnt, 0) * COALESCE(mb.cnt, 0)) AS BIGINT) AS s
+      FROM ma FULL OUTER JOIN mb USING (cls)
+    )
+    SELECT nn.n AS n_docs, nn.agree AS n_agree, s.s AS marginal_product_sum,
+           round(nn.agree / CAST(nn.n AS DOUBLE), 6) AS observed_agreement,
+           round(s.s / (nn.n * CAST(nn.n AS DOUBLE)), 6) AS expected_agreement,
+           round(CAST(nn.n * nn.agree - s.s AS DOUBLE)
+                 / CAST(nn.n * nn.n - s.s AS BIGINT), 6) AS cohens_kappa
+    FROM nn CROSS JOIN s
+    """,
+)
+
+
+def _dkappa(spark, sf_dir):
+    """Cohen's kappa between the NB classifier and the lang-ID
+    heuristic: both raters' predictions join on the test split, the
+    confusion marginals are two class-keyed counts joined full-outer,
+    and kappa is exact integers until the final division — the
+    label-quality audit run before trusting weak labels at scale."""
+    from .ops import text
+
+    test, scored = _nb_frames(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__score6"), "lang")
+    pred = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("lang").alias("nb_pred"))
+    )
+    d = t(spark, sf_dir, "documents")
+    heur = d.select("doc_id", text.lang_id(F.col("text")).alias("heur_pred"))
+    j = (
+        test.select("doc_id")
+        .join(pred, "doc_id")
+        .join(heur, "doc_id")
+        .select("nb_pred", "heur_pred")
+        .localCheckpoint(eager=False)
+    )
+    nn = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("nb_pred") == F.col("heur_pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ma = j.groupBy(F.col("nb_pred").alias("cls")).agg(
+        F.count("*").cast("long").alias("ca")
+    )
+    mb = j.groupBy(F.col("heur_pred").alias("cls")).agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    s = (
+        ma.join(mb, "cls", "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("ca"), F.lit(0)) * F.coalesce(F.col("cb"), F.lit(0))
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    return nn.crossJoin(F.broadcast(s)).select(
+        F.col("n").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        F.col("s").alias("marginal_product_sum"),
+        F.round(F.col("agree") / F.col("n").cast("double"), 6).alias(
+            "observed_agreement"
+        ),
+        F.round(F.col("s") / (F.col("n") * F.col("n").cast("double")), 6).alias(
+            "expected_agreement"
+        ),
+        F.round(
+            (F.col("n") * F.col("agree") - F.col("s")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("s")).cast("long"),
+            6,
+        ).alias("cohens_kappa"),
+    )
+
+
+CATALOG["ml_cohens_kappa_lang"].fn = _dkappa
+
+register(
+    "emb_silhouette_by_label",
+    # embedding-space cluster quality: simplified silhouette per label
+    # (a = distance to the OWN label centroid, b = distance to the
+    # nearest OTHER centroid, s = (b-a)/max(a,b)). Centroid dims snap
+    # to 6dp (the k-means convention), per-dim squared gaps quantize to
+    # integer micro-units BEFORE summing so the 64-term sum is
+    # order-independent, and per-row silhouettes aggregate as micro-unit
+    # integers — the cluster-separation gauge next to the class-margin
+    # audit.
+    oracle="""
+    WITH dims AS MATERIALIZED (
+      SELECT vec_id, label,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+      SELECT label AS clabel, pos, round(AVG(CAST(x AS DOUBLE)), 6) AS c
+      FROM dims GROUP BY label, pos
+    ),
+    d2 AS (
+      SELECT d.vec_id, d.label, ct.clabel,
+             CAST(SUM(CAST(floor(round((CAST(d.x AS DOUBLE) - ct.c)
+                                        * (CAST(d.x AS DOUBLE) - ct.c), 6)
+                                  * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS d2_6
+      FROM dims d JOIN cent ct ON ct.pos = d.pos
+      GROUP BY d.vec_id, d.label, ct.clabel
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             CAST(MIN(CASE WHEN clabel = label THEN d2_6 END) AS BIGINT) AS own6,
+             CAST(MIN(CASE WHEN clabel <> label THEN d2_6 END) AS BIGINT) AS other6
+      FROM d2 GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT label,
+             CAST(floor(round((sqrt(other6 / 1000000.0) - sqrt(own6 / 1000000.0))
+                              / NULLIF(GREATEST(sqrt(own6 / 1000000.0),
+                                                sqrt(other6 / 1000000.0)), 0.0),
+                              6) * 1000000 + 0.5) AS BIGINT) AS s6
+      FROM ab
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(s6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+               AS mean_silhouette,
+           CAST(SUM(CASE WHEN s6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+
+
+def _dsilhouette(spark, sf_dir):
+    """Simplified silhouette: the 10x64 centroid table is one grouped
+    average (broadcast back as arrays), each vector meets all 10
+    centroids through a zip_with fold over its OWN array — no dim
+    explosion on the vector side, no pairwise vector distances
+    (classic silhouette is O(n^2); the centroid form is the one that
+    scales) — and the per-label rollup sums integer micro-units."""
+    e = t(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("__pc")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform("__pc", lambda s: s["c"]).alias("cvec"),
+        )
+    )
+    term = lambda x, c: F.floor(  # noqa: E731
+        F.round((x.cast("double") - c) * (x.cast("double") - c), 6) * 1e6 + 0.5
+    ).cast("long")
+    d2 = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.aggregate(
+                F.zip_with(F.col("embedding"), F.col("cvec"), term),
+                F.lit(0).cast("long"),
+                lambda acc, z: acc + z,
+            ).alias("d2_6"),
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2_6")))
+        .cast("long")
+        .alias("own6"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2_6")))
+        .cast("long")
+        .alias("other6"),
+    )
+    a = F.sqrt(F.col("own6") / 1e6)
+    b = F.sqrt(F.col("other6") / 1e6)
+    s6 = F.floor(
+        F.round((b - a) / F.nullif(F.greatest(a, b), F.lit(0.0)), 6) * 1e6 + 0.5
+    ).cast("long")
+    s = ab.select("label", s6.alias("s6"))
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.sum("s6").cast("double") / F.count("*") / 1e6, 6).alias(
+                "mean_silhouette"
+            ),
+            F.sum(F.when(F.col("s6") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_positive"),
+        )
+        .orderBy("label")
+    )
+
+
+CATALOG["emb_silhouette_by_label"].fn = _dsilhouette
+
+
+# ===========================================================================
 # catalog ordering: the driver's evidence window
 # ===========================================================================
 # The correctness driver samples the FIRST 50 catalog entries each round.

@@ -161,6 +161,9 @@ _SCALAR_BROADCAST_OK = {
     "evt_runs_test_daily",         # 1-row day-count/total scalar (sign threshold)
     "ml_isotonic_urgent_rate",     # 1-row decile edges + 10-row triangular bin joins
     "ml_irls_huber_price_qty",     # 1-row parameter broadcast per IRLS round
+    "ml_ks_two_sample_quantity",   # 1-row group-total scalar + 1-row argmax row
+    "ml_cohens_kappa_lang",        # NB 5-row lang table + 1-row marginal-product scalar
+    "emb_silhouette_by_label",     # broadcast 10-row centroid-array table
 }
 
 
@@ -184,6 +187,8 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "doc_ranker_kendall_tau",      # re-rank row_number over the 20-row top-k join
     "ml_mann_whitney_u_quantity",  # running sum over the 50-value quantity histogram
     "evt_runs_test_daily",         # lag over the calendar-day aggregate
+    "ml_kruskal_wallis_quantity",  # running sum over the 50-value quantity histogram
+    "ml_ks_two_sample_quantity",   # cumulative counts over the same 50-value frame
 }
 
 

@@ -399,6 +399,186 @@ def test_isotonic_matches_sequential_pava(spark, con):
         prev = r["urgent_rate_iso"]
 
 
+def test_kruskal_wallis_matches_python_reference(spark, con):
+    rows = con.execute(
+        f"""SELECT l_returnflag, CAST(l_quantity AS BIGINT)
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    per_v: dict = {}
+    for f, q in rows:
+        per_v.setdefault(q, Counter())[f] += 1
+    n = len(rows)
+    cum = 0
+    r2sum = Counter()
+    tsum = 0
+    for v in sorted(per_v):
+        cnt = sum(per_v[v].values())
+        r2 = 2 * cum + cnt + 1
+        for f, c in per_v[v].items():
+            r2sum[f] += c * r2
+        tsum += cnt * cnt * cnt - cnt
+        cum += cnt
+    ng = Counter(f for f, _ in rows)
+    h = (
+        12.0
+        / (n * (n + 1.0))
+        * (
+            (r2sum["A"] / 2.0) * (r2sum["A"] / 2.0) / ng["A"]
+            + (r2sum["N"] / 2.0) * (r2sum["N"] / 2.0) / ng["N"]
+            + (r2sum["R"] / 2.0) * (r2sum["R"] / 2.0) / ng["R"]
+        )
+        - 3.0 * (n + 1.0)
+    )
+    tc = 1.0 - float(tsum) / float(n * n * n - n)
+    [r] = _run(spark, "ml_kruskal_wallis_quantity")
+    assert (r["n_total"], r["n_a"], r["n_n"], r["n_r"]) == (n, ng["A"], ng["N"], ng["R"])
+    assert r["h_stat"] == _r6(h)
+    assert r["tie_correction"] == _r6(tc)
+    assert r["h_corrected"] == _r6(h / tc)
+
+
+def test_ks_two_sample_matches_python_reference(spark, con):
+    rows = con.execute(
+        f"""SELECT l_returnflag, CAST(l_quantity AS BIGINT)
+            FROM '{SF}/lineitem.parquet' WHERE l_returnflag IN ('R', 'N')"""
+    ).fetchall()
+    c1 = Counter(q for f, q in rows if f == "R")
+    c2 = Counter(q for f, q in rows if f == "N")
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    cum1 = cum2 = 0
+    best_num, best_v = -1, None
+    for v in sorted(set(c1) | set(c2)):
+        cum1 += c1.get(v, 0)
+        cum2 += c2.get(v, 0)
+        num = abs(cum1 * n2 - cum2 * n1)
+        if num > best_num:
+            best_num, best_v = num, v
+    d = float(best_num) / (n1 * float(n2))
+    [r] = _run(spark, "ml_ks_two_sample_quantity")
+    assert (r["n_r"], r["n_n"], r["at_value"]) == (n1, n2, best_v)
+    assert r["d_stat"] == _r6(d)
+    assert r["ks_stat"] == _r6(d * math.sqrt(n1 * float(n2) / (n1 + n2)))
+
+
+def test_poisson_dispersion_matches_python_reference(spark, con):
+    rows = con.execute(
+        f"""SELECT CAST(ts AS DATE), COUNT(*) FROM '{SF}/events.parquet'
+            GROUP BY 1"""
+    ).fetchall()
+    n = len(rows)
+    s1 = sum(c for _, c in rows)
+    s2 = sum(c * c for _, c in rows)
+    num = n * s2 - s1 * s1
+    [r] = _run(spark, "evt_poisson_dispersion_daily")
+    assert (r["n_days"], r["total_events"]) == (n, s1)
+    assert r["mean_daily"] == _r6(s1 / float(n))
+    assert r["var_daily"] == _r6(num / (n * (n - 1.0)))
+    assert r["dispersion_index"] == _r6(num / ((n - 1.0) * s1))
+    assert r["chi2"] == _r6(num / float(s1))
+
+
+_LANG_WORDS = {
+    "en": ("the", "and", "of", "to", "in", "a", "is"),
+    "es": ("el", "la", "de", "que", "y", "los", "es"),
+    "de": ("der", "die", "und", "das", "ein", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+}
+
+
+def _py_lang_id(text: str) -> str:
+    s = {
+        lang: len(re.findall(r"\b(?:%s)\b" % "|".join(ws), text.lower()))
+        for lang, ws in _LANG_WORDS.items()
+    }
+    if sum(s.values()) == 0:
+        return "und"
+    for lang in ("en", "es", "de"):
+        if all(s[lang] >= s[o] for o in list(s)[list(s).index(lang) + 1 :]):
+            return lang
+    return "fr"
+
+
+def test_cohens_kappa_matches_python_reference(spark, con):
+    """NB rebuilt from scratch (the r8 margin-test recipe) + the
+    stopword heuristic rebuilt from its word lists: both raters'
+    predictions, the marginal-product sum, and kappa all re-derived
+    independently."""
+    import hashlib
+    from collections import defaultdict
+
+    def _hash01(key: str) -> float:
+        return int(hashlib.sha256(key.encode()).hexdigest()[:8], 16) / 4294967296.0
+
+    docs = con.execute(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    train, test = [], []
+    for did, lang, txt in docs:
+        tk = [w for w in txt.lower().strip().split() if w]
+        (train if _hash01(f"{did}nb") < 0.7 else test).append((did, lang, tk, txt))
+    c = defaultdict(Counter)
+    for _, lang, tk, _ in train:
+        c[lang].update(tk)
+    tl = {lang: sum(cnt.values()) for lang, cnt in c.items()}
+    vocab = len({w for cnt in c.values() for w in cnt})
+    nd = Counter(lang for _, lang, _, _ in train)
+    langs = sorted(nd)
+    prior = {lang: _micro_ln(nd[lang] / len(train)) for lang in langs}
+    pairs = []
+    for did, _, tk, txt in test:
+        scores = {
+            lang: prior[lang]
+            + sum(_micro_ln((c[lang].get(w, 0) + 1.0) / (tl[lang] + vocab)) for w in tk)
+            for lang in langs
+        }
+        nb = sorted(langs, key=lambda g: (-scores[g], g))[0]
+        pairs.append((nb, _py_lang_id(txt)))
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    ma = Counter(a for a, _ in pairs)
+    mb = Counter(b for _, b in pairs)
+    s = sum(ma[cls] * mb.get(cls, 0) for cls in ma)
+    [r] = _run(spark, "ml_cohens_kappa_lang")
+    assert (r["n_docs"], r["n_agree"], r["marginal_product_sum"]) == (n, agree, s)
+    assert r["observed_agreement"] == _r6(agree / float(n))
+    assert r["expected_agreement"] == _r6(s / (n * float(n)))
+    assert r["cohens_kappa"] == _r6(float(n * agree - s) / (n * n - s))
+
+
+def test_silhouette_matches_python_reference(spark, con):
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    by_label: dict = {}
+    for _, lab, emb in rows:
+        by_label.setdefault(lab, []).append(emb)
+    cent = {
+        lab: [_r6(sum(float(e[i]) for e in embs) / len(embs)) for i in range(64)]
+        for lab, embs in by_label.items()
+    }
+    agg: dict = {}
+    for _, lab, emb in rows:
+        d2 = {
+            cl: sum(_micro((float(x) - c) * (float(x) - c)) for x, c in zip(emb, cv))
+            for cl, cv in cent.items()
+        }
+        own = d2[lab]
+        other = min(v for cl, v in d2.items() if cl != lab)
+        a, b = math.sqrt(own / 1e6), math.sqrt(other / 1e6)
+        # max(a,b)==0 maps to SQL NULLIF -> s6 NULL: SUM skips it (== +0)
+        # but COUNT(*) still counts the row and NULL>0 is false
+        s6 = 0 if max(a, b) == 0 else _micro((b - a) / max(a, b))
+        n, tot, pos = agg.get(lab, (0, 0, 0))
+        agg[lab] = (n + 1, tot + s6, pos + (1 if s6 > 0 else 0))
+    got = {r["label"]: r for r in _run(spark, "emb_silhouette_by_label")}
+    assert set(got) == set(agg)
+    for lab, (n, tot, pos) in agg.items():
+        r = got[lab]
+        assert r["n_vecs"] == n
+        assert r["mean_silhouette"] == _r6(tot / n / 1e6)
+        assert r["n_positive"] == pos
+
+
 def test_irls_huber_matches_python_reference(spark, con):
     from real_estate_data_pipeline_spark.queries import _HUBER_D6
 
