@@ -20775,7 +20775,7 @@ register(
       SELECT CAST(SUM(n1) AS BIGINT) AS nr,
              CAST(SUM(n2) AS BIGINT) AS nn,
              CAST(SUM(n1 * (2 * cum2_less + n2)) AS BIGINT) AS u2x,
-             CAST(SUM((n1 + n2) * (n1 + n2) * (n1 + n2) - (n1 + n2)) AS BIGINT) AS tsum
+             CAST(SUM((n1 + n2) * (n1 + n2) * (n1 + n2) - (n1 + n2)) AS DOUBLE) AS tsum
       FROM cw
     )
     SELECT nr AS n_r, nn AS n_n,
@@ -20783,12 +20783,12 @@ register(
            nr * CAST(nn AS DOUBLE) / 2.0 AS mu_u,
            round(nr * CAST(nn AS DOUBLE) / 12.0
                  * ((nr + nn + 1)
-                    - CAST(tsum AS DOUBLE)
+                    - tsum
                       / ((nr + nn) * (nr + nn - 1.0))), 6) AS var_u,
            round((u2x / 2.0 - nr * CAST(nn AS DOUBLE) / 2.0)
                  / sqrt(nr * CAST(nn AS DOUBLE) / 12.0
                         * ((nr + nn + 1)
-                           - CAST(tsum AS DOUBLE)
+                           - tsum
                              / ((nr + nn) * (nr + nn - 1.0)))), 6) AS z
     FROM agg
     """,
@@ -20818,7 +20818,7 @@ def _dmannwhitney(spark, sf_dir):
         F.sum(F.col("n1") * (2 * F.col("cum2_less") + F.col("n2")))
         .cast("long")
         .alias("u2x"),
-        F.sum(tt * tt * tt - tt).cast("long").alias("tsum"),
+        F.sum((tt * tt * tt - tt).cast("decimal(38,0)")).cast("double").alias("tsum"),
     )
     var_u = (
         F.col("nr")
@@ -20826,7 +20826,7 @@ def _dmannwhitney(spark, sf_dir):
         / 12.0
         * (
             (F.col("nr") + F.col("nn") + 1)
-            - F.col("tsum").cast("double")
+            - F.col("tsum")
             / ((F.col("nr") + F.col("nn")) * (F.col("nr") + F.col("nn") - 1.0))
         )
     )
@@ -20871,10 +20871,10 @@ register(
       FROM x GROUP BY flag, dc
     ),
     tx AS (
-      SELECT flag, CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tq FROM qv GROUP BY flag
+      SELECT flag, CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tq FROM qv GROUP BY flag
     ),
     ty AS (
-      SELECT flag, CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS td FROM dv GROUP BY flag
+      SELECT flag, CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS td FROM dv GROUP BY flag
     ),
     rr AS (
       SELECT x.flag,
@@ -20885,15 +20885,15 @@ register(
     ),
     ag AS (
       SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(d2 * d2) AS BIGINT) AS sd2
+             CAST(SUM(d2 * d2) AS DOUBLE) AS sd2
       FROM rr GROUP BY flag
     )
     SELECT ag.flag AS l_returnflag, ag.n AS n_rows,
-           round((CAST((ag.n * ag.n * ag.n - ag.n) - tx.tq AS DOUBLE)
-                  + CAST((ag.n * ag.n * ag.n - ag.n) - ty.td AS DOUBLE)
+           round((((CAST(ag.n AS DOUBLE) * ag.n * ag.n - ag.n) - tx.tq)
+                  + ((CAST(ag.n AS DOUBLE) * ag.n * ag.n - ag.n) - ty.td)
                   - 3.0 * ag.sd2)
-                 / (2 * sqrt(CAST((ag.n * ag.n * ag.n - ag.n) - tx.tq AS DOUBLE)
-                             * CAST((ag.n * ag.n * ag.n - ag.n) - ty.td AS DOUBLE))),
+                 / (2 * sqrt(((CAST(ag.n AS DOUBLE) * ag.n * ag.n - ag.n) - tx.tq)
+                             * ((CAST(ag.n AS DOUBLE) * ag.n * ag.n - ag.n) - ty.td))),
                  6) AS rho_spearman
     FROM ag JOIN tx ON tx.flag = ag.flag JOIN ty ON ty.flag = ag.flag
     ORDER BY l_returnflag
@@ -20926,16 +20926,11 @@ def _dspearman(spark, sf_dir):
 
     qv = _ranks("q").localCheckpoint(eager=False)
     dv = _ranks("dc").localCheckpoint(eager=False)
-    tx = qv.groupBy("flag").agg(
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
-        .cast("long")
-        .alias("tq")
-    )
-    ty = dv.groupBy("flag").agg(
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
-        .cast("long")
-        .alias("td")
-    )
+    _t3 = lambda c: F.sum(  # noqa: E731
+        (c * c * c - c).cast("decimal(38,0)")
+    ).cast("double")
+    tx = qv.groupBy("flag").agg(_t3(F.col("cnt")).alias("tq"))
+    ty = dv.groupBy("flag").agg(_t3(F.col("cnt")).alias("td"))
     rr = (
         x.join(F.broadcast(qv.select("flag", "q", F.col("r2").alias("rq"))), ["flag", "q"])
         .join(F.broadcast(dv.select("flag", "dc", F.col("r2").alias("rd"))), ["flag", "dc"])
@@ -20943,11 +20938,13 @@ def _dspearman(spark, sf_dir):
     )
     ag = rr.groupBy("flag").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.col("d2") * F.col("d2")).cast("long").alias("sd2"),
+        F.sum((F.col("d2") * F.col("d2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sd2"),
     )
-    n3n = F.col("n") * F.col("n") * F.col("n") - F.col("n")
-    sx = (n3n - F.col("tq")).cast("double")
-    sy = (n3n - F.col("td")).cast("double")
+    n3n = F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    sx = n3n - F.col("tq")
+    sy = n3n - F.col("td")
     return (
         ag.join(F.broadcast(tx), "flag")
         .join(F.broadcast(ty), "flag")
@@ -21450,7 +21447,7 @@ register(
              CAST(SUM(ca * r2) AS BIGINT) AS r2a,
              CAST(SUM(cn * r2) AS BIGINT) AS r2n,
              CAST(SUM(cr * r2) AS BIGINT) AS r2r,
-             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum
+             CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tsum
       FROM cw
     )
     SELECT n AS n_total, na AS n_a, nn AS n_n, nr AS n_r,
@@ -21459,15 +21456,15 @@ register(
                     + (r2n / 2.0) * (r2n / 2.0) / nn
                     + (r2r / 2.0) * (r2r / 2.0) / nr)
                  - 3.0 * (n + 1.0), 6) AS h_stat,
-           round(1.0 - CAST(tsum AS DOUBLE)
-                       / CAST(n * n * n - n AS DOUBLE), 6) AS tie_correction,
+           round(1.0 - tsum
+                       / (CAST(n AS DOUBLE) * n * n - n), 6) AS tie_correction,
            round((12.0 / (n * (n + 1.0))
                   * ((r2a / 2.0) * (r2a / 2.0) / na
                      + (r2n / 2.0) * (r2n / 2.0) / nn
                      + (r2r / 2.0) * (r2r / 2.0) / nr)
                   - 3.0 * (n + 1.0))
-                 / (1.0 - CAST(tsum AS DOUBLE)
-                          / CAST(n * n * n - n AS DOUBLE)), 6) AS h_corrected
+                 / (1.0 - tsum
+                          / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_corrected
     FROM agg
     """,
 )
@@ -21502,8 +21499,12 @@ def _dkruskal(spark, sf_dir):
         F.sum(F.col("ca") * F.col("r2")).cast("long").alias("r2a"),
         F.sum(F.col("cn") * F.col("r2")).cast("long").alias("r2n"),
         F.sum(F.col("cr") * F.col("r2")).cast("long").alias("r2r"),
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
-        .cast("long")
+        F.sum(
+            (F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
         .alias("tsum"),
     )
     n = F.col("n")
@@ -21517,7 +21518,7 @@ def _dkruskal(spark, sf_dir):
         )
         - 3.0 * (n + 1.0)
     )
-    tc = 1.0 - F.col("tsum").cast("double") / (n * n * n - n).cast("double")
+    tc = 1.0 - F.col("tsum") / (n.cast("double") * n * n - n)
     return agg.select(
         n.alias("n_total"),
         F.col("na").alias("n_a"),

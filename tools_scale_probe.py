@@ -117,6 +117,16 @@ HEAVY = [
     "sketch_cms_merge_equivalence",
     "doc_vocab_chao1_richness",
     "doc_token_simpson_diversity",
+    # round-9 wave 2: the 10x run of ml_kruskal_wallis caught a REAL
+    # at-scale bug (n^3 - n overflowed BIGINT at 6M rows), after which
+    # the whole rank-stat family moved its cubic terms/sums to exact
+    # HUGEINT/decimal(38,0) accumulation with one double cast — keep
+    # probing these so the fix stays proven
+    "ml_kruskal_wallis_quantity",
+    "ml_ks_two_sample_quantity",
+    "evt_poisson_dispersion_daily",
+    "ml_cohens_kappa_lang",
+    "emb_silhouette_by_label",
 ]
 
 
