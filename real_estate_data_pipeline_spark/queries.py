@@ -21919,6 +21919,259 @@ def _dsilhouette(spark, sf_dir):
 
 CATALOG["emb_silhouette_by_label"].fn = _dsilhouette
 
+register(
+    "evt_page_hinkley_hourly",
+    # the fourth member of the drift family (CUSUM, change-point, PSI —
+    # and now Page-Hinkley, the sequential mean-shift detector): per
+    # event_type, U_t = sum_{i<=t} (x_i - mean_i - delta) where mean_i
+    # is the RUNNING prefix mean, and PH_t = U_t - min_{s<=t} U_s — the
+    # same prefix-sum-minus-running-min identity that de-recursed
+    # CUSUM. The running mean quantizes to floor micro-cents (one
+    # double division of exact integers per row), so U is an exact
+    # integer series and the argmax alarm hour is an integer decision.
+    # delta = 100 cents of hourly tolerance.
+    oracle=f"""
+    WITH {_HOURLY_TYPE_CENTS_CTE},
+    idx AS (
+      SELECT event_type, h, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i,
+             SUM(cents) OVER (PARTITION BY event_type ORDER BY h) AS s
+      FROM obs
+    ),
+    dev AS (
+      SELECT event_type, h,
+             cents * 1000000
+               - CAST(floor(s * 1000000.0 / i) AS BIGINT)
+               - 100000000 AS d6
+      FROM idx
+    ),
+    u AS (
+      SELECT event_type, h,
+             SUM(d6) OVER (PARTITION BY event_type ORDER BY h) AS u6
+      FROM dev
+    ),
+    ph AS (
+      SELECT event_type, h,
+             u6 - MIN(u6) OVER (PARTITION BY event_type ORDER BY h) AS ph6
+      FROM u
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           round(MAX(ph6) / 100000000.0, 6) AS ph_max_value,
+           strftime(MIN(CASE WHEN ph6 = mx THEN h END), '%Y-%m-%d %H:%M:%S')
+               AS alarm_hour,
+           MAX(ph6) / 100000000.0 >= 1000.0 AS alarm
+    FROM (SELECT *, MAX(ph6) OVER (PARTITION BY event_type) AS mx FROM ph)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+
+def _dpagehinkley(spark, sf_dir):
+    """Page-Hinkley without recursion: three windows over ONE
+    (event_type)-partitioned sort — prefix sum (for the running mean),
+    prefix sum of deviations, running min — then a per-type rollup.
+    The plan is one exchange + one sort reused by every window; at
+    100 TB the state per type is the window frame, nothing quadratic."""
+    obs = _hourly_type_cents(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("h")
+    idx = obs.select(
+        "event_type",
+        "h",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.sum("cents").over(w).alias("s"),
+    )
+    dev = idx.select(
+        "event_type",
+        "h",
+        (
+            F.col("cents") * F.lit(1000000)
+            - F.floor(F.col("s") * 1000000.0 / F.col("i")).cast("long")
+            - F.lit(100000000)
+        ).alias("d6"),
+    )
+    u = dev.select("event_type", "h", F.sum("d6").over(w).alias("u6"))
+    ph = u.select(
+        "event_type", "h", (F.col("u6") - F.min("u6").over(w)).alias("ph6")
+    )
+    mx = ph.withColumn("mx", F.max("ph6").over(Window.partitionBy("event_type")))
+    return (
+        mx.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.round(F.max("ph6") / 1e8, 6).alias("ph_max_value"),
+            F.date_format(
+                F.min(F.when(F.col("ph6") == F.col("mx"), F.col("h"))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("alarm_hour"),
+            (F.max("ph6") / 1e8 >= 1000.0).alias("alarm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CATALOG["evt_page_hinkley_hourly"].fn = _dpagehinkley
+
+register(
+    "ml_gini_split_ranking",
+    # the decision-tree split primitive in pure relational algebra:
+    # rank three candidate categorical features (linestatus, a 4-band
+    # quantity bucketing, the 11-value discount-cents domain) by Gini
+    # gain against the return-flag target. Per-value impurity mass
+    # (n_v^2 - sum_c n_vc^2)/n_v quantizes to micro-units (exact
+    # doubles below 2^53 feed ONE division), the weighted child
+    # impurity is an integer sum over feature values, and the root
+    # impurity is shared by construction.
+    oracle="""
+    WITH x AS MATERIALIZED (
+      SELECT feature, val, flag FROM (
+        SELECT 'linestatus' AS feature, l_linestatus AS val,
+               l_returnflag AS flag
+        FROM lineitem
+        UNION ALL
+        SELECT 'qty_band',
+               CASE WHEN CAST(l_quantity AS BIGINT) <= 10 THEN 'q1_10'
+                    WHEN CAST(l_quantity AS BIGINT) <= 25 THEN 'q11_25'
+                    WHEN CAST(l_quantity AS BIGINT) <= 40 THEN 'q26_40'
+                    ELSE 'q41_50' END,
+               l_returnflag
+        FROM lineitem
+        UNION ALL
+        SELECT 'disc_cents',
+               CAST(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+                    AS VARCHAR),
+               l_returnflag
+        FROM lineitem
+      )
+    ),
+    fvc AS (
+      SELECT feature, val, flag, CAST(COUNT(*) AS BIGINT) AS c
+      FROM x GROUP BY 1, 2, 3
+    ),
+    fv AS (
+      SELECT feature, val,
+             CAST(SUM(c) AS BIGINT) AS nv,
+             CAST(SUM(c * c) AS BIGINT) AS sq
+      FROM fvc GROUP BY 1, 2
+    ),
+    vterm AS (
+      SELECT feature, val, nv,
+             CAST(floor(round((CAST(nv AS DOUBLE) * nv - sq) / nv, 6)
+                        * 1000000 + 0.5) AS BIGINT) AS t6
+      FROM fv
+    ),
+    root AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(cc * cc) AS BIGINT) AS sqr
+      FROM (
+        SELECT flag, CAST(SUM(c) AS BIGINT) AS cc, CAST(SUM(c) AS BIGINT) AS c
+        FROM (SELECT flag, c FROM fvc WHERE feature = 'linestatus') GROUP BY flag
+      )
+    ),
+    agg AS (
+      SELECT feature,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(SUM(t6) AS BIGINT) AS wg6
+      FROM vterm GROUP BY feature
+    )
+    SELECT agg.feature, agg.n_values,
+           round((CAST(root.n AS DOUBLE) * root.n - root.sqr)
+                 / root.n / root.n, 6) AS gini_root,
+           round(wg6 / 1000000.0 / root.n, 6) AS gini_weighted,
+           round((CAST(root.n AS DOUBLE) * root.n - root.sqr) / root.n / root.n
+                 - wg6 / 1000000.0 / root.n, 6) AS gini_gain
+    FROM agg CROSS JOIN root
+    ORDER BY gini_gain DESC, feature
+    """,
+)
+
+
+def _dginisplit(spark, sf_dir):
+    """Gini split ranking: the three features melt into one
+    (feature, value, class) count pass (a single shuffle on a
+    low-cardinality key), per-value impurity mass reduces to a
+    feature-count-sized frame, and the root term is a 1-row broadcast
+    — how a distributed tree learner scores candidate splits without
+    ever re-scanning per feature."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    qty_band = (
+        F.when(q <= 10, "q1_10")
+        .when(q <= 25, "q11_25")
+        .when(q <= 40, "q26_40")
+        .otherwise("q41_50")
+    )
+    disc_cents = (
+        (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long").cast("string")
+    )
+    x = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("linestatus").alias("feature"),
+                    F.col("l_linestatus").alias("val"),
+                ),
+                F.struct(F.lit("qty_band").alias("feature"), qty_band.alias("val")),
+                F.struct(
+                    F.lit("disc_cents").alias("feature"), disc_cents.alias("val")
+                ),
+            )
+        ).alias("fv"),
+        F.col("l_returnflag").alias("flag"),
+    ).select("fv.feature", "fv.val", "flag")
+    fvc = x.groupBy("feature", "val", "flag").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    fv = fvc.groupBy("feature", "val").agg(
+        F.sum("c").cast("long").alias("nv"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    vterm = fv.select(
+        "feature",
+        "nv",
+        F.floor(
+            F.round(
+                (F.col("nv").cast("double") * F.col("nv") - F.col("sq")) / F.col("nv"),
+                6,
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("t6"),
+    )
+    root = (
+        fvc.filter(F.col("feature") == "linestatus")
+        .groupBy("flag")
+        .agg(F.sum("c").cast("long").alias("cc"))
+        .agg(
+            F.sum("cc").cast("long").alias("n"),
+            F.sum(F.col("cc") * F.col("cc")).cast("long").alias("sqr"),
+        )
+    )
+    agg = vterm.groupBy("feature").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("t6").cast("long").alias("wg6"),
+    )
+    g_root = (
+        F.col("n").cast("double") * F.col("n") - F.col("sqr")
+    ) / F.col("n") / F.col("n")
+    wg = F.col("wg6") / 1e6 / F.col("n")
+    return (
+        agg.crossJoin(F.broadcast(root))
+        .select(
+            "feature",
+            "n_values",
+            F.round(g_root, 6).alias("gini_root"),
+            F.round(wg, 6).alias("gini_weighted"),
+            F.round(g_root - wg, 6).alias("gini_gain"),
+        )
+        .orderBy(F.desc("gini_gain"), "feature")
+    )
+
+
+CATALOG["ml_gini_split_ranking"].fn = _dginisplit
+
 
 # ===========================================================================
 # catalog ordering: the driver's evidence window

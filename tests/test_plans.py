@@ -164,6 +164,7 @@ _SCALAR_BROADCAST_OK = {
     "ml_ks_two_sample_quantity",   # 1-row group-total scalar + 1-row argmax row
     "ml_cohens_kappa_lang",        # NB 5-row lang table + 1-row marginal-product scalar
     "emb_silhouette_by_label",     # broadcast 10-row centroid-array table
+    "ml_gini_split_ranking",       # 1-row root-impurity scalar
 }
 
 

@@ -579,6 +579,77 @@ def test_silhouette_matches_python_reference(spark, con):
         assert r["n_positive"] == pos
 
 
+def test_page_hinkley_matches_python_reference(spark, con):
+    rows = con.execute(
+        f"""SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    series: dict = {}
+    for et, h, c in rows:
+        series.setdefault(et, []).append((h, int(c)))
+    got = {r["event_type"]: r for r in _run(spark, "evt_page_hinkley_hourly")}
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        s = u = 0
+        run_min = 0
+        best, best_h = -1, None
+        for i, (h, c) in enumerate(pts, start=1):
+            s += c
+            u += c * 1000000 - math.floor(s * 1000000.0 / i) - 100000000
+            run_min = min(run_min, u)
+            ph = u - run_min
+            if ph > best:
+                best, best_h = ph, h
+        r = got[et]
+        assert r["n_hours"] == len(pts)
+        assert r["ph_max_value"] == _r6(best / 1e8)
+        assert r["alarm_hour"] == best_h.strftime("%Y-%m-%d %H:%M:%S")
+        assert r["alarm"] == (best / 1e8 >= 1000.0)
+
+
+def test_gini_split_ranking_matches_python_reference(spark, con):
+    rows = con.execute(
+        f"""SELECT l_linestatus, CAST(l_quantity AS BIGINT),
+                   CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT),
+                   l_returnflag
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+
+    def qband(q):
+        return "q1_10" if q <= 10 else "q11_25" if q <= 25 else "q26_40" if q <= 40 else "q41_50"
+
+    feats = {
+        "linestatus": lambda r: r[0],
+        "qty_band": lambda r: qband(r[1]),
+        "disc_cents": lambda r: str(r[2]),
+    }
+    n = len(rows)
+    root_c = Counter(r[3] for r in rows)
+    g_root = (float(n) * n - sum(c * c for c in root_c.values())) / n / n
+    got = {r["feature"]: r for r in _run(spark, "ml_gini_split_ranking")}
+    assert set(got) == set(feats)
+    gains = {}
+    for feat, fn in feats.items():
+        fvc: dict = {}
+        for r in rows:
+            fvc.setdefault(fn(r), Counter())[r[3]] += 1
+        wg6 = 0
+        for cnt in fvc.values():
+            nv = sum(cnt.values())
+            sq = sum(c * c for c in cnt.values())
+            wg6 += _micro((float(nv) * nv - sq) / nv)
+        res = got[feat]
+        assert res["n_values"] == len(fvc)
+        assert res["gini_root"] == _r6(g_root)
+        assert res["gini_weighted"] == _r6(wg6 / 1e6 / n)
+        gains[feat] = res["gini_gain"]
+        assert res["gini_gain"] == _r6(g_root - wg6 / 1e6 / n)
+    # output must come back ranked by gain
+    order = [r["feature"] for r in _run(spark, "ml_gini_split_ranking")]
+    assert order == sorted(gains, key=lambda f: (-gains[f], f))
+
+
 def test_irls_huber_matches_python_reference(spark, con):
     from real_estate_data_pipeline_spark.queries import _HUBER_D6
 

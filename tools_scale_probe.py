@@ -127,6 +127,11 @@ HEAVY = [
     "evt_poisson_dispersion_daily",
     "ml_cohens_kappa_lang",
     "emb_silhouette_by_label",
+    # round-9 wave 3: Page-Hinkley (three windows over one partitioned
+    # sort — ~flat) and Gini split ranking (one melt + low-cardinality
+    # count shuffle — ~flat)
+    "evt_page_hinkley_hourly",
+    "ml_gini_split_ranking",
 ]
 
 
