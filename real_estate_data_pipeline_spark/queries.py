@@ -6034,9 +6034,10 @@ CATALOG["sample_balanced_class_downsample"].fn = _dbalance
 
 # Shared hourly-totals stage: exact cents per (event_type, hour) — the
 # obs CTE/frame consumed by the moving average, the EWMA family (single
-# and Brown double), the change-point detector, the peak detector and
-# the sliding median. Single-sourced so the bucketing recipe (the
-# decimal cast and the *100 snap) can never drift between copies.
+# and Brown double), the change-point detector, the peak detector, the
+# sliding median and the Page-Hinkley detector. Single-sourced so the
+# bucketing recipe (the decimal cast and the *100 snap) can never drift
+# between copies.
 _HOURLY_TYPE_CENTS_CTE = """obs AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
@@ -20774,8 +20775,9 @@ register(
     agg AS (
       SELECT CAST(SUM(n1) AS BIGINT) AS nr,
              CAST(SUM(n2) AS BIGINT) AS nn,
-             CAST(SUM(n1 * (2 * cum2_less + n2)) AS BIGINT) AS u2x,
-             CAST(SUM((n1 + n2) * (n1 + n2) * (n1 + n2) - (n1 + n2)) AS DOUBLE) AS tsum
+             CAST(SUM(CAST(n1 AS HUGEINT) * (2 * cum2_less + n2)) AS DOUBLE) AS u2x,
+             CAST(SUM(CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2)
+                      - (n1 + n2)) AS DOUBLE) AS tsum
       FROM cw
     )
     SELECT nr AS n_r, nn AS n_n,
@@ -20815,10 +20817,20 @@ def _dmannwhitney(spark, sf_dir):
     agg = cw.agg(
         F.sum("n1").cast("long").alias("nr"),
         F.sum("n2").cast("long").alias("nn"),
-        F.sum(F.col("n1") * (2 * F.col("cum2_less") + F.col("n2")))
-        .cast("long")
+        F.sum(
+            F.col("n1").cast("decimal(18,0)")
+            * (2 * F.col("cum2_less") + F.col("n2"))
+        )
+        .cast("double")
         .alias("u2x"),
-        F.sum((tt * tt * tt - tt).cast("decimal(38,0)")).cast("double").alias("tsum"),
+        F.sum(
+            tt.cast("decimal(12,0)")
+            * tt.cast("decimal(12,0)")
+            * tt.cast("decimal(12,0)")
+            - tt
+        )
+        .cast("double")
+        .alias("tsum"),
     )
     var_u = (
         F.col("nr")
@@ -20871,10 +20883,12 @@ register(
       FROM x GROUP BY flag, dc
     ),
     tx AS (
-      SELECT flag, CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tq FROM qv GROUP BY flag
+      SELECT flag, CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE) AS tq
+      FROM qv GROUP BY flag
     ),
     ty AS (
-      SELECT flag, CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS td FROM dv GROUP BY flag
+      SELECT flag, CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE) AS td
+      FROM dv GROUP BY flag
     ),
     rr AS (
       SELECT x.flag,
@@ -20885,7 +20899,7 @@ register(
     ),
     ag AS (
       SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(d2 * d2) AS DOUBLE) AS sd2
+             CAST(SUM(CAST(d2 AS HUGEINT) * d2) AS DOUBLE) AS sd2
       FROM rr GROUP BY flag
     )
     SELECT ag.flag AS l_returnflag, ag.n AS n_rows,
@@ -20927,7 +20941,7 @@ def _dspearman(spark, sf_dir):
     qv = _ranks("q").localCheckpoint(eager=False)
     dv = _ranks("dc").localCheckpoint(eager=False)
     _t3 = lambda c: F.sum(  # noqa: E731
-        (c * c * c - c).cast("decimal(38,0)")
+        c.cast("decimal(12,0)") * c.cast("decimal(12,0)") * c.cast("decimal(12,0)") - c
     ).cast("double")
     tx = qv.groupBy("flag").agg(_t3(F.col("cnt")).alias("tq"))
     ty = dv.groupBy("flag").agg(_t3(F.col("cnt")).alias("td"))
@@ -20938,7 +20952,7 @@ def _dspearman(spark, sf_dir):
     )
     ag = rr.groupBy("flag").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum((F.col("d2") * F.col("d2")).cast("decimal(38,0)"))
+        F.sum(F.col("d2").cast("decimal(18,0)") * F.col("d2"))
         .cast("double")
         .alias("sd2"),
     )
@@ -21444,10 +21458,10 @@ register(
       SELECT CAST(SUM(cnt) AS BIGINT) AS n,
              CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cn) AS BIGINT) AS nn,
              CAST(SUM(cr) AS BIGINT) AS nr,
-             CAST(SUM(ca * r2) AS BIGINT) AS r2a,
-             CAST(SUM(cn * r2) AS BIGINT) AS r2n,
-             CAST(SUM(cr * r2) AS BIGINT) AS r2r,
-             CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tsum
+             CAST(SUM(CAST(ca AS HUGEINT) * r2) AS DOUBLE) AS r2a,
+             CAST(SUM(CAST(cn AS HUGEINT) * r2) AS DOUBLE) AS r2n,
+             CAST(SUM(CAST(cr AS HUGEINT) * r2) AS DOUBLE) AS r2r,
+             CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE) AS tsum
       FROM cw
     )
     SELECT n AS n_total, na AS n_a, nn AS n_n, nr AS n_r,
@@ -21496,13 +21510,14 @@ def _dkruskal(spark, sf_dir):
         F.sum("ca").cast("long").alias("na"),
         F.sum("cn").cast("long").alias("nn"),
         F.sum("cr").cast("long").alias("nr"),
-        F.sum(F.col("ca") * F.col("r2")).cast("long").alias("r2a"),
-        F.sum(F.col("cn") * F.col("r2")).cast("long").alias("r2n"),
-        F.sum(F.col("cr") * F.col("r2")).cast("long").alias("r2r"),
+        F.sum(F.col("ca").cast("decimal(18,0)") * F.col("r2")).cast("double").alias("r2a"),
+        F.sum(F.col("cn").cast("decimal(18,0)") * F.col("r2")).cast("double").alias("r2n"),
+        F.sum(F.col("cr").cast("decimal(18,0)") * F.col("r2")).cast("double").alias("r2r"),
         F.sum(
-            (F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).cast(
-                "decimal(38,0)"
-            )
+            F.col("cnt").cast("decimal(12,0)")
+            * F.col("cnt").cast("decimal(12,0)")
+            * F.col("cnt").cast("decimal(12,0)")
+            - F.col("cnt")
         )
         .cast("double")
         .alias("tsum"),
@@ -21560,7 +21575,8 @@ register(
       FROM vc
     ),
     gaps AS (
-      SELECT q, ABS(cum1 * tot.n2 - cum2 * tot.n1) AS num
+      SELECT q, ABS(CAST(cum1 AS HUGEINT) * tot.n2
+                    - CAST(cum2 AS HUGEINT) * tot.n1) AS num
       FROM cw CROSS JOIN tot
     ),
     best AS (
@@ -21603,7 +21619,10 @@ def _dkstest(spark, sf_dir):
         "q",
         "n1",
         "n2",
-        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias("num"),
+        F.abs(
+            F.col("cum1").cast("decimal(18,0)") * F.col("n2")
+            - F.col("cum2").cast("decimal(18,0)") * F.col("n1")
+        ).alias("num"),
     )
     best = gaps.agg(
         F.max("num").alias("dnum"),
@@ -21646,14 +21665,17 @@ register(
     agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(c) AS BIGINT) AS s1,
-             CAST(SUM(c * c) AS BIGINT) AS s2
+             SUM(CAST(c AS HUGEINT) * c) AS s2
       FROM daily
     )
     SELECT n AS n_days, s1 AS total_events,
            round(s1 / CAST(n AS DOUBLE), 6) AS mean_daily,
-           round((n * s2 - s1 * s1) / (n * (n - 1.0)), 6) AS var_daily,
-           round((n * s2 - s1 * s1) / ((n - 1.0) * s1), 6) AS dispersion_index,
-           round((n * s2 - s1 * s1) / CAST(s1 AS DOUBLE), 6) AS chi2
+           round(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                 / (n * (n - 1.0)), 6) AS var_daily,
+           round(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                 / ((n - 1.0) * s1), 6) AS dispersion_index,
+           round(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                 / CAST(s1 AS DOUBLE), 6) AS chi2
     FROM agg
     """,
 )
@@ -21670,10 +21692,10 @@ def _dpoissondisp(spark, sf_dir):
     agg = daily.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("c").cast("long").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.sum(F.col("c").cast("decimal(18,0)") * F.col("c")).alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    num = n * s2 - s1 * s1
+    num = (n * s2 - s1.cast("decimal(18,0)") * s1).cast("double")
     return agg.select(
         n.alias("n_days"),
         s1.alias("total_events"),
@@ -22062,9 +22084,9 @@ register(
       FROM fv
     ),
     root AS (
-      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(cc * cc) AS BIGINT) AS sqr
+      SELECT CAST(SUM(cc) AS BIGINT) AS n, CAST(SUM(cc * cc) AS BIGINT) AS sqr
       FROM (
-        SELECT flag, CAST(SUM(c) AS BIGINT) AS cc, CAST(SUM(c) AS BIGINT) AS c
+        SELECT flag, CAST(SUM(c) AS BIGINT) AS cc
         FROM (SELECT flag, c FROM fvc WHERE feature = 'linestatus') GROUP BY flag
       )
     ),

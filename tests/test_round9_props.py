@@ -627,7 +627,8 @@ def test_gini_split_ranking_matches_python_reference(spark, con):
     n = len(rows)
     root_c = Counter(r[3] for r in rows)
     g_root = (float(n) * n - sum(c * c for c in root_c.values())) / n / n
-    got = {r["feature"]: r for r in _run(spark, "ml_gini_split_ranking")}
+    out = _run(spark, "ml_gini_split_ranking")
+    got = {r["feature"]: r for r in out}
     assert set(got) == set(feats)
     gains = {}
     for feat, fn in feats.items():
@@ -645,8 +646,9 @@ def test_gini_split_ranking_matches_python_reference(spark, con):
         assert res["gini_weighted"] == _r6(wg6 / 1e6 / n)
         gains[feat] = res["gini_gain"]
         assert res["gini_gain"] == _r6(g_root - wg6 / 1e6 / n)
-    # output must come back ranked by gain
-    order = [r["feature"] for r in _run(spark, "ml_gini_split_ranking")]
+    # output must come back ranked by gain (same collected rows — no
+    # second Spark run just to check ordering)
+    order = [r["feature"] for r in out]
     assert order == sorted(gains, key=lambda f: (-gains[f], f))
 
 
