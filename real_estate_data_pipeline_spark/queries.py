@@ -20748,6 +20748,18 @@ CATALOG["doc_token_simpson_diversity"].fn = _dsimpson
 # round-9 rank-statistics family: distribution tests without normality
 # ===========================================================================
 
+def _tie_cubic(c):
+    """Exact x^3 - x for tie corrections: chained decimal(12,0)
+    multiplication — 12 is the largest precision whose cube fits
+    decimal(38,0) under Spark's (p1+p2+1) product rule — so no count
+    cardinality can hit ANSI long multiplication. The DuckDB twin is
+    CAST(x AS HUGEINT) * x * x - x. Single-sourced: the anchor is
+    load-bearing, one drifted copy would silently reintroduce the
+    asymmetric overflow-parity class the round-9 probe caught."""
+    d = c.cast("decimal(12,0)")
+    return d * d * d - c
+
+
 register(
     "ml_mann_whitney_u_quantity",
     # the nonparametric two-sample test: Mann-Whitney U between the
@@ -20823,14 +20835,7 @@ def _dmannwhitney(spark, sf_dir):
         )
         .cast("double")
         .alias("u2x"),
-        F.sum(
-            tt.cast("decimal(12,0)")
-            * tt.cast("decimal(12,0)")
-            * tt.cast("decimal(12,0)")
-            - tt
-        )
-        .cast("double")
-        .alias("tsum"),
+        F.sum(_tie_cubic(tt)).cast("double").alias("tsum"),
     )
     var_u = (
         F.col("nr")
@@ -20940,9 +20945,7 @@ def _dspearman(spark, sf_dir):
 
     qv = _ranks("q").localCheckpoint(eager=False)
     dv = _ranks("dc").localCheckpoint(eager=False)
-    _t3 = lambda c: F.sum(  # noqa: E731
-        c.cast("decimal(12,0)") * c.cast("decimal(12,0)") * c.cast("decimal(12,0)") - c
-    ).cast("double")
+    _t3 = lambda c: F.sum(_tie_cubic(c)).cast("double")  # noqa: E731
     tx = qv.groupBy("flag").agg(_t3(F.col("cnt")).alias("tq"))
     ty = dv.groupBy("flag").agg(_t3(F.col("cnt")).alias("td"))
     rr = (
@@ -21513,14 +21516,7 @@ def _dkruskal(spark, sf_dir):
         F.sum(F.col("ca").cast("decimal(18,0)") * F.col("r2")).cast("double").alias("r2a"),
         F.sum(F.col("cn").cast("decimal(18,0)") * F.col("r2")).cast("double").alias("r2n"),
         F.sum(F.col("cr").cast("decimal(18,0)") * F.col("r2")).cast("double").alias("r2r"),
-        F.sum(
-            F.col("cnt").cast("decimal(12,0)")
-            * F.col("cnt").cast("decimal(12,0)")
-            * F.col("cnt").cast("decimal(12,0)")
-            - F.col("cnt")
-        )
-        .cast("double")
-        .alias("tsum"),
+        F.sum(_tie_cubic(F.col("cnt"))).cast("double").alias("tsum"),
     )
     n = F.col("n")
     h = (
@@ -22074,7 +22070,7 @@ register(
     fv AS (
       SELECT feature, val,
              CAST(SUM(c) AS BIGINT) AS nv,
-             CAST(SUM(c * c) AS BIGINT) AS sq
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS sq
       FROM fvc GROUP BY 1, 2
     ),
     vterm AS (
@@ -22084,7 +22080,8 @@ register(
       FROM fv
     ),
     root AS (
-      SELECT CAST(SUM(cc) AS BIGINT) AS n, CAST(SUM(cc * cc) AS BIGINT) AS sqr
+      SELECT CAST(SUM(cc) AS BIGINT) AS n,
+             CAST(SUM(CAST(cc AS HUGEINT) * cc) AS DOUBLE) AS sqr
       FROM (
         SELECT flag, CAST(SUM(c) AS BIGINT) AS cc
         FROM (SELECT flag, c FROM fvc WHERE feature = 'linestatus') GROUP BY flag
@@ -22146,7 +22143,7 @@ def _dginisplit(spark, sf_dir):
     ).localCheckpoint(eager=False)
     fv = fvc.groupBy("feature", "val").agg(
         F.sum("c").cast("long").alias("nv"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+        F.sum(F.col("c").cast("decimal(18,0)") * F.col("c")).cast("double").alias("sq"),
     )
     vterm = fv.select(
         "feature",
@@ -22168,7 +22165,9 @@ def _dginisplit(spark, sf_dir):
         .agg(F.sum("c").cast("long").alias("cc"))
         .agg(
             F.sum("cc").cast("long").alias("n"),
-            F.sum(F.col("cc") * F.col("cc")).cast("long").alias("sqr"),
+            F.sum(F.col("cc").cast("decimal(18,0)") * F.col("cc"))
+            .cast("double")
+            .alias("sqr"),
         )
     )
     agg = vterm.groupBy("feature").agg(
