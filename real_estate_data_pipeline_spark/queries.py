@@ -19447,6 +19447,76 @@ def _dstreamcms(spark, sf_dir):
 CATALOG["evt_stream_cms_now"].fn = _dstreamcms
 
 register(
+    "evt_stream_kll_now",
+    # sixteenth streaming run: a KLL quantile sketch maintained AS
+    # STREAMING STATE — kll_sketch_agg_double over the event-value
+    # stream in complete mode, so the sketch (k=200, bounded bytes) is
+    # the entire state for any stream length: streaming percentiles
+    # with O(1) memory, the quantile counterpart to the CMS frequency
+    # run. Gated like the batch KLL twin: the oracle rows carry the
+    # EXACT interpolated percentile (round 4dp — same q*(n-1) rule in
+    # both engines) and within_bound = the sketch estimate's empirical
+    # CDF position is within 0.05 of q (rank space is where KLL's
+    # guarantee lives).
+    oracle="""
+    SELECT q, ROUND(exact_value, 4) AS exact_value, TRUE AS within_bound FROM (
+      SELECT 0.50 AS q, quantile_cont(CAST(value AS DOUBLE), 0.50) AS exact_value
+      FROM events
+      UNION ALL
+      SELECT 0.95, quantile_cont(CAST(value AS DOUBLE), 0.95) FROM events
+      UNION ALL
+      SELECT 0.99, quantile_cont(CAST(value AS DOUBLE), 0.99) FROM events
+    ) ORDER BY q
+    """,
+)
+
+
+def _dstreamkll(spark, sf_dir):
+    """Streaming KLL quantiles: one global streaming aggregate holds
+    the mergeable sketch (complete mode, one row of state); the
+    post-run probe reads the estimates out of the sink and one batch
+    pass computes the exact percentiles + the estimates' empirical
+    ranks to verify the error bound. At 100 TB only the sketch side
+    runs — the exact side exists to score it in the gate."""
+    qs = [0.50, 0.95, 0.99]
+    schema = _events_stream_schema(ts_ntz=False)
+    src = _stream_file_source(spark, sf_dir, "events.parquet", schema)
+    sketch = src.select(F.col("value").cast("double").alias("__v")).agg(
+        F.kll_sketch_agg_double("__v").alias("__kll")
+    )
+    sink = _run_stream_to_memory(sketch, "evt_stream_kll_sink", "complete")
+    ests = sink.select(
+        *[
+            F.kll_sketch_get_quantile_double("__kll", F.lit(q)).alias(f"__est{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    v = t(spark, sf_dir, "events").select(F.col("value").cast("double").alias("__v"))
+    stats = v.crossJoin(F.broadcast(ests)).agg(
+        *[F.percentile("__v", q).alias(f"__ex{i}") for i, q in enumerate(qs)],
+        *[
+            F.avg((F.col("__v") <= F.col(f"__est{i}")).cast("double")).alias(f"__cdf{i}")
+            for i in range(len(qs))
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.round(F.col(f"__ex{i}"), 4).alias("exact_value"),
+                (F.abs(F.col(f"__cdf{i}") - F.lit(q)) <= F.lit(0.05)).alias(
+                    "within_bound"
+                ),
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    return stats.select(F.explode(rows).alias("r")).select("r.*").orderBy("q")
+
+
+CATALOG["evt_stream_kll_now"].fn = _dstreamkll
+
+register(
     "ml_nb_margin_calibration",
     # classifier calibration WITHOUT transcendental softmax: the NB
     # decision margin (top log-score minus runner-up, in exact

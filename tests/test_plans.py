@@ -165,6 +165,7 @@ _SCALAR_BROADCAST_OK = {
     "ml_cohens_kappa_lang",        # NB 5-row lang table + 1-row marginal-product scalar
     "emb_silhouette_by_label",     # broadcast 10-row centroid-array table
     "ml_gini_split_ranking",       # 1-row root-impurity scalar
+    "evt_stream_kll_now",          # 1-row sketch-estimate scalar from the sink
 }
 
 
