@@ -7019,22 +7019,62 @@ def _dcorpus(spark, sf_dir):
 
 CATALOG["corpus_curation_pipeline"].fn = _dcorpus
 
+_KLL_QS = [0.50, 0.95, 0.99]
+
+
+def _kll_oracle_sql(table: str, col: str) -> str:
+    """The KLL bounded-error gate oracle, shared by the batch and
+    streaming runs: the KLL ESTIMATE can't hash-match across engines,
+    but (a) the exact interpolated percentile can (both engines define
+    it at index q*(n-1), rounded 4dp) and (b) "the estimate's empirical
+    rank is within 0.05 of q" is a hard boolean (KLL k=200 guarantees
+    ~1.65% rank error at 99% confidence)."""
+    rows = "\n      UNION ALL\n".join(
+        f"      SELECT {q:.2f}{' AS q' if i == 0 else ''}, "
+        f"quantile_cont(CAST({col} AS DOUBLE), {q:.2f})"
+        f"{' AS exact_value' if i == 0 else ''} FROM {table}"
+        for i, q in enumerate(_KLL_QS)
+    )
+    return (
+        "\n    SELECT q, ROUND(exact_value, 4) AS exact_value, TRUE AS within_bound "
+        "FROM (\n" + rows + "\n    ) ORDER BY q\n    "
+    )
+
+
+def _kll_gate(values, ests):
+    """The Spark side of the gate, shared by both runs: one batch pass
+    computes the exact percentiles AND each estimate's empirical CDF
+    position together; each output row carries the exact value (4dp)
+    and the rank-space bound boolean. ``values`` must expose __v."""
+    stats = values.crossJoin(F.broadcast(ests)).agg(
+        *[F.percentile("__v", q).alias(f"__ex{i}") for i, q in enumerate(_KLL_QS)],
+        *[
+            F.avg((F.col("__v") <= F.col(f"__est{i}")).cast("double")).alias(
+                f"__cdf{i}"
+            )
+            for i in range(len(_KLL_QS))
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.round(F.col(f"__ex{i}"), 4).alias("exact_value"),
+                (F.abs(F.col(f"__cdf{i}") - F.lit(q)) <= F.lit(0.05)).alias(
+                    "within_bound"
+                ),
+            )
+            for i, q in enumerate(_KLL_QS)
+        ]
+    )
+    return stats.select(F.explode(rows).alias("r")).select("r.*").orderBy("q")
+
+
 register(
     "sketch_kll_price_quantiles",
-    # bounded-error contract: the KLL ESTIMATE can't hash-match across
-    # engines, but (a) the exact interpolated percentile can (both
-    # engines define it at index q*(n-1), rounded 4dp) and (b) "the
-    # estimate's empirical rank is within 0.05 of q" is a hard boolean
-    # (KLL k=200 guarantees ~1.65% rank error at 99% confidence)
-    oracle="""
-    SELECT q, ROUND(exact_value, 4) AS exact_value, TRUE AS within_bound FROM (
-      SELECT 0.50 AS q, quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50) AS exact_value FROM orders
-      UNION ALL
-      SELECT 0.95, quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) FROM orders
-      UNION ALL
-      SELECT 0.99, quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) FROM orders
-    ) ORDER BY q
-    """,
+    # gate recipe single-sourced in _kll_oracle_sql/_kll_gate (shared
+    # with the streaming twin, the _CMS_ORACLE convention)
+    oracle=_kll_oracle_sql("orders", "o_totalprice"),
 )
 
 
@@ -7075,28 +7115,7 @@ def _dkll(spark, sf_dir):
             ]
         )
     )
-    stats = o.crossJoin(F.broadcast(ests)).agg(
-        *[F.percentile("__v", q).alias(f"__ex{i}") for i, q in enumerate(qs)],
-        *[
-            F.avg((F.col("__v") <= F.col(f"__est{i}")).cast("double")).alias(
-                f"__cdf{i}"
-            )
-            for i in range(len(qs))
-        ],
-    )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(q).alias("q"),
-                F.round(F.col(f"__ex{i}"), 4).alias("exact_value"),
-                (F.abs(F.col(f"__cdf{i}") - F.lit(q)) <= F.lit(0.05)).alias(
-                    "within_bound"
-                ),
-            )
-            for i, q in enumerate(qs)
-        ]
-    )
-    return stats.select(F.explode(rows).alias("r")).select("r.*").orderBy("q")
+    return _kll_gate(o.select("__v"), ests)
 
 
 CATALOG["sketch_kll_price_quantiles"].fn = _dkll
@@ -19457,17 +19476,8 @@ register(
     # EXACT interpolated percentile (round 4dp — same q*(n-1) rule in
     # both engines) and within_bound = the sketch estimate's empirical
     # CDF position is within 0.05 of q (rank space is where KLL's
-    # guarantee lives).
-    oracle="""
-    SELECT q, ROUND(exact_value, 4) AS exact_value, TRUE AS within_bound FROM (
-      SELECT 0.50 AS q, quantile_cont(CAST(value AS DOUBLE), 0.50) AS exact_value
-      FROM events
-      UNION ALL
-      SELECT 0.95, quantile_cont(CAST(value AS DOUBLE), 0.95) FROM events
-      UNION ALL
-      SELECT 0.99, quantile_cont(CAST(value AS DOUBLE), 0.99) FROM events
-    ) ORDER BY q
-    """,
+    # guarantee lives). Gate recipe single-sourced with the batch twin.
+    oracle=_kll_oracle_sql("events", "value"),
 )
 
 
@@ -19478,7 +19488,6 @@ def _dstreamkll(spark, sf_dir):
     pass computes the exact percentiles + the estimates' empirical
     ranks to verify the error bound. At 100 TB only the sketch side
     runs — the exact side exists to score it in the gate."""
-    qs = [0.50, 0.95, 0.99]
     schema = _events_stream_schema(ts_ntz=False)
     src = _stream_file_source(spark, sf_dir, "events.parquet", schema)
     sketch = src.select(F.col("value").cast("double").alias("__v")).agg(
@@ -19488,30 +19497,11 @@ def _dstreamkll(spark, sf_dir):
     ests = sink.select(
         *[
             F.kll_sketch_get_quantile_double("__kll", F.lit(q)).alias(f"__est{i}")
-            for i, q in enumerate(qs)
+            for i, q in enumerate(_KLL_QS)
         ]
     )
     v = t(spark, sf_dir, "events").select(F.col("value").cast("double").alias("__v"))
-    stats = v.crossJoin(F.broadcast(ests)).agg(
-        *[F.percentile("__v", q).alias(f"__ex{i}") for i, q in enumerate(qs)],
-        *[
-            F.avg((F.col("__v") <= F.col(f"__est{i}")).cast("double")).alias(f"__cdf{i}")
-            for i in range(len(qs))
-        ],
-    )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(q).alias("q"),
-                F.round(F.col(f"__ex{i}"), 4).alias("exact_value"),
-                (F.abs(F.col(f"__cdf{i}") - F.lit(q)) <= F.lit(0.05)).alias(
-                    "within_bound"
-                ),
-            )
-            for i, q in enumerate(qs)
-        ]
-    )
-    return stats.select(F.explode(rows).alias("r")).select("r.*").orderBy("q")
+    return _kll_gate(v, ests)
 
 
 CATALOG["evt_stream_kll_now"].fn = _dstreamkll
