@@ -911,7 +911,11 @@ def _y4m_plane_sizes(w: int, h: int, colorspace: str):
         return w * h, 0, 0, 0
     if colorspace == "C444":
         return w * h, w * h, w, h
-    if colorspace.startswith("C420"):  # C420, C420jpeg, C420paldv, C420mpeg2
+    if colorspace in ("C420", "C420jpeg", "C420paldv", "C420mpeg2"):
+        # Explicit allowlist of the 8-bit 4:2:0 variants only: ffmpeg's
+        # high-bit-depth tags share the prefix (C420p10, C420p16) but carry
+        # 2 bytes/sample — prefix-matching them here would missize every
+        # plane and silently drop (or garbage-slice) the clip.
         cw, ch = (w + 1) // 2, (h + 1) // 2
         return w * h, cw * ch, cw, ch
     raise NotImplementedError(f"y4m colorspace {colorspace!r} not supported")

@@ -18497,6 +18497,23 @@ def _dbm25(spark, sf_dir):
 
 CATALOG["doc_bm25_topk"].fn = _dbm25
 
+# per-(source, token) counts — the shared base of the KL divergence and
+# vocabulary-richness oracles. tc is MATERIALIZED because every consumer
+# references it 2+ times (the KL union grid reads it 3 ways). Shared-CTE
+# refactors are allowed even for live-window oracles: the driver records
+# fresh evidence AFTER each session, so there is no frozen text to protect
+# — the rule is simply that parity must be green at session end.
+_SRC_TC_CTES = """tok AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tc AS MATERIALIZED (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, tok
+    )"""
+
 register(
     "doc_source_kl_divergence",
     # corpus mixing diagnostics: smoothed unigram KL divergence between
@@ -18506,16 +18523,8 @@ register(
     # token sum an exact integer micro-nat dot product — tokens outside
     # the union contribute exactly through the closed-form remainder,
     # so this is the TRUE Laplace-smoothed KL, not a truncation.
-    oracle="""
-    WITH tok AS (
-      SELECT source,
-             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                                x -> x <> '')) AS tok
-      FROM documents
-    ),
-    tc AS MATERIALIZED (
-      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY source, tok
-    ),
+    oracle=f"""
+    WITH {_SRC_TC_CTES},
     tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY source),
     voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tc),
     grid AS (
@@ -20682,20 +20691,6 @@ def _dcmsmerge(spark, sf_dir):
 
 CATALOG["sketch_cms_merge_equivalence"].fn = _dcmsmerge
 
-# per-(source, token) counts — the shared base of the vocabulary-
-# richness estimators below (the KL query keeps its own inline copy:
-# it is in the live driver window this round, frozen against churn).
-_SRC_TC_CTES = """tok AS (
-      SELECT source,
-             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                                x -> x <> '')) AS tok
-      FROM documents
-    ),
-    tc AS (
-      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
-      FROM tok GROUP BY source, tok
-    )"""
-
 
 def _src_tc_frame(spark, sf_dir):
     """(source, tok, c): the Spark twin of _SRC_TC_CTES."""
@@ -21880,8 +21875,10 @@ register(
     "emb_silhouette_by_label",
     # embedding-space cluster quality: simplified silhouette per label
     # (a = distance to the OWN label centroid, b = distance to the
-    # nearest OTHER centroid, s = (b-a)/max(a,b)). Centroid dims snap
-    # to 6dp (the k-means convention), per-dim squared gaps quantize to
+    # nearest OTHER centroid, s = (b-a)/max(a,b)). Centroid dims are
+    # exact-integer means (per-element micro-unit quantization BEFORE
+    # the sum, so the accumulation is order-independent in both
+    # engines) snapped to 6dp, per-dim squared gaps quantize to
     # integer micro-units BEFORE summing so the 64-term sum is
     # order-independent, and per-row silhouettes aggregate as micro-unit
     # integers — the cluster-separation gauge next to the class-margin
@@ -21894,7 +21891,10 @@ register(
       FROM embeddings
     ),
     cent AS MATERIALIZED (
-      SELECT label AS clabel, pos, round(AVG(CAST(x AS DOUBLE)), 6) AS c
+      SELECT label AS clabel, pos,
+             round(CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                 AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) / 1000000.0, 6) AS c
       FROM dims GROUP BY label, pos
     ),
     d2 AS (
@@ -21940,7 +21940,18 @@ def _dsilhouette(spark, sf_dir):
     cent = (
         e.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        .agg(
+            # exact-integer mean: micro-quantize per element, sum BIGINTs
+            # (order-independent), divide once — no float accumulation
+            F.round(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1e6 + 0.5).cast("long")
+                ).cast("double")
+                / F.count("*")
+                / 1e6,
+                6,
+            ).alias("c")
+        )
         .groupBy("label")
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("__pc")

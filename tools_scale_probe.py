@@ -153,6 +153,9 @@ def _stride(con, table: str, id_col: str) -> int:
 # (10x lineitem shards joined to 1x orders). The marker names the
 # derivation version; bump it whenever build_derived changes shape.
 _DERIVED_MARK = "_derived_v2_orders_sharded"
+# same discipline for the 30x docs corpus: its own version marker, so a
+# change to build_derived_docs30 can never silently reuse a stale corpus
+_DERIVED30_MARK = "_derived_v1_docs30"
 
 
 def build_derived() -> None:
@@ -292,6 +295,9 @@ def build_derived_docs30() -> None:
     round-8 verdict flagged the 10x measurement as inside run noise
     (~2 s deltas), so the corpus grows until the rebuild-vs-reuse gap
     can't be noise."""
+    import shutil
+
+    shutil.rmtree(DST30, ignore_errors=True)  # never mix derivation versions
     os.makedirs(DST30, exist_ok=True)
     con = duckdb.connect()
     doc_stride = _stride(con, "documents", "doc_id")
@@ -403,8 +409,10 @@ def main() -> None:
         build_derived()
         with open(f"{DST}/{_DERIVED_MARK}", "w") as fh:
             fh.write("orders sharded 10x, lineitem-aligned o_orderkey stride\n")
-    if not os.path.exists(f"{DST30}/documents.parquet"):
+    if not os.path.exists(f"{DST30}/{_DERIVED30_MARK}"):
         build_derived_docs30()
+        with open(f"{DST30}/{_DERIVED30_MARK}", "w") as fh:
+            fh.write("documents sharded 30x, doc_id stride\n")
     spark = get_session("scale-probe")
 
     def mat(df):
