@@ -166,6 +166,10 @@ _SCALAR_BROADCAST_OK = {
     "emb_silhouette_by_label",     # broadcast 10-row centroid-array table
     "ml_gini_split_ranking",       # 1-row root-impurity scalar
     "evt_stream_kll_now",          # 1-row sketch-estimate scalar from the sink
+    "ml_cvm_two_sample_quantity",  # 1-row group-total scalar over the 50-value frame
+    "ml_friedman_priority_month",  # 1-row block-count scalar over the 5-row rank-sum row
+    "ml_mcnemar_lang",             # NB 5-row lang table + 1-row scalars (as kappa)
+    "ml_theil_sen_qty_price",      # 50-row profile pair join + 1-row slope/intercept scalars
 }
 
 
@@ -191,6 +195,9 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_runs_test_daily",         # lag over the calendar-day aggregate
     "ml_kruskal_wallis_quantity",  # running sum over the 50-value quantity histogram
     "ml_ks_two_sample_quantity",   # cumulative counts over the same 50-value frame
+    "ml_auc_price_urgent",         # running sum over the ~500-value price-band histogram
+    "ml_cliffs_delta_quantity",    # running sum over the 50-value quantity histogram
+    "ml_cvm_two_sample_quantity",  # cumulative counts over the same 50-value frame
 }
 
 

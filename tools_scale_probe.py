@@ -132,6 +132,17 @@ HEAVY = [
     # count shuffle — ~flat)
     "evt_page_hinkley_hourly",
     "ml_gini_split_ranking",
+    # round-10 wave 1: effect sizes / ANOVA-on-medians / robust slope —
+    # all value-domain-histogram or single-agg shapes, expect ~flat to
+    # ~linear (the melt/cells shapes shuffle on low-cardinality keys)
+    "ml_auc_price_urgent",
+    "ml_cliffs_delta_quantity",
+    "ml_cvm_two_sample_quantity",
+    "ml_brown_forsythe_quantity",
+    "ml_friedman_priority_month",
+    "ml_theil_sen_qty_price",
+    "ml_mcnemar_lang",
+    "ml_cramers_v_pairs",
 ]
 
 
