@@ -22061,43 +22061,9 @@ def _dpagehinkley(spark, sf_dir):
     (event_type)-partitioned sort — prefix sum (for the running mean),
     prefix sum of deviations, running min — then a per-type rollup.
     The plan is one exchange + one sort reused by every window; at
-    100 TB the state per type is the window frame, nothing quadratic."""
-    obs = _hourly_type_cents(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("h")
-    idx = obs.select(
-        "event_type",
-        "h",
-        "cents",
-        F.row_number().over(w).alias("i"),
-        F.sum("cents").over(w).alias("s"),
-    )
-    dev = idx.select(
-        "event_type",
-        "h",
-        (
-            F.col("cents") * F.lit(1000000)
-            - F.floor(F.col("s") * 1000000.0 / F.col("i")).cast("long")
-            - F.lit(100000000)
-        ).alias("d6"),
-    )
-    u = dev.select("event_type", "h", F.sum("d6").over(w).alias("u6"))
-    ph = u.select(
-        "event_type", "h", (F.col("u6") - F.min("u6").over(w)).alias("ph6")
-    )
-    mx = ph.withColumn("mx", F.max("ph6").over(Window.partitionBy("event_type")))
-    return (
-        mx.groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n_hours"),
-            F.round(F.max("ph6") / 1e8, 6).alias("ph_max_value"),
-            F.date_format(
-                F.min(F.when(F.col("ph6") == F.col("mx"), F.col("h"))),
-                "yyyy-MM-dd HH:mm:ss",
-            ).alias("alarm_hour"),
-            (F.max("ph6") / 1e8 >= 1000.0).alias("alarm"),
-        )
-        .orderBy("event_type")
-    )
+    100 TB the state per type is the window frame, nothing quadratic.
+    Pipeline single-sourced with the streaming twin via _ph_report."""
+    return _ph_report(_hourly_type_cents(spark, sf_dir))
 
 
 CATALOG["evt_page_hinkley_hourly"].fn = _dpagehinkley
@@ -23116,6 +23082,2646 @@ def _dcramersv(spark, sf_dir):
 
 
 CATALOG["ml_cramers_v_pairs"].fn = _dcramersv
+
+
+# ===========================================================================
+# round-10 wave 2: concentration / inequality measures, resampling
+# uncertainty (jackknife + block bootstrap), and the JS divergence —
+# the BI-diagnostics tier extended.
+# ===========================================================================
+
+register(
+    "orders_abc_classification",
+    # inventory-style ABC analysis over parts: rank parts by revenue,
+    # classify by cumulative share (A <= 70%, B <= 90%, C rest) and
+    # report each class's size and revenue mass. The class boundary
+    # compares exact integer cents (10*cum <= 7*total), so no float
+    # share ever decides a boundary row.
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc FROM pr),
+    cw AS (
+      SELECT cents,
+             SUM(cents) OVER (ORDER BY cents DESC, pk) AS cum
+      FROM pr
+    ),
+    cls AS (
+      SELECT CASE WHEN 10 * cum <= 7 * tot.tc THEN 'A'
+                  WHEN 10 * cum <= 9 * tot.tc THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM cw CROSS JOIN tot
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS class_revenue,
+           round(CAST(SUM(cents) AS BIGINT) / CAST(tot.tc AS DOUBLE), 6)
+               AS revenue_share
+    FROM cls CROSS JOIN tot
+    GROUP BY abc_class, tot.tc
+    ORDER BY abc_class
+    """,
+)
+
+
+def _dabc(spark, sf_dir):
+    """ABC classification: one grouped sum to the per-part frame, a
+    ranked running total over that aggregate (part-cardinality, not
+    row-cardinality), integer-cents class boundaries, a 3-row rollup.
+    At 100 TB the sort runs on the aggregate — and a range-partitioned
+    sort is exactly what Spark does with it."""
+    li = t(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_extendedprice").cast(DEC) * 100).cast("long").alias("cents")
+    )
+    tot = pr.agg(F.sum("cents").cast("long").alias("tc"))
+    w = Window.orderBy(F.desc("cents"), "pk")
+    cw = pr.select("cents", F.sum("cents").over(w).alias("cum"))
+    cls = cw.crossJoin(F.broadcast(tot)).select(
+        F.when(10 * F.col("cum") <= 7 * F.col("tc"), "A")
+        .when(10 * F.col("cum") <= 9 * F.col("tc"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "tc",
+    )
+    return (
+        cls.groupBy("abc_class", "tc")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            (F.sum("cents").cast("long") / 100.0).alias("class_revenue"),
+            F.round(
+                F.sum("cents").cast("long") / F.col("tc").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .drop("tc")
+        .orderBy("abc_class")
+    )
+
+
+CATALOG["orders_abc_classification"].fn = _dabc
+
+register(
+    "supplier_hhi_by_nation",
+    # market-concentration audit: the Herfindahl–Hirschman index of
+    # supplier revenue within each nation, plus the effective number
+    # of suppliers 1/HHI. Squared shares quantize to picounits BEFORE
+    # the per-nation sum (order-independent), shares themselves are
+    # ratios of exact integer cents.
+    oracle="""
+    WITH sr AS (
+      SELECT l_suppkey AS sk,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    sn AS (
+      SELECT n.n_name, sr.cents
+      FROM sr
+      JOIN supplier s ON s.s_suppkey = sr.sk
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    ntot AS (
+      SELECT n_name, CAST(SUM(cents) AS BIGINT) AS tc,
+             CAST(COUNT(*) AS BIGINT) AS ns
+      FROM sn GROUP BY 1
+    ),
+    terms AS (
+      SELECT sn.n_name,
+             CAST(floor(round((CAST(sn.cents AS DOUBLE) / ntot.tc)
+                              * (CAST(sn.cents AS DOUBLE) / ntot.tc), 12)
+                        * 1000000000000 + 0.5) AS BIGINT) AS t12
+      FROM sn JOIN ntot USING (n_name)
+    )
+    SELECT ntot.n_name AS nation, ntot.ns AS n_suppliers,
+           ntot.tc / 100.0 AS nation_revenue,
+           round(SUM(t12) / 1000000000000.0, 6) AS hhi,
+           round(1.0 / (SUM(t12) / 1000000000000.0), 6) AS effective_suppliers
+    FROM terms JOIN ntot USING (n_name)
+    GROUP BY ntot.n_name, ntot.ns, ntot.tc
+    ORDER BY nation
+    """,
+)
+
+
+def _dhhi(spark, sf_dir):
+    """Per-nation HHI: the fact table reduces to one per-supplier sum
+    (the only corpus-sized shuffle), dimensions broadcast, squared
+    shares sum as picounit integers per nation — the concentration
+    screen over any grouping at GROUP BY cost."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    sr = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum(F.col("l_extendedprice").cast(DEC) * 100).cast("long").alias("cents")
+    )
+    sn = (
+        sr.join(F.broadcast(s), sr.sk == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "cents")
+        .localCheckpoint(eager=False)
+    )
+    ntot = sn.groupBy("n_name").agg(
+        F.sum("cents").cast("long").alias("tc"),
+        F.count("*").cast("long").alias("ns"),
+    )
+    sh = F.col("cents").cast("double") / F.col("tc")
+    terms = sn.join(F.broadcast(ntot), "n_name").select(
+        "n_name",
+        F.floor(F.round(sh * sh, 12) * 1e12 + 0.5).cast("long").alias("t12"),
+    )
+    return (
+        terms.join(F.broadcast(ntot), "n_name")
+        .groupBy("n_name", "ns", "tc")
+        .agg(
+            F.round(F.sum("t12") / 1e12, 6).alias("hhi"),
+            F.round(1.0 / (F.sum("t12") / 1e12), 6).alias("effective_suppliers"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("ns").alias("n_suppliers"),
+            (F.col("tc") / 100.0).alias("nation_revenue"),
+            "hhi",
+            "effective_suppliers",
+        )
+        .orderBy("nation")
+    )
+
+
+CATALOG["supplier_hhi_by_nation"].fn = _dhhi
+
+register(
+    "doc_token_gini_concentration",
+    # how head-heavy is the corpus vocabulary? The Gini coefficient of
+    # the token frequency distribution via the exact rank identity
+    # G = 2*sum(i*c_i)/(n*S) - (n+1)/n over counts sorted ascending
+    # (ties broken by token, so the rank assignment is deterministic).
+    # Every pre-division quantity is an exact wide integer.
+    oracle="""
+    WITH tc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ),
+    rk AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, tok) AS i FROM tc
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(CAST(i AS HUGEINT) * c) AS DOUBLE) AS sic
+      FROM rk
+    )
+    SELECT nv AS n_tokens, s AS total_occurrences,
+           round(2.0 * sic / (CAST(nv AS DOUBLE) * s) - (nv + 1.0) / nv, 6)
+               AS token_gini
+    FROM agg
+    """,
+)
+
+
+def _dtokgini(spark, sf_dir):
+    """Vocabulary Gini: one token-count pass (the corpus-sized
+    shuffle), a rank over the vocab-sized aggregate, one closing
+    aggregate — the inequality measure the dedup/quality tier reads
+    before deciding how aggressive head-token filtering should be."""
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(tok_arr(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    rk = tc.select("c", F.row_number().over(Window.orderBy("c", "tok")).alias("i"))
+    agg = rk.agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("c")).cast("double").alias(
+            "sic"
+        ),
+    )
+    return agg.select(
+        F.col("nv").alias("n_tokens"),
+        F.col("s").alias("total_occurrences"),
+        F.round(
+            2.0 * F.col("sic") / (F.col("nv").cast("double") * F.col("s"))
+            - (F.col("nv") + 1.0) / F.col("nv"),
+            6,
+        ).alias("token_gini"),
+    )
+
+
+CATALOG["doc_token_gini_concentration"].fn = _dtokgini
+
+register(
+    "ml_jackknife_ratio_se",
+    # the delete-one-GROUP jackknife for a statistic the plain bootstrap
+    # gets wrong to resample row-wise: the ratio estimator
+    # R = sum(revenue)/sum(quantity), groups = ship months. Each
+    # leave-one-month-out ratio is a ratio of exact integer
+    # differences; replicate ratios quantize to micro-units, squared
+    # deviations to picounits, so both jackknife moments are
+    # order-independent integer sums.
+    oracle="""
+    WITH g AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS blk,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS sc,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qn
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(sc) AS BIGINT) AS s, CAST(SUM(qn) AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS ng
+      FROM g
+    ),
+    th AS (
+      SELECT CAST(floor(round(CAST(tot.s - g.sc AS DOUBLE)
+                              / (tot.q - g.qn) / 100.0, 6)
+                        * 1000000 + 0.5) AS BIGINT) AS t6
+      FROM g CROSS JOIN tot
+    ),
+    tb AS (SELECT CAST(SUM(t6) AS BIGINT) AS st6 FROM th),
+    dev AS (
+      SELECT CAST(floor(round((th.t6 / 1000000.0
+                               - CAST(tb.st6 AS DOUBLE) / tot.ng / 1000000.0)
+                              * (th.t6 / 1000000.0
+                                 - CAST(tb.st6 AS DOUBLE) / tot.ng / 1000000.0),
+                              12) * 1000000000000 + 0.5) AS BIGINT) AS d12
+      FROM th CROSS JOIN tb CROSS JOIN tot
+    )
+    SELECT tot.ng AS n_groups,
+           round(CAST(tot.s AS DOUBLE) / tot.q / 100.0, 6) AS ratio_full,
+           round(sqrt((tot.ng - 1.0) / tot.ng
+                      * (SUM(d12) / 1000000000000.0)), 6) AS jk_se,
+           round((tot.ng - 1.0)
+                 * (CAST(tb.st6 AS DOUBLE) / tot.ng / 1000000.0
+                    - CAST(tot.s AS DOUBLE) / tot.q / 100.0), 6) AS jk_bias
+    FROM dev CROSS JOIN tot CROSS JOIN tb
+    GROUP BY tot.ng, tot.s, tot.q, tb.st6
+    """,
+)
+
+
+def _djackknife(spark, sf_dir):
+    """Delete-one-month jackknife: the corpus reduces to one per-month
+    aggregate; every replicate statistic is derived from the SAME
+    month frame and the 1-row total (no re-scan per replicate — the
+    jackknife identity theta_(i) = (S-s_i)/(T-t_i) makes leave-one-out
+    a broadcast subtraction)."""
+    li = t(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("blk"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * 100).cast("long").alias("sc"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = g.agg(
+        F.sum("sc").cast("long").alias("s"),
+        F.sum("qn").cast("long").alias("q"),
+        F.count("*").cast("long").alias("ng"),
+    )
+    th = g.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            F.round(
+                (F.col("s") - F.col("sc")).cast("double")
+                / (F.col("q") - F.col("qn"))
+                / 100.0,
+                6,
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("t6"),
+        "s",
+        "q",
+        "ng",
+    ).localCheckpoint(eager=False)
+    tb = th.agg(F.sum("t6").cast("long").alias("st6"))
+    devterm = F.col("t6") / 1e6 - F.col("st6").cast("double") / F.col("ng") / 1e6
+    dev = th.crossJoin(F.broadcast(tb)).select(
+        F.floor(F.round(devterm * devterm, 12) * 1e12 + 0.5)
+        .cast("long")
+        .alias("d12"),
+        "s",
+        "q",
+        "ng",
+        "st6",
+    )
+    return (
+        dev.groupBy("ng", "s", "q", "st6")
+        .agg(
+            F.round(
+                F.sqrt(
+                    (F.col("ng") - 1.0) / F.col("ng") * (F.sum("d12") / 1e12)
+                ),
+                6,
+            ).alias("jk_se")
+        )
+        .select(
+            F.col("ng").alias("n_groups"),
+            F.round(F.col("s").cast("double") / F.col("q") / 100.0, 6).alias(
+                "ratio_full"
+            ),
+            "jk_se",
+            F.round(
+                (F.col("ng") - 1.0)
+                * (
+                    F.col("st6").cast("double") / F.col("ng") / 1e6
+                    - F.col("s").cast("double") / F.col("q") / 100.0
+                ),
+                6,
+            ).alias("jk_bias"),
+        )
+    )
+
+
+CATALOG["ml_jackknife_ratio_se"].fn = _djackknife
+
+register(
+    "ml_block_bootstrap_se_daily",
+    # the bootstrap that respects time-series dependence: resample
+    # whole DAY blocks (not rows) with Poisson(1) weights over 32
+    # deterministic replicates, statistic = mean event value. Rows
+    # within a block always travel together, so serial correlation
+    # inside a day survives the resampling; the replicate explode runs
+    # on the tiny per-day aggregate, never on raw events.
+    oracle=f"""
+    WITH d AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sv6
+      FROM events GROUP BY 1
+    ),
+    full_m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(sv6) AS DOUBLE) / SUM(nd) / 1000000.0 AS mean_value
+      FROM d
+    ),
+    r AS (
+      SELECT b.b, d.nd, d.sv6,
+             {_HASH01_SQL.format(key="day || 'blockboot' || CAST(b AS VARCHAR)")}
+                 AS u
+      FROM d CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS b) b
+    ),
+    w AS (
+      SELECT b, nd, sv6,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  ELSE 5 END AS w
+      FROM r
+    ),
+    rep AS (
+      SELECT b, CAST(SUM(CAST(w AS HUGEINT) * nd) AS BIGINT) AS nw,
+             CAST(SUM(CAST(w AS HUGEINT) * sv6) AS BIGINT) AS sw6
+      FROM w GROUP BY b
+    ),
+    mb AS (
+      SELECT CAST(FLOOR(CAST(sw6 AS DOUBLE) / NULLIF(nw, 0) + 0.5) AS BIGINT) AS m
+      FROM rep
+    ),
+    se AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+             round(sqrt((CAST(COUNT(*) AS DOUBLE)
+                         * CAST(SUM(CAST(m AS HUGEINT) * m) AS DOUBLE)
+                         - CAST(SUM(m) AS DOUBLE) * SUM(m))
+                        / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)))
+                   / 1000000, 6) AS block_boot_se
+      FROM mb
+    )
+    SELECT f.n_days, round(f.mean_value, 6) AS mean_value,
+           s.n_replicates, s.block_boot_se
+    FROM full_m f, se s
+    """,
+)
+
+
+def _dblockboot(spark, sf_dir):
+    """Block bootstrap: the corpus collapses to one per-day aggregate
+    (micro-unit value sums — exact), the 32-replicate explode and all
+    resampling run on that ~30-row frame. Dependence-aware uncertainty
+    for the cost of a GROUP BY plus constant work."""
+    from .ops.sampling import hash_uniform01
+
+    e = t(spark, sf_dir, "events")
+    d = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("nd"),
+            F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sv6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    full_m = d.agg(
+        F.count("*").cast("long").alias("n_days"),
+        (F.sum("sv6").cast("double") / F.sum("nd") / 1e6).alias("mean_value"),
+    )
+    r = d.select(
+        "day",
+        "nd",
+        "sv6",
+        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b"),
+    ).select(
+        "b",
+        "nd",
+        "sv6",
+        hash_uniform01(
+            F.concat(F.col("day"), F.lit("blockboot"), F.col("b").cast("string"))
+        ).alias("u"),
+    )
+    w = r.select(
+        "b",
+        "nd",
+        "sv6",
+        F.when(F.col("u") < 0.36787944117144233, 0)
+        .when(F.col("u") < 0.7357588823428847, 1)
+        .when(F.col("u") < 0.9196986029286058, 2)
+        .when(F.col("u") < 0.9810118431238462, 3)
+        .when(F.col("u") < 0.9963401531726563, 4)
+        .otherwise(5)
+        .alias("w"),
+    )
+    rep = w.groupBy("b").agg(
+        F.sum(F.col("w").cast("decimal(18,0)") * F.col("nd"))
+        .cast("long")
+        .alias("nw"),
+        F.sum(F.col("w").cast("decimal(18,0)") * F.col("sv6"))
+        .cast("long")
+        .alias("sw6"),
+    )
+    mb = rep.select(
+        F.floor(
+            F.col("sw6").cast("double") / F.nullif(F.col("nw"), F.lit(0)) + 0.5
+        ).alias("m")
+    )
+    bd = F.count("*").cast("double")
+    se = mb.agg(
+        F.count("*").cast("long").alias("n_replicates"),
+        F.round(
+            F.sqrt(
+                (
+                    bd
+                    * F.sum(
+                        F.col("m").cast("decimal(18,0)") * F.col("m").cast("decimal(18,0)")
+                    ).cast("double")
+                    - F.sum("m").cast("double") * F.sum("m")
+                )
+                / (bd * (F.count("*") - 1))
+            )
+            / F.lit(1000000),
+            6,
+        ).alias("block_boot_se"),
+    )
+    return full_m.crossJoin(F.broadcast(se)).select(
+        "n_days",
+        F.round(F.col("mean_value"), 6).alias("mean_value"),
+        "n_replicates",
+        "block_boot_se",
+    )
+
+
+CATALOG["ml_block_bootstrap_se_daily"].fn = _dblockboot
+
+register(
+    "doc_js_divergence_sources",
+    # the bounded, symmetric cousin of the pairwise KL report: Jensen–
+    # Shannon divergence between every source pair over the UNION of
+    # their unsmoothed unigram distributions. The log ratio
+    # p/m = 2*ca*nb/(ca*nb + cb*na) is a ratio of exact wide integers
+    # (so identical doubles feed the one 6dp-rounded ln), and each
+    # side's p*ln(p/m) term quantizes to picounits before the
+    # union-sized sum.
+    oracle=f"""
+    WITH {_SRC_TC_CTES},
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY source),
+    grid AS (
+      SELECT a.source AS src_a, a.n AS na, b.source AS src_b, b.n AS nb
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    u AS (
+      SELECT g.src_a, g.src_b, g.na, g.nb,
+             COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+      FROM grid g
+      CROSS JOIN (SELECT DISTINCT tok FROM tc) t
+      LEFT JOIN tc ca ON ca.source = g.src_a AND ca.tok = t.tok
+      LEFT JOIN tc cb ON cb.source = g.src_b AND cb.tok = t.tok
+      WHERE COALESCE(ca.c, 0) > 0 OR COALESCE(cb.c, 0) > 0
+    ),
+    terms AS (
+      SELECT src_a, src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_union_tokens,
+             CAST(SUM(CASE WHEN ca > 0 THEN
+               CAST(floor(round((CAST(ca AS DOUBLE) / na)
+                 * round(ln(CAST(2 * CAST(ca AS HUGEINT) * nb AS DOUBLE)
+                            / (CAST(ca AS HUGEINT) * nb
+                               + CAST(cb AS HUGEINT) * na)), 6),
+                 12) * 1000000000000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS sp12,
+             CAST(SUM(CASE WHEN cb > 0 THEN
+               CAST(floor(round((CAST(cb AS DOUBLE) / nb)
+                 * round(ln(CAST(2 * CAST(cb AS HUGEINT) * na AS DOUBLE)
+                            / (CAST(cb AS HUGEINT) * na
+                               + CAST(ca AS HUGEINT) * nb)), 6),
+                 12) * 1000000000000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS sq12
+      FROM u GROUP BY src_a, src_b
+    )
+    SELECT src_a, src_b, n_union_tokens,
+           round((sp12 / 1000000000000.0 + sq12 / 1000000000000.0) / 2.0, 6)
+               AS js_divergence
+    FROM terms
+    ORDER BY src_a, src_b
+    """,
+)
+
+
+def _dsrcjs(spark, sf_dir):
+    """Pairwise JS divergence, same plan shape as the KL report: one
+    (source, token) count pass, per-token count map, 190-row pair grid
+    broadcast, picounit term sums — the mixing diagnostic that is
+    bounded (<= ln 2) and symmetric, so thresholds transfer across
+    corpora."""
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(tok_arr(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = tc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    ta = tot.withColumnsRenamed({"source": "src_a", "n": "na"})
+    tb = tot.withColumnsRenamed({"source": "src_b", "n": "nb"})
+    grid = ta.join(tb, ta.src_a < tb.src_b)
+    m = tc.groupBy("tok").agg(
+        F.map_from_entries(F.collect_list(F.struct("source", "c"))).alias("cm")
+    )
+    u = (
+        m.crossJoin(F.broadcast(grid))
+        .select(
+            "src_a",
+            "src_b",
+            "na",
+            "nb",
+            F.coalesce(F.element_at("cm", F.col("src_a")), F.lit(0)).alias("ca"),
+            F.coalesce(F.element_at("cm", F.col("src_b")), F.lit(0)).alias("cb"),
+        )
+        .filter((F.col("ca") > 0) | (F.col("cb") > 0))
+    )
+
+    def _jsterm(cx, nx, cy, ny):
+        # p*ln(p/m) with p = cx/nx, m = (cx/nx + cy/ny)/2: the ratio
+        # inside ln is exact wide-int 2*cx*ny / (cx*ny + cy*nx)
+        num = (F.lit(2).cast("decimal(19,0)") * cx * ny).cast("double")
+        den = (
+            cx.cast("decimal(19,0)") * ny + cy.cast("decimal(19,0)") * nx
+        ).cast("double")
+        return F.when(
+            cx > 0,
+            F.floor(
+                F.round(
+                    (cx.cast("double") / nx) * F.round(F.log(num / den), 6), 12
+                )
+                * 1e12
+                + 0.5
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+
+    terms = u.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_union_tokens"),
+        F.sum(
+            _jsterm(F.col("ca"), F.col("na"), F.col("cb"), F.col("nb"))
+        )
+        .cast("long")
+        .alias("sp12"),
+        F.sum(
+            _jsterm(F.col("cb"), F.col("nb"), F.col("ca"), F.col("na"))
+        )
+        .cast("long")
+        .alias("sq12"),
+    )
+    return terms.select(
+        "src_a",
+        "src_b",
+        "n_union_tokens",
+        F.round((F.col("sp12") / 1e12 + F.col("sq12") / 1e12) / 2.0, 6).alias(
+            "js_divergence"
+        ),
+    ).orderBy("src_a", "src_b")
+
+
+CATALOG["doc_js_divergence_sources"].fn = _dsrcjs
+
+
+# ===========================================================================
+# round-10 wave 3: graph scoring (Adamic-Adar, personalized PageRank),
+# the Markov stationary distribution, and greedy k-means++ seeding —
+# compositions over the proven graph / transition / embedding machinery.
+# ===========================================================================
+
+register(
+    "graph_adamic_adar_link_pred",
+    # the weighted upgrade of common-neighbor link prediction: the
+    # Adamic-Adar score sum over common neighbors z of 1/ln(deg z)
+    # discounts promiscuous hubs. Same held-out-edge protocol as the
+    # CN eval (hash split, positives vs band-collision near-misses);
+    # per-neighbor weights are micro-quantized after the one
+    # 6dp-rounded ln, so the per-pair score is an integer sum.
+    oracle=f"""
+    WITH cand AS MATERIALIZED ({_minhash_portable_oracle(thr=0.0)}),
+    pos_all AS MATERIALIZED (
+      SELECT id_a, id_b,
+             {_HASH01_SQL.format(key="CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR) || 'lp'")} AS u
+      FROM cand WHERE jaccard_est >= 0.5
+    ),
+    test AS (SELECT id_a, id_b, 'positive' AS side FROM pos_all WHERE u < 0.2),
+    neg AS (
+      SELECT id_a, id_b, 'negative' AS side FROM cand WHERE jaccard_est < 0.5
+    ),
+    ev AS (SELECT * FROM test UNION ALL SELECT * FROM neg),
+    adj AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pos_all WHERE u >= 0.2
+      UNION ALL
+      SELECT id_b, id_a FROM pos_all WHERE u >= 0.2
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY src
+    ),
+    aa AS (
+      SELECT e.id_a, e.id_b, e.side,
+             CAST(SUM(CASE WHEN n2.dst IS NOT NULL THEN
+               CAST(floor(round(1.0 / NULLIF(round(ln(CAST(dw.dg AS DOUBLE)), 6),
+                                             0.0), 6)
+                          * 1000000 + 0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS aa6
+      FROM ev e
+      LEFT JOIN adj n1 ON n1.src = e.id_a
+      LEFT JOIN adj n2 ON n2.src = e.id_b AND n2.dst = n1.dst
+      LEFT JOIN deg dw ON dw.node = n1.dst
+      GROUP BY e.id_a, e.id_b, e.side
+    )
+    SELECT side, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(aa6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+               AS mean_adamic_adar,
+           round(CAST(SUM(CASE WHEN aa6 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS share_with_signal
+    FROM aa GROUP BY side ORDER BY side
+    """,
+)
+
+
+def _dadamicadar(spark, sf_dir):
+    """Adamic-Adar link prediction eval: identical join shape to the
+    CN eval (pair x degree bounded wedge probes), plus one broadcast
+    degree table supplying the 1/ln(deg) hub discount — the score that
+    actually separates community edges from hub coincidences."""
+    from .ops.sampling import hash_uniform01
+
+    d = t(spark, sf_dir, "documents")
+    cand = dedup.minhash_dup_pairs_portable(
+        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.0
+    ).select("id_a", "id_b", "jaccard_est").localCheckpoint(eager=False)
+    u = hash_uniform01(
+        F.concat(
+            F.col("id_a").cast("string"),
+            F.lit("_"),
+            F.col("id_b").cast("string"),
+            F.lit("lp"),
+        )
+    )
+    pos_all = (
+        cand.filter(F.col("jaccard_est") >= 0.5)
+        .select("id_a", "id_b", u.alias("__u"))
+        .localCheckpoint(eager=False)
+    )
+    test = pos_all.filter(F.col("__u") < 0.2).select(
+        "id_a", "id_b", F.lit("positive").alias("side")
+    )
+    neg = cand.filter(F.col("jaccard_est") < 0.5).select(
+        "id_a", "id_b", F.lit("negative").alias("side")
+    )
+    ev = test.unionByName(neg)
+    retained = pos_all.filter(F.col("__u") >= 0.2)
+    adj = (
+        retained.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            retained.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = adj.groupBy(F.col("src").alias("__w")).agg(
+        F.count("*").cast("long").alias("__dg")
+    )
+    w6 = F.floor(
+        F.round(
+            1.0
+            / F.nullif(F.round(F.log(F.col("__dg").cast("double")), 6), F.lit(0.0)),
+            6,
+        )
+        * 1e6
+        + 0.5
+    ).cast("long")
+    n1 = adj.withColumnsRenamed({"src": "id_a", "dst": "__w"})
+    n2 = adj.withColumnsRenamed({"src": "id_b", "dst": "__w"}).withColumn(
+        "__hit", F.lit(1)
+    )
+    aa = (
+        ev.join(n1, "id_a", "left")
+        .join(n2, ["id_b", "__w"], "left")
+        .join(F.broadcast(deg), "__w", "left")
+        .groupBy("id_a", "id_b", "side")
+        .agg(
+            F.sum(
+                F.when(F.col("__hit").isNotNull(), w6).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("aa6")
+        )
+    )
+    return (
+        aa.groupBy("side")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.sum("aa6").cast("double") / F.count("*") / 1e6, 6).alias(
+                "mean_adamic_adar"
+            ),
+            F.round(
+                F.sum(F.when(F.col("aa6") > 0, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("share_with_signal"),
+        )
+        .orderBy("side")
+    )
+
+
+CATALOG["graph_adamic_adar_link_pred"].fn = _dadamicadar
+
+
+def _ppr_oracle(rounds: int = 3, damping: float = 0.85, n_seeds: int = 5) -> str:
+    """Oracle for unrolled PERSONALIZED PageRank over the near-dup
+    graph: the teleport vector concentrates on the ``n_seeds``
+    highest-degree nodes (deterministic ties by node id) instead of
+    spreading uniformly — same per-round 6-dp rounding and micro-unit
+    neighbor sums as the global PageRank oracle."""
+    prev = "pr0"
+    iters = []
+    for r in range(1, rounds + 1):
+        iters.append(f""",
+    c{r} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(floor(round(p.pr / d.deg, 6) * 1000000 + 0.5) AS BIGINT)) AS s
+      FROM edges e
+      JOIN {prev} p ON e.src = p.node
+      JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    ),
+    pr{r} AS (
+      SELECT n.node,
+             round({1 - damping!r} * CASE WHEN s.node IS NOT NULL
+                                          THEN 1.0 ELSE 0.0 END
+                   + {damping!r} *
+                     (CAST(COALESCE(c{r}.s, 0) AS DOUBLE) / 1000000.0), 6) AS pr
+      FROM nodes n
+      LEFT JOIN seeds s ON s.node = n.node
+      LEFT JOIN c{r} ON n.node = c{r}.node
+    )""")
+        prev = f"pr{r}"
+    return f"""
+    WITH pairs AS ({_minhash_portable_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS MATERIALIZED (
+      SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+    ),
+    seeds AS MATERIALIZED (
+      SELECT node FROM deg ORDER BY deg DESC, node LIMIT {n_seeds}
+    ),
+    pr0 AS (
+      SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 1.0 ELSE 0.0 END AS pr
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+    ){"".join(iters)}
+    SELECT node AS doc_id, pr AS ppr
+    FROM {prev}
+    WHERE pr > 0
+    ORDER BY ppr DESC, doc_id
+    LIMIT 20
+    """
+
+
+register("graph_personalized_pagerank", oracle=_ppr_oracle())
+
+
+def _dppr(spark, sf_dir):
+    """Personalized PageRank: the global-PageRank round shape with a
+    teleport vector pinned to the 5 highest-degree near-dup nodes —
+    'what else belongs to THESE clusters' instead of 'what is globally
+    central'. Seeds are one TakeOrdered over the degree frame; rounds
+    are localCheckpointed so the executed plan depth stays constant."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dup_pairs_portable(
+        d, "doc_id", "text", num_perm=16, bands=4, jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
+    )
+    try:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("deg")
+        )
+        seeds = (
+            deg.orderBy(F.desc("deg"), "node").limit(5).select("node")
+            .withColumn("__seed", F.lit(1))
+            .localCheckpoint(eager=False)
+        )
+        e_tele = F.when(F.col("__seed").isNotNull(), 1.0).otherwise(0.0)
+        pr = nodes.join(F.broadcast(seeds), "node", "left").select(
+            "node", e_tele.alias("pr")
+        )
+        for _ in range(3):
+            contrib = (
+                edges.join(pr.withColumnsRenamed({"node": "src"}), "src")
+                .join(deg.withColumnsRenamed({"node": "src", "deg": "__deg"}), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.floor(
+                        F.round(F.col("pr") / F.col("__deg"), 6) * 1e6 + F.lit(0.5)
+                    )
+                    .cast("long")
+                    .alias("__c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("__c").alias("__s"))
+            )
+            pr = (
+                nodes.join(contrib, "node", "left")
+                .join(F.broadcast(seeds), "node", "left")
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(0.15) * e_tele
+                        + F.lit(0.85)
+                        * (
+                            F.coalesce(F.col("__s"), F.lit(0)).cast("double")
+                            / F.lit(1e6)
+                        ),
+                        6,
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return (
+            pr.filter(F.col("pr") > 0)
+            .select(F.col("node").alias("doc_id"), F.col("pr").alias("ppr"))
+            .orderBy(F.desc("ppr"), "doc_id")
+            .limit(20)
+        )
+    finally:
+        edges.unpersist()
+
+
+CATALOG["graph_personalized_pagerank"].fn = _dppr
+
+
+def _markov_stationary_oracle(rounds: int = 3) -> str:
+    """Oracle for the power-iteration stationary distribution of the
+    event-type Markov chain: the 6dp transition matrix from the
+    transition-matrix query, ``rounds`` vector-matrix products with
+    picounit term quantization and per-round L1 renormalization
+    (ratio of exact integers -> identical doubles)."""
+    prev = "pi0"
+    iters = []
+    for r in range(1, rounds + 1):
+        iters.append(f""",
+    m{r} AS (
+      SELECT p.dst AS st,
+             CAST(SUM(CAST(floor(round(pv.pi * p.p, 12) * 1000000000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS s12
+      FROM p JOIN {prev} pv ON pv.st = p.src
+      GROUP BY p.dst
+    ),
+    t{r} AS (SELECT CAST(SUM(s12) AS BIGINT) AS tot FROM m{r}),
+    pi{r} AS (
+      SELECT s.st,
+             round(CAST(COALESCE(m{r}.s12, 0) AS DOUBLE) / NULLIF(t.tot, 0), 6)
+                 AS pi
+      FROM states s LEFT JOIN m{r} ON m{r}.st = s.st CROSS JOIN t{r} t
+    )""")
+        prev = f"pi{r}"
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL
+      GROUP BY src, dst
+    ),
+    r AS (SELECT src, SUM(n) AS tot FROM c GROUP BY src),
+    p AS MATERIALIZED (
+      SELECT c.src, c.dst, round(CAST(c.n AS DOUBLE) / r.tot, 6) AS p
+      FROM c JOIN r USING (src)
+    ),
+    states AS MATERIALIZED (
+      SELECT src AS st FROM c UNION SELECT dst FROM c
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+    pi0 AS (SELECT st, round(1.0 / k.k, 6) AS pi FROM states CROSS JOIN k)
+    {"".join(iters)}
+    SELECT st AS event_type, pi AS stationary_p
+    FROM {prev}
+    ORDER BY event_type
+    """
+
+
+register("evt_markov_stationary_power", oracle=_markov_stationary_oracle())
+
+
+def _dmarkovstat(spark, sf_dir):
+    """Stationary distribution of the behavioral Markov chain by three
+    unrolled power-iteration rounds: the transition matrix is a k x k
+    broadcastable frame (k = event types), each round is one join +
+    grouped picounit sum + L1 renormalize — where user journeys
+    CONVERGE, the long-run attention share per event type."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    r = c.groupBy("src").agg(F.sum("n").alias("__tot"))
+    p = (
+        c.join(F.broadcast(r), "src")
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("n").cast("double") / F.col("__tot"), 6).alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    states = (
+        p.select(F.col("src").alias("st"))
+        .union(p.select(F.col("dst").alias("st")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    k = states.agg(F.count("*").cast("long").alias("k"))
+    pi = states.crossJoin(F.broadcast(k)).select(
+        "st", F.round(1.0 / F.col("k"), 6).alias("pi")
+    )
+    for _ in range(3):
+        m = (
+            p.join(pi.withColumnsRenamed({"st": "src"}), "src")
+            .select(
+                F.col("dst").alias("st"),
+                F.floor(F.round(F.col("pi") * F.col("p"), 12) * 1e12 + 0.5)
+                .cast("long")
+                .alias("__t12"),
+            )
+            .groupBy("st")
+            .agg(F.sum("__t12").cast("long").alias("s12"))
+        )
+        tot = m.agg(F.sum("s12").cast("long").alias("tot"))
+        pi = (
+            states.join(m, "st", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "st",
+                F.round(
+                    F.coalesce(F.col("s12"), F.lit(0)).cast("double")
+                    / F.nullif(F.col("tot"), F.lit(0)),
+                    6,
+                ).alias("pi"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pi.select(
+        F.col("st").alias("event_type"), F.col("pi").alias("stationary_p")
+    ).orderBy("event_type")
+
+
+CATALOG["evt_markov_stationary_power"].fn = _dmarkovstat
+
+register(
+    "emb_farthest_point_seeds",
+    # deterministic k-means++ seeding (the farthest-point variant —
+    # greedy argmax of the min distance to already-chosen seeds, ties
+    # by vec_id): seed 1 is the lowest vec_id, seeds 2 and 3 maximize
+    # the micro-quantized min squared distance. The classic way to
+    # start Lloyd without a random draw — and the argmax chain is
+    # exactly reproducible in SQL.
+    oracle=f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+    s1 AS (SELECT vec_id AS sid1, embedding AS v1 FROM e ORDER BY vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+      SELECT e.vec_id,
+             CAST(floor(round({_DIST_SQL('e.embedding', 's1.v1')}, 6)
+                        * 1000000 + 0.5) AS BIGINT) AS d6
+      FROM e CROSS JOIN s1
+    ),
+    s2 AS (SELECT vec_id AS sid2, d6 AS sd2 FROM d1 ORDER BY d6 DESC, vec_id LIMIT 1),
+    s2v AS (
+      SELECT s2.sid2, s2.sd2, e.embedding AS v2
+      FROM e JOIN s2 ON e.vec_id = s2.sid2
+    ),
+    d2 AS MATERIALIZED (
+      SELECT d1.vec_id,
+             LEAST(d1.d6,
+                   CAST(floor(round({_DIST_SQL('e.embedding', 's2v.v2')}, 6)
+                              * 1000000 + 0.5) AS BIGINT)) AS d6
+      FROM d1 JOIN e ON e.vec_id = d1.vec_id CROSS JOIN s2v
+    ),
+    s3 AS (SELECT vec_id AS sid3, d6 AS sd3 FROM d2 ORDER BY d6 DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS seed_rank, s1.sid1 AS vec_id, 0.0 AS min_dist_sq
+    FROM s1
+    UNION ALL
+    SELECT 2, s2.sid2, round(s2.sd2 / 1000000.0, 6) FROM s2
+    UNION ALL
+    SELECT 3, s3.sid3, round(s3.sd3 / 1000000.0, 6) FROM s3
+    ORDER BY seed_rank
+    """,
+)
+
+
+def _dfarthestseeds(spark, sf_dir):
+    """Greedy farthest-point seeding: each round is one broadcast of a
+    1-row seed vector, one zip_with fold per vector (no dim explosion),
+    one TakeOrdered argmax — k seeds cost k corpus passes with O(1)
+    state, the deterministic opener for every Lloyd query in the
+    engine."""
+    from .ops.similarity import l2_dist_sq
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
+
+    def _d6(vec_col):
+        return (
+            F.floor(F.round(l2_dist_sq(F.col("embedding"), vec_col), 6) * 1e6 + 0.5)
+            .cast("long")
+        )
+
+    s1 = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("sid1"), F.col("embedding").alias("v1")
+    )
+    d1 = (
+        e.crossJoin(F.broadcast(s1))
+        .select("vec_id", "embedding", _d6(F.col("v1")).alias("d6"))
+        .localCheckpoint(eager=False)
+    )
+    s2 = d1.orderBy(F.desc("d6"), "vec_id").limit(1).select(
+        F.col("vec_id").alias("sid2"),
+        F.col("d6").alias("sd2"),
+        F.col("embedding").alias("v2"),
+    )
+    d2 = d1.crossJoin(F.broadcast(s2)).select(
+        "vec_id",
+        F.least(F.col("d6"), _d6(F.col("v2"))).alias("d6"),
+    )
+    s3 = d2.orderBy(F.desc("d6"), "vec_id").limit(1).select(
+        F.col("vec_id").alias("sid3"), F.col("d6").alias("sd3")
+    )
+    r1 = s1.select(
+        F.lit(1).cast("long").alias("seed_rank"),
+        F.col("sid1").alias("vec_id"),
+        F.lit(0.0).alias("min_dist_sq"),
+    )
+    r2 = s2.select(
+        F.lit(2).cast("long").alias("seed_rank"),
+        F.col("sid2").alias("vec_id"),
+        F.round(F.col("sd2") / 1e6, 6).alias("min_dist_sq"),
+    )
+    r3 = s3.select(
+        F.lit(3).cast("long").alias("seed_rank"),
+        F.col("sid3").alias("vec_id"),
+        F.round(F.col("sd3") / 1e6, 6).alias("min_dist_sq"),
+    )
+    return r1.unionByName(r2).unionByName(r3).orderBy("seed_rank")
+
+
+CATALOG["emb_farthest_point_seeds"].fn = _dfarthestseeds
+
+register(
+    "sketch_hll_rsd_sweep",
+    # accuracy-vs-precision sweep of the HyperLogLog++ cardinality
+    # sketch: approx_count_distinct over user_id at three relative-
+    # standard-deviation settings, each gated against the exact count
+    # (|est - exact| <= 4*rsd*exact — four sigmas of the sketch's own
+    # guarantee). The estimates themselves are engine-specific, so the
+    # oracle checks the exact count and the PASS verdicts — the same
+    # bounded-error gate contract as the KLL and CMS families.
+    oracle="""
+    SELECT 0.05 AS rsd,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM events
+    UNION ALL
+    SELECT 0.02, CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+    UNION ALL
+    SELECT 0.01, CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+    ORDER BY rsd
+    """,
+)
+
+
+def _dhllsweep(spark, sf_dir):
+    """HLL++ rsd sweep: three sketch aggregates and one exact distinct
+    in a single pass over events, then a 3-row verdict frame. At
+    100 TB only the sketches run cheap — the exact side is the gate's
+    scorer, and the sweep tells you which precision tier the dashboard
+    actually needs."""
+    ev = t(spark, sf_dir, "events")
+    g = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("e05"),
+        F.approx_count_distinct("user_id", 0.02).alias("e02"),
+        F.approx_count_distinct("user_id", 0.01).alias("e01"),
+    ).localCheckpoint(eager=False)  # 3 verdict-row consumers, one scan
+    rows = []
+    for rsd, col in ((0.05, "e05"), (0.02, "e02"), (0.01, "e01")):
+        rows.append(
+            g.select(
+                F.lit(rsd).alias("rsd"),
+                F.col("exact").alias("n_exact"),
+                (
+                    F.abs(F.col(col) - F.col("exact")).cast("double")
+                    <= F.lit(4.0 * rsd) * F.col("exact")
+                ).alias("within_bound"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("rsd")
+
+
+CATALOG["sketch_hll_rsd_sweep"].fn = _dhllsweep
+
+
+def _ph_report(obs):
+    """Shared Page-Hinkley pipeline over an (event_type, h, cents)
+    hourly frame — the prefix-sum-minus-running-min identity with
+    floor-micro-cent running means; consumed by the batch query AND
+    the streaming run's post-run pass so the two can never drift."""
+    w = Window.partitionBy("event_type").orderBy("h")
+    idx = obs.select(
+        "event_type",
+        "h",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.sum("cents").over(w).alias("s"),
+    )
+    dev = idx.select(
+        "event_type",
+        "h",
+        (
+            F.col("cents") * F.lit(1000000)
+            - F.floor(F.col("s") * 1000000.0 / F.col("i")).cast("long")
+            - F.lit(100000000)
+        ).alias("d6"),
+    )
+    u = dev.select("event_type", "h", F.sum("d6").over(w).alias("u6"))
+    ph = u.select(
+        "event_type", "h", (F.col("u6") - F.min("u6").over(w)).alias("ph6")
+    )
+    mx = ph.withColumn("mx", F.max("ph6").over(Window.partitionBy("event_type")))
+    return (
+        mx.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.round(F.max("ph6") / 1e8, 6).alias("ph_max_value"),
+            F.date_format(
+                F.min(F.when(F.col("ph6") == F.col("mx"), F.col("h"))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("alarm_hour"),
+            (F.max("ph6") / 1e8 >= 1000.0).alias("alarm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "evt_stream_page_hinkley_now",
+    # seventeenth streaming run: Page-Hinkley drift detection over a
+    # LIVE stream — the hourly (event_type, window) cents aggregate is
+    # the streaming state (bounded by types x hours, complete mode),
+    # and the post-run pass applies the exact PH identity to the sink
+    # through the SAME _ph_report pipeline as the batch query, so the
+    # streaming detector provably computes the batch statistic. The
+    # oracle is the batch Page-Hinkley oracle verbatim.
+    oracle=CATALOG["evt_page_hinkley_hourly"].oracle,
+)
+
+
+def _dstreamph(spark, sf_dir):
+    """Streaming Page-Hinkley: the stream maintains one hourly windowed
+    aggregate per event type (the only state — never per-event), the
+    drift statistic reads the sink after the run. At 100 TB the stream
+    side is a watermark-friendly windowed count; the PH pass runs on
+    the tiny hourly frame."""
+    schema = _events_stream_schema(ts_ntz=False)
+    src = _stream_file_source(spark, sf_dir, "events.parquet", schema)
+    hourly = (
+        src.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg((F.sum(F.col("value").cast(DEC)) * 100).cast("long").alias("cents"))
+        .select("event_type", F.col("window.start").alias("h"), "cents")
+    )
+    sink = _run_stream_to_memory(hourly, "evt_stream_ph_sink", "complete")
+    return _ph_report(sink)
+
+
+CATALOG["evt_stream_page_hinkley_now"].fn = _dstreamph
+
+
+# ===========================================================================
+# round-10 wave 4: quantile regression (the tau-asymmetric sibling of
+# Huber IRLS), forecast-accuracy and SPC monitors, Lorenz deciles,
+# boolean OR/NOT retrieval, RAKE keyword extraction.
+# ===========================================================================
+
+register(
+    "ml_quantile_irls_price_qty",
+    # quantile regression (tau = 0.75) as two unrolled IRLS rounds —
+    # the Huberized quantile loss: weight tau (resp. 1-tau) where the
+    # residual is above (below) the line, decayed by delta/|r| outside
+    # the delta band. Same exactness discipline as the Huber twin:
+    # integer features, micro-quantized weights and inter-round
+    # parameters, wide-int weighted sums, one double division per
+    # parameter. The final share-below column should sit near tau.
+    oracle=f"""
+    WITH x AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS xq,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+      FROM lineitem
+    ),
+    s0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xq) AS BIGINT) AS sx,
+             CAST(SUM(yc) AS BIGINT) AS sy, CAST(SUM(xq * yc) AS BIGINT) AS sxy,
+             CAST(SUM(xq * xq) AS BIGINT) AS sxx
+      FROM x
+    ),
+    p0 AS (
+      SELECT n, CAST(floor(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                                 6) * 1000000 + 0.5) AS BIGINT) AS b6,
+             sx, sy
+      FROM s0
+    ),
+    p0a AS (
+      SELECT b6, CAST(floor(round((CAST(sy AS DOUBLE) - b6 * CAST(sx AS DOUBLE) / 1000000.0)
+                                  / n, 6) * 1000000 + 0.5) AS BIGINT) AS a6
+      FROM p0
+    ),
+    w1 AS (
+      SELECT xq, yc,
+             CASE WHEN yc * 1000000 - (a6 + b6 * xq) >= 0 THEN
+               CASE WHEN yc * 1000000 - (a6 + b6 * xq) <= {_HUBER_D6}
+                    THEN CAST(750000 AS BIGINT)
+                    ELSE CAST(floor(round(0.75 * {_HUBER_D6}.0
+                                          / (yc * 1000000 - (a6 + b6 * xq)), 6)
+                                    * 1000000 + 0.5) AS BIGINT) END
+             ELSE
+               CASE WHEN (a6 + b6 * xq) - yc * 1000000 <= {_HUBER_D6}
+                    THEN CAST(250000 AS BIGINT)
+                    ELSE CAST(floor(round(0.25 * {_HUBER_D6}.0
+                                          / ((a6 + b6 * xq) - yc * 1000000), 6)
+                                    * 1000000 + 0.5) AS BIGINT) END
+             END AS w6
+      FROM x CROSS JOIN p0a
+    ),
+    s1 AS (
+      SELECT CAST(SUM(w6) AS BIGINT) AS sw, CAST(SUM(w6 * xq) AS BIGINT) AS swx,
+             CAST(SUM(CAST(w6 * yc AS HUGEINT)) AS DOUBLE) AS swy,
+             CAST(SUM(CAST(w6 * xq * yc AS HUGEINT)) AS DOUBLE) AS swxy,
+             CAST(SUM(CAST(w6 * xq * xq AS HUGEINT)) AS DOUBLE) AS swxx
+      FROM w1
+    ),
+    p1 AS (
+      SELECT sw, swx,
+             CAST(floor(round((CAST(sw AS DOUBLE) * swxy - CAST(swx AS DOUBLE) * swy)
+                              / (CAST(sw AS DOUBLE) * swxx - CAST(swx AS DOUBLE) * swx),
+                              6) * 1000000 + 0.5) AS BIGINT) AS b6,
+             swy
+      FROM s1
+    ),
+    p1a AS (
+      SELECT b6, CAST(floor(round((swy - b6 * CAST(swx AS DOUBLE) / 1000000.0)
+                                  / sw * 1000000.0 / 1000000.0, 6) * 1000000 + 0.5)
+                      AS BIGINT) AS a6
+      FROM p1
+    ),
+    w2 AS (
+      SELECT xq, yc,
+             CASE WHEN yc * 1000000 - (a6 + b6 * xq) >= 0 THEN
+               CASE WHEN yc * 1000000 - (a6 + b6 * xq) <= {_HUBER_D6}
+                    THEN CAST(750000 AS BIGINT)
+                    ELSE CAST(floor(round(0.75 * {_HUBER_D6}.0
+                                          / (yc * 1000000 - (a6 + b6 * xq)), 6)
+                                    * 1000000 + 0.5) AS BIGINT) END
+             ELSE
+               CASE WHEN (a6 + b6 * xq) - yc * 1000000 <= {_HUBER_D6}
+                    THEN CAST(250000 AS BIGINT)
+                    ELSE CAST(floor(round(0.25 * {_HUBER_D6}.0
+                                          / ((a6 + b6 * xq) - yc * 1000000), 6)
+                                    * 1000000 + 0.5) AS BIGINT) END
+             END AS w6,
+             CASE WHEN yc * 1000000 - (a6 + b6 * xq) < 0 THEN 1 ELSE 0 END AS below
+      FROM x CROSS JOIN p1a
+    ),
+    s2 AS (
+      SELECT CAST(SUM(w6) AS BIGINT) AS sw, CAST(SUM(w6 * xq) AS BIGINT) AS swx,
+             CAST(SUM(CAST(w6 * yc AS HUGEINT)) AS DOUBLE) AS swy,
+             CAST(SUM(CAST(w6 * xq * yc AS HUGEINT)) AS DOUBLE) AS swxy,
+             CAST(SUM(CAST(w6 * xq * xq AS HUGEINT)) AS DOUBLE) AS swxx,
+             CAST(SUM(below) AS BIGINT) AS n_below,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM w2
+    ),
+    p2 AS (
+      SELECT n, n_below, sw,
+             CAST(floor(round((CAST(sw AS DOUBLE) * swxy - CAST(swx AS DOUBLE) * swy)
+                              / (CAST(sw AS DOUBLE) * swxx - CAST(swx AS DOUBLE) * swx),
+                              6) * 1000000 + 0.5) AS BIGINT) AS b6,
+             swx, swy
+      FROM s2
+    ),
+    p2a AS (
+      SELECT n, n_below, sw, b6,
+             CAST(floor(round((swy - b6 * CAST(swx AS DOUBLE) / 1000000.0)
+                              / sw * 1000000.0 / 1000000.0, 6) * 1000000 + 0.5)
+                  AS BIGINT) AS a6
+      FROM p2
+    )
+    SELECT p2a.n AS n_rows,
+           round(p0a.a6 / 1000000.0, 6) AS a_ols,
+           round(p0a.b6 / 1000000.0, 6) AS b_ols,
+           round(p2a.a6 / 1000000.0, 6) AS a_q75,
+           round(p2a.b6 / 1000000.0, 6) AS b_q75,
+           round(CAST(p2a.n_below AS DOUBLE) / p2a.n, 6) AS share_below,
+           p2a.sw AS w_mass6
+    FROM p2a CROSS JOIN p0a
+    """,
+)
+
+
+def _dquantileirls(spark, sf_dir):
+    """Quantile (tau=0.75) regression by IRLS: the Huber round shape —
+    one weighted-sums aggregate over the cached integer feature frame
+    plus a 1-row parameter broadcast per round — with the asymmetric
+    tau/(1-tau) weighting that pulls the line to the 75th conditional
+    percentile. Constant plan depth; the final pass also counts the
+    share of points below the line (the tau sanity gauge)."""
+    li = t(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_quantity").cast("long").alias("xq"),
+        (F.col("l_extendedprice").cast(DEC) * 100).cast("long").alias("yc"),
+    ).localCheckpoint(eager=False)
+
+    def _q6(col):
+        return F.floor(F.round(col, 6) * 1e6 + 0.5).cast("long")
+
+    s0 = x.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yc")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    slope0 = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    p0 = s0.select("n", "sx", "sy", _q6(slope0).alias("b6"))
+    p0a = p0.select(
+        "b6",
+        _q6(
+            (F.col("sy").cast("double") - F.col("b6") * F.col("sx").cast("double") / 1e6)
+            / F.col("n")
+        ).alias("a6"),
+    ).localCheckpoint(eager=False)
+
+    def _weights(params, extra=False):
+        r6 = F.col("yc") * F.lit(1000000) - (F.col("a6") + F.col("b6") * F.col("xq"))
+        w6 = F.when(
+            r6 >= 0,
+            F.when(r6 <= F.lit(_HUBER_D6), F.lit(750000).cast("long")).otherwise(
+                _q6(F.lit(0.75 * float(_HUBER_D6)) / r6)
+            ),
+        ).otherwise(
+            F.when((-r6) <= F.lit(_HUBER_D6), F.lit(250000).cast("long")).otherwise(
+                _q6(F.lit(0.25 * float(_HUBER_D6)) / (-r6))
+            )
+        )
+        cols = ["xq", "yc", w6.alias("w6")]
+        if extra:
+            cols.append(F.when(r6 < 0, 1).otherwise(0).alias("below"))
+        return x.crossJoin(F.broadcast(params)).select(*cols)
+
+    def _wsums(w, extra=False):
+        aggs = [
+            F.sum("w6").cast("long").alias("sw"),
+            F.sum(F.col("w6") * F.col("xq")).cast("long").alias("swx"),
+            F.sum((F.col("w6") * F.col("yc")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("swy"),
+            F.sum((F.col("w6") * F.col("xq") * F.col("yc")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("swxy"),
+            F.sum((F.col("w6") * F.col("xq") * F.col("xq")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("swxx"),
+        ]
+        if extra:
+            aggs += [
+                F.sum("below").cast("long").alias("n_below"),
+                F.count("*").cast("long").alias("n"),
+            ]
+        return w.agg(*aggs)
+
+    slope_w = (
+        F.col("sw").cast("double") * F.col("swxy")
+        - F.col("swx").cast("double") * F.col("swy")
+    ) / (
+        F.col("sw").cast("double") * F.col("swxx")
+        - F.col("swx").cast("double") * F.col("swx")
+    )
+    a_w = _q6(
+        (F.col("swy") - F.col("b6") * F.col("swx").cast("double") / 1e6)
+        / F.col("sw")
+        * 1e6
+        / 1e6
+    ).alias("a6")
+
+    s1 = _wsums(_weights(p0a))
+    p1 = s1.select("sw", "swx", "swy", _q6(slope_w).alias("b6"))
+    p1a = p1.select("b6", a_w).localCheckpoint(eager=False)
+    s2 = _wsums(_weights(p1a, extra=True), extra=True)
+    p2 = s2.select("n", "n_below", "sw", "swx", "swy", _q6(slope_w).alias("b6"))
+    p2a = p2.select("n", "n_below", "sw", "b6", a_w)
+    return p2a.crossJoin(
+        F.broadcast(p0a.withColumnsRenamed({"a6": "a06", "b6": "b06"}))
+    ).select(
+        F.col("n").alias("n_rows"),
+        F.round(F.col("a06") / 1e6, 6).alias("a_ols"),
+        F.round(F.col("b06") / 1e6, 6).alias("b_ols"),
+        F.round(F.col("a6") / 1e6, 6).alias("a_q75"),
+        F.round(F.col("b6") / 1e6, 6).alias("b_q75"),
+        F.round(F.col("n_below").cast("double") / F.col("n"), 6).alias("share_below"),
+        F.col("sw").alias("w_mass6"),
+    )
+
+
+CATALOG["ml_quantile_irls_price_qty"].fn = _dquantileirls
+
+register(
+    "evt_mase_seasonal_naive",
+    # forecast-accuracy baseline: MASE of the seasonal-naive forecast
+    # (value 24 hours earlier) against the one-step naive (previous
+    # hour) per event type, on the hourly cents series. Both MAEs are
+    # exact integer sums joined on exact timestamp arithmetic (gaps
+    # can't shift the season — the join is on h - 24 HOURS, not on row
+    # offsets); MASE < 1 means daily seasonality is real signal.
+    oracle=f"""
+    WITH {_HOURLY_TYPE_CENTS_CTE},
+    se AS (
+      SELECT a.event_type, CAST(abs(a.cents - b.cents) AS BIGINT) AS ae
+      FROM obs a JOIN obs b
+        ON b.event_type = a.event_type AND b.h = a.h - INTERVAL 24 HOUR
+    ),
+    nv AS (
+      SELECT a.event_type, CAST(abs(a.cents - b.cents) AS BIGINT) AS ae
+      FROM obs a JOIN obs b
+        ON b.event_type = a.event_type AND b.h = a.h - INTERVAL 1 HOUR
+    ),
+    sa AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(SUM(ae) AS BIGINT) AS s_s
+      FROM se GROUP BY 1
+    ),
+    na AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_n,
+             CAST(SUM(ae) AS BIGINT) AS s_n
+      FROM nv GROUP BY 1
+    )
+    SELECT sa.event_type, sa.n_s AS n_seasonal_points,
+           round(CAST(sa.s_s AS DOUBLE) / sa.n_s / 100.0, 6) AS mae_seasonal,
+           round(CAST(na.s_n AS DOUBLE) / na.n_n / 100.0, 6) AS mae_naive,
+           round((CAST(sa.s_s AS DOUBLE) / sa.n_s)
+                 / (CAST(na.s_n AS DOUBLE) / na.n_n), 6) AS mase
+    FROM sa JOIN na USING (event_type)
+    ORDER BY sa.event_type
+    """,
+)
+
+
+def _dmase(spark, sf_dir):
+    """MASE per event type: the corpus reduces to the hourly frame
+    once, both baselines are self-joins on exact shifted timestamps
+    over that bounded frame, and the report is a types-sized join —
+    the 'is a model even worth training' gate for every hourly
+    series."""
+    obs = _hourly_type_cents(spark, sf_dir).localCheckpoint(eager=False)
+    b24 = obs.select(
+        F.col("event_type").alias("event_type"),
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("cents").alias("__pred"),
+    )
+    b1 = obs.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 1 HOURS")).alias("h"),
+        F.col("cents").alias("__pred"),
+    )
+    sa = (
+        obs.join(b24, ["event_type", "h"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_s"),
+            F.sum(F.abs(F.col("cents") - F.col("__pred")))
+            .cast("long")
+            .alias("s_s"),
+        )
+    )
+    na = (
+        obs.join(b1, ["event_type", "h"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_n"),
+            F.sum(F.abs(F.col("cents") - F.col("__pred")))
+            .cast("long")
+            .alias("s_n"),
+        )
+    )
+    return (
+        sa.join(na, "event_type")
+        .select(
+            "event_type",
+            F.col("n_s").alias("n_seasonal_points"),
+            F.round(F.col("s_s").cast("double") / F.col("n_s") / 100.0, 6).alias(
+                "mae_seasonal"
+            ),
+            F.round(F.col("s_n").cast("double") / F.col("n_n") / 100.0, 6).alias(
+                "mae_naive"
+            ),
+            F.round(
+                (F.col("s_s").cast("double") / F.col("n_s"))
+                / (F.col("s_n").cast("double") / F.col("n_n")),
+                6,
+            ).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CATALOG["evt_mase_seasonal_naive"].fn = _dmase
+
+register(
+    "evt_spc_individuals_chart",
+    # statistical process control: the I-MR (individuals / moving
+    # range) chart over the hourly cents series per event type. Center
+    # lines are ratios of exact integer sums, the 2.66 factor is the
+    # published 3/d2(2) constant, and out-of-control hours are counted
+    # against limits computed in one shared-order expression.
+    oracle=f"""
+    WITH {_HOURLY_TYPE_CENTS_CTE},
+    mr AS (
+      SELECT event_type, cents,
+             abs(cents - LAG(cents) OVER (PARTITION BY event_type
+                                          ORDER BY h)) AS mrv
+      FROM obs
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(cents) AS BIGINT) AS sc,
+             CAST(COUNT(mrv) AS BIGINT) AS n_mr,
+             CAST(SUM(mrv) AS BIGINT) AS smr
+      FROM mr GROUP BY event_type
+    ),
+    lim AS (
+      SELECT event_type, n_hours, sc, n_mr, smr,
+             CAST(sc AS DOUBLE) / n_hours AS cl,
+             CAST(smr AS DOUBLE) / n_mr AS mrbar
+      FROM g
+    ),
+    ooc AS (
+      SELECT o.event_type,
+             CAST(SUM(CASE WHEN o.cents > l.cl + 2.66 * l.mrbar
+                            OR o.cents < l.cl - 2.66 * l.mrbar
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ooc
+      FROM obs o JOIN lim l USING (event_type)
+      GROUP BY o.event_type
+    )
+    SELECT l.event_type, l.n_hours,
+           round(l.cl / 100.0, 6) AS center_line,
+           round(l.mrbar / 100.0, 6) AS mr_bar,
+           round((l.cl + 2.66 * l.mrbar) / 100.0, 6) AS ucl,
+           round((l.cl - 2.66 * l.mrbar) / 100.0, 6) AS lcl,
+           ooc.n_ooc AS n_out_of_control
+    FROM lim l JOIN ooc USING (event_type)
+    ORDER BY l.event_type
+    """,
+)
+
+
+def _dspc(spark, sf_dir):
+    """I-MR control chart: one hourly aggregate, one lag window per
+    type for the moving ranges, a types-sized limits frame broadcast
+    back for the out-of-control count — the monitoring primitive that
+    needs no distributional assumptions and no lookup tables beyond
+    the one d2 constant."""
+    obs = _hourly_type_cents(spark, sf_dir).localCheckpoint(eager=False)
+    w = Window.partitionBy("event_type").orderBy("h")
+    mr = obs.select(
+        "event_type",
+        "cents",
+        F.abs(F.col("cents") - F.lag("cents").over(w)).alias("mrv"),
+    )
+    g = mr.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("cents").cast("long").alias("sc"),
+        F.count("mrv").cast("long").alias("n_mr"),
+        F.sum("mrv").cast("long").alias("smr"),
+    )
+    lim = g.select(
+        "event_type",
+        "n_hours",
+        (F.col("sc").cast("double") / F.col("n_hours")).alias("cl"),
+        (F.col("smr").cast("double") / F.col("n_mr")).alias("mrbar"),
+    ).localCheckpoint(eager=False)
+    ooc = (
+        obs.join(F.broadcast(lim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("cents") > F.col("cl") + 2.66 * F.col("mrbar"))
+                    | (F.col("cents") < F.col("cl") - 2.66 * F.col("mrbar")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_ooc")
+        )
+    )
+    return (
+        lim.join(ooc, "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            F.round(F.col("cl") / 100.0, 6).alias("center_line"),
+            F.round(F.col("mrbar") / 100.0, 6).alias("mr_bar"),
+            F.round((F.col("cl") + 2.66 * F.col("mrbar")) / 100.0, 6).alias("ucl"),
+            F.round((F.col("cl") - 2.66 * F.col("mrbar")) / 100.0, 6).alias("lcl"),
+            F.col("n_ooc").alias("n_out_of_control"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CATALOG["evt_spc_individuals_chart"].fn = _dspc
+
+register(
+    "cust_lorenz_deciles",
+    # the Lorenz curve behind the Gini number: customers ranked by
+    # revenue into NTILE(10) deciles (deterministic ties by custkey),
+    # each decile's revenue mass and the cumulative share — exact
+    # integer cents until the one share division per decile row.
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey AS ck,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1
+    ),
+    dc AS (
+      SELECT cents, NTILE(10) OVER (ORDER BY cents, ck) AS decile FROM cr
+    ),
+    g AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS dcents
+      FROM dc GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(dcents) AS BIGINT) AS tc FROM g)
+    SELECT decile, n_customers,
+           round(dcents / 100.0, 2) AS decile_revenue,
+           round(CAST(SUM(dcents) OVER (ORDER BY decile) AS DOUBLE) / tot.tc, 6)
+               AS cum_share
+    FROM g CROSS JOIN tot
+    ORDER BY decile
+    """,
+)
+
+
+def _dlorenz(spark, sf_dir):
+    """Lorenz deciles: one per-customer aggregate, an ntile over that
+    aggregate (customer-cardinality, not order-cardinality), a 10-row
+    rollup with a cumulative share window over 10 rows — the
+    inequality curve at GROUP BY cost."""
+    o = t(spark, sf_dir, "orders")
+    cr = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents")
+    )
+    dc = cr.select(
+        "cents", F.ntile(10).over(Window.orderBy("cents", "ck")).alias("decile")
+    )
+    g = dc.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("dcents"),
+    ).localCheckpoint(eager=False)
+    tot = g.agg(F.sum("dcents").cast("long").alias("tc"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("dcents") / 100.0, 2).alias("decile_revenue"),
+            F.round(
+                F.sum("dcents").over(Window.orderBy("decile")).cast("double")
+                / F.col("tc"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+CATALOG["cust_lorenz_deciles"].fn = _dlorenz
+
+register(
+    "doc_boolean_retrieval_or_not",
+    # the disjunction-with-exclusion companion to boolean AND: docs
+    # matching (hash OR join) AND NOT stream, straight off the same
+    # inverted-index tf table — OR is 'any query-term row', NOT is a
+    # zero count on the excluded term, both decided inside one grouped
+    # aggregate (no anti-join pass needed).
+    oracle=f"""
+    WITH {_TOK_SQL_CTES}
+    SELECT doc_id,
+           CAST(COALESCE(MAX(CASE WHEN tok = 'hash' THEN tf END), 0) AS BIGINT)
+               AS tf_hash,
+           CAST(COALESCE(MAX(CASE WHEN tok = 'join' THEN tf END), 0) AS BIGINT)
+               AS tf_join,
+           CAST(SUM(CASE WHEN tok IN ('hash', 'join') THEN tf ELSE 0 END)
+                AS BIGINT) AS total_tf
+    FROM qtf
+    GROUP BY doc_id
+    HAVING SUM(CASE WHEN tok IN ('hash', 'join') THEN 1 ELSE 0 END) >= 1
+       AND SUM(CASE WHEN tok = 'stream' THEN 1 ELSE 0 END) = 0
+    ORDER BY total_tf DESC, doc_id LIMIT 20
+    """,
+)
+
+
+def _dboolornot(spark, sf_dir):
+    """Boolean OR + NOT over the shared inverted index: one grouped
+    aggregate per doc carries the disjunction count AND the exclusion
+    count, so the whole (a OR b) AND NOT c evaluates in a single
+    shuffle on doc_id — the conjunction query's exact plan shape with
+    different HAVING arithmetic."""
+    _, qtf = _retrieval_frames(spark, sf_dir)
+    return (
+        qtf.groupBy("doc_id")
+        .agg(
+            F.coalesce(F.max(F.when(F.col("tok") == "hash", F.col("tf"))), F.lit(0))
+            .cast("long")
+            .alias("tf_hash"),
+            F.coalesce(F.max(F.when(F.col("tok") == "join", F.col("tf"))), F.lit(0))
+            .cast("long")
+            .alias("tf_join"),
+            F.sum(
+                F.when(F.col("tok").isin("hash", "join"), F.col("tf")).otherwise(0)
+            )
+            .cast("long")
+            .alias("total_tf"),
+            F.sum(F.when(F.col("tok").isin("hash", "join"), 1).otherwise(0)).alias(
+                "__n_or"
+            ),
+            F.sum(F.when(F.col("tok") == "stream", 1).otherwise(0)).alias("__n_not"),
+        )
+        .filter((F.col("__n_or") >= 1) & (F.col("__n_not") == 0))
+        .drop("__n_or", "__n_not")
+        .orderBy(F.desc("total_tf"), "doc_id")
+        .limit(20)
+    )
+
+
+CATALOG["doc_boolean_retrieval_or_not"].fn = _dboolornot
+
+register(
+    "doc_rake_keyword_scores",
+    # RAKE keyword extraction in pure relational algebra: English docs
+    # split into candidate phrases at stopword boundaries (gaps-and-
+    # islands — the island id is the running stopword count), word
+    # degree = sum of the lengths of phrases containing the word, and
+    # score = degree/freq favors words that live in long multi-word
+    # phrases. Integer counts until the one score division; top-15.
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                x -> x <> '')) AS tok,
+             generate_subscripts(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                                   '\\s+'),
+                                             x -> x <> ''), 1) AS pos
+      FROM documents WHERE lang = 'en'
+    ),
+    fl AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN ('the', 'and', 'of', 'to', 'in', 'a', 'is')
+                  THEN 1 ELSE 0 END AS stp
+      FROM tk
+    ),
+    isl AS (
+      SELECT doc_id, tok, stp,
+             SUM(stp) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM fl
+    ),
+    ph AS MATERIALIZED (
+      SELECT doc_id, island, CAST(COUNT(*) AS BIGINT) AS plen
+      FROM isl WHERE stp = 0 GROUP BY doc_id, island
+    ),
+    wd AS (
+      SELECT i.tok,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.plen) AS BIGINT) AS degree
+      FROM isl i JOIN ph p ON p.doc_id = i.doc_id AND p.island = i.island
+      WHERE i.stp = 0
+      GROUP BY i.tok
+    )
+    SELECT tok AS word, freq, degree,
+           round(CAST(degree AS DOUBLE) / freq, 6) AS rake_score
+    FROM wd
+    ORDER BY rake_score DESC, word
+    LIMIT 15
+    """,
+)
+
+
+def _drake(spark, sf_dir):
+    """RAKE keywords: the phrase segmentation is one per-doc running
+    sum over token positions (gaps-and-islands — no regex phrase
+    parser), word degree joins tokens to their own phrase lengths on
+    (doc, island), and the report is a TakeOrdered top-15. Stopword
+    boundaries reuse the lang-ID tier's English list."""
+    from .ops.text import LANG_STOPWORDS
+
+    stops = LANG_STOPWORDS["en"]
+    d = t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    tk = d.select("doc_id", F.posexplode(tok_arr(F.col("text"))).alias("pos", "tok"))
+    fl = tk.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(F.col("tok").isin(*stops), 1).otherwise(0).alias("stp"),
+    )
+    isl = fl.select(
+        "doc_id",
+        "tok",
+        "stp",
+        F.sum("stp")
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("island"),
+    ).localCheckpoint(eager=False)
+    ph = (
+        isl.filter(F.col("stp") == 0)
+        .groupBy("doc_id", "island")
+        .agg(F.count("*").cast("long").alias("plen"))
+    )
+    wd = (
+        isl.filter(F.col("stp") == 0)
+        .join(ph, ["doc_id", "island"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+    )
+    return (
+        wd.select(
+            F.col("tok").alias("word"),
+            "freq",
+            "degree",
+            F.round(F.col("degree").cast("double") / F.col("freq"), 6).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy(F.desc("rake_score"), "word")
+        .limit(15)
+    )
+
+
+CATALOG["doc_rake_keyword_scores"].fn = _drake
+
+
+# ===========================================================================
+# round-10 wave 5: HDBSCAN mutual-reachability core edges (the density
+# step on the kNN graph), ranker concordance (Kendall's W), the exact
+# 2x2 odds ratio, and the KLL merge-AGGREGATE gate.
+# ===========================================================================
+
+register(
+    "sim_hdbscan_core_edges",
+    # the density-aware first step of HDBSCAN on the banded-LSH kNN
+    # graph: core distance = a vector's 3rd-NN cosine distance among
+    # its kNN edges, mutual reachability of an edge (a,b) =
+    # max(core_a, core_b, d_ab). The smallest mutual-reachability edges
+    # are the first edges HDBSCAN's MST would take — the pairs that are
+    # close AND sit in dense neighborhoods. All distances derive from
+    # the 6dp-rounded cosine, so ordering and values are engine-exact.
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_EMB_BAND_SQL[0]} AS bkt0,
+             {_EMB_BAND_SQL[1]} AS bkt1,
+             {_EMB_BAND_SQL[2]} AS bkt2,
+             {_EN_NORM_SQL} AS n
+      FROM embeddings
+    ),
+    und AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {_cos6_sql('a.embedding', 'c.embedding', 'a.n', 'c.n')} AS cosine_sim
+      FROM b a JOIN b c
+        ON a.vec_id < c.vec_id
+       AND (a.bkt0 = c.bkt0 OR a.bkt1 = c.bkt1 OR a.bkt2 = c.bkt2)
+    ),
+    o AS (
+      SELECT id_a AS left_id, id_b AS right_id, cosine_sim FROM und
+      UNION ALL
+      SELECT id_b AS left_id, id_a AS right_id, cosine_sim FROM und
+    ),
+    topk AS MATERIALIZED (
+      SELECT left_id, right_id, cosine_sim FROM (
+        SELECT o.*, ROW_NUMBER() OVER (PARTITION BY left_id
+                                       ORDER BY cosine_sim DESC, right_id) AS rn
+        FROM o
+      ) WHERE rn <= 3
+    ),
+    core AS MATERIALIZED (
+      SELECT left_id AS id, round(1.0 - MIN(cosine_sim), 6) AS cd
+      FROM topk GROUP BY left_id HAVING COUNT(*) = 3
+    ),
+    edges AS (
+      SELECT LEAST(left_id, right_id) AS id_a,
+             GREATEST(left_id, right_id) AS id_b,
+             MAX(cosine_sim) AS cosine_sim
+      FROM topk GROUP BY 1, 2
+    )
+    SELECT e.id_a, e.id_b,
+           round(1.0 - e.cosine_sim, 6) AS edge_dist,
+           GREATEST(ca.cd, cb.cd, round(1.0 - e.cosine_sim, 6)) AS mutual_reach
+    FROM edges e
+    JOIN core ca ON ca.id = e.id_a
+    JOIN core cb ON cb.id = e.id_b
+    ORDER BY mutual_reach, e.id_a, e.id_b
+    LIMIT 20
+    """,
+)
+
+
+def _dhdbscancore(spark, sf_dir):
+    """HDBSCAN core-distance edges: the kNN graph comes from the
+    engine's Arrow banded-LSH self-join (never a full pairwise pass),
+    core distances are one grouped min over each vector's 3 edges, and
+    mutual reachability is two broadcast-joined lookups per edge — the
+    density transform that makes single-linkage robust to noise, at
+    kNN cost."""
+    e = t(spark, sf_dir, "embeddings")
+    kn = similarity.knn_self_join_arrow(
+        e, k=3, bits=6, bands=3, score_dp=6
+    ).localCheckpoint(eager=False)
+    core = (
+        kn.groupBy("left_id")
+        .agg(F.min("cosine_sim").alias("__s3"), F.count("*").alias("__c"))
+        .filter(F.col("__c") == 3)
+        .select(F.col("left_id").alias("id"), F.round(1.0 - F.col("__s3"), 6).alias("cd"))
+        .localCheckpoint(eager=False)
+    )
+    edges = (
+        kn.groupBy(
+            F.least("left_id", "right_id").alias("id_a"),
+            F.greatest("left_id", "right_id").alias("id_b"),
+        )
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
+    )
+    ca = core.withColumnsRenamed({"id": "id_a", "cd": "__ca"})
+    cb = core.withColumnsRenamed({"id": "id_b", "cd": "__cb"})
+    return (
+        edges.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(1.0 - F.col("cosine_sim"), 6).alias("edge_dist"),
+            F.greatest(
+                F.col("__ca"), F.col("__cb"), F.round(1.0 - F.col("cosine_sim"), 6)
+            ).alias("mutual_reach"),
+        )
+        .orderBy("mutual_reach", "id_a", "id_b")
+        .limit(20)
+    )
+
+
+CATALOG["sim_hdbscan_core_edges"].fn = _dhdbscancore
+
+register(
+    "doc_ranker_kendalls_w",
+    # do the three lexical rankers (BM25, query likelihood, raw term
+    # frequency) agree? Kendall's coefficient of concordance over the
+    # BM25 top-10 candidate set: each ranker ranks the same 10 docs
+    # (deterministic ties by doc_id), rank sums R_i give
+    # W = sum(2R_i - m(n+1))^2 / (m^2 (n^3 - n)) — all integers until
+    # the one division. W = 1 is perfect agreement.
+    oracle=f"""
+    WITH {_TOK_SQL_CTES},
+    {_BM25_SQL_CHAIN},
+    {_QL_SQL_CHAIN},
+    cand AS MATERIALIZED (
+      SELECT doc_id, b6 FROM bscore ORDER BY b6 DESC, doc_id LIMIT 10
+    ),
+    rb AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY b6 DESC, doc_id) AS r FROM cand
+    ),
+    rq AS (
+      SELECT c.doc_id,
+             ROW_NUMBER() OVER (ORDER BY q.q6 DESC, c.doc_id) AS r
+      FROM cand c JOIN qscore q USING (doc_id)
+    ),
+    tfs AS (
+      SELECT c.doc_id, CAST(SUM(qtf.tf) AS BIGINT) AS tft
+      FROM cand c JOIN qtf USING (doc_id) GROUP BY c.doc_id
+    ),
+    rt AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tft DESC, doc_id) AS r FROM tfs
+    ),
+    rs AS (
+      SELECT rb.doc_id, CAST(rb.r + rq.r + rt.r AS BIGINT) AS ri
+      FROM rb JOIN rq USING (doc_id) JOIN rt USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(3 AS BIGINT) AS m_rankers,
+           round(CAST(SUM(CAST(2 * ri - 33 AS HUGEINT) * (2 * ri - 33)) AS DOUBLE)
+                 / 4.0 / (9.0 * 990.0 / 12.0), 6) AS kendalls_w
+    FROM rs
+    """,
+)
+
+
+def _dkendallsw(spark, sf_dir):
+    """Kendall's W over the shared retrieval scorers: the candidate
+    set is one TakeOrdered top-10, all three rankings are windows over
+    that 10-row frame, and W is one closing aggregate — multi-ranker
+    agreement measured for the cost of the scorers themselves."""
+    dl, qtf = _retrieval_frames(spark, sf_dir)
+    cand = (
+        _bm25_score_frame(dl, qtf)
+        .select("doc_id", "b6")
+        .orderBy(F.desc("b6"), "doc_id")
+        .limit(10)
+        .localCheckpoint(eager=False)
+    )
+    rb = cand.select(
+        "doc_id", F.row_number().over(Window.orderBy(F.desc("b6"), "doc_id")).alias("r")
+    )
+    ql = _ql_score_frame(dl, qtf).select("doc_id", "q6")
+    rq = (
+        cand.join(ql, "doc_id")
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("q6"), "doc_id"))
+            .alias("r"),
+        )
+    )
+    tfs = cand.join(qtf, "doc_id").groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("tft")
+    )
+    rt = tfs.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("tft"), "doc_id")).alias("r"),
+    )
+    rs = (
+        rb.join(rq.withColumnsRenamed({"r": "rq"}), "doc_id")
+        .join(rt.withColumnsRenamed({"r": "rt"}), "doc_id")
+        .select((F.col("r") + F.col("rq") + F.col("rt")).cast("long").alias("ri"))
+    )
+    d = 2 * F.col("ri") - 33
+    return rs.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.lit(3).cast("long").alias("m_rankers"),
+        F.round(
+            F.sum(d.cast("decimal(18,0)") * d).cast("double")
+            / 4.0
+            / (9.0 * 990.0 / 12.0),
+            6,
+        ).alias("kendalls_w"),
+    )
+
+
+CATALOG["doc_ranker_kendalls_w"].fn = _dkendallsw
+
+register(
+    "ml_odds_ratio_2x2",
+    # the 2x2 effect size the chi-square family doesn't report: the
+    # odds ratio of 'order is urgent' vs 'order value above the global
+    # median', with Haldane-Anscombe +0.5 correction only when a cell
+    # is empty (here cells are large; the raw ratio is exact), plus the
+    # Yates continuity-corrected chi-square — every term a wide-int.
+    oracle="""
+    WITH x AS MATERIALIZED (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    med AS (
+      SELECT CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS m2 FROM x
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN urgent = 1 AND 2 * cents > m2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN urgent = 1 AND 2 * cents <= m2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN urgent = 0 AND 2 * cents > m2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN urgent = 0 AND 2 * cents <= m2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM x CROSS JOIN med
+    )
+    SELECT a AS n_urgent_high, b AS n_urgent_low,
+           c AS n_other_high, d AS n_other_low,
+           round(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                 / CAST(CAST(b AS HUGEINT) * c AS DOUBLE), 6) AS odds_ratio,
+           round((a + b + c + d)
+                 * POWER(GREATEST(abs(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                                      - CAST(CAST(b AS HUGEINT) * c AS DOUBLE))
+                                  - (a + b + c + d) / 2.0, 0.0), 2)
+                 / CAST(a + b AS DOUBLE) / (c + d) / (a + c) / (b + d), 6)
+               AS yates_chi2
+    FROM cells
+    """,
+)
+
+
+def _doddsratio(spark, sf_dir):
+    """2x2 odds ratio + Yates chi-square: one exact-median pass, one
+    conditional aggregate pivoting all four cells into a single row,
+    wide-int cross products — the effect-size snapshot for any pair of
+    binary flags at two corpus passes."""
+    o = t(spark, sf_dir, "orders")
+    x = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("urgent"),
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+    ).localCheckpoint(eager=False)
+    med = x.agg((2 * F.percentile("cents", 0.5)).cast("long").alias("m2"))
+    hi = 2 * F.col("cents") > F.col("m2")
+    lo = 2 * F.col("cents") <= F.col("m2")
+    cells = x.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when((F.col("urgent") == 1) & hi, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("urgent") == 1) & lo, 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("urgent") == 0) & hi, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("urgent") == 0) & lo, 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    ad = (F.col("a").cast("decimal(19,0)") * F.col("d")).cast("double")
+    bc = (F.col("b").cast("decimal(19,0)") * F.col("c")).cast("double")
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    return cells.select(
+        F.col("a").alias("n_urgent_high"),
+        F.col("b").alias("n_urgent_low"),
+        F.col("c").alias("n_other_high"),
+        F.col("d").alias("n_other_low"),
+        F.round(ad / bc, 6).alias("odds_ratio"),
+        F.round(
+            n
+            * F.pow(F.greatest(F.abs(ad - bc) - n / 2.0, F.lit(0.0)), 2)
+            / (F.col("a") + F.col("b")).cast("double")
+            / (F.col("c") + F.col("d"))
+            / (F.col("a") + F.col("c"))
+            / (F.col("b") + F.col("d")),
+            6,
+        ).alias("yates_chi2"),
+    )
+
+
+CATALOG["ml_odds_ratio_2x2"].fn = _doddsratio
+
+register(
+    "sketch_kll_merge_agg_daily",
+    # the merge-AGGREGATE path of the KLL sketch (kll_merge_agg_double
+    # — a different code path than the binary merge fold the priority-
+    # partials query exercises): one bounded sketch per calendar day,
+    # merged by the aggregate into a single sketch, gated by the shared
+    # rank-space bound against the exact percentiles. Mergeability is
+    # the property that makes per-partition percentile state reusable —
+    # this proves it for the daily-rollup shape.
+    oracle=_kll_oracle_sql("events", "value"),
+)
+
+
+def _dkllmergeagg(spark, sf_dir):
+    """Daily KLL partials merged by kll_merge_agg_double: the shape a
+    warehouse actually stores (one tiny sketch per day partition,
+    merged at query time for any date range) — and the merged sketch
+    still honors the rank-error bound, which the shared gate verifies
+    against one exact pass."""
+    ev = t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("double").alias("__v"),
+    )
+    partial = ev.groupBy("day").agg(F.kll_sketch_agg_double("__v").alias("__kll"))
+    merged = partial.agg(F.kll_merge_agg_double("__kll").alias("__m"))
+    ests = merged.select(
+        *[
+            F.kll_sketch_get_quantile_double("__m", F.lit(q)).alias(f"__est{i}")
+            for i, q in enumerate(_KLL_QS)
+        ]
+    )
+    v = ev.select("__v")
+    return _kll_gate(v, ests)
+
+
+CATALOG["sketch_kll_merge_agg_daily"].fn = _dkllmergeagg
+
+
+# ===========================================================================
+# round-10 wave 6: Mann-Kendall trend, capture-recapture dedup-coverage
+# estimation, inter-event burstiness, aging buckets.
+# ===========================================================================
+
+register(
+    "evt_mann_kendall_trend",
+    # the nonparametric trend test that pairs with the Theil-Sen slope:
+    # Mann-Kendall S = sum over day pairs of sign(x_j - x_i) on the
+    # daily value series, tie-corrected variance, continuity-corrected
+    # z. The pair space is the bounded calendar-day frame (never raw
+    # events); every term is an exact integer until the final division.
+    oracle="""
+    WITH d AS MATERIALIZED (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s
+      FROM d a JOIN d b ON a.day < b.day
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0)
+                  AS BIGINT) AS tsum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY cents
+            HAVING COUNT(*) > 1)
+    )
+    SELECT n.n AS n_days, s.s AS mk_s,
+           round((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5) - ties.tsum)
+                 / 18.0, 6) AS var_s,
+           round(CASE WHEN s.s > 0 THEN (s.s - 1.0) ELSE
+                      CASE WHEN s.s < 0 THEN (s.s + 1.0) ELSE 0.0 END END
+                 / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+                         - ties.tsum) / 18.0), 6) AS mk_z
+    FROM s CROSS JOIN n CROSS JOIN ties
+    """,
+)
+
+
+def _dmannkendall(spark, sf_dir):
+    """Mann-Kendall: the corpus reduces to one per-day aggregate, the
+    sign-pair sum runs on that bounded frame's self-join (435 pairs
+    for a month — constant work at any data scale), tie groups come
+    from one more grouped count. The monotone-trend gate run before
+    fitting any slope."""
+    ev = t(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg((F.sum(F.col("value").cast(DEC)) * 100).cast("long").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    a = d.select(F.col("day").alias("ad"), F.col("cents").alias("ac"))
+    b = d.select(F.col("day").alias("bd"), F.col("cents").alias("bc"))
+    s = (
+        a.join(F.broadcast(b), F.col("ad") < F.col("bd"))
+        .agg(
+            F.sum(
+                F.when(F.col("bc") > F.col("ac"), 1)
+                .when(F.col("bc") < F.col("ac"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    n = d.agg(F.count("*").cast("long").alias("n"))
+    t3 = F.col("t").cast("decimal(12,0)")
+    ties = (
+        d.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(F.sum(t3 * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0))
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    var_s = (
+        F.col("n").cast("double") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tsum")
+    ) / 18.0
+    z = (
+        F.when(F.col("s") > 0, F.col("s") - 1.0)
+        .otherwise(F.when(F.col("s") < 0, F.col("s") + 1.0).otherwise(0.0))
+    ) / F.sqrt(var_s)
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("mk_s"),
+            F.round(var_s, 6).alias("var_s"),
+            F.round(z, 6).alias("mk_z"),
+        )
+    )
+
+
+CATALOG["evt_mann_kendall_trend"].fn = _dmannkendall
+
+register(
+    "dedup_capture_recapture",
+    # how many near-dup pairs exist that NO detector found? Capture-
+    # recapture over two independent-ish detectors — the portable
+    # MinHash pairs (est >= 0.5) and the blocked exact token-Jaccard
+    # pairs (>= 0.5) — gives the Lincoln-Petersen and Chapman
+    # estimates of the TOTAL pair population from the overlap. The
+    # ecology estimator repurposed as dedup-coverage QA; every count
+    # is an exact integer, each estimate is one division.
+    oracle=f"""
+    WITH mh AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({_minhash_portable_oracle()})
+    ),
+    ng AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM (
+        SELECT doc_id, source, lang, n_chars // 100 AS len_bucket,
+               list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+        FROM documents
+      ) a JOIN (
+        SELECT doc_id, source, lang, n_chars // 100 AS len_bucket,
+               list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+        FROM documents
+      ) b
+        ON a.source = b.source AND a.lang = b.lang
+           AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM mh JOIN ng USING (id_a, id_b)
+    ),
+    c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM mh),
+    c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM ng)
+    SELECT c1.n1 AS n_minhash, c2.n2 AS n_jaccard, m.n_both AS n_overlap,
+           round(CAST(CAST(c1.n1 AS HUGEINT) * c2.n2 AS DOUBLE)
+                 / NULLIF(m.n_both, 0), 6) AS lincoln_petersen,
+           round(CAST(CAST(c1.n1 + 1 AS HUGEINT) * (c2.n2 + 1) AS DOUBLE)
+                 / (m.n_both + 1) - 1.0, 6) AS chapman_estimate
+    FROM c1 CROSS JOIN c2 CROSS JOIN m
+    """,
+)
+
+
+def _dcapturerecapture(spark, sf_dir):
+    """Capture-recapture dedup coverage: both detectors already run at
+    bounded pair-space cost (banded MinHash; blocked exact Jaccard),
+    the overlap is one equi-join on the pair key, and the population
+    estimates are single divisions — the cheapest honest answer to
+    'what share of near-dups are we missing'."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.expr("n_chars div 100")
+    )
+    mh = (
+        dedup.minhash_dup_pairs_portable(
+            t(spark, sf_dir, "documents"), "doc_id", "text",
+            num_perm=16, bands=4, jaccard_threshold=0.5,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    ng = (
+        dedup.ngram_jaccard_pairs(
+            d, "doc_id", "text", ["source", "lang", "len_bucket"], threshold=0.5
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    m = mh.join(ng, ["id_a", "id_b"]).agg(
+        F.count("*").cast("long").alias("n_both")
+    )
+    c1 = mh.agg(F.count("*").cast("long").alias("n1"))
+    c2 = ng.agg(F.count("*").cast("long").alias("n2"))
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("n1").alias("n_minhash"),
+            F.col("n2").alias("n_jaccard"),
+            F.col("n_both").alias("n_overlap"),
+            F.round(
+                (F.col("n1").cast("decimal(19,0)") * F.col("n2")).cast("double")
+                / F.nullif(F.col("n_both"), F.lit(0)),
+                6,
+            ).alias("lincoln_petersen"),
+            F.round(
+                ((F.col("n1") + 1).cast("decimal(19,0)") * (F.col("n2") + 1)).cast(
+                    "double"
+                )
+                / (F.col("n_both") + 1)
+                - 1.0,
+                6,
+            ).alias("chapman_estimate"),
+        )
+    )
+
+
+CATALOG["dedup_capture_recapture"].fn = _dcapturerecapture
+
+register(
+    "evt_burstiness_index",
+    # is user activity bursty or Poisson-regular? Per event type (of
+    # the later event), inter-event gaps on each user's timeline in
+    # FLOORED seconds (the sessionization convention — Spark's
+    # unix_timestamp floors), then CV = sd/mean from exact integer
+    # moment sums and the Goh-Barabási burstiness B = (sd-mean)/
+    # (sd+mean) in one shared-order expression. B ~ 0 is Poisson,
+    # B -> 1 is bursty.
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)))
+                      AS BIGINT) AS gap
+      FROM events
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap) AS BIGINT) AS s,
+             CAST(SUM(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS sq
+      FROM g WHERE gap IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_gaps,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_gap_s,
+           round(sqrt((n * sq - CAST(s AS DOUBLE) * s)
+                      / (CAST(n AS DOUBLE) * (n - 1)))
+                 / (CAST(s AS DOUBLE) / n), 6) AS cv,
+           round((sqrt((n * sq - CAST(s AS DOUBLE) * s)
+                       / (CAST(n AS DOUBLE) * (n - 1)))
+                  - CAST(s AS DOUBLE) / n)
+                 / (sqrt((n * sq - CAST(s AS DOUBLE) * s)
+                         / (CAST(n AS DOUBLE) * (n - 1)))
+                    + CAST(s AS DOUBLE) / n), 6) AS burstiness
+    FROM a ORDER BY event_type
+    """,
+)
+
+
+def _dburstiness(spark, sf_dir):
+    """Burstiness per event type: one lag window per user timeline,
+    one grouped moment aggregate — the dispersion diagnostic that
+    tells a rate-limiter / capacity planner whether mean arrival rates
+    are even meaningful."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long")
+    g = ev.select(
+        "event_type",
+        (sec - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp")).cast("long")).alias(
+            "gap"
+        ),
+    ).filter(F.col("gap").isNotNull())
+    a = g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s"),
+        F.sum(F.col("gap").cast("decimal(18,0)") * F.col("gap"))
+        .cast("double")
+        .alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("n") * F.col("sq") - F.col("s").cast("double") * F.col("s"))
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return a.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(sd / mean, 6).alias("cv"),
+        F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+CATALOG["evt_burstiness_index"].fn = _dburstiness
+
+register(
+    "orders_aging_buckets",
+    # the aging report every operations dashboard carries: open (non-
+    # finished) orders bucketed by age as of the latest order date in
+    # the data (a deterministic as-of), with counts and exposed value
+    # per bucket. Ages are exact day differences; buckets are integer
+    # boundaries.
+    oracle="""
+    WITH refd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    open_o AS (
+      SELECT date_diff('day', CAST(o_orderdate AS DATE), refd.d0) AS age,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders CROSS JOIN refd
+      WHERE o_orderstatus <> 'F'
+    )
+    SELECT CASE WHEN age <= 30 THEN 'a_0_30'
+                WHEN age <= 90 THEN 'b_31_90'
+                WHEN age <= 365 THEN 'c_91_365'
+                ELSE 'd_over_365' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS open_value
+    FROM open_o
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+def _daging(spark, sf_dir):
+    """Aging buckets: one max-date scalar, one filtered scan with an
+    integer datediff, one 4-row rollup — the receivables/backlog shape
+    that at 100 TB is a partition-pruned scan plus a broadcast
+    scalar."""
+    o = t(spark, sf_dir, "orders")
+    asof = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("d0"))
+    open_o = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            F.datediff(F.col("d0"), F.col("o_orderdate").cast("date")).alias("age"),
+            (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age") <= 30, "a_0_30")
+        .when(F.col("age") <= 90, "b_31_90")
+        .when(F.col("age") <= 365, "c_91_365")
+        .otherwise("d_over_365")
+    )
+    return (
+        open_o.groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            (F.sum("cents").cast("long") / 100.0).alias("open_value"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+CATALOG["orders_aging_buckets"].fn = _daging
 
 
 # ===========================================================================

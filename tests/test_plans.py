@@ -170,6 +170,20 @@ _SCALAR_BROADCAST_OK = {
     "ml_friedman_priority_month",  # 1-row block-count scalar over the 5-row rank-sum row
     "ml_mcnemar_lang",             # NB 5-row lang table + 1-row scalars (as kappa)
     "ml_theil_sen_qty_price",      # 50-row profile pair join + 1-row slope/intercept scalars
+    "ml_jackknife_ratio_se",       # 1-row grand-total scalar over the ~84-month frame
+    "ml_block_bootstrap_se_daily",  # 1x1 join of the full-mean row and the SE row
+    "doc_js_divergence_sources",   # 190-row source-pair grid broadcast (as the KL report)
+    "orders_abc_classification",   # 1-row revenue-total scalar over the per-part frame
+    "evt_markov_stationary_power",  # 1-row state-count + per-round L1-total scalars
+    "emb_farthest_point_seeds",    # 1-row seed-vector broadcast per greedy round
+    "ml_quantile_irls_price_qty",  # 1-row parameter broadcast per IRLS round (as Huber)
+    "cust_lorenz_deciles",         # 1-row revenue-total scalar over the 10-row decile frame
+    "doc_ranker_kendalls_w",       # 10-row candidate joins + BM25/QL corpus scalars
+    "ml_odds_ratio_2x2",           # 1-row global-median scalar
+    "sketch_kll_merge_agg_daily",  # 1-row merged-sketch estimates vs CDF pass (as KLL twin)
+    "evt_mann_kendall_trend",      # calendar-day frame self-join (bounded) + 1-row scalars
+    "dedup_capture_recapture",     # 1x1 joins of the three detector-count rows
+    "orders_aging_buckets",        # 1-row as-of date scalar
 }
 
 
@@ -198,6 +212,10 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_auc_price_urgent",         # running sum over the ~500-value price-band histogram
     "ml_cliffs_delta_quantity",    # running sum over the 50-value quantity histogram
     "ml_cvm_two_sample_quantity",  # cumulative counts over the same 50-value frame
+    "orders_abc_classification",   # ranked running share over the per-part aggregate
+    "doc_token_gini_concentration",  # rank over the vocab-sized count aggregate
+    "cust_lorenz_deciles",         # ntile over the per-customer aggregate; cum over 10 deciles
+    "doc_ranker_kendalls_w",       # re-rank row_number over the 10-row top-k join
 }
 
 

@@ -143,6 +143,25 @@ HEAVY = [
     "ml_theil_sen_qty_price",
     "ml_mcnemar_lang",
     "ml_cramers_v_pairs",
+    # round-10 waves 2-4: concentration/resampling/divergence, graph
+    # scoring, stationary power iteration, quantile IRLS, monitors
+    "orders_abc_classification",
+    "supplier_hhi_by_nation",
+    "doc_token_gini_concentration",
+    "ml_jackknife_ratio_se",
+    "ml_block_bootstrap_se_daily",
+    "doc_js_divergence_sources",
+    "graph_adamic_adar_link_pred",
+    "graph_personalized_pagerank",
+    "evt_markov_stationary_power",
+    "emb_farthest_point_seeds",
+    "sketch_hll_rsd_sweep",
+    "ml_quantile_irls_price_qty",
+    "evt_mase_seasonal_naive",
+    "evt_spc_individuals_chart",
+    "cust_lorenz_deciles",
+    "doc_boolean_retrieval_or_not",
+    "doc_rake_keyword_scores",
 ]
 
 
