@@ -184,6 +184,12 @@ _SCALAR_BROADCAST_OK = {
     "evt_mann_kendall_trend",      # calendar-day frame self-join (bounded) + 1-row scalars
     "dedup_capture_recapture",     # 1x1 joins of the three detector-count rows
     "orders_aging_buckets",        # 1-row as-of date scalar
+    "ml_wilcoxon_signed_rank_monthly",  # 1-row tie-correction scalar over the month frame
+    "doc_lm_interpolation_grid",   # 11-row weight grid + 1-row corpus-total scalars
+    "part_name_brand_mi",          # 1-row grand-total / entropy scalars
+    "sketch_cms_inner_product",    # 1-row sketch-estimate scalar vs 1-row exact row
+    "ml_weighted_kappa_quartiles",  # 1-row quartile edges + 16-row marginal grid
+    "evt_stream_hll_now",          # 1-row sketch-estimate scalar from the sink
 }
 
 
@@ -216,6 +222,8 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "doc_token_gini_concentration",  # rank over the vocab-sized count aggregate
     "cust_lorenz_deciles",         # ntile over the per-customer aggregate; cum over 10 deciles
     "doc_ranker_kendalls_w",       # re-rank row_number over the 10-row top-k join
+    "ml_wilcoxon_signed_rank_monthly",  # rank over the ~80-row monthly difference frame
+    "doc_lm_interpolation_grid",   # global min over the 11-row NLL grid
 }
 
 

@@ -162,6 +162,27 @@ HEAVY = [
     "cust_lorenz_deciles",
     "doc_boolean_retrieval_or_not",
     "doc_rake_keyword_scores",
+    # round-10 waves 5-8: density/concordance/agreement, LM mixture
+    # grid, TwoNN, components, CMS inner product, monitors
+    "sim_hdbscan_core_edges",
+    "doc_ranker_kendalls_w",
+    "ml_odds_ratio_2x2",
+    "sketch_kll_merge_agg_daily",
+    "evt_mann_kendall_trend",
+    "dedup_capture_recapture",
+    "evt_burstiness_index",
+    "orders_aging_buckets",
+    "ml_wilcoxon_signed_rank_monthly",
+    "doc_length_lognormal_moments",
+    "part_name_brand_mi",
+    "doc_lm_interpolation_grid",
+    "emb_twonn_intrinsic_dim",
+    "emb_cosine_components",
+    "sketch_cms_inner_product",
+    "ml_weighted_kappa_quartiles",
+    "dq_cochran_q_filters",
+    "evt_theil_u_forecast",
+    "doc_token_length_entropy",
 ]
 
 
