@@ -839,9 +839,10 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     makes skipped frames free — the same reason real pipelines sample
     on keyframes), and emit per-frame timestamps + perceptual hashes.
     Dispatches on the container magic: MJPG frames go through the real
-    JPEG decoder, YUV4MPEG2 frames through the raw-planar y4m decoder —
-    one frame table regardless of lane, which is what video dedup and
-    shot detection aggregate. One input row fans out to
+    JPEG decoder, YUV4MPEG2 frames through the raw-planar y4m decoder,
+    RIFF-AVI frames through the uncompressed-DIB decoder — one frame
+    table regardless of lane, which is what video dedup and shot
+    detection aggregate. One input row fans out to
     ceil(n_frames / every_n) rows."""
     from . import jpeg as J
 
@@ -856,14 +857,20 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                     def dec(fr):
                         return J.decode_jpeg(fr)
 
-                else:
-                    y4 = parse_y4m(p)
-                    if y4 is None:
-                        continue
+                elif (y4 := parse_y4m(p)) is not None:
                     w4, h4, fps, cs, frames = y4
 
                     def dec(fr):
                         return decode_y4m_frame(fr, w4, h4, cs)
+
+                else:
+                    av = parse_avi(p)
+                    if av is None:
+                        continue
+                    wa, ha, fps, frames = av
+
+                    def dec(fr):
+                        return decode_avi_frame(fr, wa, ha)
 
                 for idx in range(0, len(frames), every_n):
                     try:
@@ -1041,3 +1048,158 @@ def decode_y4m_frame(fr: bytes, w: int, h: int, colorspace: str) -> np.ndarray:
     return J.ycbcr_to_rgb(
         np.stack([y, u.astype(np.float64), v.astype(np.float64)], axis=2)
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) tier: the third stdlib-feasible video container — classic
+# uncompressed AVI (BI_RGB 24-bit DIB frames in '00db' chunks), the
+# format every capture tool and VirtualDub-era pipeline emits, parsed
+# from scratch with stdlib bytes only. Together with MJPEG (per-frame
+# DCT) and Y4M (raw planar YUV) this makes the sampler genuinely
+# container-agnostic across the three uncompressed/intra-frame lanes.
+# Compressed-stream AVIs (biCompression != 0, e.g. XVID) are honestly
+# out of scope: the parser returns None for them (same skip-don't-kill
+# contract as the other lanes — the codec itself is env-blocked).
+# Reference behavior: giabaovo/real-estate-data-pipeline's media ingestion treats video
+# as opaque bytes + metadata; the frame ops are this repo's extension.
+# ---------------------------------------------------------------------------
+
+_RIFF_MAGIC = b"RIFF"
+
+
+def _avi_row_stride(w: int) -> int:
+    """DIB rows pad to 4-byte boundaries."""
+    return (w * 3 + 3) & ~3
+
+
+def encode_avi(frames: list, fps: float = 4.0) -> bytes:
+    """Minimal uncompressed AVI: RIFF('AVI ') { LIST(hdrl){avih,
+    LIST(strl){strh,strf}}, LIST(movi){'00db' DIB frames} }. Frames are
+    (h, w, 3) uint8 RGB, stored bottom-up BGR with 4-byte row padding
+    (the BITMAPINFOHEADER contract)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_avi: no frames")
+    f0 = np.asarray(frames[0])
+    h, w = f0.shape[:2]
+    stride = _avi_row_stride(w)
+    fsize = stride * h
+    usec = int(round(1_000_000 / fps)) if fps else 0
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + _struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = _struct.pack(
+        "<14I",
+        usec, fsize * int(round(fps)) if fps else 0, 0, 0x10,  # HASINDEX-less, flags
+        len(frames), 0, 1, fsize, w, h, 0, 0, 0, 0,
+    )
+    strh = _struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1000, int(round(fps * 1000)),  # scale / rate
+        0, len(frames), fsize, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = bytearray(b"movi")
+    for fr in frames:
+        px = np.asarray(fr, dtype=np.uint8)
+        if px.shape[:2] != (h, w):
+            raise ValueError("encode_avi: inconsistent frame shapes")
+        bgr = px[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+        if stride == w * 3:
+            body = bgr.tobytes()
+        else:
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = bgr.reshape(h, w * 3)
+            body = rows.tobytes()
+        movi_body += chunk(b"00db", body)
+    riff_body = b"AVI " + hdrl + chunk(b"LIST", bytes(movi_body))
+    return _RIFF_MAGIC + _struct.pack("<I", len(riff_body)) + riff_body
+
+
+def parse_avi(payload):
+    """(width, height, fps, [frame DIB bytes]) for uncompressed 24-bit
+    RIFF-AVI payloads, None otherwise (malformed, compressed, or
+    non-24-bit — the skip-don't-kill mapInPandas contract). Chunk walk
+    honors RIFF even-byte padding; dimensions and sizes are bounds-
+    checked so a hostile header can neither hang the walk nor slice
+    garbage."""
+    import struct as _struct
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != _RIFF_MAGIC or b[8:12] != b"AVI ":
+        return None
+
+    def walk(pos: int, end: int):
+        """Yield (fourcc, body_start, body_len) at one nesting level."""
+        while pos + 8 <= end:
+            fourcc = b[pos : pos + 4]
+            (size,) = _struct.unpack("<I", b[pos + 4 : pos + 8])
+            body = pos + 8
+            if size > end - body:  # truncated/hostile size: stop, don't slice
+                return
+            yield fourcc, body, size
+            pos = body + size + (size % 2)  # RIFF pads chunks to even
+
+    w = h = None
+    fps = 0.0
+    bitcount = compression = None
+    frames = []
+    try:
+        for fourcc, body, size in walk(12, len(b)):
+            if fourcc != b"LIST":
+                continue
+            kind = b[body : body + 4]
+            if kind == b"hdrl":
+                for f2, b2, s2 in walk(body + 4, body + size):
+                    if f2 == b"avih" and s2 >= 40:
+                        usec, _, _, _, _, _, _, _, aw, ah = _struct.unpack(
+                            "<10I", b[b2 : b2 + 40]
+                        )
+                        w, h = aw, ah
+                        fps = 1_000_000 / usec if usec else 0.0
+                    elif f2 == b"LIST" and b[b2 : b2 + 4] == b"strl":
+                        for f3, b3, s3 in walk(b2 + 4, b2 + s2):
+                            if f3 == b"strf" and s3 >= 40:
+                                (_, bw, bh, _, bc, comp) = _struct.unpack(
+                                    "<IiiHHI", b[b3 : b3 + 20]
+                                )
+                                bitcount, compression = bc, comp
+            elif kind == b"movi":
+                for f2, b2, s2 in walk(body + 4, body + size):
+                    if f2 in (b"00db", b"00dc"):
+                        frames.append(b[b2 : b2 + s2])
+    except _struct.error:
+        return None
+    if not w or not h or w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+        return None
+    if bitcount != 24 or compression != 0:
+        return None  # compressed / non-RGB24 AVI: honestly unsupported
+    fsize = _avi_row_stride(w) * h
+    if any(len(fr) != fsize for fr in frames):
+        return None
+    return w, h, fps, frames
+
+
+def decode_avi_frame(fr: bytes, w: int, h: int):
+    """(h, w, 3) uint8 RGB from one bottom-up BGR DIB frame body."""
+    import numpy as np
+
+    stride = _avi_row_stride(w)
+    rows = np.frombuffer(fr, dtype=np.uint8).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1].copy()

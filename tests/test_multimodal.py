@@ -673,3 +673,77 @@ def test_gif_decode_info_and_resize(spark):
     w, h, px = _try_decode_gif(bytes(by_id[1]["payload"]))
     assert (w, h) == (16, 8)
     assert bytes(by_id[2]["payload"]) == b"not an image"
+
+
+def test_avi_container_roundtrip_and_robustness():
+    """RIFF-AVI codec contract: uncompressed 24-bit DIB frames round
+    trip LOSSLESSLY (bottom-up BGR with 4-byte row padding is a pure
+    permutation), including non-multiple-of-4 widths; garbage, None,
+    truncation, hostile chunk sizes and compressed/non-24-bit headers
+    all return None — the skip-don't-kill mapInPandas contract."""
+    import numpy as np
+    import pytest
+
+    from real_estate_data_pipeline_spark.ops import multimodal as MM
+
+    rng = np.random.default_rng(11)
+    # width 17 -> stride 52 != 51: exercises the row-padding path
+    frames = [rng.integers(0, 256, (15, 17, 3), dtype=np.uint8) for _ in range(4)]
+    blob = MM.encode_avi(frames, fps=5.0)
+    w, h, fps, frs = MM.parse_avi(blob)
+    assert (w, h, len(frs)) == (17, 15, 4) and abs(fps - 5.0) < 1e-6
+    for src, fr in zip(frames, frs):
+        assert np.array_equal(MM.decode_avi_frame(fr, w, h), src)
+
+    assert MM.parse_avi(None) is None
+    assert MM.parse_avi(b"garbage") is None
+    assert MM.parse_avi(blob[:40]) is None  # truncated inside hdrl
+    # hostile chunk size (larger than the buffer) stops the walk
+    bad = bytearray(blob)
+    bad[16:20] = (0xFFFFFFF0).to_bytes(4, "little")
+    assert MM.parse_avi(bytes(bad)) is None
+    # a compressed AVI (biCompression != 0) is honestly unsupported
+    comp = bytearray(blob)
+    strf_at = bytes(comp).find(b"strf")
+    comp[strf_at + 8 + 16 : strf_at + 8 + 20] = b"XVID"
+    assert MM.parse_avi(bytes(comp)) is None
+    with pytest.raises(ValueError):
+        MM.encode_avi([])
+    with pytest.raises(ValueError):
+        MM.encode_avi([frames[0], rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)])
+
+
+def test_avi_frame_sampling_three_way_containers(spark):
+    """sample_video_frames dispatches across all THREE container lanes
+    in one table: the planted frame-0/frame-2 duplicate shares an ahash
+    exactly in BOTH lossless lanes (AVI and would-be Y4M Cmono), and
+    the AVI lane's timestamps come from the avih microsecond rate."""
+    import numpy as np
+
+    from real_estate_data_pipeline_spark.ops import multimodal as MM
+
+    y, x = np.mgrid[0:16, 0:16]
+
+    def frame(seed):
+        return np.stack(
+            [(x * 255 // 15), (y * 255 // 15), ((x + y) * seed) % 256], axis=2
+        ).astype(np.uint8)
+
+    frames = [frame(1), frame(2), frame(1), frame(4), frame(1)]
+    mj = MM.encode_mjpeg(frames, fps=2.0)
+    y4 = MM.encode_y4m(frames, fps=4.0, colorspace="C444")
+    av = MM.encode_avi(frames, fps=8.0)
+    rows = [
+        (1, "video/x-mjpeg", bytearray(mj), None, None, len(mj)),
+        (2, "video/x-yuv4mpeg", bytearray(y4), None, None, len(y4)),
+        (3, "video/x-msvideo", bytearray(av), None, None, len(av)),
+        (4, "text/plain", bytearray(b"not video"), None, None, 9),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = MM.sample_video_frames(media, every_n=2).collect()
+    assert {r["media_id"] for r in out} == {1, 2, 3}
+    avrows = {r["frame_idx"]: r for r in out if r["media_id"] == 3}
+    assert sorted(avrows) == [0, 2, 4]
+    assert avrows[2]["ts_ms"] == 250.0 and avrows[4]["ts_ms"] == 500.0
+    assert avrows[0]["ahash"] == avrows[2]["ahash"] == avrows[4]["ahash"]
+    assert (avrows[0]["width"], avrows[0]["height"]) == (16, 16)
