@@ -53,8 +53,16 @@ def connected_components(
     transitive closure, so a truncated result would diverge silently)."""
     if max_iter < 0:
         raise ValueError(f"max_iter must be >= 0, got {max_iter}")
-    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
-        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    # Materialize the symmetric edge frame ONCE: every round joins it,
+    # and without the checkpoint the caller's whole edge pipeline
+    # (LSH banding, cosine verify, ...) replays per round — the 10x
+    # probe measured the cosine-components query at ~290 s of which
+    # almost all was this replay. Also pins the edge set for the run:
+    # components are defined over ONE observation of the edges.
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
