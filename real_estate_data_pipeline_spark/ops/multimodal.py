@@ -1173,8 +1173,21 @@ def parse_avi(payload):
                         w, h = aw, ah
                         fps = 1_000_000 / usec if usec else 0.0
                     elif f2 == b"LIST" and b[b2 : b2 + 4] == b"strl":
+                        # read strf ONLY from the 'vids' stream's strl
+                        # (first wins): an audio track's strf is a
+                        # WAVEFORMATEX, and parsing it as a
+                        # BITMAPINFOHEADER would overwrite the video
+                        # format and reject a perfectly decodable clip
+                        is_vids = False
                         for f3, b3, s3 in walk(b2 + 4, b2 + s2):
-                            if f3 == b"strf" and s3 >= 40:
+                            if f3 == b"strh" and s3 >= 4:
+                                is_vids = b[b3 : b3 + 4] == b"vids"
+                            elif (
+                                f3 == b"strf"
+                                and s3 >= 40
+                                and is_vids
+                                and bitcount is None
+                            ):
                                 (_, bw, bh, _, bc, comp) = _struct.unpack(
                                     "<IiiHHI", b[b3 : b3 + 20]
                                 )

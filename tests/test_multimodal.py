@@ -747,3 +747,48 @@ def test_avi_frame_sampling_three_way_containers(spark):
     assert avrows[2]["ts_ms"] == 250.0 and avrows[4]["ts_ms"] == 500.0
     assert avrows[0]["ahash"] == avrows[2]["ahash"] == avrows[4]["ahash"]
     assert (avrows[0]["width"], avrows[0]["height"]) == (16, 16)
+
+
+def test_avi_with_audio_stream_still_parses():
+    """An AVI whose hdrl carries an AUDIO strl (WAVEFORMATEX strf)
+    alongside the video strl must still parse: the strf reader only
+    trusts the 'vids' stream's header (review finding — an audio strf
+    parsed as BITMAPINFOHEADER used to overwrite the video format and
+    reject the clip)."""
+    import struct
+
+    import numpy as np
+
+    from real_estate_data_pipeline_spark.ops import multimodal as MM
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(2)]
+    blob = MM.encode_avi(frames, fps=4.0)
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    # audio strl: strh fccType 'auds' + a 40-byte strf that would read
+    # as bitcount=16/compression!=0 if misparsed as BITMAPINFOHEADER
+    auds_strh = struct.pack("<4s4s", b"auds", b"\x01\x00\x00\x00") + b"\x00" * 48
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16) + b"\x00" * 24
+    audio_strl = chunk(b"LIST", b"strl" + chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf))
+    # splice the audio strl INTO the hdrl list, BEFORE the video strl
+    hdrl_at = blob.find(b"hdrl")
+    (hdrl_size,) = struct.unpack("<I", blob[hdrl_at - 4 : hdrl_at])
+    avih_end = blob.find(b"LIST", hdrl_at)  # start of the video strl LIST
+    new_hdrl_body = (
+        blob[hdrl_at + 4 : avih_end] + audio_strl + blob[avih_end : hdrl_at + 4 + hdrl_size - 4]
+    )
+    new = (
+        blob[: hdrl_at - 8]
+        + chunk(b"LIST", b"hdrl" + new_hdrl_body)
+        + blob[hdrl_at - 8 + 8 + hdrl_size + (hdrl_size % 2) :]
+    )
+    new = new[:4] + struct.pack("<I", len(new) - 8) + new[8:]
+    parsed = MM.parse_avi(new)
+    assert parsed is not None, "audio-bearing AVI must still parse"
+    w, h, fps, frs = parsed
+    assert (w, h, len(frs)) == (8, 8, 2)
+    assert np.array_equal(MM.decode_avi_frame(frs[0], w, h), frames[0])
