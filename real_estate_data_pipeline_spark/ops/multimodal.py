@@ -1158,7 +1158,9 @@ def parse_avi(payload):
     w = h = None
     fps = 0.0
     bitcount = compression = None
-    frames = []
+    vids_idx = None  # the video stream's ORDINAL among the strl lists
+    strl_ordinal = 0
+    movi_chunks = []  # (fourcc, body bytes) — filtered by stream id below
     try:
         for fourcc, body, size in walk(12, len(b)):
             if fourcc != b"LIST":
@@ -1173,11 +1175,15 @@ def parse_avi(payload):
                         w, h = aw, ah
                         fps = 1_000_000 / usec if usec else 0.0
                     elif f2 == b"LIST" and b[b2 : b2 + 4] == b"strl":
-                        # read strf ONLY from the 'vids' stream's strl
-                        # (first wins): an audio track's strf is a
-                        # WAVEFORMATEX, and parsing it as a
-                        # BITMAPINFOHEADER would overwrite the video
-                        # format and reject a perfectly decodable clip
+                        # read strf ONLY from the 'vids' stream's strl,
+                        # and REMEMBER ITS ORDINAL: movi chunk ids carry
+                        # the stream index ('01db' when an audio strl
+                        # precedes the video one), so both the format
+                        # header and the data chunks must come from the
+                        # same stream. An audio strf is a WAVEFORMATEX —
+                        # parsing it as a BITMAPINFOHEADER would
+                        # overwrite the video format (review findings,
+                        # passes 1 AND 2).
                         is_vids = False
                         for f3, b3, s3 in walk(b2 + 4, b2 + s2):
                             if f3 == b"strh" and s3 >= 4:
@@ -1186,22 +1192,26 @@ def parse_avi(payload):
                                 f3 == b"strf"
                                 and s3 >= 40
                                 and is_vids
-                                and bitcount is None
+                                and vids_idx is None
                             ):
                                 (_, bw, bh, _, bc, comp) = _struct.unpack(
                                     "<IiiHHI", b[b3 : b3 + 20]
                                 )
                                 bitcount, compression = bc, comp
+                                vids_idx = strl_ordinal
+                        strl_ordinal += 1
             elif kind == b"movi":
                 for f2, b2, s2 in walk(body + 4, body + size):
-                    if f2 in (b"00db", b"00dc"):
-                        frames.append(b[b2 : b2 + s2])
+                    if f2[2:4] in (b"db", b"dc") and f2[:2].isdigit():
+                        movi_chunks.append((f2, b[b2 : b2 + s2]))
     except _struct.error:
         return None
     if not w or not h or w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
         return None
-    if bitcount != 24 or compression != 0:
-        return None  # compressed / non-RGB24 AVI: honestly unsupported
+    if vids_idx is None or bitcount != 24 or compression != 0:
+        return None  # compressed / non-RGB24 / headerless: unsupported
+    prefix = b"%02d" % vids_idx
+    frames = [body for fourcc, body in movi_chunks if fourcc[:2] == prefix]
     fsize = _avi_row_stride(w) * h
     if any(len(fr) != fsize for fr in frames):
         return None

@@ -750,11 +750,14 @@ def test_avi_frame_sampling_three_way_containers(spark):
 
 
 def test_avi_with_audio_stream_still_parses():
-    """An AVI whose hdrl carries an AUDIO strl (WAVEFORMATEX strf)
-    alongside the video strl must still parse: the strf reader only
-    trusts the 'vids' stream's header (review finding — an audio strf
-    parsed as BITMAPINFOHEADER used to overwrite the video format and
-    reject the clip)."""
+    """A spec-conformant AVI whose AUDIO strl comes FIRST must still
+    parse AND return the video frames: the video stream is then stream
+    1, so its format header lives in the second strl (an audio strf is
+    a WAVEFORMATEX — misparsing it as BITMAPINFOHEADER rejected the
+    clip; review pass 1) AND its movi chunks are tagged '01db' (pass 1
+    only fixed the header and still read stream 0's chunks, returning
+    zero frames; review pass 2). Audio '01wb'/'00wb' data chunks are
+    ignored either way."""
     import struct
 
     import numpy as np
@@ -773,22 +776,43 @@ def test_avi_with_audio_stream_still_parses():
     # as bitcount=16/compression!=0 if misparsed as BITMAPINFOHEADER
     auds_strh = struct.pack("<4s4s", b"auds", b"\x01\x00\x00\x00") + b"\x00" * 48
     auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16) + b"\x00" * 24
-    audio_strl = chunk(b"LIST", b"strl" + chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf))
+    audio_strl = chunk(
+        b"LIST", b"strl" + chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf)
+    )
     # splice the audio strl INTO the hdrl list, BEFORE the video strl
     hdrl_at = blob.find(b"hdrl")
     (hdrl_size,) = struct.unpack("<I", blob[hdrl_at - 4 : hdrl_at])
     avih_end = blob.find(b"LIST", hdrl_at)  # start of the video strl LIST
     new_hdrl_body = (
-        blob[hdrl_at + 4 : avih_end] + audio_strl + blob[avih_end : hdrl_at + 4 + hdrl_size - 4]
+        blob[hdrl_at + 4 : avih_end]
+        + audio_strl
+        + blob[avih_end : hdrl_at + 4 + hdrl_size - 4]
     )
     new = (
         blob[: hdrl_at - 8]
         + chunk(b"LIST", b"hdrl" + new_hdrl_body)
         + blob[hdrl_at - 8 + 8 + hdrl_size + (hdrl_size % 2) :]
     )
+    # video is now STREAM 1: relabel its movi data chunks 00db -> 01db
+    # (the spec-real layout) and add an audio '00wb' chunk that must be
+    # ignored
+    new = new.replace(b"00db", b"01db")
+    movi_at = new.find(b"movi")
+    audio_chunk = chunk(b"00wb", b"\x01\x02\x03\x04")
+    new = new[: movi_at + 4] + audio_chunk + new[movi_at + 4 :]
+    # patch the movi LIST size and the RIFF size for the insertion
+    # (the LIST layout is 'LIST' | u32 size | 'movi' | chunks, so the
+    # size field is the 4 bytes immediately before the 'movi' tag)
+    (movi_sz,) = struct.unpack("<I", new[movi_at - 4 : movi_at])
+    new = (
+        new[: movi_at - 4]
+        + struct.pack("<I", movi_sz + len(audio_chunk))
+        + new[movi_at:]
+    )
     new = new[:4] + struct.pack("<I", len(new) - 8) + new[8:]
     parsed = MM.parse_avi(new)
-    assert parsed is not None, "audio-bearing AVI must still parse"
+    assert parsed is not None, "audio-first AVI must still parse"
     w, h, fps, frs = parsed
-    assert (w, h, len(frs)) == (8, 8, 2)
-    assert np.array_equal(MM.decode_avi_frame(frs[0], w, h), frames[0])
+    assert (w, h, len(frs)) == (8, 8, 2), (w, h, len(frs))
+    for src, fr in zip(frames, frs):
+        assert np.array_equal(MM.decode_avi_frame(fr, w, h), src)
