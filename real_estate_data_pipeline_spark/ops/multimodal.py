@@ -1201,9 +1201,25 @@ def parse_avi(payload):
                                 vids_idx = strl_ordinal
                         strl_ordinal += 1
             elif kind == b"movi":
-                for f2, b2, s2 in walk(body + 4, body + size):
-                    if f2[2:4] in (b"db", b"dc") and f2[:2].isdigit():
-                        movi_chunks.append((f2, b[b2 : b2 + s2]))
+                # hdrl precedes movi in every conformant file, so the
+                # vids ordinal is known here and other streams' (audio,
+                # secondary video) chunk bodies are skipped WITHOUT
+                # slicing; the collect-all path only runs for the
+                # nonconformant movi-first layout. Interleaved files
+                # wrap data chunks in one level of 'LIST rec ' sublists
+                # (the MSDN layout) — descend into those too.
+                vprefix = None if vids_idx is None else b"%02d" % vids_idx
+
+                def _collect(pos, end):
+                    for f2, b2, s2 in walk(pos, end):
+                        if f2 == b"LIST" and b[b2 : b2 + 4] == b"rec ":
+                            _collect(b2 + 4, b2 + s2)
+                        elif f2[2:4] in (b"db", b"dc") and f2[:2].isdigit():
+                            if vprefix is not None and f2[:2] != vprefix:
+                                continue
+                            movi_chunks.append((f2, b[b2 : b2 + s2]))
+
+                _collect(body + 4, body + size)
     except _struct.error:
         return None
     if not w or not h or w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:

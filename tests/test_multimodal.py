@@ -795,9 +795,10 @@ def test_avi_with_audio_stream_still_parses():
     )
     # video is now STREAM 1: relabel its movi data chunks 00db -> 01db
     # (the spec-real layout) and add an audio '00wb' chunk that must be
-    # ignored
-    new = new.replace(b"00db", b"01db")
+    # ignored. Scope the relabel to the movi region so a pixel byte
+    # pattern that happens to spell '00db' can never be corrupted.
     movi_at = new.find(b"movi")
+    new = new[:movi_at] + new[movi_at:].replace(b"00db", b"01db")
     audio_chunk = chunk(b"00wb", b"\x01\x02\x03\x04")
     new = new[: movi_at + 4] + audio_chunk + new[movi_at + 4 :]
     # patch the movi LIST size and the RIFF size for the insertion
@@ -814,5 +815,43 @@ def test_avi_with_audio_stream_still_parses():
     assert parsed is not None, "audio-first AVI must still parse"
     w, h, fps, frs = parsed
     assert (w, h, len(frs)) == (8, 8, 2), (w, h, len(frs))
+    for src, fr in zip(frames, frs):
+        assert np.array_equal(MM.decode_avi_frame(fr, w, h), src)
+
+
+def test_avi_interleaved_rec_sublists_parse():
+    """Interleaved AVIs wrap movi data chunks in one level of
+    'LIST rec ' sublists (the documented layout for a/v interleaving);
+    the movi walk must descend into them (review pass 3 — a flat walk
+    returned zero frames for a decodable clip)."""
+    import struct
+
+    import numpy as np
+
+    from real_estate_data_pipeline_spark.ops import multimodal as MM
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(3)]
+    blob = MM.encode_avi(frames, fps=4.0)
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    movi_at = blob.find(b"movi")
+    (movi_sz,) = struct.unpack("<I", blob[movi_at - 4 : movi_at])
+    old_body = blob[movi_at + 4 : movi_at + movi_sz]
+    pos, parts = 0, []
+    while pos + 8 <= len(old_body):
+        fcc = old_body[pos : pos + 4]
+        (sz,) = struct.unpack("<I", old_body[pos + 4 : pos + 8])
+        parts.append(
+            chunk(b"LIST", b"rec " + chunk(fcc, old_body[pos + 8 : pos + 8 + sz]))
+        )
+        pos += 8 + sz + (sz % 2)
+    new = blob[: movi_at - 8] + chunk(b"LIST", b"movi" + b"".join(parts))
+    new = new[:4] + struct.pack("<I", len(new) - 8) + new[8:]
+    w, h, fps, frs = MM.parse_avi(new)
+    assert len(frs) == 3
     for src, fr in zip(frames, frs):
         assert np.array_equal(MM.decode_avi_frame(fr, w, h), src)
