@@ -1210,16 +1210,22 @@ def parse_avi(payload):
                 # (the MSDN layout) — descend into those too.
                 vprefix = None if vids_idx is None else b"%02d" % vids_idx
 
-                def _collect(pos, end):
+                def _collect(pos, end, depth):
+                    # depth-bounded: the spec allows exactly ONE level
+                    # of rec nesting, and an unbounded descent would let
+                    # a hostile rec-in-rec-in-... file blow the Python
+                    # stack inside mapInPandas (RecursionError is not a
+                    # struct.error — it would kill the task)
                     for f2, b2, s2 in walk(pos, end):
                         if f2 == b"LIST" and b[b2 : b2 + 4] == b"rec ":
-                            _collect(b2 + 4, b2 + s2)
+                            if depth == 0:
+                                _collect(b2 + 4, b2 + s2, 1)
                         elif f2[2:4] in (b"db", b"dc") and f2[:2].isdigit():
                             if vprefix is not None and f2[:2] != vprefix:
                                 continue
                             movi_chunks.append((f2, b[b2 : b2 + s2]))
 
-                _collect(body + 4, body + size)
+                _collect(body + 4, body + size, 0)
     except _struct.error:
         return None
     if not w or not h or w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
