@@ -53,9 +53,15 @@ SHOW_NOTES = {
     "doc_dirichlet_query_likelihood": "Dirichlet QL: the score frame is |docs| x 3 rows — the length table crossed with the 3-row broadcast cf table and 1-row collection size, left-joined to the shared tf aggregate; missing terms cost a projection, not a join; ranking is TakeOrderedAndProject over per-doc BIGINT micro-nat sums.",
     "doc_ranker_rrf_fusion": "RRF: both scorer chains hang off ONE tokenize pass and ONE checkpointed (doc, term) tf aggregate (LogicalRDD in both branches); each rank list is a 20-row TakeOrdered frame with the row_number window ABOVE the limit, so the fusion full-outer join touches at most 40 rows regardless of corpus size.",
     "ml_irls_huber_price_qty": "Huber IRLS: the integer feature frame checkpoints once and feeds all three passes; each round is one hash aggregate (per-row BIGINT products summed as decimal(38,0)) plus a 1-row parameter broadcast nested loop — constant plan depth across rounds, no per-round corpus rewrite, the Lloyd-rounds discipline applied to regression.",
-    "ml_isotonic_urgent_rate": "Isotonic: the corpus contributes one decile-edge aggregate and one 10-bin grouped count; the PAVA fit itself (prefix sums, 55 range means, max-min reduction) runs in bin-count-sized broadcast joins — the sequential pooling loop never appears, and nothing after the bin aggregate scales with row count.",
+    "ml_isotonic_urgent_rate": "Isotonic: the corpus contributes one decile-edge aggregate and one 10-bin grouped count; the PAVA fit itself (prefix sums, 55 range means, max-min reduction) runs in bin-count-sized broadcast joins — the sequential pooling loop never appears, and nothing after the bin aggregate scales with row count. 10x-probe note (r9: 2.3x, the worst non-adversarial ratio of that round): the driver of the ratio is the TWO global exact-percentile aggregates computing the decile edges, not the bin-bounded PAVA tail — sub-linear and scale-safe, with `approx_percentile` as the standing 100-TB relaxation (the bins need stable boundaries, not exact ones; the PAVA algebra downstream is unchanged).",
     "sketch_cms_merge_equivalence": "CMS merge check: the half flag is a map-side expression on a single checkpointed scan; three 2048-cell sketch aggregates and two full-outer joins on (r, cell) — every post-count stage is bounded by the sketch width, the exact property that lets per-partition sketches merge at 100 TB.",
     "ml_mann_whitney_u_quantity": "Mann-Whitney U: the raw rows collapse into the 50-value quantity histogram in one partial-aggregated shuffle; the rank algebra (running sum, tie cubes, U moments) runs over that 50-row frame — a rank-sum test with the plan shape of a count(*) GROUP BY.",
+    "doc_js_divergence_sources": "Pairwise JS: same skeleton as the KL report — ONE token-keyed aggregate builds the per-token count map, the 190-row pair grid broadcasts over that vocabulary-sized frame, and both directions' picounit term sums reduce in a single hash aggregate; the corpus is scanned once and the bounded (<= ln 2) symmetric divergence costs nothing extra over KL.",
+    "ml_weighted_kappa_quartiles": "Weighted kappa: one exact-quantile aggregate (the quartile edges, a 1-row broadcast), one conditional projection, a 16-cell count aggregate — marginal cross products and the kappa division run on the 4x4 grid. 10x probe 2.4x: the two global percentile passes dominate, the same class (and the same approx_percentile relaxation) as isotonic.",
+    "doc_lm_interpolation_grid": "LM mixture grid: the two source LMs are token-count aggregates off ONE tokenize pass; the held-out explode left-joins both count tables ONCE and crosses an 11-row broadcast weight grid, so all eleven NLLs come out of a single hash aggregate — the sweep costs one corpus pass, not eleven.",
+    "emb_cosine_components": "Cosine components: banded-LSH pairs (equi-joins, hot-block capped) feed pointer-jumping CC whose symmetric edge frame materializes ONCE (eager localCheckpoint — without it every propagate round replayed the LSH pipeline; the 10x probe measured ~290 s -> ~104 s from this fix alone); each round is one edge equi-join + one node-table self-join on LogicalRDDs, so plan depth is constant. The 19.7x probe ratio is the duplicate-heavy adversarial corpus (10 identical shards -> ~230x the edges in long cross-shard chains -> 23 monotone rounds), not a plan defect.",
+    "graph_adamic_adar_link_pred": "Adamic-Adar eval: identical wedge-probe shape to the CN eval (pair x degree bounded left joins on plain node keys) plus ONE broadcast degree table supplying the 1/ln(deg) discount — zero extra shuffles over the unweighted score. Probe 5.1x = the documented duplicate-heavy pair-space class (link-pred was 4.7x in r9 on the same corpus).",
+    "sketch_cms_inner_product": "CMS inner product: ONE per-user pass carries both halves' counts, both sketches come from a single 2048-cell aggregate, the estimate is a 4-row min of per-row dots, and the exact check is one more aggregate over the SAME per-user frame (localCheckpoint — no second events scan); at 100 TB only the sketch side runs per silo.",
 }
 
 
