@@ -190,6 +190,13 @@ _SCALAR_BROADCAST_OK = {
     "sketch_cms_inner_product",    # 1-row sketch-estimate scalar vs 1-row exact row
     "ml_weighted_kappa_quartiles",  # 1-row quartile edges + 16-row marginal grid
     "evt_stream_hll_now",          # 1-row sketch-estimate scalar from the sink
+    "ml_fleiss_kappa_lang",        # NB 5-row lang table + 1-row prior/marginal scalars
+    "doc_vocab_overlap_sources",   # 190-row source-pair grid broadcast (as KL/JS)
+    "ml_pr_curve_price_urgent",    # 9-row threshold grid + 1-row class-total scalar
+    "evt_churn_by_first_week",     # 1-row as-of max-ts scalar
+    "orders_pareto_cut_point",     # 1-row revenue-total scalar over the ranked frame
+    "cust_balance_quintile_revenue",  # 1-row quintile-edge scalar
+    "evt_session_duration_histogram",  # 1-row session-total scalar
 }
 
 
@@ -224,6 +231,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "doc_ranker_kendalls_w",       # re-rank row_number over the 10-row top-k join
     "ml_wilcoxon_signed_rank_monthly",  # rank over the ~80-row monthly difference frame
     "doc_lm_interpolation_grid",   # global min over the 11-row NLL grid
+    "orders_pareto_cut_point",     # ranked running share over the per-customer aggregate
 }
 
 

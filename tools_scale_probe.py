@@ -183,6 +183,14 @@ HEAVY = [
     "dq_cochran_q_filters",
     "evt_theil_u_forecast",
     "doc_token_length_entropy",
+    # round-10 wave 9: multi-rater agreement, vocab overlap, PR curve,
+    # profile similarity, churn cohorts, SQL-surface window
+    "ml_fleiss_kappa_lang",
+    "doc_vocab_overlap_sources",
+    "ml_pr_curve_price_urgent",
+    "evt_type_profile_similarity",
+    "evt_churn_by_first_week",
+    "sql_interface_window",
 ]
 
 
