@@ -191,6 +191,14 @@ HEAVY = [
     "evt_type_profile_similarity",
     "evt_churn_by_first_week",
     "sql_interface_window",
+    # round-10 wave 10: BFS over the LSH dup graph (the pair-expanding
+    # shape the probe exists for), Pareto cut, Tukey contrasts,
+    # quintile lift, session durations
+    "graph_khop_reachability",
+    "orders_pareto_cut_point",
+    "ml_tukey_pairwise_quantity",
+    "cust_balance_quintile_revenue",
+    "evt_session_duration_histogram",
 ]
 
 
