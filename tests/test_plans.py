@@ -195,6 +195,7 @@ _SCALAR_BROADCAST_OK = {
     "ml_pr_curve_price_urgent",    # 9-row threshold grid + 1-row class-total scalar
     "evt_churn_by_first_week",     # 1-row as-of max-ts scalar
     "orders_pareto_cut_point",     # 1-row revenue-total scalar over the ranked frame
+    "evt_type_profile_similarity",  # k-row type-pair grid (bounded by the type domain)
     "cust_balance_quintile_revenue",  # 1-row quintile-edge scalar
     "evt_session_duration_histogram",  # 1-row session-total scalar
 }
