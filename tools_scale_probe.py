@@ -199,6 +199,12 @@ HEAVY = [
     "ml_tukey_pairwise_quantity",
     "cust_balance_quintile_revenue",
     "evt_session_duration_histogram",
+    # round-10 wave 11: fast exact wins (single-aggregate shapes)
+    "ml_cohens_d_quantity",
+    "orders_gini_by_segment",
+    "evt_peak_to_mean_ratio",
+    "doc_stopword_density_by_lang",
+    "part_brand_price_dispersion",
 ]
 
 
