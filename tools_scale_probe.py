@@ -205,6 +205,8 @@ HEAVY = [
     "evt_peak_to_mean_ratio",
     "doc_stopword_density_by_lang",
     "part_brand_price_dispersion",
+    "doc_token_shape_profile",
+    "evt_weekend_weekday_lift",
 ]
 
 
