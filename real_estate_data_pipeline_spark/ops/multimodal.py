@@ -1158,6 +1158,7 @@ def parse_avi(payload):
     w = h = None
     fps = 0.0
     bitcount = compression = None
+    strf_w = strf_h = None  # vids BITMAPINFOHEADER dims, checked vs avih
     vids_idx = None  # the video stream's ORDINAL among the strl lists
     strl_ordinal = 0
     movi_chunks = []  # (fourcc, body bytes) — filtered by stream id below
@@ -1198,6 +1199,7 @@ def parse_avi(payload):
                                     "<IiiHHI", b[b3 : b3 + 20]
                                 )
                                 bitcount, compression = bc, comp
+                                strf_w, strf_h = bw, bh
                                 vids_idx = strl_ordinal
                         strl_ordinal += 1
             elif kind == b"movi":
@@ -1232,6 +1234,13 @@ def parse_avi(payload):
         return None
     if vids_idx is None or bitcount != 24 or compression != 0:
         return None  # compressed / non-RGB24 / headerless: unsupported
+    if strf_w != w or strf_h != h:
+        # decode_avi_frame assumes a BOTTOM-UP DIB whose dims match the
+        # avih dims used for fsize. A top-down DIB (negative biHeight)
+        # would pass every other check and decode vertically flipped —
+        # silently corrupting ahash dedup — and mismatched strf/avih dims
+        # would mis-stride rows. Skip, don't kill (advice r10).
+        return None
     prefix = b"%02d" % vids_idx
     frames = [body for fourcc, body in movi_chunks if fourcc[:2] == prefix]
     fsize = _avi_row_stride(w) * h

@@ -707,6 +707,17 @@ def test_avi_container_roundtrip_and_robustness():
     strf_at = bytes(comp).find(b"strf")
     comp[strf_at + 8 + 16 : strf_at + 8 + 20] = b"XVID"
     assert MM.parse_avi(bytes(comp)) is None
+    # a TOP-DOWN DIB (negative biHeight) would decode vertically flipped
+    # under the bottom-up assumption — rejected, not silently corrupted
+    topdown = bytearray(blob)
+    topdown[strf_at + 8 + 8 : strf_at + 8 + 12] = (-15).to_bytes(
+        4, "little", signed=True
+    )
+    assert MM.parse_avi(bytes(topdown)) is None
+    # strf dims that disagree with the avih dims used for fsize -> None
+    mism = bytearray(blob)
+    mism[strf_at + 8 + 4 : strf_at + 8 + 8] = (16).to_bytes(4, "little")
+    assert MM.parse_avi(bytes(mism)) is None
     with pytest.raises(ValueError):
         MM.encode_avi([])
     with pytest.raises(ValueError):
