@@ -198,6 +198,9 @@ _SCALAR_BROADCAST_OK = {
     "evt_type_profile_similarity",  # k-row type-pair grid (bounded by the type domain)
     "cust_balance_quintile_revenue",  # 1-row quintile-edge scalar
     "evt_session_duration_histogram",  # 1-row session-total scalar
+    "ml_bh_fdr_permutation",       # 5x5 seg-pair build + 1-row BH kmax scalar
+    "ml_james_stein_shrinkage",    # 1-row grand-moment + between-SS scalars
+    "graph_modularity_components",  # 1x1 joins of node/edge/cluster-mass rows
 }
 
 
@@ -233,6 +236,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_wilcoxon_signed_rank_monthly",  # rank over the ~80-row monthly difference frame
     "doc_lm_interpolation_grid",   # global min over the 11-row NLL grid
     "orders_pareto_cut_point",     # ranked running share over the per-customer aggregate
+    "ml_bh_fdr_permutation",       # row_number over the 10-row pair p-value frame
 }
 
 

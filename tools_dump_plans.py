@@ -59,7 +59,7 @@ SHOW_NOTES = {
     "doc_js_divergence_sources": "Pairwise JS: same skeleton as the KL report — ONE token-keyed aggregate builds the per-token count map, the 190-row pair grid broadcasts over that vocabulary-sized frame, and both directions' picounit term sums reduce in a single hash aggregate; the corpus is scanned once and the bounded (<= ln 2) symmetric divergence costs nothing extra over KL.",
     "ml_weighted_kappa_quartiles": "Weighted kappa: one exact-quantile aggregate (the quartile edges, a 1-row broadcast), one conditional projection, a 16-cell count aggregate — marginal cross products and the kappa division run on the 4x4 grid. 10x probe 2.4x: the two global percentile passes dominate, the same class (and the same approx_percentile relaxation) as isotonic.",
     "doc_lm_interpolation_grid": "LM mixture grid: the two source LMs are token-count aggregates off ONE tokenize pass; the held-out explode left-joins both count tables ONCE and crosses an 11-row broadcast weight grid, so all eleven NLLs come out of a single hash aggregate — the sweep costs one corpus pass, not eleven.",
-    "emb_cosine_components": "Cosine components: banded-LSH pairs (equi-joins, hot-block capped) feed pointer-jumping CC whose symmetric edge frame materializes ONCE (eager localCheckpoint — without it every propagate round replayed the LSH pipeline; the 10x probe measured ~290 s -> ~104 s from this fix alone); each round is one edge equi-join + one node-table self-join on LogicalRDDs, so plan depth is constant. The 19.7x probe ratio is the duplicate-heavy adversarial corpus (10 identical shards -> ~230x the edges in long cross-shard chains -> 23 monotone rounds), not a plan defect.",
+    "emb_cosine_components": "Cosine components: banded-LSH pairs (equi-joins, hot-block capped) feed pointer-jumping CC whose symmetric edge frame materializes ONCE (eager localCheckpoint — without it every propagate round replayed the LSH pipeline; the 10x probe measured ~290 s -> ~121 s from this fix alone; settled post-fix re-probe r11: 1x 8.5 s, 10x 121.2 s = 14.2x); each round is one edge equi-join + one node-table self-join on LogicalRDDs, so plan depth is constant. The 14.2x probe ratio is the duplicate-heavy adversarial corpus (10 identical shards -> ~230x the edges in long cross-shard chains -> 23 monotone rounds), not a plan defect.",
     "graph_adamic_adar_link_pred": "Adamic-Adar eval: identical wedge-probe shape to the CN eval (pair x degree bounded left joins on plain node keys) plus ONE broadcast degree table supplying the 1/ln(deg) discount — zero extra shuffles over the unweighted score. Probe 5.1x = the documented duplicate-heavy pair-space class (link-pred was 4.7x in r9 on the same corpus).",
     "sketch_cms_inner_product": "CMS inner product: ONE per-user pass carries both halves' counts, both sketches come from a single 2048-cell aggregate, the estimate is a 4-row min of per-row dots, and the exact check is one more aggregate over the SAME per-user frame (localCheckpoint — no second events scan); at 100 TB only the sketch side runs per silo.",
 }
