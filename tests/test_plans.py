@@ -201,6 +201,9 @@ _SCALAR_BROADCAST_OK = {
     "ml_bh_fdr_permutation",       # 5x5 seg-pair build + 1-row BH kmax scalar
     "ml_james_stein_shrinkage",    # 1-row grand-moment + between-SS scalars
     "graph_modularity_components",  # 1x1 joins of node/edge/cluster-mass rows
+    "evt_stl_decomposition_hourly",  # 1-row seasonal-strength scalar
+    "evt_ljung_box_acf_pacf",      # 1-row moment scalar (n, S) + 1-row ACF row
+    "evt_grubbs_outlier_daily",    # 1-row moment scalar joined to the argmax row
 }
 
 
@@ -237,6 +240,9 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "doc_lm_interpolation_grid",   # global min over the 11-row NLL grid
     "orders_pareto_cut_point",     # ranked running share over the per-customer aggregate
     "ml_bh_fdr_permutation",       # row_number over the 10-row pair p-value frame
+    "evt_stl_decomposition_hourly",  # centered 25-row MA over the hour-bucket aggregate
+    "evt_ljung_box_acf_pacf",      # six-lead window over the hour-bucket aggregate
+    "evt_grubbs_outlier_daily",    # integer argmax over the calendar-day aggregate
 }
 
 
