@@ -204,6 +204,9 @@ _SCALAR_BROADCAST_OK = {
     "evt_stl_decomposition_hourly",  # 1-row seasonal-strength scalar
     "evt_ljung_box_acf_pacf",      # 1-row moment scalar (n, S) + 1-row ACF row
     "evt_grubbs_outlier_daily",    # 1-row moment scalar joined to the argmax row
+    "sketch_hll_set_operations",   # 1x1 join of the two sketch rows + exact row
+    "sketch_kll_drift_gate",       # 1-row edge/sketch/CDF scalars
+    "sketch_bloom_join_prefilter",  # 1-row dim-count scalar joined to the report row
 }
 
 
