@@ -207,6 +207,10 @@ _SCALAR_BROADCAST_OK = {
     "sketch_hll_set_operations",   # 1x1 join of the two sketch rows + exact row
     "sketch_kll_drift_gate",       # 1-row edge/sketch/CDF scalars
     "sketch_bloom_join_prefilter",  # 1-row dim-count scalar joined to the report row
+    "orders_simpsons_paradox_scan",  # 1-row overall-sign scalar over the brand frame
+    "ml_cooks_distance_topk",      # 1-row line/SSE scalars broadcast to the unit frame
+    "part_brand_size_chi2_residuals",  # 1-row grand-total scalar over the cell frame
+    "ml_sprt_conversion_monitor",  # 1-row crossing row joined to the 1-row extremes
 }
 
 
@@ -246,6 +250,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_stl_decomposition_hourly",  # centered 25-row MA over the hour-bucket aggregate
     "evt_ljung_box_acf_pacf",      # six-lead window over the hour-bucket aggregate
     "evt_grubbs_outlier_daily",    # integer argmax over the calendar-day aggregate
+    "ml_sprt_conversion_monitor",  # running LLR over the calendar-day aggregate
 }
 
 
