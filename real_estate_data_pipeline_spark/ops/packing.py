@@ -191,18 +191,29 @@ def _bpe_rewrite(cur: DataFrame, x: str, y: str, led: DataFrame | None = None) -
     if led is None:
         led = cur.withColumn("nxt", F.lead("tok").over(wdoc))
     pred = F.when((F.col("tok") == F.lit(x)) & (F.col("nxt") == F.lit(y)), 1).otherwise(0)
+    # Islands parity with ONE window key: a run of consecutive pr=1
+    # positions starts where pr=1 and the previous row has pr=0 (or
+    # none); the running MAX of those start positions gives every pr=1
+    # row ITS island's start, and "odd offset within the island" is
+    # (pos - start) % 2 == 0. The original formulation reached the
+    # same flags through row_numbers over (doc_id, pr) and
+    # (doc_id, pr, grp) — two extra exchanges PER ROUND that repartition
+    # the whole token frame on keys no other stage uses. Everything
+    # here rides the same doc_id-partitioned, pos-ordered window as the
+    # lead/lag steps, so the rewrite costs one shuffle total.
+    wrun = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked = led.withColumn("pr", pred).withColumn(
-        "grp",
-        F.col("pos")
-        - F.row_number().over(Window.partitionBy("doc_id", "pr").orderBy("pos")),
+        "st_pos",
+        F.max(
+            F.when(
+                (F.col("pr") == 1)
+                & (F.coalesce(F.lag(pred).over(wdoc), F.lit(0)) == 0),
+                F.col("pos"),
+            )
+        ).over(wrun),
     )
     is_start = (
-        (F.col("pr") == 1)
-        & (
-            F.row_number().over(Window.partitionBy("doc_id", "pr", "grp").orderBy("pos"))
-            % 2
-            == 1
-        )
+        (F.col("pr") == 1) & ((F.col("pos") - F.col("st_pos")) % 2 == 0)
     ).cast("int")
     flagged = marked.withColumn("is_start", is_start).withColumn(
         "consumed", F.coalesce(F.lag("is_start").over(wdoc), F.lit(0))
