@@ -211,6 +211,8 @@ _SCALAR_BROADCAST_OK = {
     "ml_cooks_distance_topk",      # 1-row line/SSE scalars broadcast to the unit frame
     "part_brand_size_chi2_residuals",  # 1-row grand-total scalar over the cell frame
     "ml_sprt_conversion_monitor",  # 1-row crossing row joined to the 1-row extremes
+    "doc_keyness_g2_by_source",    # 1-row corpus-total scalar
+    "ml_info_gain_ratio_features",  # 1-row class-total / entropy scalars
 }
 
 
