@@ -213,6 +213,7 @@ _SCALAR_BROADCAST_OK = {
     "ml_sprt_conversion_monitor",  # 1-row crossing row joined to the 1-row extremes
     "doc_keyness_g2_by_source",    # 1-row corpus-total scalar
     "ml_info_gain_ratio_features",  # 1-row class-total / entropy scalars
+    "ml_g_test_brand_size",        # 1-row grand-total + term-sum scalars
 }
 
 
@@ -253,6 +254,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_ljung_box_acf_pacf",      # six-lead window over the hour-bucket aggregate
     "evt_grubbs_outlier_daily",    # integer argmax over the calendar-day aggregate
     "ml_sprt_conversion_monitor",  # running LLR over the calendar-day aggregate
+    "ml_rank_biserial_quantity",   # running sum over the 50-value quantity histogram
 }
 
 
