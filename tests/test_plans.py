@@ -214,6 +214,14 @@ _SCALAR_BROADCAST_OK = {
     "doc_keyness_g2_by_source",    # 1-row corpus-total scalar
     "ml_info_gain_ratio_features",  # 1-row class-total / entropy scalars
     "ml_g_test_brand_size",        # 1-row grand-total + term-sum scalars
+    "ml_breusch_pagan_hetero",     # 1-row fitted-line scalar (shared _order_reg_resid)
+    "ml_durbin_watson_daily",      # 1-row fitted-line scalar over the day aggregate
+    "ml_chow_structural_break",    # 1-row pooled-line / SSE scalars
+    "evt_ewma_control_chart",      # 1-row mu/sigma limit scalar over the day frame
+    "evt_hampel_outliers_daily",   # 1-row global-median / MAD scalars
+    "ml_logrank_test_segments",    # 1-row O/E/V scalar joined to the 1-row counts
+    "evt_weibull_interevent_fit",  # 1-row gap-total scalar over the histogram
+    "evt_stream_benford_now",      # 1-row digit-total scalar from the sink
 }
 
 
@@ -255,6 +263,13 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_grubbs_outlier_daily",    # integer argmax over the calendar-day aggregate
     "ml_sprt_conversion_monitor",  # running LLR over the calendar-day aggregate
     "ml_rank_biserial_quantity",   # running sum over the 50-value quantity histogram
+    "ml_durbin_watson_daily",      # lag over the calendar-day aggregate
+    "evt_changepoint_single_split",  # prefix sums over the calendar-day aggregate
+    "evt_ewma_control_chart",      # 8-tap lag fan-out over the calendar-day aggregate
+    "evt_hampel_outliers_daily",   # 7-row rolling median over the calendar-day aggregate
+    "ml_logrank_test_segments",    # suffix sums over the bounded duration histogram
+    "evt_weibull_interevent_fit",  # running CDF over the gap-minute histogram
+    "lineitem_weighted_median_price",  # running weight over the price value-domain histogram
 }
 
 
