@@ -222,6 +222,8 @@ _SCALAR_BROADCAST_OK = {
     "ml_logrank_test_segments",    # 1-row O/E/V scalar joined to the 1-row counts
     "evt_weibull_interevent_fit",  # 1-row gap-total scalar over the histogram
     "evt_stream_benford_now",      # 1-row digit-total scalar from the sink
+    "sketch_kmv_distinct_estimate",  # 1x1 joins of estimate/exact/merge-audit rows
+    "er_fellegi_sunter_scores",    # 1-row m/u weight scalar over the 8-cell frame
 }
 
 
