@@ -224,6 +224,11 @@ _SCALAR_BROADCAST_OK = {
     "evt_stream_benford_now",      # 1-row digit-total scalar from the sink
     "sketch_kmv_distinct_estimate",  # 1x1 joins of estimate/exact/merge-audit rows
     "er_fellegi_sunter_scores",    # 1-row m/u weight scalar over the 8-cell frame
+    "ml_reliability_diagram_bands",  # 1-row decile-edge scalar (shared _cal_bands)
+    "ml_brier_decomposition_bands",  # 1-row edge/total scalars over the band frame
+    "ml_hosmer_lemeshow_bands",    # 1-row edge/term-sum scalars over the band frame
+    "ml_bca_bootstrap_components",  # 1-row full-mean/jackknife-moment scalars
+    "cust_theil_inequality_index",  # 1-row revenue-total scalar over the customer frame
 }
 
 
