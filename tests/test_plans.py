@@ -229,6 +229,8 @@ _SCALAR_BROADCAST_OK = {
     "ml_hosmer_lemeshow_bands",    # 1-row edge/term-sum scalars over the band frame
     "ml_bca_bootstrap_components",  # 1-row full-mean/jackknife-moment scalars
     "cust_theil_inequality_index",  # 1-row revenue-total scalar over the customer frame
+    "ml_kendall_tau_b_daily",      # calendar-day frame self-join (bounded) + 1-row scalars
+    "emb_jl_distortion_audit",     # 512-row pinned sign-matrix literal grid
 }
 
 
