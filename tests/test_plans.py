@@ -231,6 +231,9 @@ _SCALAR_BROADCAST_OK = {
     "cust_theil_inequality_index",  # 1-row revenue-total scalar over the customer frame
     "ml_kendall_tau_b_daily",      # calendar-day frame self-join (bounded) + 1-row scalars
     "emb_jl_distortion_audit",     # 512-row pinned sign-matrix literal grid
+    "doc_burrows_delta_sources",   # 600-row source x top-token grid broadcast
+    "ml_anova_two_way_interaction",  # 1-row marginal-mass scalars over the cell frame
+    "ml_gtest_weekday_uniformity",  # 1-row grand-total + term-sum scalars
 }
 
 
