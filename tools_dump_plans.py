@@ -62,6 +62,15 @@ SHOW_NOTES = {
     "emb_cosine_components": "Cosine components: banded-LSH pairs (equi-joins, hot-block capped) feed pointer-jumping CC whose symmetric edge frame materializes ONCE (eager localCheckpoint — without it every propagate round replayed the LSH pipeline; the 10x probe measured ~290 s -> ~121 s from this fix alone; settled post-fix re-probe r11: 1x 8.5 s, 10x 121.2 s = 14.2x); each round is one edge equi-join + one node-table self-join on LogicalRDDs, so plan depth is constant. The 14.2x probe ratio is the duplicate-heavy adversarial corpus (10 identical shards -> ~230x the edges in long cross-shard chains -> 23 monotone rounds), not a plan defect.",
     "graph_adamic_adar_link_pred": "Adamic-Adar eval: identical wedge-probe shape to the CN eval (pair x degree bounded left joins on plain node keys) plus ONE broadcast degree table supplying the 1/ln(deg) discount — zero extra shuffles over the unweighted score. Probe 5.1x = the documented duplicate-heavy pair-space class (link-pred was 4.7x in r9 on the same corpus).",
     "sketch_cms_inner_product": "CMS inner product: ONE per-user pass carries both halves' counts, both sketches come from a single 2048-cell aggregate, the estimate is a 4-row min of per-row dots, and the exact check is one more aggregate over the SAME per-user frame (localCheckpoint — no second events scan); at 100 TB only the sketch side runs per silo.",
+    "graph_modularity_components": "Modularity of the CC partition: the cluster-mass and degree-mass tables are node-keyed aggregates over the SAME checkpointed edge frame the components ran on; the closing Q assembly is 1x1 joins of three scalar rows. Probe 17.4x = the documented duplicate-heavy CC class (23 propagate rounds on the 10-shard corpus), not a plan defect.",
+    "evt_stl_decomposition_hourly": "STL-lite: the raw stream collapses to the hour-bucket aggregate (~1 row per wall-clock hour at ANY data scale) before the 25-row centered trend window; det/seas/rem frames localCheckpoint before multi-consumption; seasonal strength is a ratio of exact decimal sums — nothing after the first aggregate scales with row count.",
+    "sketch_bloom_join_prefilter": "Bloom join prefilter: the dim bit set is a bounded <= 8192-row DISTINCT aggregate (broadcastable at any dim size); the probe side tests its 3 cells in ONE equi-join and the membership truth is one left join back — the measured shuffle-reduction share is exactly the 100-TB semi-join saving the query audits.",
+    "ml_sprt_conversion_monitor": "Wald SPRT: the event stream reduces to the calendar-day aggregate; the running LLR is one global window over that bounded frame; thresholds are pinned integer literals (nano-quantized ONCE in Python) so both engines walk the identical integer path; the decision row is a min_by over the bounded frame — no union trick, no second scan.",
+    "sketch_bloom_sizing_sweep": "Bloom sizing sweep: all three filter sizes share ONE bounded DISTINCT bit-set aggregate (<= 21504 rows total) and ONE probe pass testing 9 (size, hash) cells per key in a single equi-join — the sweep costs one extra 3x fan-out on the bounded key frames, never a second fact scan per size.",
+    "doc_burrows_delta_sources": "Burrows' Delta: ONE token-count shuffle is the only corpus-sized stage; the 600-row source x top-token grid, the per-token z-moments and the 190-row pair deltas are all bounded-frame joins (grid broadcast, token-keyed pair join) — stylometry at the cost of a word count.",
+    "emb_jl_distortion_audit": "JL audit: the 64x element fan-out and the 512-row pinned sign-matrix broadcast are the only expansions; projections reduce in one (vec, proj) aggregate, pair distances in consecutive-id equi-joins over exact integers — no pair blow-up, no vector shuffles.",
+    "dedup_edit_distance_audit": "Edit-distance near-dup audit: the same intra-block pair skeleton (collect per (lang, length-bucket) block, hot-block capped, i<j expansion) as every LSH operator — levenshtein runs on 120-char prefixes inside the block task; no self-join replays the corpus scan.",
+    "ml_logrank_test_segments": "Log-rank: the per-customer rollup is the one fact-sized stage; risk sets are suffix sums over the calendar-bounded duration histogram; per-event-time E and V are micro-quantized projections summed exactly — survival testing with the plan shape of a GROUP BY plus one bounded window.",
 }
 
 

@@ -207,6 +207,85 @@ HEAVY = [
     "part_brand_price_dispersion",
     "doc_token_shape_profile",
     "evt_weekend_weekday_lift",
+    # round-11 wave 1: experimentation tier (probed ad-hoc in r11,
+    # now pinned here) + the duplicate-heavy CC-class modularity
+    "ml_bh_fdr_permutation",
+    "ml_cuped_adjusted_effect",
+    "ml_delta_method_ratio_se",
+    "ml_james_stein_shrinkage",
+    "evt_absorbing_chain_expected_steps",
+    "graph_modularity_components",
+    # round-11 waves 2-5 (unprobed in r11 — closing the gap): hour/day-
+    # bucket time-series diagnostics (expect ~flat), sketch composition,
+    # curation analytics (token-shuffle-bound), econometrics single-pass
+    # moment aggregates. Streaming runs are excluded from HEAVY by
+    # convention (the probe materializes batch plans; stream gates poll
+    # their own sinks).
+    "evt_stl_decomposition_hourly",
+    "evt_ljung_box_acf_pacf",
+    "evt_seasonal_mann_kendall",
+    "evt_grubbs_outlier_daily",
+    "sketch_hll_set_operations",
+    "sketch_kll_drift_gate",
+    "sketch_bloom_join_prefilter",
+    "doc_keyness_g2_by_source",
+    "ml_info_gain_ratio_features",
+    "doc_pii_density_by_source",
+    "doc_readability_ari_by_source",
+    "orders_simpsons_paradox_scan",
+    "lineitem_price_elasticity_loglog",
+    "cust_negative_binomial_orders_fit",
+    "ml_cooks_distance_topk",
+    "part_brand_size_chi2_residuals",
+    "ml_sprt_conversion_monitor",
+    # round-12 wave 1: classical-test twins (histogram/moment shapes)
+    "ml_g_test_brand_size",
+    "ml_rank_biserial_quantity",
+    "ml_welch_t_quantity",
+    "ml_levene_brown_forsythe",
+    "ml_jarque_bera_quantity",
+    "ml_bartlett_variance_test",
+    # round-12 wave 2: regression diagnostics on the shared order line
+    "ml_breusch_pagan_hetero",
+    "ml_durbin_watson_daily",
+    "ml_chow_structural_break",
+    "evt_changepoint_single_split",
+    "ml_cronbach_alpha_quality",
+    "lineitem_did_discount_returns",
+    # round-12 wave 3: monitoring / survival
+    "evt_ewma_control_chart",
+    "evt_hampel_outliers_daily",
+    "ml_logrank_test_segments",
+    "evt_weibull_interevent_fit",
+    "lineitem_weighted_median_price",
+    # round-12 wave 4: sketch sizing / dedup / ER
+    "sketch_bloom_sizing_sweep",
+    "sketch_kmv_distinct_estimate",
+    "dedup_edit_distance_audit",
+    "dedup_prefix_fingerprint_audit",
+    "er_fellegi_sunter_scores",
+    "doc_yule_k_richness",
+    # round-12 wave 5: calibration / inequality
+    "ml_reliability_diagram_bands",
+    "ml_brier_decomposition_bands",
+    "ml_hosmer_lemeshow_bands",
+    "ml_bca_bootstrap_components",
+    "cust_theil_inequality_index",
+    "ml_two_proportion_ztest",
+    # round-12 wave 6: graph curves, JL audit, rank/rate stats
+    "graph_avg_neighbor_degree_curve",
+    "graph_preferential_attachment_pred",
+    "emb_jl_distortion_audit",
+    "ml_kendall_tau_b_daily",
+    "ml_poisson_two_rate_test",
+    "lineitem_quantity_mode_entropy",
+    # round-12 wave 7: stylometry / DQ / factorial ANOVA
+    "doc_burrows_delta_sources",
+    "doc_trigram_compressibility_proxy",
+    "dq_props_json_profile",
+    "evt_tod_entropy_by_type",
+    "ml_anova_two_way_interaction",
+    "ml_gtest_weekday_uniformity",
 ]
 
 
