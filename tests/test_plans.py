@@ -234,6 +234,9 @@ _SCALAR_BROADCAST_OK = {
     "doc_burrows_delta_sources",   # 600-row source x top-token grid broadcast
     "ml_anova_two_way_interaction",  # 1-row marginal-mass scalars over the cell frame
     "ml_gtest_weekday_uniformity",  # 1-row grand-total + term-sum scalars
+    "ml_mood_median_test",         # 1-row grand-median / margin scalars over the cell frame
+    "ml_goodman_kruskal_gamma",    # <=550-cell value-domain grid self-join (bounded)
+    "ml_jonckheere_terpstra_trend",  # <=150-cell (band, value) grid self-join + 1-row mass scalars
 }
 
 
@@ -282,6 +285,8 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_logrank_test_segments",    # suffix sums over the bounded duration histogram
     "evt_weibull_interevent_fit",  # running CDF over the gap-minute histogram
     "lineitem_weighted_median_price",  # running weight over the price value-domain histogram
+    "ml_sign_test_daily_orders",   # lag over the calendar-day aggregate
+    "ml_mood_median_test",         # running sum over the 50-value quantity histogram
 }
 
 
