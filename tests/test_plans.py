@@ -237,6 +237,12 @@ _SCALAR_BROADCAST_OK = {
     "ml_mood_median_test",         # 1-row grand-median / margin scalars over the cell frame
     "ml_goodman_kruskal_gamma",    # <=550-cell value-domain grid self-join (bounded)
     "ml_jonckheere_terpstra_trend",  # <=150-cell (band, value) grid self-join + 1-row mass scalars
+    "ml_somers_d_qty_discount",    # same <=550-cell grid self-join + 1-row tie-mass scalars
+    "ml_scotts_pi_lang",           # 1-row pooled-marginal scalar (as Cohen's kappa chain)
+    "ml_krippendorff_alpha_lang",  # 1-row per-doc/marginal scalars (as Fleiss)
+    "ml_youden_j_price",           # 9-row threshold grid + 1-row class-total scalar (as PR curve)
+    "ml_matthews_corr_price_urgent",  # 1x1 join of confusion row and class-total row
+    "ml_log_loss_price_urgent",    # 1-row term-sum scalar over the band frame
 }
 
 
