@@ -243,6 +243,7 @@ _SCALAR_BROADCAST_OK = {
     "ml_youden_j_price",           # 9-row threshold grid + 1-row class-total scalar (as PR curve)
     "ml_matthews_corr_price_urgent",  # 1x1 join of confusion row and class-total row
     "ml_log_loss_price_urgent",    # 1-row term-sum scalar over the band frame
+    "evt_hurst_rs_daily",          # 1x1 joins of the three per-scale R/S rows
 }
 
 
@@ -293,6 +294,10 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "lineitem_weighted_median_price",  # running weight over the price value-domain histogram
     "ml_sign_test_daily_orders",   # lag over the calendar-day aggregate
     "ml_mood_median_test",         # running sum over the 50-value quantity histogram
+    "evt_variance_ratio_value",    # lag(1)/lag(5) over the calendar-day aggregate
+    "evt_cox_stuart_daily",        # row_number/count over the calendar-day aggregate
+    "orders_turning_points_daily",  # lag/lead over the calendar-day aggregate
+    "evt_hurst_rs_daily",          # row_number over the calendar-day aggregate
 }
 
 
