@@ -244,6 +244,7 @@ _SCALAR_BROADCAST_OK = {
     "ml_matthews_corr_price_urgent",  # 1x1 join of confusion row and class-total row
     "ml_log_loss_price_urgent",    # 1-row term-sum scalar over the band frame
     "evt_hurst_rs_daily",          # 1x1 joins of the three per-scale R/S rows
+    "emb_ams_f2_sketch",           # 16-row salt grid over the bounded label histogram + 1x1 joins
 }
 
 
