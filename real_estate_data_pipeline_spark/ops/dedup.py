@@ -219,7 +219,14 @@ def fuzzy_string_pairs(
     )
 
     def _pair(x, y):
-        dist = F.levenshtein(x["s"], y["s"])
+        # Thresholded levenshtein (Spark >= 3.5): banded DP that costs
+        # O(len * max_distance) and abandons early, returning -1 above
+        # the threshold — vs O(len^2) for the unthresholded form. On the
+        # duplicate-heavy 10x probe corpus this is the difference
+        # between minutes and the better part of an hour in the capped
+        # hot blocks. Kept pairs carry the identical exact distance, so
+        # the DuckDB oracle (no threshold arg there) is unchanged.
+        dist = F.levenshtein(x["s"], y["s"], max_distance)
         return F.struct(
             F.least(x["id"], y["id"]).alias("id_a"),
             F.greatest(x["id"], y["id"]).alias("id_b"),
@@ -231,7 +238,11 @@ def fuzzy_string_pairs(
         block_cols,
         F.struct(F.col(id_col).alias("id"), F.col("__s").alias("s")),
         _pair,
-        keep=lambda p: p["distance"] <= F.lit(max_distance),
+        # the threshold form returns -1 for "farther than max_distance"
+        # — the keep filter must reject the sentinel, not just bound
+        # from above
+        keep=lambda p: (p["distance"] >= F.lit(0))
+        & (p["distance"] <= F.lit(max_distance)),
         max_block=max_block,
     )
 
