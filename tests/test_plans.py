@@ -245,6 +245,9 @@ _SCALAR_BROADCAST_OK = {
     "ml_log_loss_price_urgent",    # 1-row term-sum scalar over the band frame
     "evt_hurst_rs_daily",          # 1x1 joins of the three per-scale R/S rows
     "emb_ams_f2_sketch",           # 16-row salt grid over the bounded label histogram + 1x1 joins
+    "cust_palma_hoover_index",     # 1-row n/total scalar over the per-customer frame
+    "ml_winsorized_trimmed_mean",  # 1-row n/k scalar over the 50-value histogram
+    "ml_mad_robust_outliers",      # 1-row median/MAD scalars over bounded histograms
 }
 
 
@@ -299,6 +302,9 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_cox_stuart_daily",        # row_number/count over the calendar-day aggregate
     "orders_turning_points_daily",  # lag/lead over the calendar-day aggregate
     "evt_hurst_rs_daily",          # row_number over the calendar-day aggregate
+    "cust_palma_hoover_index",     # row_number over the per-customer aggregate
+    "ml_winsorized_trimmed_mean",  # running sum over the 50-value quantity histogram
+    "ml_mad_robust_outliers",      # running sums over the bounded value/deviation histograms
 }
 
 
