@@ -248,6 +248,7 @@ _SCALAR_BROADCAST_OK = {
     "cust_palma_hoover_index",     # 1-row n/total scalar over the per-customer frame
     "ml_winsorized_trimmed_mean",  # 1-row n/k scalar over the 50-value histogram
     "ml_mad_robust_outliers",      # 1-row median/MAD scalars over bounded histograms
+    "evt_markov_entropy_rate",     # 1-row transition-total / entropy scalars
 }
 
 
@@ -305,6 +306,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "cust_palma_hoover_index",     # row_number over the per-customer aggregate
     "ml_winsorized_trimmed_mean",  # running sum over the 50-value quantity histogram
     "ml_mad_robust_outliers",      # running sums over the bounded value/deviation histograms
+    "graph_degree_gini",           # row_number over the node-cardinality degree aggregate
 }
 
 
