@@ -286,6 +286,54 @@ HEAVY = [
     "evt_tod_entropy_by_type",
     "ml_anova_two_way_interaction",
     "ml_gtest_weekday_uniformity",
+    # round-12 waves 8-13 (the additions-first block before the ninth
+    # rotation): classical association/trend tests (histogram / bounded
+    # cell-grid shapes), agreement + classifier eval (shared NB / band
+    # machinery), time-series diagnostics (calendar-day frames), the
+    # link-pred protocol family (LSH pair machinery — the duplicate-
+    # heavy class), vocabulary-richness / readability scans (token
+    # shuffles), inequality / robust-stats (per-customer frames and
+    # value histograms)
+    "ml_sign_test_daily_orders",
+    "ml_mood_median_test",
+    "ml_cochran_armitage_trend",
+    "ml_phi_coefficient_2x2",
+    "ml_goodman_kruskal_gamma",
+    "ml_jonckheere_terpstra_trend",
+    "ml_somers_d_qty_discount",
+    "ml_scotts_pi_lang",
+    "ml_krippendorff_alpha_lang",
+    "ml_youden_j_price",
+    "ml_matthews_corr_price_urgent",
+    "ml_log_loss_price_urgent",
+    "evt_variance_ratio_value",
+    "evt_cox_stuart_daily",
+    "orders_turning_points_daily",
+    "evt_hurst_rs_daily",
+    "orders_periodogram_weekly",
+    "lineitem_price_index_laspeyres",
+    "graph_resource_allocation_pred",
+    "graph_jaccard_link_pred",
+    "emb_ams_f2_sketch",
+    "emb_simpson_diversity_labels",
+    "doc_coleman_liau_by_source",
+    "doc_flesch_kincaid_by_source",
+    "doc_smog_by_source",
+    "doc_brunet_sichel_by_lang",
+    "doc_honore_r_by_lang",
+    "doc_punctuation_profile_sources",
+    "cust_atkinson_index",
+    "cust_palma_hoover_index",
+    "orders_clv_discounted",
+    "ml_winsorized_trimmed_mean",
+    "ml_mad_robust_outliers",
+    # round-12 wave 14 (closing): moment F/chi2 twins, degree Gini
+    # (rides the LSH pair machinery — the duplicate-heavy class),
+    # Markov entropy rate (bounded transition frame)
+    "ml_f_test_two_variances",
+    "ml_chisq_variance_test",
+    "graph_degree_gini",
+    "evt_markov_entropy_rate",
 ]
 
 
