@@ -244,6 +244,11 @@ def fuzzy_string_pairs(
         keep=lambda p: (p["distance"] >= F.lit(0))
         & (p["distance"] <= F.lit(max_distance)),
         max_block=max_block,
+        # edit distance is the expensive pair function: stripe-split
+        # the capped hot blocks 16 ways so a few giant blocks become
+        # 16 medium tasks instead of multi-minute stragglers (the r12
+        # 10x probe measured the single-task shape at 383 s)
+        split_factor=16,
     )
 
 

@@ -34,6 +34,8 @@ def pairs_within_groups(
     pair_fn: Callable[[Column, Column], Column],
     keep: Callable[[Column], Column] | None = None,
     max_block: int | None = DEFAULT_MAX_BLOCK,
+    split_factor: int | None = None,
+    split_threshold: int = 1024,
 ) -> DataFrame:
     """All unordered (i<j by array position) member pairs within each
     group.
@@ -54,6 +56,19 @@ def pairs_within_groups(
     identical signatures in one LSH bucket) signals the need for an
     exact-dedup pre-pass rather than killing the job. ``None`` removes
     the cap. The cap only changes results for groups that exceed it.
+
+    ``split_factor`` (opt-in) stripes each block BIGGER than
+    ``split_threshold`` members across ``split_factor`` sub-tasks:
+    the block row is exploded into ``split_factor`` salted copies,
+    repartitioned on (group, salt), and copy s enumerates only the
+    pairs whose LEFT index i satisfies i % split_factor == s — the
+    same pair set, partitioned by left index, each pair exactly once.
+    This trades one extra shuffle of the (bounded) member arrays for
+    P-way parallelism inside skewed blocks; leave it None (default)
+    for cheap pair functions, where the single-task block is fine and
+    the extra shuffle is pure overhead. Enable it when the per-pair
+    work is expensive (e.g. edit distance), where a handful of capped
+    hot blocks otherwise become multi-minute straggler tasks.
     """
     grouped = (
         df.groupBy(*group_cols)
@@ -72,10 +87,26 @@ def pairs_within_groups(
         )
     arr = F.col("__m")
     tail_len = lambda i: F.greatest(F.size(arr) - i - F.lit(1), F.lit(0))  # noqa: E731
+    if split_factor is not None and split_factor > 1:
+        salts = F.array(*[F.lit(i) for i in range(split_factor)])
+        grouped = grouped.withColumn(
+            "__salt",
+            F.explode(
+                F.when(F.size("__m") > split_threshold, salts).otherwise(
+                    F.array(F.lit(0))
+                )
+            ),
+        ).repartition(*group_cols, "__salt")
+        stripe_ok = lambda i: (  # noqa: E731
+            F.size(arr) <= F.lit(split_threshold)
+        ) | (i % F.lit(split_factor) == F.col("__salt"))
+        tail = lambda i: F.when(stripe_ok(i), tail_len(i)).otherwise(F.lit(0))  # noqa: E731
+    else:
+        tail = tail_len
     pair_lists = F.transform(
         arr,
         lambda x, i: F.transform(
-            F.slice(arr, i + F.lit(2), tail_len(i)), lambda y: pair_fn(x, y)
+            F.slice(arr, i + F.lit(2), tail(i)), lambda y: pair_fn(x, y)
         ),
     )
     flat = F.flatten(pair_lists)

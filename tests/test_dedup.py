@@ -213,6 +213,36 @@ def test_fuzzy_pairs_levenshtein_blocked(spark):
     assert pairs == {(1, 2): 1}  # typo found; 3 blocked away; 4 too far
 
 
+def test_pairs_stripe_split_same_pairs(spark):
+    """The opt-in stripe split (skew parallelism for expensive pair
+    functions) must emit EXACTLY the unsplit pair set — each pair once,
+    partitioned by left index, across every (threshold, factor) regime:
+    blocks under the threshold (single salt-0 copy), blocks over it
+    (every stripe enumerated once), and block size not divisible by the
+    factor."""
+    from real_estate_data_pipeline_spark.ops.pairs import pairs_within_groups
+    from pyspark.sql import functions as F
+
+    rows = [(g, i + (0 if g == "a" else 100)) for g in ("a", "b") for i in range(23 if g == "a" else 3)]
+    df = spark.createDataFrame(rows, "grp string, id int")
+    member = F.struct(F.col("id").alias("id"))
+    pair = lambda x, y: F.struct(  # noqa: E731
+        F.least(x["id"], y["id"]).alias("id_a"),
+        F.greatest(x["id"], y["id"]).alias("id_b"),
+    )
+
+    def run(**kw):
+        out = pairs_within_groups(df, ["grp"], member, pair, **kw).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in out]
+        assert len(pairs) == len(set(pairs)), "a pair was emitted twice"
+        return set(pairs)
+
+    base = run()
+    assert run(split_factor=4, split_threshold=8) == base
+    assert run(split_factor=7, split_threshold=2) == base
+    assert run(split_factor=4, split_threshold=1000) == base  # never splits
+
+
 def test_incremental_minhash_equals_batch_restriction(spark):
     """The persisted-index probe must return EXACTLY the batch
     self-join's pairs restricted to (new x corpus): same banding, same
