@@ -249,6 +249,7 @@ _SCALAR_BROADCAST_OK = {
     "ml_winsorized_trimmed_mean",  # 1-row n/k scalar over the 50-value histogram
     "ml_mad_robust_outliers",      # 1-row median/MAD scalars over bounded histograms
     "evt_markov_entropy_rate",     # 1-row transition-total / entropy scalars
+    "ml_dixon_q_daily",            # 1-row extreme/frequency scalars over the day histogram
 }
 
 

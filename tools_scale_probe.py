@@ -334,6 +334,12 @@ HEAVY = [
     "ml_chisq_variance_test",
     "graph_degree_gini",
     "evt_markov_entropy_rate",
+    # round-12 wave 15 (collinearity panel + extreme diagnostics):
+    # single-aggregate moment shapes and the bounded day histogram
+    "ml_vif_collinearity",
+    "ml_partial_correlation_qdt",
+    "ml_dixon_q_daily",
+    "ml_cohens_h_segments",
 ]
 
 
