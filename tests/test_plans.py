@@ -308,6 +308,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_winsorized_trimmed_mean",  # running sum over the 50-value quantity histogram
     "ml_mad_robust_outliers",      # running sums over the bounded value/deviation histograms
     "graph_degree_gini",           # row_number over the node-cardinality degree aggregate
+    "cust_zipf_rank_size_orders",  # row_number over the per-customer aggregate
 }
 
 

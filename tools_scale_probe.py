@@ -340,6 +340,13 @@ HEAVY = [
     "ml_partial_correlation_qdt",
     "ml_dixon_q_daily",
     "ml_cohens_h_segments",
+    # round-12 wave 16: equivalence/symmetry/readability/rank-size —
+    # moment aggregates, the shared NB verdict frame, and one
+    # per-customer rank window
+    "ml_tost_equivalence",
+    "ml_bowker_symmetry_lang",
+    "doc_gunning_fog_by_source",
+    "cust_zipf_rank_size_orders",
 ]
 
 
