@@ -250,6 +250,8 @@ _SCALAR_BROADCAST_OK = {
     "ml_mad_robust_outliers",      # 1-row median/MAD scalars over bounded histograms
     "evt_markov_entropy_rate",     # 1-row transition-total / entropy scalars
     "ml_dixon_q_daily",            # 1-row extreme/frequency scalars over the day histogram
+    "part_xyz_classification",     # 1-row part/quantity-total scalar over the class frame
+    "dq_benford_second_digit",     # 1-row digit-total scalar over the 10-row histogram
 }
 
 

@@ -347,6 +347,11 @@ HEAVY = [
     "ml_bowker_symmetry_lang",
     "doc_gunning_fog_by_source",
     "cust_zipf_rank_size_orders",
+    # round-12 wave 17: transition matrix (user-partitioned lag), XYZ
+    # (per-part monthly moment rollup), Benford second digit
+    "orders_priority_transition_matrix",
+    "part_xyz_classification",
+    "dq_benford_second_digit",
 ]
 
 
