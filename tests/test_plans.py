@@ -252,6 +252,8 @@ _SCALAR_BROADCAST_OK = {
     "ml_dixon_q_daily",            # 1-row extreme/frequency scalars over the day histogram
     "part_xyz_classification",     # 1-row part/quantity-total scalar over the class frame
     "dq_benford_second_digit",     # 1-row digit-total scalar over the 10-row histogram
+    "ml_ks_uniformity_dates",      # 1-row span/total scalar over the calendar-day frame
+    "evt_type_cooccurrence_lift",  # 1-row user-count scalar over the k^2 pair frame
 }
 
 
@@ -311,6 +313,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_mad_robust_outliers",      # running sums over the bounded value/deviation histograms
     "graph_degree_gini",           # row_number over the node-cardinality degree aggregate
     "cust_zipf_rank_size_orders",  # row_number over the per-customer aggregate
+    "ml_ks_uniformity_dates",      # running sum over the calendar-day aggregate
 }
 
 

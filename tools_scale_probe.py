@@ -352,6 +352,11 @@ HEAVY = [
     "orders_priority_transition_matrix",
     "part_xyz_classification",
     "dq_benford_second_digit",
+    # round-12 wave 18: KS date uniformity (day frame), type
+    # co-occurrence lift (user-keyed pair join), brand share drift
+    "ml_ks_uniformity_dates",
+    "evt_type_cooccurrence_lift",
+    "part_brand_share_drift",
 ]
 
 
