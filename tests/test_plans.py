@@ -254,6 +254,7 @@ _SCALAR_BROADCAST_OK = {
     "dq_benford_second_digit",     # 1-row digit-total scalar over the 10-row histogram
     "ml_ks_uniformity_dates",      # 1-row span/total scalar over the calendar-day frame
     "evt_type_cooccurrence_lift",  # 1-row user-count scalar over the k^2 pair frame
+    "evt_peak_hour_mode",          # 1-row modal/day-count scalars over the 24-row hour frame
 }
 
 

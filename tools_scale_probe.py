@@ -357,6 +357,9 @@ HEAVY = [
     "ml_ks_uniformity_dates",
     "evt_type_cooccurrence_lift",
     "part_brand_share_drift",
+    # round-12 wave 19: Pythagorean means (histogram), peak-hour mode
+    "ml_pythagorean_means",
+    "evt_peak_hour_mode",
 ]
 
 
