@@ -255,6 +255,9 @@ _SCALAR_BROADCAST_OK = {
     "ml_ks_uniformity_dates",      # 1-row span/total scalar over the calendar-day frame
     "evt_type_cooccurrence_lift",  # 1-row user-count scalar over the k^2 pair frame
     "evt_peak_hour_mode",          # 1-row modal/day-count scalars over the 24-row hour frame
+    "evt_nelson_aalen_weekly",     # 1-row horizon scalar + 4-row week grid (as KM)
+    "emb_norm_shell_audit",        # 1-row norm-moment scalar over the per-vector frame
+    "evt_hill_tail_index",         # 1-row threshold scalar over the 257-row TakeOrdered frame
 }
 
 
@@ -315,6 +318,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "graph_degree_gini",           # row_number over the node-cardinality degree aggregate
     "cust_zipf_rank_size_orders",  # row_number over the per-customer aggregate
     "ml_ks_uniformity_dates",      # running sum over the calendar-day aggregate
+    "evt_nelson_aalen_weekly",     # running hazard sum over the 4-row week table (as KM)
 }
 
 

@@ -360,6 +360,11 @@ HEAVY = [
     # round-12 wave 19: Pythagorean means (histogram), peak-hour mode
     "ml_pythagorean_means",
     "evt_peak_hour_mode",
+    # round-12 wave 20: survival hazard (shared life table), norm
+    # concentration (one fold per vector), Hill tail index (TakeOrdered)
+    "evt_nelson_aalen_weekly",
+    "emb_norm_shell_audit",
+    "evt_hill_tail_index",
 ]
 
 
