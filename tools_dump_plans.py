@@ -69,7 +69,6 @@ SHOW_NOTES = {
     "sketch_bloom_sizing_sweep": "Bloom sizing sweep: all three filter sizes share ONE bounded DISTINCT bit-set aggregate (<= 21504 rows total) and ONE probe pass testing 9 (size, hash) cells per key in a single equi-join — the sweep costs one extra 3x fan-out on the bounded key frames, never a second fact scan per size.",
     "doc_burrows_delta_sources": "Burrows' Delta: ONE token-count shuffle is the only corpus-sized stage; the 600-row source x top-token grid, the per-token z-moments and the 190-row pair deltas are all bounded-frame joins (grid broadcast, token-keyed pair join) — stylometry at the cost of a word count.",
     "emb_jl_distortion_audit": "JL audit: the 64x element fan-out and the 512-row pinned sign-matrix broadcast are the only expansions; projections reduce in one (vec, proj) aggregate, pair distances in consecutive-id equi-joins over exact integers — no pair blow-up, no vector shuffles.",
-    "dedup_edit_distance_audit": "Edit-distance near-dup audit: the same intra-block pair skeleton (collect per (lang, length-bucket) block, hot-block capped, i<j expansion) as every LSH operator — levenshtein runs on 120-char prefixes inside the block task; no self-join replays the corpus scan.",
     "ml_logrank_test_segments": "Log-rank: the per-customer rollup is the one fact-sized stage; risk sets are suffix sums over the calendar-bounded duration histogram; per-event-time E and V are micro-quantized projections summed exactly — survival testing with the plan shape of a GROUP BY plus one bounded window.",
     "dedup_edit_distance_audit": "Blocked prefix Levenshtein, fixed twice by the r12 10x probe: (1) the THRESHOLDED builtin (levenshtein(a, b, 12): banded DP, early abandon, -1 sentinel rejected in the keep filter) took the unfinished 35+-min run to 383 s; (2) the opt-in stripe split in pairs_within_groups (blocks > threshold explode into 16 salted copies, one repartition, copy s enumerates left indices i % 16 == s — same pair set, proven by unit test) broke the three straggler tasks into 16-way parallel work: 10x = 55 s, 1x unchanged, ratio 6.7x. The residual ratio is the documented adversarial-corpus pair class (10 identical shards -> ~100x the intra-block pairs, hot-block cap at 8192 bounding the worst case).",
     "doc_bpe_train_rounds": "The r11 _bpe_rewrite settle (VERDICT r11 wrong #5): the islands-parity rewrite replaced two row_number exchanges per BPE round with one running-max over the existing doc-partitioned window; measured r12 at 1x 3.31 s / 10x 5.83 s = 1.8x — strongly sub-linear at a 10x token mass, and the plan carries one fewer exchange per round than the r7-era shape it replaced.",
