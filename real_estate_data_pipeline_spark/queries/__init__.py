@@ -1,0 +1,157 @@
+"""Query catalog: every operator family from SURVEY.md §2 exposed as a
+named query over the driver's TPC-H-ish testdata, each paired with an
+ANSI-SQL oracle that DuckDB runs on the same parquet files.
+
+Cross-engine exactness rules used throughout (so the driver's value-hash
+compare passes bit-for-bit):
+
+- SUM/AVG of money columns go through DECIMAL(18,2): decimal addition is
+  exact and order-independent, so Spark and DuckDB agree exactly; the
+  final CAST AS DOUBLE of the same exact decimal yields the same double.
+- Row-level double arithmetic ((a+b)/2, z-scores, cosine) uses identical
+  IEEE-754 operations on identical inputs -> bit-identical outputs.
+- stddev is never taken from the engines' accumulators (their summation
+  orders differ); it is recomputed from exact decimal sums:
+  sqrt((sumsq - sum^2/n)/(n-1)).
+- Timestamps are output as formatted strings; computed integers are cast
+  to BIGINT on both sides.
+- ln() is the one libm-dependent function -> rounded to 6 decimals.
+- Murmur3/xxhash64-based ops (minhash, simhash) are not reproducible in
+  DuckDB -> registered without an oracle (driver does a rows-only check).
+"""
+
+# Split into per-family submodules in round 13 (mechanical move of the
+# register-blocks; VERDICT r12 item 2).  Import order below IS the original
+# single-file order: register() appends to CATALOG in order, _window runs
+# last and applies the driver-window reorder + invariants.  The hoist loop
+# at the bottom reconstructs the original flat module namespace so every
+# external importer (`from ...queries import CATALOG / t / flagship / _AO_W`)
+# keeps working unchanged.
+
+import sys as _sys
+
+from . import _registry as _registry
+from . import q01_aggregations as q01_aggregations
+from . import q02_filters_projections as q02_filters_projections
+from . import q03_joins as q03_joins
+from . import q04_dedup_topk_union as q04_dedup_topk_union
+from . import q05_tpch_headliners as q05_tpch_headliners
+from . import q06_scalar_functions as q06_scalar_functions
+from . import q07_nested as q07_nested
+from . import q08_event_windows as q08_event_windows
+from . import q09_llm_dedup_text_sim as q09_llm_dedup_text_sim
+from . import q10_coverage_misc as q10_coverage_misc
+from . import q11_window_analytics as q11_window_analytics
+from . import q12_asof_range as q12_asof_range
+from . import q13_doc_cleanse as q13_doc_cleanse
+from . import q14_tpch_deep as q14_tpch_deep
+from . import q15_curation_r3 as q15_curation_r3
+from . import q16_curation_r4 as q16_curation_r4
+from . import q17_flagship as q17_flagship
+from . import q18_r7_timeseries as q18_r7_timeseries
+from . import q19_r7_graph as q19_r7_graph
+from . import q20_r7_language_models as q20_r7_language_models
+from . import q21_r7_retrieval as q21_r7_retrieval
+from . import q22_r7_lakehouse as q22_r7_lakehouse
+from . import q23_r7_bi as q23_r7_bi
+from . import q24_r7_distribution_diag as q24_r7_distribution_diag
+from . import q25_r7_inference as q25_r7_inference
+from . import q26_r8_mixed as q26_r8_mixed
+from . import q27_r9_retrieval as q27_r9_retrieval
+from . import q28_r9_sketch_vocab as q28_r9_sketch_vocab
+from . import q29_r9_rank_stats as q29_r9_rank_stats
+from . import q30_r9_robust_ml as q30_r9_robust_ml
+from . import q31_r9_wave2_rank_embed as q31_r9_wave2_rank_embed
+from . import q32_r10_effect_sizes as q32_r10_effect_sizes
+from . import q33_r10_inequality_resampling as q33_r10_inequality_resampling
+from . import q34_r10_graph_scoring as q34_r10_graph_scoring
+from . import q35_r10_quantreg_forecast as q35_r10_quantreg_forecast
+from . import q36_r10_hdbscan_knn as q36_r10_hdbscan_knn
+from . import q37_r10_trend_capture as q37_r10_trend_capture
+from . import q38_r10_wilcoxon_mi as q38_r10_wilcoxon_mi
+from . import q39_r10_cms_kappa as q39_r10_cms_kappa
+from . import q40_r10_agreement_pr as q40_r10_agreement_pr
+from . import q41_r10_bfs_pareto as q41_r10_bfs_pareto
+from . import q42_r10_effectsize_inequality as q42_r10_effectsize_inequality
+from . import q43_r11_experimentation as q43_r11_experimentation
+from . import q44_r11_timeseries_diag as q44_r11_timeseries_diag
+from . import q45_r11_sketch_composition as q45_r11_sketch_composition
+from . import q46_r11_curation_analytics as q46_r11_curation_analytics
+from . import q47_r11_econometrics as q47_r11_econometrics
+from . import q48_r12_classical_tests as q48_r12_classical_tests
+from . import q49_r12_regression_diag as q49_r12_regression_diag
+from . import q50_r12_monitoring_survival as q50_r12_monitoring_survival
+from . import q51_r12_sketch_er as q51_r12_sketch_er
+from . import q52_r12_calibration_inequality as q52_r12_calibration_inequality
+from . import q53_r12_graph_jl_rank as q53_r12_graph_jl_rank
+from . import q54_r12_stylometry_anova as q54_r12_stylometry_anova
+from . import q55_r12_readability_order as q55_r12_readability_order
+from . import q56_r12_moments_tail as q56_r12_moments_tail
+from . import _window as _window
+from . import _window as _window
+
+_pkg = _sys.modules[__name__]
+for _m in (
+    _registry,
+    q01_aggregations,
+    q02_filters_projections,
+    q03_joins,
+    q04_dedup_topk_union,
+    q05_tpch_headliners,
+    q06_scalar_functions,
+    q07_nested,
+    q08_event_windows,
+    q09_llm_dedup_text_sim,
+    q10_coverage_misc,
+    q11_window_analytics,
+    q12_asof_range,
+    q13_doc_cleanse,
+    q14_tpch_deep,
+    q15_curation_r3,
+    q16_curation_r4,
+    q17_flagship,
+    q18_r7_timeseries,
+    q19_r7_graph,
+    q20_r7_language_models,
+    q21_r7_retrieval,
+    q22_r7_lakehouse,
+    q23_r7_bi,
+    q24_r7_distribution_diag,
+    q25_r7_inference,
+    q26_r8_mixed,
+    q27_r9_retrieval,
+    q28_r9_sketch_vocab,
+    q29_r9_rank_stats,
+    q30_r9_robust_ml,
+    q31_r9_wave2_rank_embed,
+    q32_r10_effect_sizes,
+    q33_r10_inequality_resampling,
+    q34_r10_graph_scoring,
+    q35_r10_quantreg_forecast,
+    q36_r10_hdbscan_knn,
+    q37_r10_trend_capture,
+    q38_r10_wilcoxon_mi,
+    q39_r10_cms_kappa,
+    q40_r10_agreement_pr,
+    q41_r10_bfs_pareto,
+    q42_r10_effectsize_inequality,
+    q43_r11_experimentation,
+    q44_r11_timeseries_diag,
+    q45_r11_sketch_composition,
+    q46_r11_curation_analytics,
+    q47_r11_econometrics,
+    q48_r12_classical_tests,
+    q49_r12_regression_diag,
+    q50_r12_monitoring_survival,
+    q51_r12_sketch_er,
+    q52_r12_calibration_inequality,
+    q53_r12_graph_jl_rank,
+    q54_r12_stylometry_anova,
+    q55_r12_readability_order,
+    q56_r12_moments_tail,
+    _window,
+    _window,
+):
+    for _k in vars(_m):
+        if not _k.startswith('__'):
+            setattr(_pkg, _k, getattr(_m, _k))
