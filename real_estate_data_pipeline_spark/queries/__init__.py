@@ -87,7 +87,7 @@ from . import q53_r12_graph_jl_rank as q53_r12_graph_jl_rank
 from . import q54_r12_stylometry_anova as q54_r12_stylometry_anova
 from . import q55_r12_readability_order as q55_r12_readability_order
 from . import q56_r12_moments_tail as q56_r12_moments_tail
-from . import _window as _window
+from . import q57_r13_gof_distance as q57_r13_gof_distance
 from . import _window as _window
 
 _pkg = _sys.modules[__name__]
@@ -149,7 +149,7 @@ for _m in (
     q54_r12_stylometry_anova,
     q55_r12_readability_order,
     q56_r12_moments_tail,
-    _window,
+    q57_r13_gof_distance,
     _window,
 ):
     for _k in vars(_m):

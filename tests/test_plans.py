@@ -258,6 +258,8 @@ _SCALAR_BROADCAST_OK = {
     "evt_nelson_aalen_weekly",     # 1-row horizon scalar + 4-row week grid (as KM)
     "emb_norm_shell_audit",        # 1-row norm-moment scalar over the per-vector frame
     "evt_hill_tail_index",         # 1-row threshold scalar over the 257-row TakeOrdered frame
+    "ml_hellinger_bhattacharyya_flags",  # 1-row cell-sum scalar joined to the class totals
+    "ml_energy_distance_quantity",  # 50x50 value-grid fold + 1-row moment scalars
 }
 
 
@@ -319,6 +321,12 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "cust_zipf_rank_size_orders",  # row_number over the per-customer aggregate
     "ml_ks_uniformity_dates",      # running sum over the calendar-day aggregate
     "evt_nelson_aalen_weekly",     # running hazard sum over the 4-row week table (as KM)
+    "ml_anderson_darling_quantity",  # running ECDF over the 50-row quantity grid
+    "ml_watson_u2_quantity",       # running ECDF over the 50-row quantity grid
+    "ml_wasserstein_quantity_flags",  # cumulative class counts over the 50-row grid
+    "ml_brunner_munzel_quantity",  # doubled-midrank running sums over the 50-value histogram
+    "ml_ansari_bradley_dispersion",  # same doubled-midrank frame (shared _rank2_frame)
+    "ml_cucconi_location_scale",   # same doubled-midrank frame (shared _rank2_frame)
 }
 
 

@@ -365,6 +365,13 @@ HEAVY = [
     "evt_nelson_aalen_weekly",
     "emb_norm_shell_audit",
     "evt_hill_tail_index",
+    # round-13 wave 1: GOF / distribution-distance family — everything
+    # reduces to the 50-value quantity histogram (probes 1.0-1.2x)
+    "ml_anderson_darling_quantity",
+    "ml_watson_u2_quantity",
+    "ml_wasserstein_quantity_flags",
+    "ml_hellinger_bhattacharyya_flags",
+    "ml_energy_distance_quantity",
 ]
 
 
