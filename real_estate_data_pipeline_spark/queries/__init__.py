@@ -88,6 +88,7 @@ from . import q54_r12_stylometry_anova as q54_r12_stylometry_anova
 from . import q55_r12_readability_order as q55_r12_readability_order
 from . import q56_r12_moments_tail as q56_r12_moments_tail
 from . import q57_r13_gof_distance as q57_r13_gof_distance
+from . import q58_r13_survival_extremes as q58_r13_survival_extremes
 from . import _window as _window
 
 _pkg = _sys.modules[__name__]
@@ -150,6 +151,7 @@ for _m in (
     q55_r12_readability_order,
     q56_r12_moments_tail,
     q57_r13_gof_distance,
+    q58_r13_survival_extremes,
     _window,
 ):
     for _k in vars(_m):

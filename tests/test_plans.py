@@ -260,6 +260,10 @@ _SCALAR_BROADCAST_OK = {
     "evt_hill_tail_index",         # 1-row threshold scalar over the 257-row TakeOrdered frame
     "ml_hellinger_bhattacharyya_flags",  # 1-row cell-sum scalar joined to the class totals
     "ml_energy_distance_quantity",  # 50x50 value-grid fold + 1-row moment scalars
+    "evt_km_greenwood_bands",      # 1-row horizon scalar + 4-row week grid (as KM)
+    "evt_gumbel_return_levels",    # 1-row fit scalar across the 3-row horizon grid
+    "evt_mean_residual_life",      # 4-row threshold grid over the lifetime histogram
+    "ml_gini_mean_difference",     # 50x50 value-grid fold + 1-row moment scalars
 }
 
 
@@ -327,6 +331,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_brunner_munzel_quantity",  # doubled-midrank running sums over the 50-value histogram
     "ml_ansari_bradley_dispersion",  # same doubled-midrank frame (shared _rank2_frame)
     "ml_cucconi_location_scale",   # same doubled-midrank frame (shared _rank2_frame)
+    "evt_km_greenwood_bands",      # running sums over the 4-row week table (as KM)
 }
 
 

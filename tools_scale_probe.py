@@ -372,6 +372,13 @@ HEAVY = [
     "ml_wasserstein_quantity_flags",
     "ml_hellinger_bhattacharyya_flags",
     "ml_energy_distance_quantity",
+    # round-13 wave 2: survival bands / extremes — life-table and
+    # calendar-bounded frames (probes 1.1-1.4x)
+    "evt_km_greenwood_bands",
+    "evt_gumbel_block_maxima",
+    "evt_gumbel_return_levels",
+    "evt_mean_residual_life",
+    "ml_gini_mean_difference",
 ]
 
 
