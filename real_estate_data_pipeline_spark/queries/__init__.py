@@ -89,6 +89,7 @@ from . import q55_r12_readability_order as q55_r12_readability_order
 from . import q56_r12_moments_tail as q56_r12_moments_tail
 from . import q57_r13_gof_distance as q57_r13_gof_distance
 from . import q58_r13_survival_extremes as q58_r13_survival_extremes
+from . import q59_r13_trend_changepoint as q59_r13_trend_changepoint
 from . import _window as _window
 
 _pkg = _sys.modules[__name__]
@@ -152,6 +153,7 @@ for _m in (
     q56_r12_moments_tail,
     q57_r13_gof_distance,
     q58_r13_survival_extremes,
+    q59_r13_trend_changepoint,
     _window,
 ):
     for _k in vars(_m):

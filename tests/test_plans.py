@@ -264,6 +264,9 @@ _SCALAR_BROADCAST_OK = {
     "evt_gumbel_return_levels",    # 1-row fit scalar across the 3-row horizon grid
     "evt_mean_residual_life",      # 4-row threshold grid over the lifetime histogram
     "ml_gini_mean_difference",     # 50x50 value-grid fold + 1-row moment scalars
+    "evt_pettitt_changepoint",     # calendar-day pair frame x 29-split grid (bounded)
+    "evt_seasonal_theil_sen_slope",  # within-weekday day-pair join (bounded, as mann-kendall)
+    "evt_cusum_squares_variance",  # 1-row max scalar joined back to the day frame
 }
 
 
@@ -332,6 +335,11 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_ansari_bradley_dispersion",  # same doubled-midrank frame (shared _rank2_frame)
     "ml_cucconi_location_scale",   # same doubled-midrank frame (shared _rank2_frame)
     "evt_km_greenwood_bands",      # running sums over the 4-row week table (as KM)
+    "evt_pages_trend_test",        # day-offset windows over the calendar-day aggregate
+    "evt_cusum_squares_variance",  # prefix square-sums over the calendar-day aggregate
+    "evt_pettitt_changepoint",     # day-offset windows over the calendar-day aggregate
+    "evt_seasonal_theil_sen_slope",  # median row_number over the bounded slope-pair frame
+    "evt_von_neumann_ratio",       # lag over the calendar-day aggregate
 }
 
 

@@ -379,6 +379,13 @@ HEAVY = [
     "evt_gumbel_return_levels",
     "evt_mean_residual_life",
     "ml_gini_mean_difference",
+    # round-13 wave 3: trend / changepoint — all on the shared
+    # calendar-day frame (probes 1.1-1.5x)
+    "evt_pages_trend_test",
+    "evt_cusum_squares_variance",
+    "evt_pettitt_changepoint",
+    "evt_seasonal_theil_sen_slope",
+    "evt_von_neumann_ratio",
 ]
 
 
