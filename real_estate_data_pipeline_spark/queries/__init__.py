@@ -90,6 +90,7 @@ from . import q56_r12_moments_tail as q56_r12_moments_tail
 from . import q57_r13_gof_distance as q57_r13_gof_distance
 from . import q58_r13_survival_extremes as q58_r13_survival_extremes
 from . import q59_r13_trend_changepoint as q59_r13_trend_changepoint
+from . import q60_r13_rank_tests as q60_r13_rank_tests
 from . import _window as _window
 
 _pkg = _sys.modules[__name__]
@@ -154,6 +155,7 @@ for _m in (
     q57_r13_gof_distance,
     q58_r13_survival_extremes,
     q59_r13_trend_changepoint,
+    q60_r13_rank_tests,
     _window,
 ):
     for _k in vars(_m):

@@ -267,6 +267,9 @@ _SCALAR_BROADCAST_OK = {
     "evt_pettitt_changepoint",     # calendar-day pair frame x 29-split grid (bounded)
     "evt_seasonal_theil_sen_slope",  # within-weekday day-pair join (bounded, as mann-kendall)
     "evt_cusum_squares_variance",  # 1-row max scalar joined back to the day frame
+    "ml_partial_tau_b_qdt",        # <=550-cell value-grid self-joins + 1x1 tau joins
+    "ml_stuart_tau_c_qty_discount",  # same value-grid self-join + 1-row dims scalar
+    "ml_brunner_munzel_quantity",  # 1-row rank-moment scalar over the 50-value frame
 }
 
 

@@ -386,6 +386,13 @@ HEAVY = [
     "evt_pettitt_changepoint",
     "evt_seasonal_theil_sen_slope",
     "evt_von_neumann_ratio",
+    # round-13 wave 4: rank tests from value-domain histograms
+    # (probes 1.0-1.2x; partial tau-b carries three bounded grids)
+    "ml_partial_tau_b_qdt",
+    "ml_stuart_tau_c_qty_discount",
+    "ml_brunner_munzel_quantity",
+    "ml_ansari_bradley_dispersion",
+    "ml_cucconi_location_scale",
 ]
 
 
