@@ -91,6 +91,7 @@ from . import q57_r13_gof_distance as q57_r13_gof_distance
 from . import q58_r13_survival_extremes as q58_r13_survival_extremes
 from . import q59_r13_trend_changepoint as q59_r13_trend_changepoint
 from . import q60_r13_rank_tests as q60_r13_rank_tests
+from . import q61_r13_categorical_diversity as q61_r13_categorical_diversity
 from . import _window as _window
 
 _pkg = _sys.modules[__name__]
@@ -156,6 +157,7 @@ for _m in (
     q58_r13_survival_extremes,
     q59_r13_trend_changepoint,
     q60_r13_rank_tests,
+    q61_r13_categorical_diversity,
     _window,
 ):
     for _k in vars(_m):

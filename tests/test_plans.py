@@ -270,6 +270,8 @@ _SCALAR_BROADCAST_OK = {
     "ml_partial_tau_b_qdt",        # <=550-cell value-grid self-joins + 1x1 tau joins
     "ml_stuart_tau_c_qty_discount",  # same value-grid self-join + 1-row dims scalar
     "ml_brunner_munzel_quantity",  # 1-row rank-moment scalar over the 50-value frame
+    "cust_dissimilarity_index_segments",  # 5x25 segment x nation margin grid (bounded)
+    "ml_tschuprow_t_brand_size",   # 25x50 brand x size margin grid (bounded)
 }
 
 
@@ -343,6 +345,7 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_pettitt_changepoint",     # day-offset windows over the calendar-day aggregate
     "evt_seasonal_theil_sen_slope",  # median row_number over the bounded slope-pair frame
     "evt_von_neumann_ratio",       # lag over the calendar-day aggregate
+    "ml_quartile_coef_dispersion",  # running ECDF over the 50-value quantity histogram
 }
 
 

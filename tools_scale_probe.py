@@ -393,6 +393,14 @@ HEAVY = [
     "ml_brunner_munzel_quantity",
     "ml_ansari_bradley_dispersion",
     "ml_cucconi_location_scale",
+    # round-13 wave 5: categorical/diversity. cust_dissimilarity_index_
+    # segments and ml_tschuprow_t_brand_size are deliberately NOT
+    # probed: customer and part are the dims this harness holds fixed
+    # (as er_part_golden_records), so a "10x" ratio for them would be a
+    # no-op measurement, not evidence.
+    "doc_good_turing_coverage_by_source",
+    "evt_circular_stats_hourly",
+    "ml_quartile_coef_dispersion",
 ]
 
 
