@@ -92,6 +92,7 @@ from . import q58_r13_survival_extremes as q58_r13_survival_extremes
 from . import q59_r13_trend_changepoint as q59_r13_trend_changepoint
 from . import q60_r13_rank_tests as q60_r13_rank_tests
 from . import q61_r13_categorical_diversity as q61_r13_categorical_diversity
+from . import q62_r13_rankers_moments as q62_r13_rankers_moments
 from . import _window as _window
 
 _pkg = _sys.modules[__name__]
@@ -158,6 +159,7 @@ for _m in (
     q59_r13_trend_changepoint,
     q60_r13_rank_tests,
     q61_r13_categorical_diversity,
+    q62_r13_rankers_moments,
     _window,
 ):
     for _k in vars(_m):

@@ -272,6 +272,7 @@ _SCALAR_BROADCAST_OK = {
     "ml_brunner_munzel_quantity",  # 1-row rank-moment scalar over the 50-value frame
     "cust_dissimilarity_index_segments",  # 5x25 segment x nation margin grid (bounded)
     "ml_tschuprow_t_brand_size",   # 25x50 brand x size margin grid (bounded)
+    "ml_spearman_footrule_rankers",  # 20-row top-k join + BM25/QL corpus scalars (as kendall)
 }
 
 
@@ -346,6 +347,10 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_seasonal_theil_sen_slope",  # median row_number over the bounded slope-pair frame
     "evt_von_neumann_ratio",       # lag over the calendar-day aggregate
     "ml_quartile_coef_dispersion",  # running ECDF over the 50-value quantity histogram
+    "evt_bartels_rank_test",       # midrank windows over the calendar-day aggregate
+    "ml_quade_test",               # block-range rank window over the 4-row week frame
+    "evt_spearman_lag1_autocorr",  # lead + midrank windows over the calendar-day aggregate
+    "ml_spearman_footrule_rankers",  # re-rank row_number over the 20-row top-k join
 }
 
 

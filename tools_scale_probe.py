@@ -401,6 +401,13 @@ HEAVY = [
     "doc_good_turing_coverage_by_source",
     "evt_circular_stats_hourly",
     "ml_quartile_coef_dispersion",
+    # round-13 wave 6: ranker distances / daily-series rank tests /
+    # exact-moment skewness (probes 1.0-1.3x)
+    "ml_spearman_footrule_rankers",
+    "evt_bartels_rank_test",
+    "ml_quade_test",
+    "ml_dagostino_skewness_z",
+    "evt_spearman_lag1_autocorr",
 ]
 
 
