@@ -224,46 +224,70 @@ _PREVIOUSLY_SAMPLED = frozenset({
     "evt_spc_individuals_chart", "evt_burstiness_index", "evt_peak_to_mean_ratio",
     "evt_weekend_weekday_lift", "evt_churn_by_first_week", "evt_session_duration_histogram",
     "evt_markov_stationary_power", "sql_interface_window",
-})
-
-_DRIVER_WINDOW = [
-    # r11 experimentation / graph leftovers
+    # round-12 rotated window
     "ml_bh_fdr_permutation", "ml_cuped_adjusted_effect",
     "ml_delta_method_ratio_se", "ml_james_stein_shrinkage",
     "evt_absorbing_chain_expected_steps", "graph_modularity_components",
-    # r11 time-series diagnostics leftovers
     "evt_stl_decomposition_hourly", "evt_ljung_box_acf_pacf",
     "evt_seasonal_mann_kendall", "evt_grubbs_outlier_daily",
-    # r11 sketch-composition leftovers (incl. streaming run 19)
     "sketch_hll_set_operations", "evt_stream_kmeans_now",
     "sketch_kll_drift_gate", "sketch_bloom_join_prefilter",
-    # r11 curation-analytics leftovers
     "doc_keyness_g2_by_source", "ml_info_gain_ratio_features",
     "doc_pii_density_by_source", "doc_readability_ari_by_source",
-    # r11 econometrics leftovers
     "orders_simpsons_paradox_scan", "lineitem_price_elasticity_loglog",
     "cust_negative_binomial_orders_fit", "ml_cooks_distance_topk",
     "part_brand_size_chi2_residuals", "ml_sprt_conversion_monitor",
-    # r12 classical-test twins
     "ml_g_test_brand_size", "ml_rank_biserial_quantity",
     "ml_welch_t_quantity", "ml_levene_brown_forsythe",
     "ml_jarque_bera_quantity", "ml_bartlett_variance_test",
-    # r12 regression diagnostics / changepoint
     "ml_breusch_pagan_hetero", "ml_durbin_watson_daily",
     "ml_chow_structural_break", "evt_changepoint_single_split",
-    # r12 monitoring + survival (incl. streaming run 20)
     "evt_ewma_control_chart", "evt_hampel_outliers_daily",
     "ml_logrank_test_segments", "evt_weibull_interevent_fit",
-    "evt_stream_benford_now",
-    # r12 sketch/dedup/ER
-    "sketch_bloom_sizing_sweep", "sketch_kmv_distinct_estimate",
-    "dedup_edit_distance_audit", "er_fellegi_sunter_scores",
-    # r12 calibration / inequality
-    "ml_reliability_diagram_bands", "ml_brier_decomposition_bands",
-    "ml_bca_bootstrap_components", "cust_theil_inequality_index",
-    # r12 JL audit, stylometry, streaming run 21
-    "emb_jl_distortion_audit", "doc_burrows_delta_sources",
-    "evt_stream_moments_now",
+    "evt_stream_benford_now", "sketch_bloom_sizing_sweep",
+    "sketch_kmv_distinct_estimate", "dedup_edit_distance_audit",
+    "er_fellegi_sunter_scores", "ml_reliability_diagram_bands",
+    "ml_brier_decomposition_bands", "ml_bca_bootstrap_components",
+    "cust_theil_inequality_index", "emb_jl_distortion_audit",
+    "doc_burrows_delta_sources", "evt_stream_moments_now",
+})
+
+_DRIVER_WINDOW = [
+    # pre-r13 never-sampled leftovers (oldest first, catalog order)
+    "ml_cronbach_alpha_quality", "lineitem_did_discount_returns",
+    "lineitem_weighted_median_price", "dedup_prefix_fingerprint_audit",
+    "doc_yule_k_richness", "ml_hosmer_lemeshow_bands",
+    "ml_two_proportion_ztest", "graph_avg_neighbor_degree_curve",
+    "graph_preferential_attachment_pred", "ml_kendall_tau_b_daily",
+    "ml_poisson_two_rate_test", "lineitem_quantity_mode_entropy",
+    "doc_trigram_compressibility_proxy", "dq_props_json_profile",
+    "evt_tod_entropy_by_type", "ml_anova_two_way_interaction",
+    "ml_gtest_weekday_uniformity", "ml_sign_test_daily_orders",
+    "ml_mood_median_test", "ml_cochran_armitage_trend",
+    # r13 wave 1: GOF / distribution distances
+    "ml_anderson_darling_quantity", "ml_watson_u2_quantity",
+    "ml_wasserstein_quantity_flags", "ml_hellinger_bhattacharyya_flags",
+    "ml_energy_distance_quantity",
+    # r13 wave 2: survival bands / extremes
+    "evt_km_greenwood_bands", "evt_gumbel_block_maxima",
+    "evt_gumbel_return_levels", "evt_mean_residual_life",
+    "ml_gini_mean_difference",
+    # r13 wave 3: trend / changepoint
+    "evt_pages_trend_test", "evt_cusum_squares_variance",
+    "evt_pettitt_changepoint", "evt_seasonal_theil_sen_slope",
+    "evt_von_neumann_ratio",
+    # r13 wave 4: exact rank tests
+    "ml_partial_tau_b_qdt", "ml_stuart_tau_c_qty_discount",
+    "ml_brunner_munzel_quantity", "ml_ansari_bradley_dispersion",
+    "ml_cucconi_location_scale",
+    # r13 wave 5: categorical association / diversity
+    "cust_dissimilarity_index_segments", "ml_tschuprow_t_brand_size",
+    "doc_good_turing_coverage_by_source", "evt_circular_stats_hourly",
+    "ml_quartile_coef_dispersion",
+    # r13 wave 6: ranker distances / moments
+    "ml_spearman_footrule_rankers", "evt_bartels_rank_test",
+    "ml_quade_test", "ml_dagostino_skewness_z",
+    "evt_spearman_lag1_autocorr",
 ]
 
 
