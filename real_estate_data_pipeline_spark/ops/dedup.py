@@ -439,6 +439,7 @@ def minhash_dup_pairs(
     perm_fns=None,
     band_hash_fn=None,
     max_block: int | None = DEFAULT_MAX_BLOCK,
+    split_factor: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, fully deterministic (fixed
     hash constants, no RNG) and expressed with built-in functions.
@@ -480,6 +481,7 @@ def minhash_dup_pairs(
         _pair,
         keep=lambda p: p["jaccard_est"] >= F.lit(jaccard_threshold),
         max_block=max_block,
+        split_factor=split_factor,
     ).dropDuplicates(["id_a", "id_b"])
 
 
@@ -634,6 +636,7 @@ def minhash_dup_pairs_portable(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    split_factor: int | None = None,
 ) -> DataFrame:
     """:func:`minhash_dup_pairs` with a CROSS-ENGINE hash family so the
     whole MinHash->banding->verify pipeline is value-checkable against
@@ -655,6 +658,7 @@ def minhash_dup_pairs_portable(
         jaccard_threshold=jaccard_threshold,
         perm_fns=_sha_pair,
         band_hash_fn=_sha_band,
+        split_factor=split_factor,
     )
 
 

@@ -73,6 +73,7 @@ SHOW_NOTES = {
     "dedup_edit_distance_audit": "Blocked prefix Levenshtein, fixed twice by the r12 10x probe: (1) the THRESHOLDED builtin (levenshtein(a, b, 12): banded DP, early abandon, -1 sentinel rejected in the keep filter) took the unfinished 35+-min run to 383 s; (2) the opt-in stripe split in pairs_within_groups (blocks > threshold explode into 16 salted copies, one repartition, copy s enumerates left indices i % 16 == s — same pair set, proven by unit test) broke the three straggler tasks into 16-way parallel work: 10x = 55 s, 1x unchanged, ratio 6.7x. The residual ratio is the documented adversarial-corpus pair class (10 identical shards -> ~100x the intra-block pairs, hot-block cap at 8192 bounding the worst case).",
     "doc_bpe_train_rounds": "The r11 _bpe_rewrite settle (VERDICT r11 wrong #5): the islands-parity rewrite replaced two row_number exchanges per BPE round with one running-max over the existing doc-partitioned window; measured r12 at 1x 3.31 s / 10x 5.83 s = 1.8x — strongly sub-linear at a 10x token mass, and the plan carries one fewer exchange per round than the r7-era shape it replaced.",
     "graph_jaccard_link_pred": "The link-pred protocol single-sourced (_LINKPRED_CTES/_linkpred_frames): split/adjacency/degree frames built once and checkpointed; AA, RA and Jaccard all probe the same bounded pair-x-degree wedge joins; degrees broadcast. Adding a score = one more closing aggregate, zero new fact-side shuffles.",
+    "graph_stripe_split_experiment": "VERDICT r12 item 4, measured r13: enabling the 16-way stripe split on the shared minhash-portable pair expansion (the frame the whole dup-graph class rides) made every query in the 4-6x class SLOWER at 10x — jaccard 10.2->13.2 s, resource-allocation 10.5->11.4 s, avg-neighbor-degree 6.5->8.6 s, preferential-attachment 5.8->8.9 s (stock vs split16, same session, identity-verified outputs). The per-pair work here is a 16-int signature-agreement fold, far too cheap to amortize the P-way member-array shuffle amplification, so the split stays OFF for this class (the opt-in split_factor passthrough on minhash_dup_pairs/portable is kept as API so the edit-distance class can keep using it). Decision: REVERT (never enabled); the 4-6x ratios are the documented duplicate-heavy adversarial pair growth, not a plan defect.",
     "cust_palma_hoover_index": "Palma/Hoover: the only window is a row_number over the per-customer AGGREGATE (corpus-cardinality, never raw orders); rank cuts are exact integer compares (10*rk > 9*n), Hoover's sum|n*y - Y| an exact decimal mass — inequality reporting at GROUP-BY-plus-one-bounded-sort cost.",
 }
 
