@@ -71,6 +71,9 @@ SHOW_NOTES = {
     "emb_jl_distortion_audit": "JL audit: the 64x element fan-out and the 512-row pinned sign-matrix broadcast are the only expansions; projections reduce in one (vec, proj) aggregate, pair distances in consecutive-id equi-joins over exact integers — no pair blow-up, no vector shuffles.",
     "ml_logrank_test_segments": "Log-rank: the per-customer rollup is the one fact-sized stage; risk sets are suffix sums over the calendar-bounded duration histogram; per-event-time E and V are micro-quantized projections summed exactly — survival testing with the plan shape of a GROUP BY plus one bounded window.",
     "dedup_edit_distance_audit": "Blocked prefix Levenshtein, fixed twice by the r12 10x probe: (1) the THRESHOLDED builtin (levenshtein(a, b, 12): banded DP, early abandon, -1 sentinel rejected in the keep filter) took the unfinished 35+-min run to 383 s; (2) the opt-in stripe split in pairs_within_groups (blocks > threshold explode into 16 salted copies, one repartition, copy s enumerates left indices i % 16 == s — same pair set, proven by unit test) broke the three straggler tasks into 16-way parallel work: 10x = 55 s, 1x unchanged, ratio 6.7x. The residual ratio is the documented adversarial-corpus pair class (10 identical shards -> ~100x the intra-block pairs, hot-block cap at 8192 bounding the worst case).",
+    "scd2_two_run_versions": "Floor-proof (VERDICT r12 item 5, staged r13 at sf0.1): merge1 0.65-0.86 s, merge2 1.77-2.25 s, final read+project 0.18-0.20 s. Merge2 is the whole story: snapshot re-read -> persisted full-outer -> ONE counter aggregate (already single-action since r8) -> snapshot write -> CDF write. Two parquet write cycles per merge ARE the Delta-less emulation contract (Scd2Table trades Delta's transaction log for plain snapshots + a changes dir); nothing left to fuse — the counters, closed/unchanged/insert frames and CDF rows all already reuse the one cached join. Irreducible I/O; 2.6-3.3 s stands.",
+    "scd2_asof_feature_join": "Floor-proof (staged r13 at sf0.1): the two setup merges cost 2.28-2.34 s (the same irreducible snapshot+CDF write cycles as scd2_two_run_versions), the actual as-of feature join + rollup only 0.68-0.80 s. The bench number is ~75% SCD2 store construction, ~25% query; on a real deployment the store is persistent and the query alone is sub-second with a broadcast version table.",
+    "doc_bpe_train_rounds_floorproof": "Floor-proof (staged r13 at sf0.1): rounds=1 -> 1.46 s, rounds=2 -> 2.31 s, rounds=3 -> 2.65 s. The first round carries the tokenize+census scan (~1.5 s); each later round adds a strictly SMALLER increment (0.85 s, then 0.34 s — the corpus shrinks as merges land and the survivor frame is persisted). The 3-round total is 3 sequential data-dependent decisions by definition (round 2's winning pair exists only after round 1's rewrite), so the remaining cost is iteration depth, not plan fat.",
     "doc_bpe_train_rounds": "The r11 _bpe_rewrite settle (VERDICT r11 wrong #5): the islands-parity rewrite replaced two row_number exchanges per BPE round with one running-max over the existing doc-partitioned window; measured r12 at 1x 3.31 s / 10x 5.83 s = 1.8x — strongly sub-linear at a 10x token mass, and the plan carries one fewer exchange per round than the r7-era shape it replaced.",
     "graph_jaccard_link_pred": "The link-pred protocol single-sourced (_LINKPRED_CTES/_linkpred_frames): split/adjacency/degree frames built once and checkpointed; AA, RA and Jaccard all probe the same bounded pair-x-degree wedge joins; degrees broadcast. Adding a score = one more closing aggregate, zero new fact-side shuffles.",
     "graph_stripe_split_experiment": "VERDICT r12 item 4, measured r13: enabling the 16-way stripe split on the shared minhash-portable pair expansion (the frame the whole dup-graph class rides) made every query in the 4-6x class SLOWER at 10x — jaccard 10.2->13.2 s, resource-allocation 10.5->11.4 s, avg-neighbor-degree 6.5->8.6 s, preferential-attachment 5.8->8.9 s (stock vs split16, same session, identity-verified outputs). The per-pair work here is a 16-int signature-agreement fold, far too cheap to amortize the P-way member-array shuffle amplification, so the split stays OFF for this class (the opt-in split_factor passthrough on minhash_dup_pairs/portable is kept as API so the edit-distance class can keep using it). Decision: REVERT (never enabled); the 4-6x ratios are the documented duplicate-heavy adversarial pair growth, not a plan defect.",
