@@ -273,6 +273,10 @@ _SCALAR_BROADCAST_OK = {
     "cust_dissimilarity_index_segments",  # 5x25 segment x nation margin grid (bounded)
     "ml_tschuprow_t_brand_size",   # 25x50 brand x size margin grid (bounded)
     "ml_spearman_footrule_rankers",  # 20-row top-k join + BM25/QL corpus scalars (as kendall)
+    "ml_total_variation_flags",    # 1-row class-total scalar over the 50-cell frame
+    "evt_eta_squared_weekday",     # 1-row square-sum scalar over the 7-cell weekday frame
+    "ml_relative_risk_2x2",        # 1-row global-median scalar (as ml_odds_ratio_2x2)
+    "ml_gwet_ac1_lang",            # 1-row agree/marginal scalars (as Cohen's kappa chain)
 }
 
 
@@ -351,6 +355,8 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_quade_test",               # block-range rank window over the 4-row week frame
     "evt_spearman_lag1_autocorr",  # lead + midrank windows over the calendar-day aggregate
     "ml_spearman_footrule_rankers",  # re-rank row_number over the 20-row top-k join
+    "ml_kuiper_test_quantity",     # running ECDF over the 50-row quantity grid
+    "evt_eta_squared_weekday",     # day-offset window over the calendar-day aggregate
 }
 
 

@@ -408,6 +408,14 @@ HEAVY = [
     "ml_quade_test",
     "ml_dagostino_skewness_z",
     "evt_spearman_lag1_autocorr",
+    # round-13 wave 7: TV/Kuiper/eta^2/RR/AC1 (probes 1.3-2.3x; the
+    # 2.3x on relative-risk is the exact-median pass over 10x orders,
+    # the same documented percentile class as ml_odds_ratio_2x2)
+    "ml_total_variation_flags",
+    "ml_kuiper_test_quantity",
+    "evt_eta_squared_weekday",
+    "ml_relative_risk_2x2",
+    "ml_gwet_ac1_lang",
 ]
 
 
