@@ -277,6 +277,10 @@ _SCALAR_BROADCAST_OK = {
     "evt_eta_squared_weekday",     # 1-row square-sum scalar over the 7-cell weekday frame
     "ml_relative_risk_2x2",        # 1-row global-median scalar (as ml_odds_ratio_2x2)
     "ml_gwet_ac1_lang",            # 1-row agree/marginal scalars (as Cohen's kappa chain)
+    "ml_hodges_lehmann_shift",     # 50x50 value-grid fold to the 99-cell diff histogram
+    "ml_qn_scale_quantity",        # 50x50 value-grid fold + 1-row count scalar
+    "cust_lorenz_asymmetry",       # 1-row below-mean scalar over the per-customer frame
+    "evt_repeated_median_slope",   # 30x29 day-pair grid (bounded, as mann-kendall)
 }
 
 
@@ -357,6 +361,10 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_spearman_footrule_rankers",  # re-rank row_number over the 20-row top-k join
     "ml_kuiper_test_quantity",     # running ECDF over the 50-row quantity grid
     "evt_eta_squared_weekday",     # day-offset window over the calendar-day aggregate
+    "ml_hodges_lehmann_shift",     # cumulative weights over the 99-cell diff histogram
+    "ml_qn_scale_quantity",        # cumulative weights over the 50-cell |diff| histogram
+    "cust_lorenz_asymmetry",       # ranked running sum over the per-customer aggregate
+    "evt_repeated_median_slope",   # global median row_number over the 30 per-day medians
 }
 
 

@@ -416,6 +416,13 @@ HEAVY = [
     "evt_eta_squared_weekday",
     "ml_relative_risk_2x2",
     "ml_gwet_ac1_lang",
+    # round-13 wave 8: robust estimators off difference histograms /
+    # per-customer frames (probes 1.0-1.4x)
+    "ml_hodges_lehmann_shift",
+    "ml_qn_scale_quantity",
+    "cust_lorenz_asymmetry",
+    "cust_theil_l_mld",
+    "evt_repeated_median_slope",
 ]
 
 
