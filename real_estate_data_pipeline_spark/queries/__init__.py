@@ -95,6 +95,7 @@ from . import q61_r13_categorical_diversity as q61_r13_categorical_diversity
 from . import q62_r13_rankers_moments as q62_r13_rankers_moments
 from . import q63_r13_tv_kuiper_risk as q63_r13_tv_kuiper_risk
 from . import q64_r13_robust_estimators as q64_r13_robust_estimators
+from . import q65_r13_mmd_nominal as q65_r13_mmd_nominal
 from . import _window as _window
 
 _pkg = _sys.modules[__name__]
@@ -164,6 +165,7 @@ for _m in (
     q62_r13_rankers_moments,
     q63_r13_tv_kuiper_risk,
     q64_r13_robust_estimators,
+    q65_r13_mmd_nominal,
     _window,
 ):
     for _k in vars(_m):

@@ -281,6 +281,9 @@ _SCALAR_BROADCAST_OK = {
     "ml_qn_scale_quantity",        # 50x50 value-grid fold + 1-row count scalar
     "cust_lorenz_asymmetry",       # 1-row below-mean scalar over the per-customer frame
     "evt_repeated_median_slope",   # 30x29 day-pair grid (bounded, as mann-kendall)
+    "ml_mmd_rbf_quantity",         # 50x50 value grid x 50-row pinned kernel table
+    "ml_gk_lambda_brand_size",     # 1-row margin-max scalars over the cell frame
+    "cust_percentile_ratio_spread",  # 1-row rank-threshold scalars over the ranked frame
 }
 
 
@@ -365,6 +368,8 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_qn_scale_quantity",        # cumulative weights over the 50-cell |diff| histogram
     "cust_lorenz_asymmetry",       # ranked running sum over the per-customer aggregate
     "evt_repeated_median_slope",   # global median row_number over the 30 per-day medians
+    "evt_runs_up_down_daily",      # lag windows over the calendar-day aggregate
+    "cust_percentile_ratio_spread",  # ranked ECDF window over the per-customer aggregate
 }
 
 

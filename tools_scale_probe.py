@@ -423,6 +423,14 @@ HEAVY = [
     "cust_lorenz_asymmetry",
     "cust_theil_l_mld",
     "evt_repeated_median_slope",
+    # round-13 wave 9: MMD / evenness / runs / spread. ml_gk_lambda_
+    # brand_size rides the fixed part dim (not probeable, as
+    # er_part_golden_records) but is pinned for regression anyway since
+    # its frame is 1250 cells at any scale.
+    "ml_mmd_rbf_quantity",
+    "doc_pielou_evenness_by_lang",
+    "evt_runs_up_down_daily",
+    "cust_percentile_ratio_spread",
 ]
 
 
