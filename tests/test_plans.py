@@ -284,6 +284,7 @@ _SCALAR_BROADCAST_OK = {
     "ml_mmd_rbf_quantity",         # 50x50 value grid x 50-row pinned kernel table
     "ml_gk_lambda_brand_size",     # 1-row margin-max scalars over the cell frame
     "cust_percentile_ratio_spread",  # 1-row rank-threshold scalars over the ranked frame
+    "ml_freeman_theta_flag_quantity",  # 150-cell cross-group value grid (bounded)
 }
 
 
@@ -370,6 +371,8 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_repeated_median_slope",   # global median row_number over the 30 per-day medians
     "evt_runs_up_down_daily",      # lag windows over the calendar-day aggregate
     "cust_percentile_ratio_spread",  # ranked ECDF window over the per-customer aggregate
+    "evt_moran_i_lag1",            # lead window over the calendar-day aggregate
+    "cust_zenga_index",            # ranked running sum over the per-customer aggregate
 }
 
 

@@ -431,6 +431,12 @@ HEAVY = [
     "doc_pielou_evenness_by_lang",
     "evt_runs_up_down_daily",
     "cust_percentile_ratio_spread",
+    # round-13 wave 10: theta/Moran/Zenga/shape (probes 1.1-1.2x)
+    "ml_freeman_theta_flag_quantity",
+    "evt_moran_i_lag1",
+    "cust_zenga_index",
+    "ml_sarle_bimodality_quantity",
+    "ml_dagostino_k2_omnibus",
 ]
 
 
