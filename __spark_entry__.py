@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` exposes
 every implemented operator from SURVEY.md §2 (plus the LLM-data-pipeline
 extensions); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
-SQL-expressible query. See real_estate_data_pipeline_spark/queries.py for
+SQL-expressible query. See the real_estate_data_pipeline_spark/queries/ package for
 the catalog and the cross-engine exactness rules.
 """
 
