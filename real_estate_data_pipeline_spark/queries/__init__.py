@@ -97,6 +97,7 @@ from . import q63_r13_tv_kuiper_risk as q63_r13_tv_kuiper_risk
 from . import q64_r13_robust_estimators as q64_r13_robust_estimators
 from . import q65_r13_mmd_nominal as q65_r13_mmd_nominal
 from . import q66_r13_theta_moran_zenga as q66_r13_theta_moran_zenga
+from . import q67_r13_lepage_kpss_cmh as q67_r13_lepage_kpss_cmh
 from . import _window as _window
 
 _pkg = _sys.modules[__name__]
@@ -168,6 +169,7 @@ for _m in (
     q64_r13_robust_estimators,
     q65_r13_mmd_nominal,
     q66_r13_theta_moran_zenga,
+    q67_r13_lepage_kpss_cmh,
     _window,
 ):
     for _k in vars(_m):

@@ -285,6 +285,9 @@ _SCALAR_BROADCAST_OK = {
     "ml_gk_lambda_brand_size",     # 1-row margin-max scalars over the cell frame
     "cust_percentile_ratio_spread",  # 1-row rank-threshold scalars over the ranked frame
     "ml_freeman_theta_flag_quantity",  # 150-cell cross-group value grid (bounded)
+    "cust_theil_decomposition_segments",  # 1-row corpus-total scalar over the 5-segment frame
+    "evt_sen_slope_ci",            # day-pair slope frame + 1-row tie/limit scalars
+    "ml_cmh_stratified_2x2",       # 1-row global-median scalar (as ml_odds_ratio_2x2)
 }
 
 
@@ -373,6 +376,9 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "cust_percentile_ratio_spread",  # ranked ECDF window over the per-customer aggregate
     "evt_moran_i_lag1",            # lead window over the calendar-day aggregate
     "cust_zenga_index",            # ranked running sum over the per-customer aggregate
+    "ml_lepage_location_scale",    # doubled-midrank windows (shared _rank2_frame)
+    "evt_kpss_level_stat",         # partial-sum window over the calendar-day aggregate
+    "evt_sen_slope_ci",            # slope-rank window over the bounded day-pair frame
 }
 
 

@@ -437,6 +437,15 @@ HEAVY = [
     "cust_zenga_index",
     "ml_sarle_bimodality_quantity",
     "ml_dagostino_k2_omnibus",
+    # round-13 wave 11: Lepage/KPSS/Theil-decomp/Sen-CI/CMH (probes
+    # 1.0-1.9x; the 1.9x is the exact-median class on 10x orders).
+    # The Lepage 10x probe caught a REAL overflow: sum c*rc2^2
+    # exceeded BIGINT at 6M rows -> kept in decimal(38,0)/HUGEINT.
+    "ml_lepage_location_scale",
+    "evt_kpss_level_stat",
+    "cust_theil_decomposition_segments",
+    "evt_sen_slope_ci",
+    "ml_cmh_stratified_2x2",
 ]
 
 
