@@ -28,8 +28,6 @@ compare passes bit-for-bit):
 # external importer (`from ...queries import CATALOG / t / flagship / _AO_W`)
 # keeps working unchanged.
 
-import sys as _sys
-
 from . import _registry as _registry
 from . import q01_aggregations as q01_aggregations
 from . import q02_filters_projections as q02_filters_projections
@@ -100,8 +98,13 @@ from . import q66_r13_theta_moran_zenga as q66_r13_theta_moran_zenga
 from . import q67_r13_lepage_kpss_cmh as q67_r13_lepage_kpss_cmh
 from . import _window as _window
 
-_pkg = _sys.modules[__name__]
-for _m in (
+# Submodules in original single-file order.  Attribute access on the
+# package delegates LIVE to the owning submodule (PEP 562 __getattr__
+# below, last module wins, matching the old hoist's last-write-wins) —
+# no import-time by-value copies, so submodule globals rebound at
+# runtime (e.g. _registry._FAN_OUT_WARNED) never diverge from what the
+# package attribute reports (ADVICE r13).
+_MODULES = (
     _registry,
     q01_aggregations,
     q02_filters_projections,
@@ -171,7 +174,20 @@ for _m in (
     q66_r13_theta_moran_zenga,
     q67_r13_lepage_kpss_cmh,
     _window,
-):
-    for _k in vars(_m):
-        if not _k.startswith('__'):
-            setattr(_pkg, _k, getattr(_m, _k))
+)
+
+
+def __getattr__(name):
+    if not name.startswith('__'):
+        for _m in reversed(_MODULES):
+            if name in vars(_m):
+                return getattr(_m, name)
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    names = set(globals())
+    for _m in _MODULES:
+        names.update(k for k in vars(_m) if not k.startswith('__'))
+    return sorted(names)
