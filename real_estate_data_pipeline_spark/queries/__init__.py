@@ -96,6 +96,10 @@ from . import q64_r13_robust_estimators as q64_r13_robust_estimators
 from . import q65_r13_mmd_nominal as q65_r13_mmd_nominal
 from . import q66_r13_theta_moran_zenga as q66_r13_theta_moran_zenga
 from . import q67_r13_lepage_kpss_cmh as q67_r13_lepage_kpss_cmh
+from . import q68_r14_twosample_rank as q68_r14_twosample_rank
+from . import q69_r14_partition_agreement as q69_r14_partition_agreement
+from . import q70_r14_ranker_eval as q70_r14_ranker_eval
+from . import q71_r14_queueing as q71_r14_queueing
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -173,6 +177,10 @@ _MODULES = (
     q65_r13_mmd_nominal,
     q66_r13_theta_moran_zenga,
     q67_r13_lepage_kpss_cmh,
+    q68_r14_twosample_rank,
+    q69_r14_partition_agreement,
+    q70_r14_ranker_eval,
+    q71_r14_queueing,
     _window,
 )
 

@@ -288,6 +288,22 @@ _SCALAR_BROADCAST_OK = {
     "cust_theil_decomposition_segments",  # 1-row corpus-total scalar over the 5-segment frame
     "evt_sen_slope_ci",            # day-pair slope frame + 1-row tie/limit scalars
     "ml_cmh_stratified_2x2",       # 1-row global-median scalar (as ml_odds_ratio_2x2)
+    "ml_conover_squared_ranks",    # 1-row group-totals scalar joined to the 100-cell frame
+    "doc_ranker_ndcg_at_k",        # 20-row depth series x <=|terms|-row gain histogram
+    "evt_lindley_virtual_wait",    # 1-row service-time scalar broadcast
+    "evt_erlang_b_sweep",          # 1-row offered-load scalar x 11-row server series
+    # r14 wave 2: every partition-agreement assembly crosses 1-row
+    # pair-mass / entropy scalars (tp, sa, sb, n / mi12, hu12, hv12)
+    "ml_adjusted_rand_lang_source",
+    "ml_fowlkes_mallows_lang_source",
+    "ml_nmi_lang_source",
+    "ml_v_measure_lang_source",
+    "ml_purity_fmeasure_lang_source",
+    # r14 wave 3: 1-row relevance-total scalar joined to the 20-row
+    # ranked frame (the doc_retrieval_mrr_eval shape)
+    "doc_ranker_rbo_bm25_ql",
+    "doc_ranker_map_at_20",
+    "doc_ranker_rprec_sweep",
 }
 
 
@@ -379,6 +395,26 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_lepage_location_scale",    # doubled-midrank windows (shared _rank2_frame)
     "evt_kpss_level_stat",         # partial-sum window over the calendar-day aggregate
     "evt_sen_slope_ci",            # slope-rank window over the bounded day-pair frame
+    # r14 wave 1: cumulative windows over the 50-value quantity
+    # histogram (_cum2_frame) / the <=100-cell deviation-key frame
+    "ml_siegel_tukey_dispersion",
+    "ml_conover_squared_ranks",
+    "ml_fligner_policello_ustat",
+    "ml_ad_two_sample_stat",
+    "ml_watson_u2_two_sample",
+    # r14 wave 3: desc-cum over the <=|terms|-row gain histogram /
+    # cum over the 20-row depth domain
+    "doc_ranker_ndcg_at_k",
+    "doc_ranker_rbo_bm25_ql",
+    # r14 wave 4: cum over the session-boundary hour histogram (~720
+    # rows/month) / the 11-row Erlang server series
+    "evt_peak_concurrency_hours",
+    "evt_erlang_b_sweep",
+    # r14 wave 3: cascade/cum windows over the 20-row top-k frame (the
+    # LIMIT is hidden behind the gain/relevance join, so the subtree
+    # check can't see it — k-row by construction)
+    "doc_ranker_err_pow2",
+    "doc_ranker_map_at_20",
 }
 
 

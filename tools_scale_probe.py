@@ -446,6 +446,34 @@ HEAVY = [
     "cust_theil_decomposition_segments",
     "evt_sen_slope_ci",
     "ml_cmh_stratified_2x2",
+    # round-14 wave 1: two-sample rank tests off the 50-value histogram
+    # (probed 1.0-1.1x — pure scan-bound)
+    "ml_siegel_tukey_dispersion",
+    "ml_conover_squared_ranks",
+    "ml_fligner_policello_ustat",
+    "ml_ad_two_sample_stat",
+    "ml_watson_u2_two_sample",
+    # round-14 wave 2: partition agreement over the lang x source
+    # contingency (probed 1.0-1.1x)
+    "ml_adjusted_rand_lang_source",
+    "ml_fowlkes_mallows_lang_source",
+    "ml_nmi_lang_source",
+    "ml_v_measure_lang_source",
+    "ml_purity_fmeasure_lang_source",
+    # round-14 wave 3: ranker-eval metrics over the shared retrieval
+    # chains (probed 1.3-1.6x — the tokenize scan dominates)
+    "doc_ranker_ndcg_at_k",
+    "doc_ranker_err_pow2",
+    "doc_ranker_rbo_bm25_ql",
+    "doc_ranker_map_at_20",
+    "doc_ranker_rprec_sweep",
+    # round-14 wave 4: queueing/operational family (probed 1.4-1.7x —
+    # event-scan bound; partitioned windows only)
+    "evt_lindley_virtual_wait",
+    "evt_peak_concurrency_hours",
+    "evt_busy_periods_by_type_day",
+    "evt_pk_load_report_by_type",
+    "evt_erlang_b_sweep",
 ]
 
 
