@@ -415,6 +415,12 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     # check can't see it — k-row by construction)
     "doc_ranker_err_pow2",
     "doc_ranker_map_at_20",
+    # r14 wave 5: 7-lag windows over the ~30-row daily-cents aggregate
+    "evt_crps_empirical_window",
+    "evt_pinball_quantile_window",
+    "evt_winkler_interval_score",
+    "evt_smape_bundle_seasonal",
+    "evt_diebold_mariano_naive",
 }
 
 

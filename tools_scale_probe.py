@@ -474,6 +474,13 @@ HEAVY = [
     "evt_busy_periods_by_type_day",
     "evt_pk_load_report_by_type",
     "evt_erlang_b_sweep",
+    # round-14 wave 5: forecast scores over the daily aggregate
+    # (probed 1.2-1.5x — the daily groupBy dominates)
+    "evt_crps_empirical_window",
+    "evt_pinball_quantile_window",
+    "evt_winkler_interval_score",
+    "evt_smape_bundle_seasonal",
+    "evt_diebold_mariano_naive",
 ]
 
 
