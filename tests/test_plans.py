@@ -304,6 +304,11 @@ _SCALAR_BROADCAST_OK = {
     "doc_ranker_rbo_bm25_ql",
     "doc_ranker_map_at_20",
     "doc_ranker_rprec_sweep",
+    # r14 wave 6: 1-row census/mass scalars joined to <=5-row stratum
+    # frames
+    "ml_horvitz_thompson_total",
+    "ml_neyman_allocation",
+    "ml_poststratification_estimate",
 }
 
 

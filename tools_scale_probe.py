@@ -481,6 +481,13 @@ HEAVY = [
     "evt_winkler_interval_score",
     "evt_smape_bundle_seasonal",
     "evt_diebold_mariano_naive",
+    # round-14 wave 6: survey sampling/estimation over orders
+    # (probed 1.0-1.8x — orders-scan bound; sha2 sample filters)
+    "cust_kish_ess_revenue_weights",
+    "ml_horvitz_thompson_total",
+    "ml_neyman_allocation",
+    "ml_poststratification_estimate",
+    "ml_cluster_deff_icc",
 ]
 
 
