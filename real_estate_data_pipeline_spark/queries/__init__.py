@@ -102,6 +102,7 @@ from . import q70_r14_ranker_eval as q70_r14_ranker_eval
 from . import q71_r14_queueing as q71_r14_queueing
 from . import q72_r14_forecast_scores as q72_r14_forecast_scores
 from . import q73_r14_survey_sampling as q73_r14_survey_sampling
+from . import q74_r14_assoc_measures as q74_r14_assoc_measures
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -185,6 +186,7 @@ _MODULES = (
     q71_r14_queueing,
     q72_r14_forecast_scores,
     q73_r14_survey_sampling,
+    q74_r14_assoc_measures,
     _window,
 )
 

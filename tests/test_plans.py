@@ -309,6 +309,13 @@ _SCALAR_BROADCAST_OK = {
     "ml_horvitz_thompson_total",
     "ml_neyman_allocation",
     "ml_poststratification_estimate",
+    # r14 wave 7: 1-row basket-total / entropy / MH-psi scalars joined
+    # to bounded cell frames (the ml_cmh_stratified_2x2 shape)
+    "basket_ptype_rule_measures",
+    "ml_theil_u_brand_type",
+    "ml_gk_tau_brand_type",
+    "ml_mcc_macro_f1_lang",
+    "ml_breslow_day_homogeneity",
 }
 
 

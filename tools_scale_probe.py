@@ -488,6 +488,13 @@ HEAVY = [
     "ml_neyman_allocation",
     "ml_poststratification_estimate",
     "ml_cluster_deff_icc",
+    # round-14 wave 7: association/rule measures (probed 0.9-2.2x —
+    # the basket pair join is order-bounded, 2.2x on 10x-dense baskets)
+    "basket_ptype_rule_measures",
+    "ml_theil_u_brand_type",
+    "ml_gk_tau_brand_type",
+    "ml_mcc_macro_f1_lang",
+    "ml_breslow_day_homogeneity",
 ]
 
 
