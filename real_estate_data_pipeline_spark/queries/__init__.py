@@ -103,6 +103,7 @@ from . import q71_r14_queueing as q71_r14_queueing
 from . import q72_r14_forecast_scores as q72_r14_forecast_scores
 from . import q73_r14_survey_sampling as q73_r14_survey_sampling
 from . import q74_r14_assoc_measures as q74_r14_assoc_measures
+from . import q75_r14_stream_interval as q75_r14_stream_interval
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -187,6 +188,7 @@ _MODULES = (
     q72_r14_forecast_scores,
     q73_r14_survey_sampling,
     q74_r14_assoc_measures,
+    q75_r14_stream_interval,
     _window,
 )
 

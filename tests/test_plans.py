@@ -316,6 +316,8 @@ _SCALAR_BROADCAST_OK = {
     "ml_gk_tau_brand_type",
     "ml_mcc_macro_f1_lang",
     "ml_breslow_day_homogeneity",
+    # r14 wave 8: 1-row exact-median scalar broadcast
+    "evt_longest_run_above_median",
 }
 
 
@@ -433,6 +435,11 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_winkler_interval_score",
     "evt_smape_bundle_seasonal",
     "evt_diebold_mariano_naive",
+    # r14 wave 8: running-extrema / island windows over the same
+    # ~30-row daily aggregate
+    "evt_records_foster_stuart",
+    "evt_max_drawdown_daily",
+    "evt_longest_run_above_median",
 }
 
 

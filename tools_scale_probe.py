@@ -495,6 +495,13 @@ HEAVY = [
     "ml_gk_tau_brand_type",
     "ml_mcc_macro_f1_lang",
     "ml_breslow_day_homogeneity",
+    # round-14 wave 8: streaming interval join (1.0x — state-bounded
+    # join, startup-dominated) + daily-series statistics (1.1-1.6x)
+    "evt_stream_interval_join_now",
+    "evt_records_foster_stuart",
+    "evt_max_drawdown_daily",
+    "evt_longest_run_above_median",
+    "evt_parkinson_volatility_daily",
 ]
 
 
