@@ -104,6 +104,7 @@ from . import q72_r14_forecast_scores as q72_r14_forecast_scores
 from . import q73_r14_survey_sampling as q73_r14_survey_sampling
 from . import q74_r14_assoc_measures as q74_r14_assoc_measures
 from . import q75_r14_stream_interval as q75_r14_stream_interval
+from . import q76_r14_richness_bi as q76_r14_richness_bi
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -189,6 +190,7 @@ _MODULES = (
     q73_r14_survey_sampling,
     q74_r14_assoc_measures,
     q75_r14_stream_interval,
+    q76_r14_richness_bi,
     _window,
 )
 

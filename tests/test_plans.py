@@ -318,6 +318,9 @@ _SCALAR_BROADCAST_OK = {
     "ml_breslow_day_homogeneity",
     # r14 wave 8: 1-row exact-median scalar broadcast
     "evt_longest_run_above_median",
+    # r14 wave 9: 1x1 join of the two monthly-variance moment rows;
+    # fisher's year-bounds scalar resolves to a pushed filter, not BNLJ
+    "lineitem_bullwhip_variance_ratio",
 }
 
 

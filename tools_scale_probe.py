@@ -502,6 +502,13 @@ HEAVY = [
     "evt_max_drawdown_daily",
     "evt_longest_run_above_median",
     "evt_parkinson_volatility_daily",
+    # round-14 wave 9: richness/BI (probed 1.0-2.1x — the 2.1x is the
+    # per-doc posexplode on the 10x duplicate-heavy corpus)
+    "doc_lexical_richness_by_lang",
+    "doc_msttr_segmental_ttr",
+    "cust_order_cohort_triangle",
+    "lineitem_bullwhip_variance_ratio",
+    "lineitem_fisher_index_decomposition",
 ]
 
 
