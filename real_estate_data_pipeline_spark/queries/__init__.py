@@ -105,6 +105,7 @@ from . import q73_r14_survey_sampling as q73_r14_survey_sampling
 from . import q74_r14_assoc_measures as q74_r14_assoc_measures
 from . import q75_r14_stream_interval as q75_r14_stream_interval
 from . import q76_r14_richness_bi as q76_r14_richness_bi
+from . import q77_r14_graph_iv_matryoshka as q77_r14_graph_iv_matryoshka
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -191,6 +192,7 @@ _MODULES = (
     q74_r14_assoc_measures,
     q75_r14_stream_interval,
     q76_r14_richness_bi,
+    q77_r14_graph_iv_matryoshka,
     _window,
 )
 

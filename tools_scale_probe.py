@@ -509,6 +509,14 @@ HEAVY = [
     "cust_order_cohort_triangle",
     "lineitem_bullwhip_variance_ratio",
     "lineitem_fisher_index_decomposition",
+    # round-14 wave 10: hub BFS on the 10x-denser dup graph (3.2x —
+    # frontier growth tracks density, far below the pair blow-up),
+    # prefix-cosine sweep (1.1x) and cleared-moment estimators
+    "graph_closeness_ecc_hubs",
+    "emb_matryoshka_recall_sweep",
+    "ml_iv_2sls_discount_qty",
+    "ml_oaxaca_blinder_rn",
+    "ml_deming_regression_dq",
 ]
 
 
