@@ -250,10 +250,7 @@ _PREVIOUSLY_SAMPLED = frozenset({
     "ml_brier_decomposition_bands", "ml_bca_bootstrap_components",
     "cust_theil_inequality_index", "emb_jl_distortion_audit",
     "doc_burrows_delta_sources", "evt_stream_moments_now",
-})
-
-_DRIVER_WINDOW = [
-    # pre-r13 never-sampled leftovers (oldest first, catalog order)
+    # round-13 rotated window
     "ml_cronbach_alpha_quality", "lineitem_did_discount_returns",
     "lineitem_weighted_median_price", "dedup_prefix_fingerprint_audit",
     "doc_yule_k_richness", "ml_hosmer_lemeshow_bands",
@@ -264,30 +261,53 @@ _DRIVER_WINDOW = [
     "evt_tod_entropy_by_type", "ml_anova_two_way_interaction",
     "ml_gtest_weekday_uniformity", "ml_sign_test_daily_orders",
     "ml_mood_median_test", "ml_cochran_armitage_trend",
-    # r13 wave 1: GOF / distribution distances
     "ml_anderson_darling_quantity", "ml_watson_u2_quantity",
     "ml_wasserstein_quantity_flags", "ml_hellinger_bhattacharyya_flags",
-    "ml_energy_distance_quantity",
-    # r13 wave 2: survival bands / extremes
-    "evt_km_greenwood_bands", "evt_gumbel_block_maxima",
-    "evt_gumbel_return_levels", "evt_mean_residual_life",
-    "ml_gini_mean_difference",
-    # r13 wave 3: trend / changepoint
+    "ml_energy_distance_quantity", "evt_km_greenwood_bands",
+    "evt_gumbel_block_maxima", "evt_gumbel_return_levels",
+    "evt_mean_residual_life", "ml_gini_mean_difference",
     "evt_pages_trend_test", "evt_cusum_squares_variance",
     "evt_pettitt_changepoint", "evt_seasonal_theil_sen_slope",
-    "evt_von_neumann_ratio",
-    # r13 wave 4: exact rank tests
-    "ml_partial_tau_b_qdt", "ml_stuart_tau_c_qty_discount",
-    "ml_brunner_munzel_quantity", "ml_ansari_bradley_dispersion",
-    "ml_cucconi_location_scale",
-    # r13 wave 5: categorical association / diversity
+    "evt_von_neumann_ratio", "ml_partial_tau_b_qdt",
+    "ml_stuart_tau_c_qty_discount", "ml_brunner_munzel_quantity",
+    "ml_ansari_bradley_dispersion", "ml_cucconi_location_scale",
     "cust_dissimilarity_index_segments", "ml_tschuprow_t_brand_size",
     "doc_good_turing_coverage_by_source", "evt_circular_stats_hourly",
-    "ml_quartile_coef_dispersion",
-    # r13 wave 6: ranker distances / moments
-    "ml_spearman_footrule_rankers", "evt_bartels_rank_test",
-    "ml_quade_test", "ml_dagostino_skewness_z",
-    "evt_spearman_lag1_autocorr",
+    "ml_quartile_coef_dispersion", "ml_spearman_footrule_rankers",
+    "evt_bartels_rank_test", "ml_quade_test",
+    "ml_dagostino_skewness_z", "evt_spearman_lag1_autocorr",
+})
+
+_DRIVER_WINDOW = [
+    # r14 window: the 50 OLDEST never-driver-sampled oracled names
+    # (catalog order = registration age; VERDICT r13 item 3). The
+    # remaining 28 pre-r14 names + the 50 r14 additions leave a
+    # 78-name pool for r15.
+    "ml_phi_coefficient_2x2", "ml_goodman_kruskal_gamma",
+    "ml_jonckheere_terpstra_trend", "ml_somers_d_qty_discount",
+    "ml_scotts_pi_lang", "ml_krippendorff_alpha_lang",
+    "ml_youden_j_price", "ml_matthews_corr_price_urgent",
+    "ml_log_loss_price_urgent", "evt_variance_ratio_value",
+    "evt_cox_stuart_daily", "orders_turning_points_daily",
+    "evt_hurst_rs_daily", "orders_periodogram_weekly",
+    "lineitem_price_index_laspeyres", "graph_resource_allocation_pred",
+    "graph_jaccard_link_pred", "emb_ams_f2_sketch",
+    "emb_simpson_diversity_labels", "doc_coleman_liau_by_source",
+    "doc_flesch_kincaid_by_source", "doc_smog_by_source",
+    "doc_brunet_sichel_by_lang", "doc_honore_r_by_lang",
+    "doc_punctuation_profile_sources", "cust_atkinson_index",
+    "cust_palma_hoover_index", "orders_clv_discounted",
+    "ml_winsorized_trimmed_mean", "ml_mad_robust_outliers",
+    "ml_f_test_two_variances", "ml_chisq_variance_test",
+    "graph_degree_gini", "evt_markov_entropy_rate",
+    "ml_vif_collinearity", "ml_partial_correlation_qdt",
+    "ml_dixon_q_daily", "ml_cohens_h_segments",
+    "ml_tost_equivalence", "ml_bowker_symmetry_lang",
+    "doc_gunning_fog_by_source", "cust_zipf_rank_size_orders",
+    "orders_priority_transition_matrix", "part_xyz_classification",
+    "dq_benford_second_digit", "ml_ks_uniformity_dates",
+    "evt_type_cooccurrence_lift", "part_brand_share_drift",
+    "ml_pythagorean_means", "evt_peak_hour_mode",
 ]
 
 
