@@ -386,8 +386,11 @@ register(
       FROM agg
     )
     SELECT n AS n_orders, k AS n_clusters,
-           round(msb, 6) AS ms_between,
-           round(msw, 6) AS ms_within,
+           -- O(1e10)-magnitude outputs: round(x, 6) diverges in the
+           -- last ulp across engines; floor(x + 0.5) of the identical
+           -- double is bit-stable (whole dollars^2)
+           CAST(floor(msb + 0.5) AS BIGINT) AS ms_between,
+           CAST(floor(msw + 0.5) AS BIGINT) AS ms_within,
            round(m0, 6) AS m0,
            round((msb - msw) / (msb + (m0 - 1) * msw), 9) AS icc,
            round(1 + (CAST(n AS DOUBLE) / k - 1)
@@ -450,8 +453,8 @@ def _dicc(spark, sf_dir):
     return agg.select(
         F.col("n").alias("n_orders"),
         F.col("k").alias("n_clusters"),
-        F.round(msb, 6).alias("ms_between"),
-        F.round(msw, 6).alias("ms_within"),
+        F.floor(msb + F.lit(0.5)).cast("long").alias("ms_between"),
+        F.floor(msw + F.lit(0.5)).cast("long").alias("ms_within"),
         F.round(m0, 6).alias("m0"),
         F.round(icc, 9).alias("icc"),
         F.round(1 + (nd / F.col("k") - 1) * icc, 6).alias("deff"),
