@@ -106,6 +106,7 @@ from . import q74_r14_assoc_measures as q74_r14_assoc_measures
 from . import q75_r14_stream_interval as q75_r14_stream_interval
 from . import q76_r14_richness_bi as q76_r14_richness_bi
 from . import q77_r14_graph_iv_matryoshka as q77_r14_graph_iv_matryoshka
+from . import q78_r14_bivariate_daily as q78_r14_bivariate_daily
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -193,6 +194,7 @@ _MODULES = (
     q75_r14_stream_interval,
     q76_r14_richness_bi,
     q77_r14_graph_iv_matryoshka,
+    q78_r14_bivariate_daily,
     _window,
 )
 

@@ -321,6 +321,10 @@ _SCALAR_BROADCAST_OK = {
     # r14 wave 9: 1x1 join of the two monthly-variance moment rows;
     # fisher's year-bounds scalar resolves to a pushed filter, not BNLJ
     "lineitem_bullwhip_variance_ratio",
+    # r14 wave 11: 6/7-row literal lag grids + 1-row median/TE scalars
+    "evt_cross_correlation_lags",
+    "evt_transfer_entropy_binary",
+    "evt_newey_west_variance",
 }
 
 
@@ -443,6 +447,10 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_records_foster_stuart",
     "evt_max_drawdown_daily",
     "evt_longest_run_above_median",
+    # r14 wave 11: the shared daily x/y frame's day-offset window
+    # (~30-row aggregate)
+    "evt_granger_clicks_to_purchases",
+    "ml_lin_ccc_seasonal_forecast",
 }
 
 

@@ -517,6 +517,13 @@ HEAVY = [
     "ml_iv_2sls_discount_qty",
     "ml_oaxaca_blinder_rn",
     "ml_deming_regression_dq",
+    # round-14 wave 11 (post-rotation): bivariate daily analytics
+    # (probed 1.1-1.6x — events-scan bound)
+    "evt_granger_clicks_to_purchases",
+    "evt_cross_correlation_lags",
+    "evt_transfer_entropy_binary",
+    "ml_lin_ccc_seasonal_forecast",
+    "evt_newey_west_variance",
 ]
 
 

@@ -54,6 +54,10 @@ R14_NEW = [
     "graph_closeness_ecc_hubs", "emb_matryoshka_recall_sweep",
     "ml_iv_2sls_discount_qty", "ml_oaxaca_blinder_rn",
     "ml_deming_regression_dq",
+    # w11 (post-rotation)
+    "evt_granger_clicks_to_purchases", "evt_cross_correlation_lags",
+    "evt_transfer_entropy_binary", "ml_lin_ccc_seasonal_forecast",
+    "evt_newey_west_variance",
 ]
 
 
