@@ -325,6 +325,8 @@ _SCALAR_BROADCAST_OK = {
     "evt_cross_correlation_lags",
     "evt_transfer_entropy_binary",
     "evt_newey_west_variance",
+    # r14 wave 12: 5-row literal lambda grid
+    "ml_box_cox_grid",
 }
 
 

@@ -524,6 +524,14 @@ HEAVY = [
     "evt_transfer_entropy_binary",
     "ml_lin_ccc_seasonal_forecast",
     "evt_newey_west_variance",
+    # round-14 wave 12 (post-rotation): regression diagnostics II
+    # (probed 1.3-2.2x — the White/RESET pair rides the shared
+    # correlated-subquery residual frame)
+    "ml_white_test_hetero",
+    "ml_ramsey_reset_quadratic",
+    "ml_sobel_mediation_dmq",
+    "ml_box_cox_grid",
+    "ml_hausman_iv_vs_ols",
 ]
 
 

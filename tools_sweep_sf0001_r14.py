@@ -58,6 +58,9 @@ R14_NEW = [
     "evt_granger_clicks_to_purchases", "evt_cross_correlation_lags",
     "evt_transfer_entropy_binary", "ml_lin_ccc_seasonal_forecast",
     "evt_newey_west_variance",
+    # w12 (post-rotation)
+    "ml_white_test_hetero", "ml_ramsey_reset_quadratic",
+    "ml_sobel_mediation_dmq", "ml_box_cox_grid", "ml_hausman_iv_vs_ols",
 ]
 
 
