@@ -281,8 +281,8 @@ _PREVIOUSLY_SAMPLED = frozenset({
 _DRIVER_WINDOW = [
     # r14 window: the 50 OLDEST never-driver-sampled oracled names
     # (catalog order = registration age; VERDICT r13 item 3). The
-    # remaining 28 pre-r14 names + the 60 r14 additions (waves 1-10
-    # pre-rotation + waves 11-12 post-rotation) leave an 88-name pool
+    # remaining 28 pre-r14 names + the 65 r14 additions (waves 1-10
+    # pre-rotation + waves 11-13 post-rotation) leave a 93-name pool
     # for r15.
     "ml_phi_coefficient_2x2", "ml_goodman_kruskal_gamma",
     "ml_jonckheere_terpstra_trend", "ml_somers_d_qty_discount",

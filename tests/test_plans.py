@@ -327,6 +327,11 @@ _SCALAR_BROADCAST_OK = {
     "evt_newey_west_variance",
     # r14 wave 12: 5-row literal lambda grid
     "ml_box_cox_grid",
+    # r14 wave 13: 1-row revenue-total / SSE scalars joined to the
+    # part/residual frames (the ml_cooks_distance_topk shape)
+    "lineitem_abc_xyz_matrix",
+    "ml_dffits_topk",
+    "ml_press_predicted_r2",
 }
 
 
@@ -453,6 +458,9 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     # (~30-row aggregate)
     "evt_granger_clicks_to_purchases",
     "ml_lin_ccc_seasonal_forecast",
+    # r14 wave 13: ranked running revenue share over the per-part
+    # aggregate (the orders_abc_classification shape)
+    "lineitem_abc_xyz_matrix",
 }
 
 

@@ -532,6 +532,13 @@ HEAVY = [
     "ml_sobel_mediation_dmq",
     "ml_box_cox_grid",
     "ml_hausman_iv_vs_ols",
+    # round-14 wave 13 (post-rotation): fits + LOO influence
+    # (probed 1.3-2.2x — orders/lineitem scan bound)
+    "ml_gamma_fit_order_totals",
+    "ml_beta_fit_return_share",
+    "lineitem_abc_xyz_matrix",
+    "ml_dffits_topk",
+    "ml_press_predicted_r2",
 ]
 
 

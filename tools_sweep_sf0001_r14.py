@@ -61,6 +61,9 @@ R14_NEW = [
     # w12 (post-rotation)
     "ml_white_test_hetero", "ml_ramsey_reset_quadratic",
     "ml_sobel_mediation_dmq", "ml_box_cox_grid", "ml_hausman_iv_vs_ols",
+    # w13 (post-rotation)
+    "ml_gamma_fit_order_totals", "ml_beta_fit_return_share",
+    "lineitem_abc_xyz_matrix", "ml_dffits_topk", "ml_press_predicted_r2",
 ]
 
 
