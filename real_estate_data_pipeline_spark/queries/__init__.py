@@ -203,10 +203,24 @@ _MODULES = (
 )
 
 
+# name -> owning submodule, filled lazily on first lookup (ADVICE r14:
+# the bare scan was O(modules) on EVERY package-attribute miss, and
+# bench.py hits `queries.t` thousands of times). Delegation stays LIVE:
+# the cache stores the owner module, never the value, so rebound
+# submodule globals (e.g. _registry._FAN_OUT_WARNED) are re-read through
+# getattr on every access. The `name in vars(owner)` revalidation keeps
+# last-module-wins correct even if a cached owner later drops the name.
+_OWNER: dict = {}
+
+
 def __getattr__(name):
     if not name.startswith('__'):
+        _m = _OWNER.get(name)
+        if _m is not None and name in vars(_m):
+            return getattr(_m, name)
         for _m in reversed(_MODULES):
             if name in vars(_m):
+                _OWNER[name] = _m
                 return getattr(_m, name)
     raise AttributeError(
         f"module {__name__!r} has no attribute {name!r}")

@@ -431,18 +431,18 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_ad_two_sample_stat",
     "ml_watson_u2_two_sample",
     # r14 wave 3: desc-cum over the <=|terms|-row gain histogram /
-    # cum over the 20-row depth domain
+    # cum over the 20-row depth domain; plus cascade/cum windows over
+    # the 20-row top-k frame (the LIMIT is hidden behind the
+    # gain/relevance join, so the subtree check can't see it — k-row
+    # by construction)
     "doc_ranker_ndcg_at_k",
     "doc_ranker_rbo_bm25_ql",
+    "doc_ranker_err_pow2",
+    "doc_ranker_map_at_20",
     # r14 wave 4: cum over the session-boundary hour histogram (~720
     # rows/month) / the 11-row Erlang server series
     "evt_peak_concurrency_hours",
     "evt_erlang_b_sweep",
-    # r14 wave 3: cascade/cum windows over the 20-row top-k frame (the
-    # LIMIT is hidden behind the gain/relevance join, so the subtree
-    # check can't see it — k-row by construction)
-    "doc_ranker_err_pow2",
-    "doc_ranker_map_at_20",
     # r14 wave 5: 7-lag windows over the ~30-row daily-cents aggregate
     "evt_crps_empirical_window",
     "evt_pinball_quantile_window",
