@@ -109,6 +109,7 @@ from . import q77_r14_graph_iv_matryoshka as q77_r14_graph_iv_matryoshka
 from . import q78_r14_bivariate_daily as q78_r14_bivariate_daily
 from . import q79_r14_regression_diag2 as q79_r14_regression_diag2
 from . import q80_r14_fits_influence as q80_r14_fits_influence
+from . import q81_r15_model_selection as q81_r15_model_selection
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -199,6 +200,7 @@ _MODULES = (
     q78_r14_bivariate_daily,
     q79_r14_regression_diag2,
     q80_r14_fits_influence,
+    q81_r15_model_selection,
     _window,
 )
 

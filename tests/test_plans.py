@@ -332,6 +332,9 @@ _SCALAR_BROADCAST_OK = {
     "lineitem_abc_xyz_matrix",
     "ml_dffits_topk",
     "ml_press_predicted_r2",
+    # r15 wave 1: 1-row SSE scalar joined to the residual frame (the
+    # ml_dffits_topk shape)
+    "ml_bonferroni_outlier_max_t",
 }
 
 

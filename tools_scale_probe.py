@@ -539,6 +539,12 @@ HEAVY = [
     "lineitem_abc_xyz_matrix",
     "ml_dffits_topk",
     "ml_press_predicted_r2",
+    # r15 wave 1 (model selection, probed 1.1-2.1x)
+    "ml_partial_f_add_quadratic",
+    "ml_mallows_cp_models",
+    "ml_aic_bic_order_models",
+    "ml_std_betas_quadratic",
+    "ml_bonferroni_outlier_max_t",
 ]
 
 
