@@ -110,6 +110,7 @@ from . import q78_r14_bivariate_daily as q78_r14_bivariate_daily
 from . import q79_r14_regression_diag2 as q79_r14_regression_diag2
 from . import q80_r14_fits_influence as q80_r14_fits_influence
 from . import q81_r15_model_selection as q81_r15_model_selection
+from . import q82_r15_streaming_pipeline as q82_r15_streaming_pipeline
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -201,6 +202,7 @@ _MODULES = (
     q79_r14_regression_diag2,
     q80_r14_fits_influence,
     q81_r15_model_selection,
+    q82_r15_streaming_pipeline,
     _window,
 )
 

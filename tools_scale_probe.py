@@ -545,6 +545,12 @@ HEAVY = [
     "ml_aic_bic_order_models",
     "ml_std_betas_quadratic",
     "ml_bonferroni_outlier_max_t",
+    # r15 wave 2 (streaming pipeline + stateful sessionizer; 0.8x /
+    # 3.2x — the scd2 pipeline is dominated by its fixed write cycles,
+    # the sessionizer rides the deliberately denser per-user event
+    # streams of the derived corpus)
+    "pipe_stream_silver_scd2_now",
+    "evt_stream_stateful_sessions_now",
 ]
 
 
