@@ -111,6 +111,7 @@ from . import q79_r14_regression_diag2 as q79_r14_regression_diag2
 from . import q80_r14_fits_influence as q80_r14_fits_influence
 from . import q81_r15_model_selection as q81_r15_model_selection
 from . import q82_r15_streaming_pipeline as q82_r15_streaming_pipeline
+from . import q83_r15_operations as q83_r15_operations
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -203,6 +204,7 @@ _MODULES = (
     q80_r14_fits_influence,
     q81_r15_model_selection,
     q82_r15_streaming_pipeline,
+    q83_r15_operations,
     _window,
 )
 

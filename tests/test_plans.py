@@ -335,6 +335,12 @@ _SCALAR_BROADCAST_OK = {
     # r15 wave 1: 1-row SSE scalar joined to the residual frame (the
     # ml_dffits_topk shape)
     "ml_bonferroni_outlier_max_t",
+    # r15 wave 3: 1-row day-count/moment scalars + the 5-row literal
+    # critical-ratio grid (the ml_box_cox_grid shape) against bounded
+    # daily aggregates
+    "orders_newsvendor_levels",
+    "orders_process_capability_daily",
+    "evt_nelson_rules_scan",
 }
 
 
@@ -464,6 +470,13 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     # r14 wave 13: ranked running revenue share over the per-part
     # aggregate (the orders_abc_classification shape)
     "lineitem_abc_xyz_matrix",
+    # r15 wave 3: cum over the bounded daily-demand histogram /
+    # 7-lag + run windows over the ~30-row daily aggregate /
+    # row_number over the ~2500-row per-calendar-day aggregate
+    "orders_newsvendor_levels",
+    "evt_tracking_signal_seasonal",
+    "orders_process_capability_daily",
+    "evt_nelson_rules_scan",
 }
 
 

@@ -551,6 +551,12 @@ HEAVY = [
     # streams of the derived corpus)
     "pipe_stream_silver_scd2_now",
     "evt_stream_stateful_sessions_now",
+    # r15 wave 3 (operations analytics, probed 1.2-2.1x)
+    "orders_newsvendor_levels",
+    "evt_little_law_audit",
+    "evt_tracking_signal_seasonal",
+    "orders_process_capability_daily",
+    "evt_nelson_rules_scan",
 ]
 
 
