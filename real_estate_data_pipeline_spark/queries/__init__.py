@@ -112,6 +112,7 @@ from . import q80_r14_fits_influence as q80_r14_fits_influence
 from . import q81_r15_model_selection as q81_r15_model_selection
 from . import q82_r15_streaming_pipeline as q82_r15_streaming_pipeline
 from . import q83_r15_operations as q83_r15_operations
+from . import q84_r15_categorical2 as q84_r15_categorical2
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -205,6 +206,7 @@ _MODULES = (
     q81_r15_model_selection,
     q82_r15_streaming_pipeline,
     q83_r15_operations,
+    q84_r15_categorical2,
     _window,
 )
 

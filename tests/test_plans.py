@@ -341,6 +341,14 @@ _SCALAR_BROADCAST_OK = {
     "orders_newsvendor_levels",
     "orders_process_capability_daily",
     "evt_nelson_rules_scan",
+    # r15 wave 4: 1-row median scalar against the order frame (the
+    # ml_odds_ratio_2x2 shape) / 1-row cell-count + moment scalars
+    # against the bounded brand x size cell frame / <=7-row pooled
+    # stratum scalar
+    "ml_yule_q_y_2x2",
+    "ml_contingency_coef_brand_size",
+    "ml_woolf_or_homogeneity",
+    "ml_lambda_symmetric_brand_size",
 }
 
 

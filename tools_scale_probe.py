@@ -557,6 +557,12 @@ HEAVY = [
     "evt_tracking_signal_seasonal",
     "orders_process_capability_daily",
     "evt_nelson_rules_scan",
+    # r15 wave 4 (categorical association II, probed 0.7-2.2x)
+    "ml_yule_q_y_2x2",
+    "ml_contingency_coef_brand_size",
+    "ml_stuart_maxwell_marginal",
+    "ml_woolf_or_homogeneity",
+    "ml_lambda_symmetric_brand_size",
 ]
 
 
