@@ -113,6 +113,7 @@ from . import q81_r15_model_selection as q81_r15_model_selection
 from . import q82_r15_streaming_pipeline as q82_r15_streaming_pipeline
 from . import q83_r15_operations as q83_r15_operations
 from . import q84_r15_categorical2 as q84_r15_categorical2
+from . import q85_r15_ecology as q85_r15_ecology
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -207,6 +208,7 @@ _MODULES = (
     q82_r15_streaming_pipeline,
     q83_r15_operations,
     q84_r15_categorical2,
+    q85_r15_ecology,
     _window,
 )
 

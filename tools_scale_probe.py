@@ -563,6 +563,12 @@ HEAVY = [
     "ml_stuart_maxwell_marginal",
     "ml_woolf_or_homogeneity",
     "ml_lambda_symmetric_brand_size",
+    # r15 wave 5 (ecology diversity, probed 1.0-1.5x)
+    "doc_vocab_ace_richness",
+    "doc_miller_madow_entropy_sources",
+    "doc_hill_numbers_sources",
+    "doc_morisita_horn_sources",
+    "doc_bray_curtis_sources",
 ]
 
 
