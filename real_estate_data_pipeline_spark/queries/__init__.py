@@ -114,6 +114,7 @@ from . import q82_r15_streaming_pipeline as q82_r15_streaming_pipeline
 from . import q83_r15_operations as q83_r15_operations
 from . import q84_r15_categorical2 as q84_r15_categorical2
 from . import q85_r15_ecology as q85_r15_ecology
+from . import q86_r15_classifier_eval as q86_r15_classifier_eval
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -209,6 +210,7 @@ _MODULES = (
     q83_r15_operations,
     q84_r15_categorical2,
     q85_r15_ecology,
+    q86_r15_classifier_eval,
     _window,
 )
 

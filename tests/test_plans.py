@@ -349,6 +349,12 @@ _SCALAR_BROADCAST_OK = {
     "ml_contingency_coef_brand_size",
     "ml_woolf_or_homogeneity",
     "ml_lambda_symmetric_brand_size",
+    # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
+    # grid / 1-row climatology scalar against the bounded band frames
+    "ml_partial_auc_price_urgent",
+    "ml_ks_separation_price_urgent",
+    "ml_fbeta_threshold_sweep",
+    "ml_brier_skill_score",
 }
 
 
@@ -485,6 +491,11 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_tracking_signal_seasonal",
     "orders_process_capability_daily",
     "evt_nelson_rules_scan",
+    # r15 wave 6: cumulative ROC / ECDF windows over the bounded
+    # ~500-row $1000-band histogram (the ml_auc_price_urgent shape)
+    "ml_partial_auc_price_urgent",
+    "ml_ks_separation_price_urgent",
+    "ml_fbeta_threshold_sweep",
 }
 
 

@@ -569,6 +569,12 @@ HEAVY = [
     "doc_hill_numbers_sources",
     "doc_morisita_horn_sources",
     "doc_bray_curtis_sources",
+    # r15 wave 6 (classifier eval II, probed 1.0-2.0x)
+    "ml_partial_auc_price_urgent",
+    "ml_ks_separation_price_urgent",
+    "ml_fbeta_threshold_sweep",
+    "ml_spiegelhalter_z_calibration",
+    "ml_brier_skill_score",
 ]
 
 
