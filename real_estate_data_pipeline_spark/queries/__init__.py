@@ -115,6 +115,7 @@ from . import q83_r15_operations as q83_r15_operations
 from . import q84_r15_categorical2 as q84_r15_categorical2
 from . import q85_r15_ecology as q85_r15_ecology
 from . import q86_r15_classifier_eval as q86_r15_classifier_eval
+from . import q87_r15_cluster_validity as q87_r15_cluster_validity
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -211,6 +212,7 @@ _MODULES = (
     q84_r15_categorical2,
     q85_r15_ecology,
     q86_r15_classifier_eval,
+    q87_r15_cluster_validity,
     _window,
 )
 

@@ -355,6 +355,14 @@ _SCALAR_BROADCAST_OK = {
     "ml_ks_separation_price_urgent",
     "ml_fbeta_threshold_sweep",
     "ml_brier_skill_score",
+    # r15 wave 7: broadcast 10-row centroid-array / 25-row probe-
+    # and-reference panels against the embeddings scan (the
+    # emb_silhouette_by_label / sim_range_search_count shapes), plus
+    # 1x1 scalar combines
+    "emb_davies_bouldin_labels",
+    "emb_calinski_harabasz_labels",
+    "emb_dunn_centroid_index",
+    "emb_hopkins_clusterability",
 }
 
 

@@ -575,6 +575,11 @@ HEAVY = [
     "ml_fbeta_threshold_sweep",
     "ml_spiegelhalter_z_calibration",
     "ml_brier_skill_score",
+    # r15 wave 7 (cluster validity + Hopkins, probed 1.0-2.2x)
+    "emb_davies_bouldin_labels",
+    "emb_calinski_harabasz_labels",
+    "emb_dunn_centroid_index",
+    "emb_hopkins_clusterability",
 ]
 
 
