@@ -363,6 +363,12 @@ _SCALAR_BROADCAST_OK = {
     "emb_calinski_harabasz_labels",
     "emb_dunn_centroid_index",
     "emb_hopkins_clusterability",
+    # r15 wave 8: 1-row moment/line/rho scalars against the bounded
+    # calendar-day aggregates (the ml_durbin_watson_daily shape)
+    "evt_pacf_durbin_levinson",
+    "evt_yule_walker_ar2",
+    "ml_breusch_godfrey_lag1",
+    "ml_cochrane_orcutt_onestep",
 }
 
 
@@ -504,6 +510,13 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_partial_auc_price_urgent",
     "ml_ks_separation_price_urgent",
     "ml_fbeta_threshold_sweep",
+    # r15 wave 8: lag/row_number windows over the 30-row daily event
+    # aggregate and the ~2400-row calendar-day order aggregate
+    "evt_pacf_durbin_levinson",
+    "evt_yule_walker_ar2",
+    "ml_breusch_godfrey_lag1",
+    "ml_goldfeld_quandt_daily",
+    "ml_cochrane_orcutt_onestep",
 }
 
 

@@ -580,6 +580,12 @@ HEAVY = [
     "emb_calinski_harabasz_labels",
     "emb_dunn_centroid_index",
     "emb_hopkins_clusterability",
+    # r15 wave 8 (time-series econometrics II, probed 1.0-1.3x)
+    "evt_pacf_durbin_levinson",
+    "evt_yule_walker_ar2",
+    "ml_breusch_godfrey_lag1",
+    "ml_goldfeld_quandt_daily",
+    "ml_cochrane_orcutt_onestep",
 ]
 
 
