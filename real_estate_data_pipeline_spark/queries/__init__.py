@@ -117,6 +117,7 @@ from . import q85_r15_ecology as q85_r15_ecology
 from . import q86_r15_classifier_eval as q86_r15_classifier_eval
 from . import q87_r15_cluster_validity as q87_r15_cluster_validity
 from . import q88_r15_timeseries_econ as q88_r15_timeseries_econ
+from . import q89_r15_bi_fits as q89_r15_bi_fits
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -215,6 +216,7 @@ _MODULES = (
     q86_r15_classifier_eval,
     q87_r15_cluster_validity,
     q88_r15_timeseries_econ,
+    q89_r15_bi_fits,
     _window,
 )
 

@@ -349,6 +349,10 @@ _SCALAR_BROADCAST_OK = {
     "ml_contingency_coef_brand_size",
     "ml_woolf_or_homogeneity",
     "ml_lambda_symmetric_brand_size",
+    # r15 wave 9: 1-row revenue-total / percentile-threshold scalars
+    # (the ml_odds_ratio_2x2 / orders_abc shapes)
+    "part_bcg_growth_share_matrix",
+    "ml_gpd_mom_excesses",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",
@@ -517,6 +521,11 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_breusch_godfrey_lag1",
     "ml_goldfeld_quandt_daily",
     "ml_cochrane_orcutt_onestep",
+    # r15 wave 9: ranked integer dot products over the per-part /
+    # per-customer aggregates (the orders_abc_classification /
+    # cust_zenga_index shape)
+    "lineitem_rosenbluth_hti",
+    "cust_concentration_index_discount",
 }
 
 

@@ -586,6 +586,12 @@ HEAVY = [
     "ml_breusch_godfrey_lag1",
     "ml_goldfeld_quandt_daily",
     "ml_cochrane_orcutt_onestep",
+    # r15 wave 9 (BI concentration + fits, probed 1.1-2.0x)
+    "part_bcg_growth_share_matrix",
+    "lineitem_rosenbluth_hti",
+    "cust_concentration_index_discount",
+    "ml_gpd_mom_excesses",
+    "ml_ztp_fit_order_items",
 ]
 
 
