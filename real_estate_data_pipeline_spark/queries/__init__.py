@@ -118,6 +118,7 @@ from . import q86_r15_classifier_eval as q86_r15_classifier_eval
 from . import q87_r15_cluster_validity as q87_r15_cluster_validity
 from . import q88_r15_timeseries_econ as q88_r15_timeseries_econ
 from . import q89_r15_bi_fits as q89_r15_bi_fits
+from . import q90_r15_text2 as q90_r15_text2
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -217,6 +218,7 @@ _MODULES = (
     q87_r15_cluster_validity,
     q88_r15_timeseries_econ,
     q89_r15_bi_fits,
+    q90_r15_text2,
     _window,
 )
 

@@ -353,6 +353,9 @@ _SCALAR_BROADCAST_OK = {
     # (the ml_odds_ratio_2x2 / orders_abc shapes)
     "part_bcg_growth_share_matrix",
     "ml_gpd_mom_excesses",
+    # r15 wave 10: 14-row literal Fourier-frequency grid + 1-row
+    # power-total scalar (the ml_box_cox_grid shape)
+    "evt_spectral_entropy_daily",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",
@@ -526,6 +529,8 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     # cust_zenga_index shape)
     "lineitem_rosenbluth_hti",
     "cust_concentration_index_discount",
+    # r15 wave 10: 7-lag window over the 30-row daily event aggregate
+    "ml_theil_u_decomposition",
 }
 
 

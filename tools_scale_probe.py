@@ -592,6 +592,12 @@ HEAVY = [
     "cust_concentration_index_discount",
     "ml_gpd_mom_excesses",
     "ml_ztp_fit_order_items",
+    # r15 wave 10 (text II + forecast decomposition, probed 1.2-2.0x)
+    "doc_lix_rix_by_source",
+    "doc_flesch_reading_ease_by_source",
+    "doc_char_entropy_by_source",
+    "ml_theil_u_decomposition",
+    "evt_spectral_entropy_daily",
 ]
 
 
