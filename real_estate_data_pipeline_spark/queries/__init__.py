@@ -119,6 +119,7 @@ from . import q87_r15_cluster_validity as q87_r15_cluster_validity
 from . import q88_r15_timeseries_econ as q88_r15_timeseries_econ
 from . import q89_r15_bi_fits as q89_r15_bi_fits
 from . import q90_r15_text2 as q90_r15_text2
+from . import q91_r15_graph2 as q91_r15_graph2
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -219,6 +220,7 @@ _MODULES = (
     q88_r15_timeseries_econ,
     q89_r15_bi_fits,
     q90_r15_text2,
+    q91_r15_graph2,
     _window,
 )
 

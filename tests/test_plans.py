@@ -356,6 +356,9 @@ _SCALAR_BROADCAST_OK = {
     # r15 wave 10: 14-row literal Fourier-frequency grid + 1-row
     # power-total scalar (the ml_box_cox_grid shape)
     "evt_spectral_entropy_daily",
+    # r15 wave 11: 1x1 combine of the four distance-class count
+    # scalars (the graph_kcore_peel_rounds shape)
+    "graph_bounded_path_stats",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",

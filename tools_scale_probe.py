@@ -598,6 +598,15 @@ HEAVY = [
     "doc_char_entropy_by_source",
     "ml_theil_u_decomposition",
     "evt_spectral_entropy_daily",
+    # r15 wave 11 (graph centralities II, probed 3.0-3.9x on the
+    # deliberately 10x-denser dup graph — per-round edge joins are
+    # linear in the densified edge set; harmonic/path stats are
+    # seed-bounded to the top-20 hubs, the q77 multi-seed BFS shape)
+    "graph_katz_centrality_rounds",
+    "graph_eigenvector_power_rounds",
+    "graph_harmonic_centrality_bounded",
+    "graph_bounded_path_stats",
+    "graph_degree_heterogeneity",
 ]
 
 
