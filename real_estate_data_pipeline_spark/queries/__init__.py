@@ -120,6 +120,7 @@ from . import q88_r15_timeseries_econ as q88_r15_timeseries_econ
 from . import q89_r15_bi_fits as q89_r15_bi_fits
 from . import q90_r15_text2 as q90_r15_text2
 from . import q91_r15_graph2 as q91_r15_graph2
+from . import q92_r15_robust2 as q92_r15_robust2
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -221,6 +222,7 @@ _MODULES = (
     q89_r15_bi_fits,
     q90_r15_text2,
     q91_r15_graph2,
+    q92_r15_robust2,
     _window,
 )
 

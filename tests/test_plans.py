@@ -359,6 +359,14 @@ _SCALAR_BROADCAST_OK = {
     # r15 wave 11: 1x1 combine of the four distance-class count
     # scalars (the graph_kcore_peel_rounds shape)
     "graph_bounded_path_stats",
+    # r15 wave 12: 1-row n/median/MAD scalars + the 50x50 value-pair
+    # difference histogram against the bounded quantity histogram
+    # (the ml_quartile_coef_dispersion family's frames)
+    "ml_sn_scale_quantity",
+    "ml_biweight_midvariance_quantity",
+    "ml_trimean_midhinge_quantity",
+    "ml_gastwirth_estimator_quantity",
+    "ml_shorth_lms_quantity",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",
@@ -534,6 +542,13 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "cust_concentration_index_discount",
     # r15 wave 10: 7-lag window over the 30-row daily event aggregate
     "ml_theil_u_decomposition",
+    # r15 wave 12: cumulative/rank windows over the 50-value quantity
+    # histogram and its 50x50 difference histogram
+    "ml_sn_scale_quantity",
+    "ml_biweight_midvariance_quantity",
+    "ml_trimean_midhinge_quantity",
+    "ml_gastwirth_estimator_quantity",
+    "ml_shorth_lms_quantity",
 }
 
 

@@ -607,6 +607,12 @@ HEAVY = [
     "graph_harmonic_centrality_bounded",
     "graph_bounded_path_stats",
     "graph_degree_heterogeneity",
+    # r15 wave 12 (robust estimators II, probed 0.8-1.3x)
+    "ml_sn_scale_quantity",
+    "ml_biweight_midvariance_quantity",
+    "ml_trimean_midhinge_quantity",
+    "ml_gastwirth_estimator_quantity",
+    "ml_shorth_lms_quantity",
 ]
 
 
