@@ -121,6 +121,7 @@ from . import q89_r15_bi_fits as q89_r15_bi_fits
 from . import q90_r15_text2 as q90_r15_text2
 from . import q91_r15_graph2 as q91_r15_graph2
 from . import q92_r15_robust2 as q92_r15_robust2
+from . import q93_r15_mixed as q93_r15_mixed
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -223,6 +224,7 @@ _MODULES = (
     q90_r15_text2,
     q91_r15_graph2,
     q92_r15_robust2,
+    q93_r15_mixed,
     _window,
 )
 

@@ -367,6 +367,9 @@ _SCALAR_BROADCAST_OK = {
     "ml_trimean_midhinge_quantity",
     "ml_gastwirth_estimator_quantity",
     "ml_shorth_lms_quantity",
+    # r15 wave 13: 1-row threshold scalar against the bounded daily
+    # aggregate (the orders_newsvendor shape)
+    "evt_pot_cluster_count",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",
@@ -549,6 +552,12 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_trimean_midhinge_quantity",
     "ml_gastwirth_estimator_quantity",
     "ml_shorth_lms_quantity",
+    # r15 wave 13: ranked rank-dot-product / cumulative windows over
+    # the per-customer aggregate (the cust_zenga_index shape), plus
+    # ECDF/island windows over the 30-row daily aggregate
+    "lineitem_kakwani_discount_progressivity",
+    "lineitem_suits_index_discount",
+    "evt_pot_cluster_count",
 }
 
 

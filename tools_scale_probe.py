@@ -613,6 +613,12 @@ HEAVY = [
     "ml_trimean_midhinge_quantity",
     "ml_gastwirth_estimator_quantity",
     "ml_shorth_lms_quantity",
+    # r15 wave 13 (mixed frontier, probed 1.0-1.4x)
+    "lineitem_kakwani_discount_progressivity",
+    "lineitem_suits_index_discount",
+    "ml_fisher_z_corr_ci",
+    "sql_interface_grouping_sets",
+    "evt_pot_cluster_count",
 ]
 
 
