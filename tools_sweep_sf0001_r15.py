@@ -60,6 +60,10 @@ R15_NEW = [
     "ml_sn_scale_quantity", "ml_biweight_midvariance_quantity",
     "ml_trimean_midhinge_quantity", "ml_gastwirth_estimator_quantity",
     "ml_shorth_lms_quantity",
+    # w13
+    "lineitem_kakwani_discount_progressivity", "lineitem_suits_index_discount",
+    "ml_fisher_z_corr_ci", "sql_interface_grouping_sets",
+    "evt_pot_cluster_count",
 ]
 
 
