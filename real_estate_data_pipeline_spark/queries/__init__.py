@@ -122,6 +122,7 @@ from . import q90_r15_text2 as q90_r15_text2
 from . import q91_r15_graph2 as q91_r15_graph2
 from . import q92_r15_robust2 as q92_r15_robust2
 from . import q93_r15_mixed as q93_r15_mixed
+from . import q94_r15_reliability as q94_r15_reliability
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -225,6 +226,7 @@ _MODULES = (
     q91_r15_graph2,
     q92_r15_robust2,
     q93_r15_mixed,
+    q94_r15_reliability,
     _window,
 )
 

@@ -370,6 +370,14 @@ _SCALAR_BROADCAST_OK = {
     # r15 wave 13: 1-row threshold scalar against the bounded daily
     # aggregate (the orders_newsvendor shape)
     "evt_pot_cluster_count",
+    # r15 wave 14: 1-row t0/midpoint/user-count scalars + 8/9-row
+    # literal day/decile grids against the bounded daily / gap-band
+    # aggregates (the ml_box_cox_grid shape)
+    "evt_mean_cumulative_function_daily",
+    "evt_ttt_transform_deciles",
+    "evt_discrete_hazard_days",
+    "evt_duane_growth_daily",
+    "evt_inspection_paradox_census",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",
@@ -558,6 +566,13 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "lineitem_kakwani_discount_progressivity",
     "lineitem_suits_index_discount",
     "evt_pot_cluster_count",
+    # r15 wave 14: cumulative windows over the 30-row daily aggregate
+    # and the calendar-bounded (<= 43200-row) minute/day gap-band
+    # histograms
+    "evt_mean_cumulative_function_daily",
+    "evt_ttt_transform_deciles",
+    "evt_discrete_hazard_days",
+    "evt_duane_growth_daily",
 }
 
 

@@ -619,6 +619,12 @@ HEAVY = [
     "ml_fisher_z_corr_ci",
     "sql_interface_grouping_sets",
     "evt_pot_cluster_count",
+    # r15 wave 14 (reliability / recurrent events, probed 1.3-1.8x)
+    "evt_mean_cumulative_function_daily",
+    "evt_ttt_transform_deciles",
+    "evt_discrete_hazard_days",
+    "evt_duane_growth_daily",
+    "evt_inspection_paradox_census",
 ]
 
 
