@@ -378,6 +378,14 @@ _SCALAR_BROADCAST_OK = {
     "evt_discrete_hazard_days",
     "evt_duane_growth_daily",
     "evt_inspection_paradox_census",
+    # r15 wave 15: 1-row person-time / risk-set / MH-moment / total-
+    # population scalars + the densified 5-type grid against the
+    # bounded band/stratum frames (the evt_discrete_hazard_days shape)
+    "evt_cif_competing_hours",
+    "evt_person_time_rates",
+    "ml_mantel_haenszel_or",
+    "ml_gehan_wilcoxon_segments",
+    "cust_urgent_rate_direct_std",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",
@@ -573,6 +581,11 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_ttt_transform_deciles",
     "evt_discrete_hazard_days",
     "evt_duane_growth_daily",
+    # r15 wave 15: cumulative/suffix windows over the 9-row hour-band
+    # frame and the bounded per-duration histogram (the q50 log-rank
+    # risk-set shape)
+    "evt_cif_competing_hours",
+    "ml_gehan_wilcoxon_segments",
 }
 
 

@@ -625,6 +625,12 @@ HEAVY = [
     "evt_discrete_hazard_days",
     "evt_duane_growth_daily",
     "evt_inspection_paradox_census",
+    # r15 wave 15 (post-close): competing risks + epidemiology
+    "evt_cif_competing_hours",
+    "evt_person_time_rates",
+    "ml_mantel_haenszel_or",
+    "ml_gehan_wilcoxon_segments",
+    "cust_urgent_rate_direct_std",
 ]
 
 
