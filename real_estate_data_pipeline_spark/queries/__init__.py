@@ -124,6 +124,7 @@ from . import q92_r15_robust2 as q92_r15_robust2
 from . import q93_r15_mixed as q93_r15_mixed
 from . import q94_r15_reliability as q94_r15_reliability
 from . import q95_r15_survival3 as q95_r15_survival3
+from . import q96_r15_actuarial_index as q96_r15_actuarial_index
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -229,6 +230,7 @@ _MODULES = (
     q93_r15_mixed,
     q94_r15_reliability,
     q95_r15_survival3,
+    q96_r15_actuarial_index,
     _window,
 )
 

@@ -386,6 +386,12 @@ _SCALAR_BROADCAST_OK = {
     "ml_mantel_haenszel_or",
     "ml_gehan_wilcoxon_segments",
     "cust_urgent_rate_direct_std",
+    # r15 wave 16: 1-row basket-total / global-moment scalars + the
+    # <=5-row snapped factor frame range-joined onto the 6-row origin
+    # diagonal (bounded both sides)
+    "orders_chain_ladder_ultimates",
+    "lineitem_tornqvist_index",
+    "cust_theil_inequality_decomp",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",

@@ -631,6 +631,12 @@ HEAVY = [
     "ml_mantel_haenszel_or",
     "ml_gehan_wilcoxon_segments",
     "cust_urgent_rate_direct_std",
+    # r15 wave 16 (post-close): actuarial + index numbers II
+    "orders_chain_ladder_factors",
+    "orders_chain_ladder_ultimates",
+    "lineitem_tornqvist_index",
+    "lineitem_walsh_me_indexes",
+    "cust_theil_inequality_decomp",
 ]
 
 
