@@ -125,6 +125,7 @@ from . import q93_r15_mixed as q93_r15_mixed
 from . import q94_r15_reliability as q94_r15_reliability
 from . import q95_r15_survival3 as q95_r15_survival3
 from . import q96_r15_actuarial_index as q96_r15_actuarial_index
+from . import q97_r15_pointprocess as q97_r15_pointprocess
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -231,6 +232,7 @@ _MODULES = (
     q94_r15_reliability,
     q95_r15_survival3,
     q96_r15_actuarial_index,
+    q97_r15_pointprocess,
     _window,
 )
 

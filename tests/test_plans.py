@@ -392,6 +392,14 @@ _SCALAR_BROADCAST_OK = {
     "orders_chain_ladder_ultimates",
     "lineitem_tornqvist_index",
     "cust_theil_inequality_decomp",
+    # r15 wave 17: 1-row (t0, nd) calendar / total-count / moment
+    # scalars + <=4-row tau/offset grids against the bounded
+    # hour/minute band histograms (the evt_discrete_hazard_days shape)
+    "evt_allan_variance_hours",
+    "evt_fano_factor_scales",
+    "evt_ripley_k_minutes",
+    "evt_thinning_invariance_cv2",
+    "evt_permutation_entropy_hours",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",

@@ -637,6 +637,12 @@ HEAVY = [
     "lineitem_tornqvist_index",
     "lineitem_walsh_me_indexes",
     "cust_theil_inequality_decomp",
+    # r15 wave 17 (post-close): multi-scale point-process statistics
+    "evt_allan_variance_hours",
+    "evt_fano_factor_scales",
+    "evt_ripley_k_minutes",
+    "evt_thinning_invariance_cv2",
+    "evt_permutation_entropy_hours",
 ]
 
 
