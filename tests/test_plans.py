@@ -400,6 +400,12 @@ _SCALAR_BROADCAST_OK = {
     "evt_ripley_k_minutes",
     "evt_thinning_invariance_cv2",
     "evt_permutation_entropy_hours",
+    # r15 wave 18: 1-row (m, n) / normalizer / coalition-pivot scalars
+    # + the literal 8-row coalition grid against bounded brand/user
+    # aggregates
+    "orders_kendall_w_years",
+    "cust_shapley_channel_attribution",
+    "lineitem_bradley_terry_brands",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",
@@ -595,6 +601,9 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "evt_ttt_transform_deciles",
     "evt_discrete_hazard_days",
     "evt_duane_growth_daily",
+    # r15 wave 18: the closing rank window over the 25-row brand
+    # strength frame (post-aggregate, brand-domain bounded)
+    "lineitem_bradley_terry_brands",
     # r15 wave 15: cumulative/suffix windows over the 9-row hour-band
     # frame and the bounded per-duration histogram (the q50 log-rank
     # risk-set shape)

@@ -643,6 +643,12 @@ HEAVY = [
     "evt_ripley_k_minutes",
     "evt_thinning_invariance_cv2",
     "evt_permutation_entropy_hours",
+    # r15 wave 18 (post-close): ranking + social choice
+    "lineitem_bradley_terry_brands",
+    "lineitem_borda_condorcet_brands",
+    "orders_kendall_w_years",
+    "orders_footrule_yearly_rankings",
+    "cust_shapley_channel_attribution",
 ]
 
 
