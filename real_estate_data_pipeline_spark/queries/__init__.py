@@ -127,6 +127,7 @@ from . import q95_r15_survival3 as q95_r15_survival3
 from . import q96_r15_actuarial_index as q96_r15_actuarial_index
 from . import q97_r15_pointprocess as q97_r15_pointprocess
 from . import q98_r15_social_choice as q98_r15_social_choice
+from . import q99_r15_dependence as q99_r15_dependence
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -235,6 +236,7 @@ _MODULES = (
     q96_r15_actuarial_index,
     q97_r15_pointprocess,
     q98_r15_social_choice,
+    q99_r15_dependence,
     _window,
 )
 

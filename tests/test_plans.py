@@ -406,6 +406,15 @@ _SCALAR_BROADCAST_OK = {
     "orders_kendall_w_years",
     "cust_shapley_channel_attribution",
     "lineitem_bradley_terry_brands",
+    # r15 wave 19: 1-row n / doubled-median / threshold scalars, the
+    # 25-row quantile grid, and the 30-row daily-rank self-join (the
+    # bounded bivariate-rank frame) against the customer/day
+    # aggregates
+    "ml_empirical_copula_grid",
+    "ml_tail_dependence_customer",
+    "ml_blomqvist_beta_customer",
+    "ml_hoeffding_d_daily",
+    "ml_chatterjee_xi_daily",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",
@@ -604,6 +613,11 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     # r15 wave 18: the closing rank window over the 25-row brand
     # strength frame (post-aggregate, brand-domain bounded)
     "lineitem_bradley_terry_brands",
+    # r15 wave 19: rank/lead windows over the 30-row daily bivariate
+    # aggregate (calendar-bounded; the checkpoint hides the upstream
+    # Aggregate from the walker)
+    "ml_hoeffding_d_daily",
+    "ml_chatterjee_xi_daily",
     # r15 wave 15: cumulative/suffix windows over the 9-row hour-band
     # frame and the bounded per-duration histogram (the q50 log-rank
     # risk-set shape)

@@ -649,6 +649,12 @@ HEAVY = [
     "orders_kendall_w_years",
     "orders_footrule_yearly_rankings",
     "cust_shapley_channel_attribution",
+    # r15 wave 19 (post-close): dependence + copula measures
+    "ml_empirical_copula_grid",
+    "ml_tail_dependence_customer",
+    "ml_blomqvist_beta_customer",
+    "ml_hoeffding_d_daily",
+    "ml_chatterjee_xi_daily",
 ]
 
 
