@@ -128,6 +128,7 @@ from . import q96_r15_actuarial_index as q96_r15_actuarial_index
 from . import q97_r15_pointprocess as q97_r15_pointprocess
 from . import q98_r15_social_choice as q98_r15_social_choice
 from . import q99_r15_dependence as q99_r15_dependence
+from . import q100_r15_robust_lines as q100_r15_robust_lines
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -237,6 +238,7 @@ _MODULES = (
     q97_r15_pointprocess,
     q98_r15_social_choice,
     q99_r15_dependence,
+    q100_r15_robust_lines,
     _window,
 )
 

@@ -415,6 +415,14 @@ _SCALAR_BROADCAST_OK = {
     "ml_blomqvist_beta_customer",
     "ml_hoeffding_d_daily",
     "ml_chatterjee_xi_daily",
+    # r15 wave 20: the 30-row daily point panel / 435-row candidate
+    # frame / 1-row slope scalars broadcast against each other (all
+    # calendar-bounded; the ml_box_cox_grid shape)
+    "ml_lad_regression_daily",
+    "ml_quantile_regression_daily_q75",
+    "ml_lms_regression_daily",
+    "ml_lta_regression_daily",
+    "ml_siegel_repeated_medians_daily",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",
@@ -618,6 +626,12 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     # Aggregate from the walker)
     "ml_hoeffding_d_daily",
     "ml_chatterjee_xi_daily",
+    # r15 wave 20: the argmin rank over the 435-row candidate-line
+    # aggregate (post-aggregate, calendar-bounded)
+    "ml_lad_regression_daily",
+    "ml_quantile_regression_daily_q75",
+    "ml_lms_regression_daily",
+    "ml_lta_regression_daily",
     # r15 wave 15: cumulative/suffix windows over the 9-row hour-band
     # frame and the bounded per-duration histogram (the q50 log-rank
     # risk-set shape)

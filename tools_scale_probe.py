@@ -655,6 +655,12 @@ HEAVY = [
     "ml_blomqvist_beta_customer",
     "ml_hoeffding_d_daily",
     "ml_chatterjee_xi_daily",
+    # r15 wave 20 (post-close): robust + quantile regression lines
+    "ml_lad_regression_daily",
+    "ml_quantile_regression_daily_q75",
+    "ml_lms_regression_daily",
+    "ml_lta_regression_daily",
+    "ml_siegel_repeated_medians_daily",
 ]
 
 
