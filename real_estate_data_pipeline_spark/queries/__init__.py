@@ -129,6 +129,7 @@ from . import q97_r15_pointprocess as q97_r15_pointprocess
 from . import q98_r15_social_choice as q98_r15_social_choice
 from . import q99_r15_dependence as q99_r15_dependence
 from . import q100_r15_robust_lines as q100_r15_robust_lines
+from . import q101_r15_queueing2 as q101_r15_queueing2
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -239,6 +240,7 @@ _MODULES = (
     q98_r15_social_choice,
     q99_r15_dependence,
     q100_r15_robust_lines,
+    q101_r15_queueing2,
     _window,
 )
 

@@ -423,6 +423,13 @@ _SCALAR_BROADCAST_OK = {
     "ml_lms_regression_daily",
     "ml_lta_regression_daily",
     "ml_siegel_repeated_medians_daily",
+    # r15 wave 21: 1-row load / population / max scalars + the 11-row
+    # Erlang series against bounded hour/sample aggregates (the
+    # evt_erlang_b_sweep shape)
+    "evt_erlang_c_staffing",
+    "evt_mgc_wait_approx",
+    "evt_workload_hourly_offered",
+    "cust_ratio_greg_estimators",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",
@@ -554,6 +561,9 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     # rows/month) / the 11-row Erlang server series
     "evt_peak_concurrency_hours",
     "evt_erlang_b_sweep",
+    # r15 wave 21: the same 11-row Erlang series cumulative window
+    "evt_erlang_c_staffing",
+    "evt_mgc_wait_approx",
     # r14 wave 5: 7-lag windows over the ~30-row daily-cents aggregate
     "evt_crps_empirical_window",
     "evt_pinball_quantile_window",

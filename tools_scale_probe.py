@@ -661,6 +661,12 @@ HEAVY = [
     "ml_lms_regression_daily",
     "ml_lta_regression_daily",
     "ml_siegel_repeated_medians_daily",
+    # r15 wave 21 (post-close): queueing II + survey estimation
+    "evt_kingman_vut_by_type",
+    "evt_erlang_c_staffing",
+    "evt_mgc_wait_approx",
+    "evt_workload_hourly_offered",
+    "cust_ratio_greg_estimators",
 ]
 
 
