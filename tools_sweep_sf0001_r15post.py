@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Degenerate-scale sweep for the round-15 POST-CLOSE waves (15-21):
+run every post-close oracled newcomer through the FULL parity compare
+(rows + dtype kinds + exact values) at sf0.001, where tiny groups /
+empty coalitions / odd-count medians surface what sf0.01 misses."""
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from real_estate_data_pipeline_spark.queries import CATALOG
+from real_estate_data_pipeline_spark.session import get_session
+from test_oracle_parity import TABLES, assert_dtype_kinds, assert_frames_exact
+
+R15_POST = [
+    # w15 (competing risks + epidemiology)
+    "evt_cif_competing_hours", "evt_person_time_rates",
+    "ml_mantel_haenszel_or", "ml_gehan_wilcoxon_segments",
+    "cust_urgent_rate_direct_std",
+    # w16 (actuarial + index numbers II)
+    "orders_chain_ladder_factors", "orders_chain_ladder_ultimates",
+    "lineitem_tornqvist_index", "lineitem_walsh_me_indexes",
+    "cust_theil_inequality_decomp",
+    # w17 (point-process multi-scale)
+    "evt_allan_variance_hours", "evt_fano_factor_scales",
+    "evt_ripley_k_minutes", "evt_thinning_invariance_cv2",
+    "evt_permutation_entropy_hours",
+    # w18 (ranking + social choice)
+    "lineitem_bradley_terry_brands", "lineitem_borda_condorcet_brands",
+    "orders_kendall_w_years", "orders_footrule_yearly_rankings",
+    "cust_shapley_channel_attribution",
+    # w19 (dependence + copulas)
+    "ml_empirical_copula_grid", "ml_tail_dependence_customer",
+    "ml_blomqvist_beta_customer", "ml_hoeffding_d_daily",
+    "ml_chatterjee_xi_daily",
+    # w20 (robust + quantile lines)
+    "ml_lad_regression_daily", "ml_quantile_regression_daily_q75",
+    "ml_lms_regression_daily", "ml_lta_regression_daily",
+    "ml_siegel_repeated_medians_daily",
+    # w21 (queueing II + survey)
+    "evt_kingman_vut_by_type", "evt_erlang_c_staffing",
+    "evt_mgc_wait_approx", "evt_workload_hourly_offered",
+    "cust_ratio_greg_estimators",
+]
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_session("sweep-sf0001-post")
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf}/{tbl}.parquet')"
+        )
+    failed = []
+    for name in R15_POST:
+        try:
+            spdf = CATALOG[name].fn(spark, sf).toPandas()
+            dddf = con.execute(CATALOG[name].oracle).df()
+            assert_dtype_kinds(name, spdf, dddf)
+            assert_frames_exact(name, spdf, dddf)
+            print(f"{name:40s} OK ({len(spdf)} rows)")
+        except Exception as e:
+            failed.append(name)
+            print(f"{name:40s} FAIL {str(e)[:160]}")
+    print(f"\n{len(R15_POST) - len(failed)}/{len(R15_POST)} passed")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
