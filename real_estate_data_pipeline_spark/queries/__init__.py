@@ -130,6 +130,7 @@ from . import q98_r15_social_choice as q98_r15_social_choice
 from . import q99_r15_dependence as q99_r15_dependence
 from . import q100_r15_robust_lines as q100_r15_robust_lines
 from . import q101_r15_queueing2 as q101_r15_queueing2
+from . import q102_r15_causal as q102_r15_causal
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -241,6 +242,7 @@ _MODULES = (
     q99_r15_dependence,
     q100_r15_robust_lines,
     q101_r15_queueing2,
+    q102_r15_causal,
     _window,
 )
 

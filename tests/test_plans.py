@@ -430,6 +430,12 @@ _SCALAR_BROADCAST_OK = {
     "evt_mgc_wait_approx",
     "evt_workload_hourly_offered",
     "cust_ratio_greg_estimators",
+    # r15 wave 22: 1-row day-origin / snapped-cut / truth scalars
+    # against bounded daily/stratum/sample aggregates
+    "ml_its_segmented_daily",
+    "ml_rdd_sharp_median_price",
+    "ml_propensity_strat_ate",
+    "cust_german_tank_estimate",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",

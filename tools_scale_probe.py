@@ -667,6 +667,12 @@ HEAVY = [
     "evt_mgc_wait_approx",
     "evt_workload_hourly_offered",
     "cust_ratio_greg_estimators",
+    # r15 wave 22 (post-close): causal inference + serial estimation
+    "ml_diff_in_diff_segments",
+    "ml_its_segmented_daily",
+    "ml_rdd_sharp_median_price",
+    "ml_propensity_strat_ate",
+    "cust_german_tank_estimate",
 ]
 
 
