@@ -131,6 +131,7 @@ from . import q99_r15_dependence as q99_r15_dependence
 from . import q100_r15_robust_lines as q100_r15_robust_lines
 from . import q101_r15_queueing2 as q101_r15_queueing2
 from . import q102_r15_causal as q102_r15_causal
+from . import q103_r15_risk as q103_r15_risk
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -243,6 +244,7 @@ _MODULES = (
     q100_r15_robust_lines,
     q101_r15_queueing2,
     q102_r15_causal,
+    q103_r15_risk,
     _window,
 )
 

@@ -436,6 +436,11 @@ _SCALAR_BROADCAST_OK = {
     "ml_rdd_sharp_median_price",
     "ml_propensity_strat_ate",
     "cust_german_tank_estimate",
+    # r15 wave 23: 1-row return-count / tail-moment scalars + the
+    # 2-row level grid against the calendar-bounded (~2400-row)
+    # trading-day aggregate
+    "orders_var_cvar_daily",
+    "orders_ulcer_martin_daily",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",
@@ -648,6 +653,11 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     "ml_quantile_regression_daily_q75",
     "ml_lms_regression_daily",
     "ml_lta_regression_daily",
+    # r15 wave 23: running-max / rank windows over the calendar-
+    # bounded (~2400-row) trading-day aggregate (the checkpoint hides
+    # the upstream Aggregate from the walker)
+    "orders_var_cvar_daily",
+    "orders_ulcer_martin_daily",
     # r15 wave 15: cumulative/suffix windows over the 9-row hour-band
     # frame and the bounded per-duration histogram (the q50 log-rank
     # risk-set shape)

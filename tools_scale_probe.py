@@ -673,6 +673,12 @@ HEAVY = [
     "ml_rdd_sharp_median_price",
     "ml_propensity_strat_ate",
     "cust_german_tank_estimate",
+    # r15 wave 23 (post-close): financial risk analytics
+    "orders_var_cvar_daily",
+    "orders_sharpe_sortino_daily",
+    "orders_ulcer_martin_daily",
+    "orders_omega_kappa_daily",
+    "orders_kelly_growth_daily",
 ]
 
 
