@@ -132,6 +132,7 @@ from . import q100_r15_robust_lines as q100_r15_robust_lines
 from . import q101_r15_queueing2 as q101_r15_queueing2
 from . import q102_r15_causal as q102_r15_causal
 from . import q103_r15_risk as q103_r15_risk
+from . import q104_r15_evt as q104_r15_evt
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -245,6 +246,7 @@ _MODULES = (
     q101_r15_queueing2,
     q102_r15_causal,
     q103_r15_risk,
+    q104_r15_evt,
     _window,
 )
 

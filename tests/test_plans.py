@@ -441,6 +441,13 @@ _SCALAR_BROADCAST_OK = {
     # trading-day aggregate
     "orders_var_cvar_daily",
     "orders_ulcer_martin_daily",
+    # r15 wave 24: 1-row order-statistic / threshold scalars + the
+    # <=5-row k-grid against the LIMIT-bounded top-401 frame and the
+    # gap scan
+    "evt_hill_estimator_gaps",
+    "evt_pickands_dedh_estimators",
+    "evt_mean_excess_thresholds",
+    "evt_hill_plot_stability",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",

@@ -679,6 +679,12 @@ HEAVY = [
     "orders_ulcer_martin_daily",
     "orders_omega_kappa_daily",
     "orders_kelly_growth_daily",
+    # r15 wave 24 (post-close): extreme-value tail diagnostics
+    "evt_hill_estimator_gaps",
+    "evt_pickands_dedh_estimators",
+    "evt_mean_excess_thresholds",
+    "evt_max_to_sum_ratios",
+    "evt_hill_plot_stability",
 ]
 
 
