@@ -133,6 +133,7 @@ from . import q101_r15_queueing2 as q101_r15_queueing2
 from . import q102_r15_causal as q102_r15_causal
 from . import q103_r15_risk as q103_r15_risk
 from . import q104_r15_evt as q104_r15_evt
+from . import q105_r15_sql_geometry as q105_r15_sql_geometry
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -247,6 +248,7 @@ _MODULES = (
     q102_r15_causal,
     q103_r15_risk,
     q104_r15_evt,
+    q105_r15_sql_geometry,
     _window,
 )
 

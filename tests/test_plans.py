@@ -665,6 +665,10 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     # the upstream Aggregate from the walker)
     "orders_var_cvar_daily",
     "orders_ulcer_martin_daily",
+    # r15 wave 25: the RANGE-INTERVAL trailing window over the
+    # calendar-bounded (~2400-row) daily revenue aggregate (raw-SQL
+    # path, so the Aggregate sits below the SQL-built Window)
+    "sql_interface_range_interval_window",
     # r15 wave 15: cumulative/suffix windows over the 9-row hour-band
     # frame and the bounded per-duration histogram (the q50 log-rank
     # risk-set shape)

@@ -685,6 +685,12 @@ HEAVY = [
     "evt_mean_excess_thresholds",
     "evt_max_to_sum_ratios",
     "evt_hill_plot_stability",
+    # r15 wave 25 (post-close): SQL-interface gate II + embedding geometry
+    "sql_interface_lateral_explode",
+    "sql_interface_range_interval_window",
+    "sql_interface_unpivot",
+    "emb_participation_ratio_dim",
+    "emb_anisotropy_dot_stats",
 ]
 
 
