@@ -134,6 +134,7 @@ from . import q102_r15_causal as q102_r15_causal
 from . import q103_r15_risk as q103_r15_risk
 from . import q104_r15_evt as q104_r15_evt
 from . import q105_r15_sql_geometry as q105_r15_sql_geometry
+from . import q106_r15_markov2 as q106_r15_markov2
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -249,6 +250,7 @@ _MODULES = (
     q103_r15_risk,
     q104_r15_evt,
     q105_r15_sql_geometry,
+    q106_r15_markov2,
     _window,
 )
 

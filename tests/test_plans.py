@@ -448,6 +448,12 @@ _SCALAR_BROADCAST_OK = {
     "evt_pickands_dedh_estimators",
     "evt_mean_excess_thresholds",
     "evt_hill_plot_stability",
+    # r15 wave 26: 1-row trigram-total / day-origin scalars + the
+    # LIMIT-1 top-pair row against the bounded 5-state transition
+    # frames
+    "evt_markov_memory_g2",
+    "evt_markov_reversibility",
+    "evt_sequence_holdout_perplexity",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",

@@ -691,6 +691,12 @@ HEAVY = [
     "sql_interface_unpivot",
     "emb_participation_ratio_dim",
     "emb_anisotropy_dot_stats",
+    # r15 wave 26 (post-close): higher-order Markov diagnostics
+    "evt_markov_memory_g2",
+    "evt_markov_ck_check",
+    "evt_markov_stationarity_halves",
+    "evt_markov_reversibility",
+    "evt_sequence_holdout_perplexity",
 ]
 
 

@@ -43,6 +43,22 @@ R15_POST = [
     "evt_kingman_vut_by_type", "evt_erlang_c_staffing",
     "evt_mgc_wait_approx", "evt_workload_hourly_offered",
     "cust_ratio_greg_estimators",
+    # w22 (causal inference + serial estimation)
+    "ml_diff_in_diff_segments", "ml_its_segmented_daily",
+    "ml_rdd_sharp_median_price", "ml_propensity_strat_ate",
+    "cust_german_tank_estimate",
+    # w23 (financial risk)
+    "orders_var_cvar_daily", "orders_sharpe_sortino_daily",
+    "orders_ulcer_martin_daily", "orders_omega_kappa_daily",
+    "orders_kelly_growth_daily",
+    # w24 (extreme-value tails)
+    "evt_hill_estimator_gaps", "evt_pickands_dedh_estimators",
+    "evt_mean_excess_thresholds", "evt_max_to_sum_ratios",
+    "evt_hill_plot_stability",
+    # w25 (SQL-interface II + embedding geometry)
+    "sql_interface_lateral_explode", "sql_interface_range_interval_window",
+    "sql_interface_unpivot", "emb_participation_ratio_dim",
+    "emb_anisotropy_dot_stats",
 ]
 
 
