@@ -135,6 +135,7 @@ from . import q103_r15_risk as q103_r15_risk
 from . import q104_r15_evt as q104_r15_evt
 from . import q105_r15_sql_geometry as q105_r15_sql_geometry
 from . import q106_r15_markov2 as q106_r15_markov2
+from . import q107_r15_compositional as q107_r15_compositional
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -251,6 +252,7 @@ _MODULES = (
     q104_r15_evt,
     q105_r15_sql_geometry,
     q106_r15_markov2,
+    q107_r15_compositional,
     _window,
 )
 

@@ -454,6 +454,10 @@ _SCALAR_BROADCAST_OK = {
     "evt_markov_memory_g2",
     "evt_markov_reversibility",
     "evt_sequence_holdout_perplexity",
+    # r15 wave 27: 1-row max-variance / max-distance scalars against
+    # the 35-cell year x priority composition frame
+    "orders_clr_total_variance_priority",
+    "orders_comp_center_distances",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",

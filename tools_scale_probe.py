@@ -697,6 +697,12 @@ HEAVY = [
     "evt_markov_stationarity_halves",
     "evt_markov_reversibility",
     "evt_sequence_holdout_perplexity",
+    # r15 wave 27 (post-close): compositional data analysis
+    "orders_clr_total_variance_priority",
+    "orders_aitchison_distance_years",
+    "orders_variation_matrix_priority",
+    "orders_comp_center_distances",
+    "orders_alr_trend_priority",
 ]
 
 
