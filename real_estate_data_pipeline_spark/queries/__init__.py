@@ -136,6 +136,7 @@ from . import q104_r15_evt as q104_r15_evt
 from . import q105_r15_sql_geometry as q105_r15_sql_geometry
 from . import q106_r15_markov2 as q106_r15_markov2
 from . import q107_r15_compositional as q107_r15_compositional
+from . import q108_r15_monitoring3 as q108_r15_monitoring3
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -253,6 +254,7 @@ _MODULES = (
     q105_r15_sql_geometry,
     q106_r15_markov2,
     q107_r15_compositional,
+    q108_r15_monitoring3,
     _window,
 )
 

@@ -458,6 +458,12 @@ _SCALAR_BROADCAST_OK = {
     # the 35-cell year x priority composition frame
     "orders_clr_total_variance_priority",
     "orders_comp_center_distances",
+    # r15 wave 28: 1-row cut-panel / tolerance scalars + the
+    # calendar-bounded (<=718-row) template self-join (the
+    # ml_hoeffding_d_daily shape) against customer/day aggregates
+    "cust_hbos_outlier_scores",
+    "orders_cochran_hartley_variance",
+    "evt_sample_entropy_hourly",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",

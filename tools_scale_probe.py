@@ -703,6 +703,12 @@ HEAVY = [
     "orders_variation_matrix_priority",
     "orders_comp_center_distances",
     "orders_alr_trend_priority",
+    # r15 wave 28 (post-close): monitoring + anomaly III
+    "cust_hbos_outlier_scores",
+    "orders_seasonal_strength_weekday",
+    "orders_cochran_hartley_variance",
+    "evt_sample_entropy_hourly",
+    "orders_calendar_edge_effects",
 ]
 
 
