@@ -137,6 +137,7 @@ from . import q105_r15_sql_geometry as q105_r15_sql_geometry
 from . import q106_r15_markov2 as q106_r15_markov2
 from . import q107_r15_compositional as q107_r15_compositional
 from . import q108_r15_monitoring3 as q108_r15_monitoring3
+from . import q109_r15_ml_eng as q109_r15_ml_eng
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -255,6 +256,7 @@ _MODULES = (
     q106_r15_markov2,
     q107_r15_compositional,
     q108_r15_monitoring3,
+    q109_r15_ml_eng,
     _window,
 )
 

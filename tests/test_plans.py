@@ -464,6 +464,11 @@ _SCALAR_BROADCAST_OK = {
     "cust_hbos_outlier_scores",
     "orders_cochran_hartley_variance",
     "evt_sample_entropy_hourly",
+    # r15 wave 29: 1-row global-/test-moment / band-total scalars +
+    # the 4-row fraction grid against the fold/band aggregates
+    "ml_kfold_cv_order_model",
+    "ml_learning_curve_order_model",
+    "ml_feature_drift_ks_banded",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",

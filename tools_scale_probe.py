@@ -709,6 +709,12 @@ HEAVY = [
     "orders_cochran_hartley_variance",
     "evt_sample_entropy_hourly",
     "orders_calendar_edge_effects",
+    # r15 wave 29 (post-close): ML-engineering machinery
+    "ml_kfold_cv_order_model",
+    "ml_learning_curve_order_model",
+    "ml_drop_column_importance",
+    "ml_target_encoding_loo",
+    "ml_feature_drift_ks_banded",
 ]
 
 
