@@ -138,6 +138,7 @@ from . import q106_r15_markov2 as q106_r15_markov2
 from . import q107_r15_compositional as q107_r15_compositional
 from . import q108_r15_monitoring3 as q108_r15_monitoring3
 from . import q109_r15_ml_eng as q109_r15_ml_eng
+from . import q110_r15_panel_audit as q110_r15_panel_audit
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -257,6 +258,7 @@ _MODULES = (
     q107_r15_compositional,
     q108_r15_monitoring3,
     q109_r15_ml_eng,
+    q110_r15_panel_audit,
     _window,
 )
 

@@ -469,6 +469,14 @@ _SCALAR_BROADCAST_OK = {
     "ml_kfold_cv_order_model",
     "ml_learning_curve_order_model",
     "ml_feature_drift_ks_banded",
+    # r15 wave 30: 1-row moment/limit/total scalars + the LIMIT-1
+    # argmax rows of the 30-day ESD rounds against bounded
+    # panel/band/day aggregates
+    "cust_panel_fixed_effects",
+    "ml_bland_altman_token_methods",
+    "ml_delong_auc_variance",
+    "orders_pps_poisson_estimate",
+    "evt_rosner_esd_outliers",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",
@@ -690,6 +698,9 @@ _GLOBAL_WINDOW_AGG_BOUNDED_OK = {
     # calendar-bounded (~2400-row) daily revenue aggregate (raw-SQL
     # path, so the Aggregate sits below the SQL-built Window)
     "sql_interface_range_interval_window",
+    # r15 wave 30: the cum-below/above windows over the <=600-row
+    # $1000-band ROC frame (the ml_partial_auc shape)
+    "ml_delong_auc_variance",
     # r15 wave 15: cumulative/suffix windows over the 9-row hour-band
     # frame and the bounded per-duration histogram (the q50 log-rank
     # risk-set shape)

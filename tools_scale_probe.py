@@ -715,6 +715,12 @@ HEAVY = [
     "ml_drop_column_importance",
     "ml_target_encoding_loo",
     "ml_feature_drift_ks_banded",
+    # r15 wave 30 (post-close): panel + agreement + audit sampling
+    "cust_panel_fixed_effects",
+    "ml_bland_altman_token_methods",
+    "ml_delong_auc_variance",
+    "orders_pps_poisson_estimate",
+    "evt_rosner_esd_outliers",
 ]
 
 
