@@ -59,6 +59,26 @@ R15_POST = [
     "sql_interface_lateral_explode", "sql_interface_range_interval_window",
     "sql_interface_unpivot", "emb_participation_ratio_dim",
     "emb_anisotropy_dot_stats",
+    # w26 (higher-order Markov)
+    "evt_markov_memory_g2", "evt_markov_ck_check",
+    "evt_markov_stationarity_halves", "evt_markov_reversibility",
+    "evt_sequence_holdout_perplexity",
+    # w27 (compositional / Aitchison)
+    "orders_clr_total_variance_priority", "orders_aitchison_distance_years",
+    "orders_variation_matrix_priority", "orders_comp_center_distances",
+    "orders_alr_trend_priority",
+    # w28 (monitoring + anomaly III)
+    "cust_hbos_outlier_scores", "orders_seasonal_strength_weekday",
+    "orders_cochran_hartley_variance", "evt_sample_entropy_hourly",
+    "orders_calendar_edge_effects",
+    # w29 (ML engineering)
+    "ml_kfold_cv_order_model", "ml_learning_curve_order_model",
+    "ml_drop_column_importance", "ml_target_encoding_loo",
+    "ml_feature_drift_ks_banded",
+    # w30 (panel + agreement + audit)
+    "cust_panel_fixed_effects", "ml_bland_altman_token_methods",
+    "ml_delong_auc_variance", "orders_pps_poisson_estimate",
+    "evt_rosner_esd_outliers",
 ]
 
 
