@@ -139,6 +139,7 @@ from . import q107_r15_compositional as q107_r15_compositional
 from . import q108_r15_monitoring3 as q108_r15_monitoring3
 from . import q109_r15_ml_eng as q109_r15_ml_eng
 from . import q110_r15_panel_audit as q110_r15_panel_audit
+from . import q111_r15_final_mix as q111_r15_final_mix
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -259,6 +260,7 @@ _MODULES = (
     q108_r15_monitoring3,
     q109_r15_ml_eng,
     q110_r15_panel_audit,
+    q111_r15_final_mix,
     _window,
 )
 

@@ -477,6 +477,13 @@ _SCALAR_BROADCAST_OK = {
     "ml_delong_auc_variance",
     "orders_pps_poisson_estimate",
     "evt_rosner_esd_outliers",
+    # r15 wave 31: 1-row transition-total / autocov-denominator /
+    # month-total scalars + the 10-row top-token / lag grids and the
+    # densified span-day calendar against bounded aggregates
+    "doc_juilland_d_dispersion",
+    "evt_entropy_production_rate",
+    "evt_effective_sample_size_daily",
+    "orders_month_uniformity_chi2",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",

@@ -721,6 +721,12 @@ HEAVY = [
     "ml_delong_auc_variance",
     "orders_pps_poisson_estimate",
     "evt_rosner_esd_outliers",
+    # r15 wave 31 (post-close): final mixed frontier
+    "doc_juilland_d_dispersion",
+    "evt_entropy_production_rate",
+    "evt_effective_sample_size_daily",
+    "ml_cohen_d_effect_sizes",
+    "orders_month_uniformity_chi2",
 ]
 
 

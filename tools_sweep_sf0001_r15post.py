@@ -79,6 +79,10 @@ R15_POST = [
     "cust_panel_fixed_effects", "ml_bland_altman_token_methods",
     "ml_delong_auc_variance", "orders_pps_poisson_estimate",
     "evt_rosner_esd_outliers",
+    # w31 (final mixed frontier)
+    "doc_juilland_d_dispersion", "evt_entropy_production_rate",
+    "evt_effective_sample_size_daily", "ml_cohen_d_effect_sizes",
+    "orders_month_uniformity_chi2",
 ]
 
 
