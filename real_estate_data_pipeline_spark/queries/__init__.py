@@ -140,6 +140,7 @@ from . import q108_r15_monitoring3 as q108_r15_monitoring3
 from . import q109_r15_ml_eng as q109_r15_ml_eng
 from . import q110_r15_panel_audit as q110_r15_panel_audit
 from . import q111_r15_final_mix as q111_r15_final_mix
+from . import q112_r15_count_laws as q112_r15_count_laws
 from . import _window as _window
 
 # Submodules in original single-file order.  Attribute access on the
@@ -261,6 +262,7 @@ _MODULES = (
     q109_r15_ml_eng,
     q110_r15_panel_audit,
     q111_r15_final_mix,
+    q112_r15_count_laws,
     _window,
 )
 

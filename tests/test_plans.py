@@ -484,6 +484,11 @@ _SCALAR_BROADCAST_OK = {
     "evt_entropy_production_rate",
     "evt_effective_sample_size_daily",
     "orders_month_uniformity_chi2",
+    # r15 wave 32: 1-row calendar / digit-total / event-total scalars
+    # against the bounded user/digit/grid aggregates
+    "evt_taylor_power_law",
+    "lineitem_price_ending_digits",
+    "evt_weekday_hour_independence",
     # r15 wave 6: 1-row (t1, t0) ROC totals / 9-row literal decile
     # grid / 1-row climatology scalar against the bounded band frames
     "ml_partial_auc_price_urgent",

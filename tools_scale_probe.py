@@ -727,6 +727,12 @@ HEAVY = [
     "evt_effective_sample_size_daily",
     "ml_cohen_d_effect_sizes",
     "orders_month_uniformity_chi2",
+    # r15 wave 32 (post-close): count laws + calendar structure
+    "cust_lotka_law_fit",
+    "evt_taylor_power_law",
+    "lineitem_price_ending_digits",
+    "cust_interpurchase_regularity",
+    "evt_weekday_hour_independence",
 ]
 
 

@@ -83,6 +83,10 @@ R15_POST = [
     "doc_juilland_d_dispersion", "evt_entropy_production_rate",
     "evt_effective_sample_size_daily", "ml_cohen_d_effect_sizes",
     "orders_month_uniformity_chi2",
+    # w32 (count laws + calendar structure)
+    "cust_lotka_law_fit", "evt_taylor_power_law",
+    "lineitem_price_ending_digits", "cust_interpurchase_regularity",
+    "evt_weekday_hour_independence",
 ]
 
 
