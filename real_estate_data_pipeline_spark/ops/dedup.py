@@ -506,7 +506,17 @@ def train_gram_set(
 
     Returns a single-column frame: ``(gram string)`` or
     ``(gram_h bigint)``."""
-    g = train.select(F.explode(word_shingles(F.col(text_col), shingle_n)).alias("gram"))
+    # explode_outer + NOT NULL instead of plain explode (r15 opt round):
+    # a bare explode lets the optimizer infer `size(grams) > 0` and push
+    # that constraint below the scan's balancing exchange, where the
+    # whole shingle expression re-evaluates per row inside the (single-
+    # task, single-row-group) pre-exchange filter stage — the corpus is
+    # then shingled twice, once serially. The outer explode carries no
+    # such constraint; empty-gram docs surface one NULL row and die in
+    # the (cheap, generated-column) filter. Identical rows out.
+    g = train.select(
+        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
     if hashed:
         g = g.select(F.xxhash64("gram").alias("gram_h"))
     return g.distinct()
@@ -574,9 +584,12 @@ def contamination_report(
     ev = eval_df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__gs")
     )
+    # explode_outer + NOT NULL for the same inferred-constraint reason
+    # as train_gram_set: keeps the shingle expression out of the
+    # single-task pre-exchange filter stage (r15 opt round)
     ev_g = ev.select(
-        F.col(id_col), F.size("__gs").alias("__ng"), F.explode("__gs").alias("__g")
-    )
+        F.col(id_col), F.size("__gs").alias("__ng"), F.explode_outer("__gs").alias("__g")
+    ).filter(F.col("__g").isNotNull())
     if hashed:
         ev_g = ev_g.select(id_col, "__ng", F.xxhash64("__g").alias("__g"))
     if prefilter_mod is not None:

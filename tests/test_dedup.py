@@ -118,6 +118,38 @@ def test_contamination_report_planted_overlap(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_contamination_report_empty_gram_docs(spark):
+    """r15 opt round: explode -> explode_outer + NOT-NULL inside
+    contamination_report/train_gram_set (keeps the optimizer's inferred
+    size(grams)>0 constraint from duplicating the shingle expression
+    below the scan exchange). The outer explode surfaces one NULL gram
+    row for empty/whitespace docs — this pins that those rows die in
+    the filter on BOTH sides: an empty train doc contributes no gram
+    and an empty eval doc never appears in the report."""
+    from real_estate_data_pipeline_spark.ops.dedup import (
+        contamination_report,
+        train_gram_set,
+    )
+
+    train = spark.createDataFrame(
+        [("t1", "the quick brown fox jumps over the lazy dog"),
+         ("t_empty", ""), ("t_ws", "     ")],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [("e1", "where the quick brown fox appears"),
+         ("e_empty", ""), ("e_ws", "      ")],
+        "doc_id string, text string",
+    )
+    grams = {r["gram"] for r in train_gram_set(train, "text", 3).collect()}
+    assert None not in grams and "" not in grams
+    assert grams, "non-empty train doc must still contribute grams"
+    rows = {r["doc_id"]: r for r in
+            contamination_report(train, ev, "doc_id", "text", shingle_n=3).collect()}
+    assert set(rows) == {"e1"}  # empty/whitespace eval docs never surface
+    assert rows["e1"]["n_overlap"] > 0
+
+
 def test_contamination_precomputed_grams_and_prefilter_match(spark, tmp_path):
     """The persisted train_gram_set path (+ broadcast hash prefilter)
     must be value-identical to the recompute-every-time path, and the
