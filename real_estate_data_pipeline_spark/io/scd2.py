@@ -26,8 +26,9 @@ data skipping come from the table format, not from this file.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..ops.dedup import keep_latest
@@ -184,18 +185,31 @@ class Scd2Table:
 
         existing = self.read()
         if existing is None:
-            first = incoming.withColumn("is_current", F.lit(True)).withColumn(
-                "valid_from", batch_ts.cast("timestamp")
-            ).withColumn("valid_to", F.lit(None).cast("timestamp"))
-            self._write_snapshot(first)
-            self._write_changes(
+            # r15 opt round: the inserted counter rides the snapshot
+            # write as an Observation instead of a third action that
+            # replayed the keep-latest window from scratch, and the
+            # (independent) snapshot + CDF writes run concurrently so
+            # the second job back-fills the first's task tail
+            # (guide §2.6). One driver-side round fewer per first merge;
+            # counters identical.
+            obs = Observation()
+            first = (
+                incoming.withColumn("is_current", F.lit(True))
+                .withColumn("valid_from", batch_ts.cast("timestamp"))
+                .withColumn("valid_to", F.lit(None).cast("timestamp"))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+            )
+            cdf1 = (
                 incoming.select(data_cols)
                 .withColumn("_change_type", F.lit("insert"))
-                .withColumn("_commit_version", F.lit(1)),
-                1,
+                .withColumn("_commit_version", F.lit(1))
             )
-            n = first.count()
-            return {"closed": 0, "inserted": n, "unchanged": 0}
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fs = pool.submit(self._write_snapshot, first)
+                fc = pool.submit(self._write_changes, cdf1, 1)
+                fs.result()
+                fc.result()
+            return {"closed": 0, "inserted": int(obs.get["n"]), "unchanged": 0}
 
         cur = existing.filter(F.col("is_current")).alias("cur")
         hist = existing.filter(~F.col("is_current"))
@@ -236,29 +250,48 @@ class Scd2Table:
                 .withColumn("valid_to", F.lit(None).cast("timestamp"))
             )
 
-            # all three counters in ONE aggregate action over the cached join
-            stats = joined.select(
-                F.coalesce(F.sum((is_matched & changed).cast("long")), F.lit(0)).alias("closed"),
-                F.coalesce(F.sum(insert_cond.cast("long")), F.lit(0)).alias("inserted"),
-                F.coalesce(F.sum((is_matched & ~changed).cast("long")), F.lit(0)).alias(
-                    "unchanged"
-                ),
-            ).collect()[0]
-
+            # r15 opt round: the three counters ride the snapshot write
+            # as an Observation over per-branch tag literals (closed /
+            # inserts / unchanged ARE three of the union's branches, so
+            # the tags count exactly what the old standalone aggregate
+            # counted) instead of a separate collect action — one fewer
+            # job per merge, and the cached join now materializes inside
+            # the snapshot write. The snapshot and CDF writes are
+            # independent (different dirs, version precomputed), so they
+            # run concurrently and the second job's tasks back-fill the
+            # first's tail (guide §2.6). Counters and written rows are
+            # byte-identical to the sequential three-action form.
             cols = [f.name for f in existing.schema.fields]
+
+            def _tag(df: DataFrame, tag: str) -> DataFrame:
+                return df.select(*cols, F.lit(tag).alias("__tag"))
+
+            obs = Observation()
             result = (
-                hist.select(cols)
-                .unionByName(closed.select(cols))
-                .unionByName(unchanged_cur.select(cols))
-                .unionByName(only_cur.select(cols))
-                .unionByName(inserts.select(cols))
+                _tag(hist, "hist")
+                .unionByName(_tag(closed, "closed"))
+                .unionByName(_tag(unchanged_cur, "unchanged"))
+                .unionByName(_tag(only_cur, "only_cur"))
+                .unionByName(_tag(inserts, "insert"))
+                .observe(
+                    obs,
+                    F.coalesce(
+                        F.sum((F.col("__tag") == "closed").cast("long")), F.lit(0)
+                    ).alias("closed"),
+                    F.coalesce(
+                        F.sum((F.col("__tag") == "insert").cast("long")), F.lit(0)
+                    ).alias("inserted"),
+                    F.coalesce(
+                        F.sum((F.col("__tag") == "unchanged").cast("long")), F.lit(0)
+                    ).alias("unchanged"),
+                )
+                .drop("__tag")
             )
-            self._write_snapshot(result)
             # CDF rows off the SAME cached join: brand-new keys ->
             # insert; changed keys -> old current row as
             # update_preimage + new row as update_postimage; unchanged
             # keys emit nothing (Delta CDF semantics)
-            version = self._current_version() or 0
+            version = (self._current_version() or 0) + 1
             brand_new = joined.filter(
                 F.col(f"new.{self.key}").isNotNull()
                 & F.col(f"cur.{self.key}").isNull()
@@ -277,9 +310,16 @@ class Scd2Table:
             cdf = change_frames[0]
             for frame in change_frames[1:]:
                 cdf = cdf.unionByName(frame)
-            self._write_changes(
-                cdf.withColumn("_commit_version", F.lit(version)), version
-            )
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fs = pool.submit(self._write_snapshot, result)
+                fc = pool.submit(
+                    self._write_changes,
+                    cdf.withColumn("_commit_version", F.lit(version)),
+                    version,
+                )
+                fs.result()
+                fc.result()
+            stats = obs.get
         finally:
             joined.unpersist()
         return {
