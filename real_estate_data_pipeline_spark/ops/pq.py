@@ -103,7 +103,11 @@ def pq_encode(
 
     Plan: corpus x broadcast(codebook) map -> per-(id, sub) argmin via a
     partial-aggregating ``min(struct(d6, code))`` — the shuffle carries one
-    slim row per (id, sub), never the vectors. Returns (id, sub, code)."""
+    slim row per (id, sub), never the vectors. (A pre-exploded
+    subvector + BroadcastHashJoin-on-sub variant was A/B-measured in the
+    r15 opt round and LOST to this bounded-crossJoin shape — codegen's
+    subexpression elimination already computes each slice once per row,
+    and the Generate + join machinery costs more than it saves.)"""
     d = _subdim(dim, m)
     sub_slice = F.transform(
         F.slice(F.col(vec_col), F.col("sub") * d + 1, d), lambda x: x.cast("double")
@@ -134,31 +138,59 @@ def pq_refine(
     moves to the per-dimension mean of its assigned subvectors, rounded
     to 6 dp (the engine-independent recentering the IVF kNN join
     established — AVG order differences die under the rounding).
-    Starved codes keep their seed centroid (left join + coalesce), so
-    code ids never shift. One encode pass + one slim groupBy; the means
-    aggregate carries (sub, code, pos, element) rows, never vectors."""
+    Starved codes keep their seed centroid, so code ids never shift.
+
+    r15 opt round — the refinement is ONE corpus pass and one collect:
+    the encode argmin CARRIES its subvector through the aggregate
+    (``first`` over a value constant within the (id, sub) group), so
+    the old codes-back-to-vectors equi-join — a second shuffle of the
+    corpus plus a whole join stage — is gone; the per-(sub, code, pos)
+    means (m*k*d rows, bounded by the codebook, never by the corpus)
+    are collected and the refined codebook is assembled driver-side
+    against the seed rows (the same bounded model-broadcast pattern as
+    the per-round collect the training loop already did). Returns a
+    LITERAL-backed DataFrame, so downstream encode/ADC plans embed the
+    refined codebook without replaying the refinement lineage. Values
+    are unchanged: same slices, same fold, same 6-dp-rounded means
+    (AVG partial-order differences die under the rounding exactly as
+    they always did across engines)."""
     d = _subdim(dim, m)
-    codes0 = pq_encode(df, codebooks, id_col, vec_col, m, dim)
-    joined = codes0.join(df.select(id_col, vec_col), id_col)
-    els = joined.select(
+    spark = df.sparkSession
+    cb_rows = codebooks.collect()
+    cb_lit = spark.createDataFrame(cb_rows, schema=codebooks.schema)
+    sub_slice = F.transform(
+        F.slice(F.col(vec_col), F.col("sub") * d + 1, d), lambda x: x.cast("double")
+    )
+    scored = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cb_lit))
+        .select(
+            id_col,
+            "sub",
+            "code",
+            F.round(l2_dist_sq(sub_slice, F.col("cvec")), 6).alias("__d6"),
+            sub_slice.alias("__sv"),
+        )
+    )
+    best = scored.groupBy(id_col, "sub").agg(
+        F.min(F.struct("__d6", "code")).alias("__b"),
+        F.first("__sv").alias("__sv"),
+    )
+    els = best.select(
         "sub",
-        "code",
-        F.posexplode(
-            F.transform(
-                F.slice(F.col(vec_col), F.col("sub") * d + 1, d),
-                lambda x: x.cast("double"),
-            )
-        ).alias("pos", "el"),
+        F.col("__b.code").alias("code"),
+        F.posexplode("__sv").alias("pos", "el"),
     )
     means = els.groupBy("sub", "code", "pos").agg(F.round(F.avg("el"), 6).alias("m"))
-    refined = means.groupBy("sub", "code").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("__cv1")
-    )
-    return codebooks.join(F.broadcast(refined), ["sub", "code"], "left").select(
-        "sub", "code", F.coalesce(F.col("__cv1"), F.col("cvec")).alias("cvec")
-    )
+    by_sc: dict[tuple[int, int], dict[int, float]] = {}
+    for r in means.collect():
+        by_sc.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["m"]
+    out = []
+    for r in cb_rows:
+        mm = by_sc.get((r["sub"], r["code"]))
+        cvec = [mm[p] for p in range(d)] if mm else list(r["cvec"])
+        out.append((r["sub"], r["code"], cvec))
+    return spark.createDataFrame(out, schema=codebooks.schema)
 
 
 def pq_adc_topk(
@@ -181,30 +213,31 @@ def pq_adc_topk(
     (id, approx_dist double) ascending, ties -> lowest id."""
     # validate the query side BEFORE the refine loop: each Lloyd round
     # below is an eager corpus-wide job, and the guard depends only on
-    # query_df
-    nq = query_df.limit(2).count()
-    if nq != 1:
+    # query_df. r15 opt round: the guard COLLECTS (limit 2) instead of
+    # counting, so the single validated row doubles as the ADC build's
+    # query literal — the old shape paid one job for the count and then
+    # re-evaluated the query subtree inside the ADC broadcast build.
+    qdf = query_df.select(F.col(vec_col).alias("__q"))
+    qrows = qdf.limit(2).collect()
+    if len(qrows) != 1:
         raise ValueError(
-            f"pq_adc_topk requires a single-row query_df, got {'>=2' if nq > 1 else 0} "
+            f"pq_adc_topk requires a single-row query_df, got "
+            f"{'>=2' if len(qrows) > 1 else 0} "
             "rows: a multi-row query would silently cross-join into a duplicated "
             "ADC table and sum distances across queries"
         )
     cb = pq_codebooks(df, id_col, vec_col, m, k, dim)
     for _ in range(refine):
+        # pq_refine returns a LITERAL-backed codebook (its means collect
+        # is the round's one corpus pass), so downstream encode/ADC
+        # plans embed the refined rows instead of replaying the lineage.
         cb = pq_refine(df, cb, id_col, vec_col, m, dim)
-        # Materialize each round's refined codebook (m*k rows — the same
-        # bounded model-broadcast pattern as the IVF centroid collect):
-        # the round's corpus scans run exactly once HERE instead of
-        # replaying inside every downstream plan that references the
-        # codebook lineage (encode + ADC would otherwise re-derive every
-        # Lloyd round from scratch).
-        cb = df.sparkSession.createDataFrame(cb.collect(), schema=cb.schema)
     codes = pq_encode(df, cb, id_col, vec_col, m, dim)
     d = _subdim(dim, m)
     qsub = F.transform(
         F.slice(F.col("__q"), F.col("sub") * d + 1, d), lambda x: x.cast("double")
     )
-    q = query_df.select(F.col(vec_col).alias("__q"))
+    q = df.sparkSession.createDataFrame(qrows, schema=qdf.schema)
     adc = (
         cb.crossJoin(F.broadcast(q))
         .select(

@@ -857,20 +857,28 @@ def _dincrmh(spark, sf_dir):
     sha256 hash family end to end, so the oracle can recompute the
     whole thing from scratch and prove index-probe == full-recompute.
     The amortization win (probe beats rebuild) is measured in
-    tools_scale_probe.py."""
+    tools_scale_probe.py.
+
+    r15 opt round — the self-contained GATE entry (unlike production,
+    which reads the index from parquet) must rebuild the index inline
+    every run, and a document's signature does not depend on which
+    side of the split it lands on: band buckets are computed ONCE over
+    the whole corpus (one shingle+sha256 pass instead of two), lazily
+    localCheckpointed (the _dup_pairs_edges multi-consumer convention),
+    and the index/incoming sides are hash-draw filters over that one
+    frame. Identical rows reach the same (band, band-hash) probe join;
+    the oracle is unchanged."""
     from ..ops.sampling import hash_uniform01
 
     d = t(spark, sf_dir, "documents")
+    buckets = dedup.minhash_band_buckets_portable(
+        d.select("doc_id", "text"), "doc_id", "text", num_perm=16, bands=4
+    ).localCheckpoint(eager=False)
     u = hash_uniform01(F.col("doc_id"), "incrmh")
-    base = d.select("doc_id", "text", u.alias("__u"))
-    corpus = base.filter(F.col("__u") < 0.7).select("doc_id", "text")
-    incoming = base.filter(F.col("__u") >= 0.7).select("doc_id", "text")
-    index = dedup.minhash_band_buckets_portable(
-        corpus, "doc_id", "text", num_perm=16, bands=4
-    )
-    return dedup.incremental_minhash_dup_pairs_portable(
-        index, incoming, "doc_id", "text", num_perm=16, bands=4,
-        jaccard_threshold=0.5,
+    index = buckets.filter(u < 0.7)
+    incoming_buckets = buckets.filter(u >= 0.7)
+    return dedup.incremental_pairs_from_buckets(
+        index, incoming_buckets, "doc_id", num_perm=16, jaccard_threshold=0.5
     )
 
 
