@@ -48,6 +48,13 @@ class Scd2Table:
         self.key = key
         self.tracked = tracked
         self.order_col = order_col
+        # Snapshot schema memo (r15 opt round): every bare
+        # spark.read.parquet re-infers the schema in a 1-task footer
+        # job; all of a table's snapshots share one schema, so the
+        # first write/read pins it and later reads pass it explicitly
+        # (metadata-only caching — exactly what a Delta/Iceberg
+        # transaction log would provide).
+        self._snap_schema = None
 
     # -- storage ------------------------------------------------------------
     def _current_version(self) -> int | None:
@@ -70,9 +77,19 @@ class Scd2Table:
             # harmless hidden-path WARN on them — new writes don't)
             legacy = os.path.join(self.path, f"_v{v}")
             if os.path.isdir(legacy):
-                return self.spark.read.parquet(legacy)
+                return self._read_snapshot_dir(legacy)
             raise FileNotFoundError(f"snapshot version {v} not found (vacuumed?)")
-        return self.spark.read.parquet(target)
+        return self._read_snapshot_dir(target)
+
+    def _read_snapshot_dir(self, target: str) -> DataFrame:
+        """Parquet read with the memoized snapshot schema when known
+        (skips Spark's per-read schema-inference job); first read of a
+        pre-existing table infers once and pins the memo."""
+        if self._snap_schema is not None:
+            return self.spark.read.schema(self._snap_schema).parquet(target)
+        df = self.spark.read.parquet(target)
+        self._snap_schema = df.schema
+        return df
 
     def read_as_of(self, ts: str) -> DataFrame | None:
         """Point-in-time view by TIMESTAMP (the Delta ``timestampAsOf``
@@ -118,6 +135,16 @@ class Scd2Table:
         v = (self._current_version() or 0) + 1
         target = os.path.join(self.path, f"v{v}")
         df.write.mode("overwrite").parquet(target)
+        # normalize to the read-back shape (parquet reads surface every
+        # field nullable) so memoized and inferred reads are identical
+        from pyspark.sql import types as T
+
+        self._snap_schema = T.StructType(
+            [
+                T.StructField(f.name, f.dataType, True, f.metadata)
+                for f in df.schema.fields
+            ]
+        )
         marker = os.path.join(self.path, "_CURRENT")
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:

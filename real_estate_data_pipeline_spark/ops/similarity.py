@@ -495,20 +495,41 @@ def ivf_centroids(
         mean = F.avg("__x")
         if round_dp is not None:
             mean = F.round(mean, round_dp)
-        cent = (
+        # Recenter = ONE hash aggregate + collect; the (cid, pos, mean)
+        # rows — n_cells x dim, bounded by the model, never by the
+        # corpus — are assembled into centroid arrays DRIVER-side (r15
+        # opt round: the old shape ran a second collect_list shuffle
+        # stage per round purely to regroup rows the driver was about
+        # to collect anyway; same values, one stage fewer). The collect
+        # is the round's bounded model-broadcast materialization (same
+        # pattern as ops/pq.pq_refine): the round's corpus scan runs
+        # exactly once here instead of replaying inside every downstream
+        # plan that references the centroid lineage (cell assignment,
+        # nprobe routing, the next round). Starved cells drop out of the
+        # aggregate exactly as they dropped out of the old groupBy.
+        means_df = (
             assign.select("cid", F.posexplode(vec_col).alias("__pos", "__x"))
             .groupBy("cid", "__pos")
             .agg(mean.alias("__mx"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__mx"))).alias("__s"))
-            .select("cid", F.transform("__s", lambda s: s["__mx"]).alias("cvec"))
         )
-        # Materialize each round's centroids (n_cells rows — the bounded
-        # model-broadcast pattern, same as ops/pq.pq_adc_topk): the
-        # round's corpus scan runs exactly once here instead of replaying
-        # inside every downstream plan that references the centroid
-        # lineage (cell assignment, nprobe routing, the next round).
-        cent = df.sparkSession.createDataFrame(cent.collect(), schema=cent.schema)
+        by_c: dict = {}
+        for r in means_df.collect():
+            by_c.setdefault(r["cid"], {})[r["__pos"]] = r["__mx"]
+        from pyspark.sql import types as T
+
+        cent_schema = T.StructType(
+            [
+                means_df.schema["cid"],
+                T.StructField("cvec", T.ArrayType(T.DoubleType()), True),
+            ]
+        )
+        cent = df.sparkSession.createDataFrame(
+            [
+                (cid, [mm[p] for p in range(len(mm))])
+                for cid, mm in sorted(by_c.items())
+            ],
+            schema=cent_schema,
+        )
     return cent.withColumn("cn", F.sqrt(l2_norm_sq(F.col("cvec"))))
 
 
