@@ -253,53 +253,70 @@ class Scd2Table:
             is_matched = (
                 F.col(f"cur.{self.key}").isNotNull() & F.col(f"new.{self.key}").isNotNull()
             )
-            insert_cond = F.col(f"new.{self.key}").isNotNull() & (
-                F.col(f"cur.{self.key}").isNull() | changed
-            )
+            # r15 opt round, part 2: the snapshot's former 4 union
+            # branches over the cached join (closed / unchanged /
+            # only_cur / inserts — each a separate filtered scan of the
+            # cache, each its own AQE stage-job) collapse into ONE pass:
+            # every joined row emits its 0-2 snapshot rows directly
+            # through a conditional array + explode. Branch conditions
+            # and per-branch column expressions are verbatim the old
+            # filters/selects, so the emitted multiset of rows is
+            # identical; only the physical row order interleaves (all
+            # consumers order explicitly). The cached merge join is now
+            # scanned once by the snapshot write instead of four times —
+            # locally fewer stage-jobs, at scale 4x fewer reads of a
+            # join that may no longer fit in memory (guide §1.2 remove
+            # passes, §2.4 remove duplicated subtrees).
+            cols = [f.name for f in existing.schema.fields]
+            ts = batch_ts.cast("timestamp")
 
-            matched = joined.filter(is_matched)
-            # closed: matched + changed -> old row with valid_to stamped
-            closed = (
-                matched.filter(changed)
-                .select("cur.*")
-                .withColumn("is_current", F.lit(False))
-                .withColumn("valid_to", batch_ts.cast("timestamp"))
+            def _snap_struct(side: str, tag: str, ov: dict[str, Column]) -> Column:
+                return F.struct(
+                    *[ov.get(c, F.col(f"{side}.{c}")).alias(c) for c in cols],
+                    F.lit(tag).alias("__tag"),
+                )
+
+            closed_s = _snap_struct(
+                "cur", "closed", {"is_current": F.lit(False), "valid_to": ts}
             )
-            unchanged_cur = matched.filter(~changed).select("cur.*")
-            # rows in cur with no incoming match stay current untouched
-            only_cur = joined.filter(F.col(f"new.{self.key}").isNull()).select("cur.*")
-            # inserts: brand-new keys + new versions of changed keys
-            inserts = (
-                joined.filter(insert_cond)
-                .select("new.*")
-                .withColumn("is_current", F.lit(True))
-                .withColumn("valid_from", batch_ts.cast("timestamp"))
-                .withColumn("valid_to", F.lit(None).cast("timestamp"))
+            unchanged_s = _snap_struct("cur", "unchanged", {})
+            only_cur_s = _snap_struct("cur", "only_cur", {})
+            insert_s = _snap_struct(
+                "new",
+                "insert",
+                {
+                    "is_current": F.lit(True),
+                    "valid_from": ts,
+                    "valid_to": F.lit(None).cast("timestamp"),
+                },
             )
+            # exhaustive over the full-outer join (>=1 side non-null):
+            # matched+changed -> close old version AND insert the new
+            # one (insert_cond holds there); matched+unchanged -> keep;
+            # no incoming match -> keep as-is; else brand-new -> insert.
+            emit = (
+                F.when(is_matched & changed, F.array(closed_s, insert_s))
+                .when(is_matched & ~changed, F.array(unchanged_s))
+                .when(F.col(f"new.{self.key}").isNull(), F.array(only_cur_s))
+                .otherwise(F.array(insert_s))
+            )
+            snap_rows = joined.select(F.explode(emit).alias("_r")).select("_r.*")
 
             # r15 opt round: the three counters ride the snapshot write
-            # as an Observation over per-branch tag literals (closed /
-            # inserts / unchanged ARE three of the union's branches, so
-            # the tags count exactly what the old standalone aggregate
-            # counted) instead of a separate collect action — one fewer
-            # job per merge, and the cached join now materializes inside
-            # the snapshot write. The snapshot and CDF writes are
+            # as an Observation over the per-branch tags (closed /
+            # insert / unchanged are tags of the emitted rows, so they
+            # count exactly what the old standalone aggregate counted)
+            # instead of a separate collect action — one fewer job per
+            # merge, and the cached join materializes inside the
+            # snapshot write. The snapshot and CDF writes are
             # independent (different dirs, version precomputed), so they
             # run concurrently and the second job's tasks back-fill the
             # first's tail (guide §2.6). Counters and written rows are
             # byte-identical to the sequential three-action form.
-            cols = [f.name for f in existing.schema.fields]
-
-            def _tag(df: DataFrame, tag: str) -> DataFrame:
-                return df.select(*cols, F.lit(tag).alias("__tag"))
-
             obs = Observation()
             result = (
-                _tag(hist, "hist")
-                .unionByName(_tag(closed, "closed"))
-                .unionByName(_tag(unchanged_cur, "unchanged"))
-                .unionByName(_tag(only_cur, "only_cur"))
-                .unionByName(_tag(inserts, "insert"))
+                hist.select(*cols, F.lit("hist").alias("__tag"))
+                .unionByName(snap_rows)
                 .observe(
                     obs,
                     F.coalesce(
@@ -314,29 +331,33 @@ class Scd2Table:
                 )
                 .drop("__tag")
             )
-            # CDF rows off the SAME cached join: brand-new keys ->
+            # CDF rows off the SAME cached join, likewise one explode
+            # pass instead of three filtered branches: brand-new keys ->
             # insert; changed keys -> old current row as
             # update_preimage + new row as update_postimage; unchanged
-            # keys emit nothing (Delta CDF semantics)
+            # keys emit nothing (Delta CDF semantics; the when-chain
+            # without otherwise yields NULL there and explode drops it)
             version = (self._current_version() or 0) + 1
-            brand_new = joined.filter(
-                F.col(f"new.{self.key}").isNotNull()
-                & F.col(f"cur.{self.key}").isNull()
-            )
-            change_frames = [
-                brand_new.select([F.col(f"new.{c}") for c in data_cols]).withColumn(
-                    "_change_type", F.lit("insert")
+
+            def _cdf_struct(side: str, kind: str) -> Column:
+                return F.struct(
+                    *[F.col(f"{side}.{c}").alias(c) for c in data_cols],
+                    F.lit(kind).alias("_change_type"),
+                )
+
+            brand_new_cond = F.col(f"new.{self.key}").isNotNull() & F.col(
+                f"cur.{self.key}"
+            ).isNull()
+            cdf_emit = F.when(
+                brand_new_cond, F.array(_cdf_struct("new", "insert"))
+            ).when(
+                is_matched & changed,
+                F.array(
+                    _cdf_struct("cur", "update_preimage"),
+                    _cdf_struct("new", "update_postimage"),
                 ),
-                matched.filter(changed)
-                .select([F.col(f"cur.{c}") for c in data_cols])
-                .withColumn("_change_type", F.lit("update_preimage")),
-                matched.filter(changed)
-                .select([F.col(f"new.{c}") for c in data_cols])
-                .withColumn("_change_type", F.lit("update_postimage")),
-            ]
-            cdf = change_frames[0]
-            for frame in change_frames[1:]:
-                cdf = cdf.unionByName(frame)
+            )
+            cdf = joined.select(F.explode(cdf_emit).alias("_r")).select("_r.*")
             with ThreadPoolExecutor(max_workers=2) as pool:
                 fs = pool.submit(self._write_snapshot, result)
                 fc = pool.submit(

@@ -387,6 +387,52 @@ def test_write_range_sorted_global_order(spark, tmp_path):
     assert concat == expect
 
 
+def test_scd2_merge_four_branch_emission(spark, tmp_path):
+    """r15 opt: the merge's snapshot/CDF branch unions were collapsed
+    into one conditional explode pass per write — pin all four joined-row
+    outcomes in a single merge (changed / matched-unchanged-resent /
+    absent-from-batch / brand-new) so the emission semantics stay exactly
+    the old union-of-filters semantics, counters included."""
+    t = Scd2Table(spark, str(tmp_path / "t"), key="k", tracked=["v"], order_col="ts")
+    d1 = spark.createDataFrame(
+        [("chg", 1.0, "d1"), ("same", 2.0, "d1"), ("gone", 3.0, "d1")],
+        "k string, v double, ts string",
+    )
+    d2 = spark.createDataFrame(
+        # chg: tracked value changed; same: resent identical (matched,
+        # NOT changed); gone: absent; fresh: brand-new key
+        [("chg", 9.0, "d2"), ("same", 2.0, "d2"), ("fresh", 4.0, "d2")],
+        "k string, v double, ts string",
+    )
+    c1 = t.merge(d1, batch_ts=F.lit("2024-01-01 12:00:00"))
+    c2 = t.merge(d2, batch_ts=F.lit("2024-01-02 12:00:00"))
+    assert c1 == {"closed": 0, "inserted": 3, "unchanged": 0}
+    assert c2 == {"closed": 1, "inserted": 2, "unchanged": 1}
+
+    snap = {
+        (r["k"], r["is_current"]): (r["v"], r["valid_to"] is None)
+        for r in t.read().collect()
+    }
+    assert snap == {
+        ("chg", False): (1.0, False),  # closed old version, valid_to stamped
+        ("chg", True): (9.0, True),  # new version inserted
+        ("same", True): (2.0, True),  # matched-unchanged: untouched
+        ("gone", True): (3.0, True),  # absent from batch: untouched
+        ("fresh", True): (4.0, True),  # brand-new insert
+    }
+    # CDF of commit 2: insert for fresh, pre+post for chg, NOTHING for
+    # same/gone (the when-chain's null arm must emit zero rows)
+    feed = {
+        (r["_change_type"], r["k"]): r["v"]
+        for r in t.read_changes(starting_version=2).collect()
+    }
+    assert feed == {
+        ("insert", "fresh"): 4.0,
+        ("update_preimage", "chg"): 1.0,
+        ("update_postimage", "chg"): 9.0,
+    }
+
+
 def test_scd2_read_as_of(spark, tmp_path):
     """timestampAsOf over the validity columns: before the first merge
     -> empty; between merges -> exactly the day-1 state; after the
