@@ -111,7 +111,15 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
+) -> DataFrame:
+    # fan_out=False (r15 opt round): call sites whose frame feeds a
+    # broadcast build skip the balancing exchange — the plan showed the
+    # fan-out Exchange sitting directly under BroadcastExchange with
+    # the filter already pushed BELOW it, i.e. shuffle the rows 32 ways
+    # only to collect them to the driver one line later; the exchange
+    # parallelized nothing (guide §2.4 — remove shuffles outright).
     # The driver may run these queries in a session with a non-UTC
     # timezone; date_format/window on TIMESTAMP are tz-sensitive, and the
     # oracles are tz-naive. Pin UTC (runtime conf, idempotent).
@@ -138,11 +146,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             else:
                 spark.conf.set(key, prior)
         if ts_is_long:
-            return _fan_out(spark, df, "events").withColumn(
+            return _fan_out(spark, df, "events" if fan_out else "").withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
             )
-        return _fan_out(spark, df, "events").withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    return _fan_out(spark, _read_parquet(spark, f"{sf_dir}/{name}.parquet"), name)
+        return _fan_out(spark, df, "events" if fan_out else "").withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+    return _fan_out(
+        spark,
+        _read_parquet(spark, f"{sf_dir}/{name}.parquet"),
+        name if fan_out else "",
+    )
 
 
 def _scratch(name: str) -> str:

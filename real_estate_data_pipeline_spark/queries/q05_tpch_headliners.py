@@ -78,7 +78,8 @@ register(
 def _q5(spark, sf_dir):
     """TPC-H Q5 shape: star joins fact->dims with broadcasts."""
     l = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # orders auto-broadcasts here: skip the fan-out exchange
+    o = t(spark, sf_dir, "orders", fan_out=False).select("o_orderkey", "o_custkey")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")

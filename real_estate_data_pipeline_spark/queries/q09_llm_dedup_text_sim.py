@@ -869,7 +869,9 @@ def _simpq(spark, sf_dir):
     from ..ops import pq
 
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0)
+    # the one-row query broadcasts: a separate non-fan-out read keeps
+    # the vec_id=0 filter at the scan instead of above an exchange
+    q = t(spark, sf_dir, "embeddings", fan_out=False).filter(F.col("vec_id") == 0)
     return pq.pq_adc_topk(e, q, k_top=10, refine=1)
 
 

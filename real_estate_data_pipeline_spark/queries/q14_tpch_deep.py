@@ -107,7 +107,10 @@ def _q8(spark, sf_dir):
     region restriction prunes through broadcast joins before the
     single aggregation shuffle."""
     l = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    # orders auto-broadcasts here: skip the fan-out exchange
+    o = t(spark, sf_dir, "orders", fan_out=False).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = t(spark, sf_dir, "nation")
@@ -195,7 +198,8 @@ def _q13(spark, sf_dir):
     customer, then histogram of counts). COUNT(col) semantics — nulls
     from the outer side don't count — match exactly."""
     c = t(spark, sf_dir, "customer").select("c_custkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # orders auto-broadcasts here: skip the fan-out exchange
+    o = t(spark, sf_dir, "orders", fan_out=False).select("o_orderkey", "o_custkey")
     per_cust = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
@@ -522,7 +526,8 @@ def _q9(spark, sf_dir):
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # orders auto-broadcasts here: skip the fan-out exchange
+    o = t(spark, sf_dir, "orders", fan_out=False).select("o_orderkey", "o_orderdate")
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )

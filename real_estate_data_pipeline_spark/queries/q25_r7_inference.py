@@ -1222,7 +1222,8 @@ def _dsir_weight_frame(spark, sf_dir):
 def _ddsir(spark, sf_dir):
     """Corpus-wide DSIR selection: top-20 documents by importance
     weight (see _dsir_weight_frame), TakeOrdered with doc-id ties."""
-    d = t(spark, sf_dir, "documents")
+    # the (doc_id, lang) projection broadcasts: skip the fan-out exchange
+    d = t(spark, sf_dir, "documents", fan_out=False)
     wd = _dsir_weight_frame(spark, sf_dir)
     return (
         wd.join(d.select("doc_id", "lang"), "doc_id")
