@@ -1178,36 +1178,37 @@ def _dsir_weight_frame(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
-    rawc = cnt.groupBy("tok").agg(F.sum("c").cast("long").alias("cr"))
-    tgtc = (
-        cnt.filter(F.col("lang") == "en")
-        .groupBy("tok")
-        .agg(F.sum("c").cast("long").alias("ct"))
+    # raw and target unigram counts in ONE rollup over cnt (ct is 0, not
+    # null, for tokens absent from the en subcorpus — same value the old
+    # two-aggregate + left-join shape produced via COALESCE), and the
+    # totals scalar rolls up from the token table (sum cr / sum ct /
+    # count(*) ≡ the old tr / tt / countDistinct over cnt) instead of a
+    # third full pass: one shuffle by tok instead of two plus a join.
+    g = (
+        cnt.groupBy("tok")
+        .agg(
+            F.sum("c").cast("long").alias("cr"),
+            F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+        )
+        .localCheckpoint(eager=False)  # consumers: tots scalar + lr table
     )
-    tots = cnt.agg(
-        F.sum("c").cast("long").alias("__tr"),
-        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0))
-        .cast("long")
-        .alias("__tt"),
-        F.countDistinct("tok").cast("long").alias("__v"),
+    tots = g.agg(
+        F.sum("cr").cast("long").alias("__tr"),
+        F.sum("ct").cast("long").alias("__tt"),
+        F.count("*").cast("long").alias("__v"),
     )
 
     def _micro(x):
         return F.round(F.round(F.log(x), 6) * F.lit(1000000.0)).cast("bigint")
 
-    lr = (
-        rawc.join(tgtc, "tok", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "tok",
-            (
-                _micro(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("__tt") + F.col("__v"))
-                )
-                - _micro((F.col("cr") + F.lit(1.0)) / (F.col("__tr") + F.col("__v")))
-            ).alias("lr6"),
-        )
+    lr = g.crossJoin(F.broadcast(tots)).select(
+        "tok",
+        (
+            _micro((F.col("ct") + F.lit(1.0)) / (F.col("__tt") + F.col("__v")))
+            - _micro((F.col("cr") + F.lit(1.0)) / (F.col("__tr") + F.col("__v")))
+        ).alias("lr6"),
     )
     return (
         cnt.join(lr, "tok")

@@ -614,107 +614,165 @@ register(
 )
 
 
-def _retrieval_frames(spark, sf_dir):
-    """Shared lexical-retrieval base (the Spark twin of _TOK_SQL_CTES):
-    ONE tokenize pass feeds the document-length table and the
-    per-(doc, query-term) tf table — the explode filters to the query
-    terms BEFORE the aggregate, so the only corpus-sized shuffle
-    carries matching (doc, term) instances. Both outputs are
-    multi-consumer (every scorer touches each at least twice), so they
-    localCheckpoint lazily inside the helper (the r8 review rule)."""
+def _retrieval_wide(spark, sf_dir):
+    """Shared lexical-retrieval base, wide form: ONE corpus pass and
+    ZERO shuffles. The query term set is a fixed 3-term literal, so
+    each term's per-doc tf is an array expression over the token array
+    (size of the equality-filtered array) — the r8 explode → groupBy →
+    join-back chain carried every matching token instance through an
+    exchange purely to recount what the array already knew. Columns:
+    (doc_id, dl, __tf0..__tf{n-1}); multi-consumer, so it
+    localCheckpoints lazily (the r8 review rule)."""
     d = t(spark, sf_dir, "documents")
     tk = tok_arr(F.col("text"))
-    base = d.select("doc_id", tk.alias("tk")).localCheckpoint(eager=False)
-    dl = base.select("doc_id", F.size("tk").cast("long").alias("dl")).localCheckpoint(
-        eager=False
-    )
-    qtf = (
-        base.select("doc_id", F.explode("tk").alias("tok"))
-        .filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
-    return dl, qtf
 
+    def _tf(i, term):
+        # single-arg lambda: a two-arg lambda would be read by pyspark
+        # as the (element, index) form and bind the term to the index
+        return (
+            F.size(F.filter("__tk", lambda x: x == F.lit(term)))
+            .cast("long")
+            .alias(f"__tf{i}")
+        )
 
-def _bm25_score_frame(dl, qtf):
-    """(doc_id, n_terms, b6): exact integer micro-unit BM25 scores —
-    the Spark twin of _BM25_SQL_CHAIN. df/idf live in a terms-sized
-    frame that broadcasts back; corpus stats are 1-row broadcasts."""
-    s = dl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    ).localCheckpoint(eager=False)
-    dfreq = qtf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
-    idf = dfreq.crossJoin(F.broadcast(s.select("n_docs"))).select(
-        "tok",
-        F.round(
-            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
-        ).alias("idf"),
-    )
-    bterms = (
-        qtf.join(F.broadcast(idf), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(s.select("avgdl")))
+    return (
+        d.select("doc_id", tk.alias("__tk"))
         .select(
             "doc_id",
-            F.floor(
-                F.round(
-                    F.col("idf")
-                    * (F.col("tf") * 2.2)
-                    / (
-                        F.col("tf")
-                        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
-                    ),
-                    6,
-                )
-                * 1e6
-                + 0.5
-            )
-            .cast("long")
-            .alias("t6"),
+            F.size("__tk").cast("long").alias("dl"),
+            *[_tf(i, term) for i, term in enumerate(_BM25_TERMS)],
         )
-    )
-    return bterms.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_terms"),
-        F.sum("t6").cast("long").alias("b6"),
+        .localCheckpoint(eager=False)
     )
 
 
-def _ql_score_frame(dl, qtf):
+def _all_terms_pred():
+    """Conjunction: every query term matched (tf >= 1) on the wide frame."""
+    pred = F.col("__tf0") > 0
+    for i in range(1, len(_BM25_TERMS)):
+        pred = pred & (F.col(f"__tf{i}") > 0)
+    return pred
+
+
+def _rel_from_wide(wide):
+    """(doc_id, flag=1) for docs matching ALL query terms — the
+    boolean-AND relevance set (= the old qtf GROUP BY doc_id HAVING
+    COUNT(*) = arity), as a narrow filter over the wide frame."""
+    return wide.filter(_all_terms_pred()).select("doc_id", F.lit(1).alias("flag"))
+
+
+def _retrieval_stats(wide):
+    """Corpus stats for the scorers in ONE aggregate over the wide
+    frame, collected driver-side (a |terms|-bounded model row — the
+    PQ-codebook collect pattern) and memoized on the frame object so
+    queries using both scorers pay one stats job. n_docs/avgdl/df feed
+    BM25; nc/cf feed QL; every value is computed by the same aggregate
+    expressions the r8 frame-per-stat shape used."""
+    st = getattr(wide, "_r15_retrieval_stats", None)
+    if st is None:
+        aggs = [
+            F.count("*").cast("long").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+            F.sum("dl").cast("long").alias("nc"),
+        ]
+        for i in range(len(_BM25_TERMS)):
+            aggs.append(
+                F.sum((F.col(f"__tf{i}") > 0).cast("long"))
+                .cast("long")
+                .alias(f"df{i}")
+            )
+            aggs.append(F.sum(f"__tf{i}").cast("long").alias(f"cf{i}"))
+        st = wide.agg(*aggs).collect()[0]
+        wide._r15_retrieval_stats = st
+    return st
+
+
+def _bm25_score_frame(wide):
+    """(doc_id, n_terms, b6): exact integer micro-unit BM25 scores —
+    the Spark twin of _BM25_SQL_CHAIN, computed columnar over the wide
+    frame (per-term idf/avgdl are constant-folded literals, so catalyst
+    evaluates the identical JVM double expressions the broadcast-frame
+    shape did). Docs matching no term are filtered out, exactly the
+    rows the old matched-only aggregate produced."""
+    st = _retrieval_stats(wide)
+    avgdl = F.lit(st["avgdl"])
+    t6s, hits = [], []
+    for i in range(len(_BM25_TERMS)):
+        idf = F.round(
+            F.log(
+                (F.lit(st["n_docs"]) - F.lit(st[f"df{i}"]) + 0.5)
+                / (F.lit(st[f"df{i}"]) + 0.5)
+                + 1.0
+            ),
+            6,
+        )
+        tf = F.col(f"__tf{i}")
+        t6 = F.floor(
+            F.round(
+                idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)),
+                6,
+            )
+            * 1e6
+            + 0.5
+        ).cast("long")
+        t6s.append(F.when(tf > 0, t6).otherwise(F.lit(0).cast("long")))
+        hits.append((tf > 0).cast("long"))
+    n_terms = hits[0]
+    for h in hits[1:]:
+        n_terms = n_terms + h
+    b6 = t6s[0]
+    for e in t6s[1:]:
+        b6 = b6 + e
+    return wide.select(
+        "doc_id",
+        n_terms.cast("long").alias("n_terms"),
+        b6.cast("long").alias("b6"),
+    ).filter(F.col("n_terms") > 0)
+
+
+def _ql_score_frame(wide):
     """(doc_id, n_hits, q6): Dirichlet-smoothed query-likelihood scores
     in exact integer micro-nats — the Spark twin of _QL_SQL_CHAIN.
     Unlike BM25, QL scores EVERY document (missing terms contribute the
-    mu*cf/Nc background mass), so the score frame is dl x |query| rows:
-    the 3-row collection-frequency table and the 1-row collection size
-    broadcast onto the length table, the tf join fills the matches."""
-    nc = dl.agg(F.sum("dl").cast("long").alias("nc"))
-    cf = qtf.groupBy("tok").agg(F.sum("tf").cast("long").alias("cf"))
-    qlterms = (
-        dl.crossJoin(F.broadcast(cf))
-        .crossJoin(F.broadcast(nc))
-        .join(qtf, ["doc_id", "tok"], "left")
-        .select(
-            "doc_id",
-            F.when(F.col("tf").isNotNull(), 1).otherwise(0).alias("hit"),
+    mu*cf/Nc background mass): one columnar pass over the wide frame,
+    cf/nc as constant-folded literals instead of the dl x |query|
+    crossJoin + left-join the r8 shape shuffled. A term absent from the
+    whole corpus is skipped, mirroring the old cf table having no row
+    for it."""
+    st = _retrieval_stats(wide)
+    t6s, hits = [], []
+    for i in range(len(_BM25_TERMS)):
+        if st[f"cf{i}"] == 0:
+            continue
+        tf = F.col(f"__tf{i}")
+        t6 = F.round(
             F.round(
-                F.round(
-                    F.log(
-                        (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(_QL_MU) * F.col("cf") / F.col("nc"))
-                        / (F.col("dl") + F.lit(_QL_MU))
-                    ),
-                    6,
-                )
-                * 1e6
+                F.log(
+                    (tf + F.lit(_QL_MU) * F.lit(st[f"cf{i}"]) / F.lit(st["nc"]))
+                    / (F.col("dl") + F.lit(_QL_MU))
+                ),
+                6,
             )
-            .cast("long")
-            .alias("t6"),
-        )
-    )
-    return qlterms.groupBy("doc_id").agg(
-        F.sum("hit").cast("long").alias("n_hits"),
-        F.sum("t6").cast("long").alias("q6"),
+            * 1e6
+        ).cast("long")
+        t6s.append(t6)
+        hits.append((tf > 0).cast("long"))
+    if not t6s:  # no query term appears in the corpus: old shape was empty
+        return wide.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit(0).cast("long").alias("q6"),
+        ).filter(F.lit(False))
+    n_hits = hits[0]
+    for h in hits[1:]:
+        n_hits = n_hits + h
+    q6 = t6s[0]
+    for e in t6s[1:]:
+        q6 = q6 + e
+    return wide.select(
+        "doc_id",
+        n_hits.cast("long").alias("n_hits"),
+        q6.cast("long").alias("q6"),
     )
 
 
@@ -723,9 +781,9 @@ def _dbm25(spark, sf_dir):
     ranking is a TakeOrdered top-15. At 100 TB the only corpus-sized
     shuffle is the (doc, term) count — everything after is bounded by
     matches and the k of top-k."""
-    dl, qtf = _retrieval_frames(spark, sf_dir)
+    wide = _retrieval_wide(spark, sf_dir)
     return (
-        _bm25_score_frame(dl, qtf)
+        _bm25_score_frame(wide)
         .select(
             "doc_id",
             "n_terms",

@@ -12,9 +12,11 @@ from .q26_r8_mixed import (
     _BM25_TERMS,
     _QL_SQL_CHAIN,
     _TOK_SQL_CTES,
+    _all_terms_pred,
     _bm25_score_frame,
     _ql_score_frame,
-    _retrieval_frames,
+    _rel_from_wide,
+    _retrieval_wide,
 )
 
 # ===========================================================================
@@ -46,9 +48,9 @@ def _ddirichletql(spark, sf_dir):
     frequency table and 1-row collection size onto the length table —
     linear in the corpus with no shuffle beyond the shared tf
     aggregate; ranking is TakeOrdered."""
-    dl, qtf = _retrieval_frames(spark, sf_dir)
+    wide = _retrieval_wide(spark, sf_dir)
     return (
-        _ql_score_frame(dl, qtf)
+        _ql_score_frame(wide)
         .select(
             "doc_id",
             "n_hits",
@@ -111,11 +113,11 @@ def _drrf(spark, sf_dir):
     frames, so the fusion join touches at most 40 rows no matter the
     corpus size — the classic cheap ensemble over heterogeneous
     retrievers."""
-    dl, qtf = _retrieval_frames(spark, sf_dir)
-    ra = _ranked_top(_bm25_score_frame(dl, qtf), "b6", 20).select(
+    wide = _retrieval_wide(spark, sf_dir)
+    ra = _ranked_top(_bm25_score_frame(wide), "b6", 20).select(
         "doc_id", F.col("r").alias("ra")
     )
-    rb = _ranked_top(_ql_score_frame(dl, qtf), "q6", 20).select(
+    rb = _ranked_top(_ql_score_frame(wide), "q6", 20).select(
         "doc_id", F.col("r").alias("rb")
     )
     fused = ra.join(rb, "doc_id", "full").select(
@@ -180,11 +182,11 @@ def _dkendalltau(spark, sf_dir):
     is C(20,2)=190 rows from a self-join of a 20-row frame (a bounded
     BNLJ — the k of top-k caps it regardless of corpus size); the only
     corpus-scale work is the shared scorer pipeline."""
-    dl, qtf = _retrieval_frames(spark, sf_dir)
-    top = _ranked_top(_bm25_score_frame(dl, qtf), "b6", 20).select(
+    wide = _retrieval_wide(spark, sf_dir)
+    top = _ranked_top(_bm25_score_frame(wide), "b6", 20).select(
         "doc_id", F.col("r").alias("ra")
     )
-    q = _ql_score_frame(dl, qtf)
+    q = _ql_score_frame(wide)
     wb = Window.orderBy(F.desc("q6"), "doc_id")
     j = (
         top.join(q, "doc_id")
@@ -264,11 +266,11 @@ def _daveoverlap(spark, sf_dir):
     10-row rank lists join on doc_id, each common doc contributes the
     integer suffix-weight of max(rank_a, rank_b), one aggregate — the
     work is bounded by k, not the corpus."""
-    dl, qtf = _retrieval_frames(spark, sf_dir)
-    ra = _ranked_top(_bm25_score_frame(dl, qtf), "b6", 10).select(
+    wide = _retrieval_wide(spark, sf_dir)
+    ra = _ranked_top(_bm25_score_frame(wide), "b6", 10).select(
         "doc_id", F.col("r").alias("ra")
     )
-    rb = _ranked_top(_ql_score_frame(dl, qtf), "q6", 10).select(
+    rb = _ranked_top(_ql_score_frame(wide), "q6", 10).select(
         "doc_id", F.col("r").alias("rb")
     )
     m = F.greatest("ra", "rb")
@@ -310,21 +312,20 @@ def _dbooland(spark, sf_dir):
     query arity — set intersection as one aggregate, which is how a
     distributed boolean index evaluates conjunctions without N-way
     joins."""
-    _, qtf = _retrieval_frames(spark, sf_dir)
+    wide = _retrieval_wide(spark, sf_dir)
+    total = F.col("__tf0")
+    for i in range(1, len(_BM25_TERMS)):
+        total = total + F.col(f"__tf{i}")
     return (
-        qtf.groupBy("doc_id")
-        .agg(
+        wide.filter(_all_terms_pred())
+        .select(
+            "doc_id",
             *[
-                F.max(F.when(F.col("tok") == t, F.col("tf")))
-                .cast("long")
-                .alias(f"tf_{t}")
-                for t in _BM25_TERMS
+                F.col(f"__tf{i}").cast("long").alias(f"tf_{term}")
+                for i, term in enumerate(_BM25_TERMS)
             ],
-            F.sum("tf").cast("long").alias("total_tf"),
-            F.count("*").alias("__nt"),
+            total.cast("long").alias("total_tf"),
         )
-        .filter(F.col("__nt") == len(_BM25_TERMS))
-        .drop("__nt")
         .orderBy(F.desc("total_tf"), "doc_id")
         .limit(20)
     )
@@ -379,16 +380,10 @@ def _dmrreval(spark, sf_dir):
     ranked frame, one aggregate computes every hit count, the scalar
     relevance total broadcasts — eval cost is k plus one grouped count,
     never a corpus re-scan (the tf table is shared and checkpointed)."""
-    dl, qtf = _retrieval_frames(spark, sf_dir)
-    rel = (
-        qtf.groupBy("doc_id")
-        .agg(F.count("*").alias("__nt"))
-        .filter(F.col("__nt") == len(_BM25_TERMS))
-        .select("doc_id", F.lit(1).alias("flag"))
-        .localCheckpoint(eager=False)
-    )
+    wide = _retrieval_wide(spark, sf_dir)
+    rel = _rel_from_wide(wide)
     nrel = rel.agg(F.count("*").cast("long").alias("n_relevant"))
-    ranked = _ranked_top(_bm25_score_frame(dl, qtf), "b6", 20).join(
+    ranked = _ranked_top(_bm25_score_frame(wide), "b6", 20).join(
         rel, "doc_id", "left"
     )
     agg = ranked.agg(

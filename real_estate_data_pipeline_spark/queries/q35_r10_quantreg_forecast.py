@@ -9,7 +9,7 @@ from __future__ import annotations
 from ._registry import CATALOG, DEC, F, Window, register, t, tok_arr
 from .q10_coverage_misc import _q6
 from .q15_curation_r3 import _HOURLY_TYPE_CENTS_CTE, _hourly_type_cents
-from .q26_r8_mixed import _TOK_SQL_CTES, _retrieval_frames
+from .q26_r8_mixed import _BM25_TERMS, _TOK_SQL_CTES, _retrieval_wide
 from .q30_r9_robust_ml import _HUBER_D6
 
 # ===========================================================================
@@ -560,28 +560,21 @@ def _dboolornot(spark, sf_dir):
     count, so the whole (a OR b) AND NOT c evaluates in a single
     shuffle on doc_id — the conjunction query's exact plan shape with
     different HAVING arithmetic."""
-    _, qtf = _retrieval_frames(spark, sf_dir)
+    wide = _retrieval_wide(spark, sf_dir)
+    # columnar over the wide tf frame: (hash OR join) AND NOT stream is
+    # a row predicate; the unmatched-term tf is already 0, matching the
+    # old COALESCE(MAX(CASE ...)), 0) pivot exactly
+    h = F.col(f"__tf{_BM25_TERMS.index('hash')}")
+    j = F.col(f"__tf{_BM25_TERMS.index('join')}")
+    s = F.col(f"__tf{_BM25_TERMS.index('stream')}")
     return (
-        qtf.groupBy("doc_id")
-        .agg(
-            F.coalesce(F.max(F.when(F.col("tok") == "hash", F.col("tf"))), F.lit(0))
-            .cast("long")
-            .alias("tf_hash"),
-            F.coalesce(F.max(F.when(F.col("tok") == "join", F.col("tf"))), F.lit(0))
-            .cast("long")
-            .alias("tf_join"),
-            F.sum(
-                F.when(F.col("tok").isin("hash", "join"), F.col("tf")).otherwise(0)
-            )
-            .cast("long")
-            .alias("total_tf"),
-            F.sum(F.when(F.col("tok").isin("hash", "join"), 1).otherwise(0)).alias(
-                "__n_or"
-            ),
-            F.sum(F.when(F.col("tok") == "stream", 1).otherwise(0)).alias("__n_not"),
+        wide.filter(((h > 0) | (j > 0)) & (s == 0))
+        .select(
+            "doc_id",
+            h.cast("long").alias("tf_hash"),
+            j.cast("long").alias("tf_join"),
+            (h + j).cast("long").alias("total_tf"),
         )
-        .filter((F.col("__n_or") >= 1) & (F.col("__n_not") == 0))
-        .drop("__n_or", "__n_not")
         .orderBy(F.desc("total_tf"), "doc_id")
         .limit(20)
     )

@@ -11,11 +11,12 @@ from .q09_llm_dedup_text_sim import _EMB_BAND_SQL, _EN_NORM_SQL, _cos6_sql
 from .q15_curation_r3 import _KLL_QS, _kll_gate, _kll_oracle_sql
 from .q26_r8_mixed import (
     _BM25_SQL_CHAIN,
+    _BM25_TERMS,
     _QL_SQL_CHAIN,
     _TOK_SQL_CTES,
     _bm25_score_frame,
     _ql_score_frame,
-    _retrieval_frames,
+    _retrieval_wide,
 )
 
 # ===========================================================================
@@ -176,9 +177,9 @@ def _dkendallsw(spark, sf_dir):
     set is one TakeOrdered top-10, all three rankings are windows over
     that 10-row frame, and W is one closing aggregate — multi-ranker
     agreement measured for the cost of the scorers themselves."""
-    dl, qtf = _retrieval_frames(spark, sf_dir)
+    wide = _retrieval_wide(spark, sf_dir)
     cand = (
-        _bm25_score_frame(dl, qtf)
+        _bm25_score_frame(wide)
         .select("doc_id", "b6")
         .orderBy(F.desc("b6"), "doc_id")
         .limit(10)
@@ -187,7 +188,7 @@ def _dkendallsw(spark, sf_dir):
     rb = cand.select(
         "doc_id", F.row_number().over(Window.orderBy(F.desc("b6"), "doc_id")).alias("r")
     )
-    ql = _ql_score_frame(dl, qtf).select("doc_id", "q6")
+    ql = _ql_score_frame(wide).select("doc_id", "q6")
     rq = (
         cand.join(ql, "doc_id")
         .select(
@@ -197,8 +198,14 @@ def _dkendallsw(spark, sf_dir):
             .alias("r"),
         )
     )
-    tfs = cand.join(qtf, "doc_id").groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("tft")
+    # total matched tf per doc, columnar (zeros contribute nothing, so
+    # the sum equals the old matched-rows-only aggregate; every cand
+    # has >= 1 match by the bm25 frame's n_terms filter)
+    tft_expr = F.col("__tf0")
+    for _i in range(1, len(_BM25_TERMS)):
+        tft_expr = tft_expr + F.col(f"__tf{_i}")
+    tfs = cand.join(
+        wide.select("doc_id", tft_expr.cast("long").alias("tft")), "doc_id"
     )
     rt = tfs.select(
         "doc_id",

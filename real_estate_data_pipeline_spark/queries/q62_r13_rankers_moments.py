@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from ._registry import CATALOG, F, Window, register, t
 from .q26_r8_mixed import _BM25_SQL_CHAIN, _QL_SQL_CHAIN, _TOK_SQL_CTES
-from .q26_r8_mixed import _bm25_score_frame, _ql_score_frame, _retrieval_frames
+from .q26_r8_mixed import _bm25_score_frame, _ql_score_frame, _retrieval_wide
 from .q27_r9_retrieval import _ranked_top
 from .q59_r13_trend_changepoint import _DAILY_CENTS_CTE, _daily_cents
 
@@ -60,11 +60,11 @@ def _dfootrule(spark, sf_dir):
     """Footrule A/B distance: the shared scorer chain is the only
     corpus-scale work; the displacement fold runs on the 20-row joined
     frame."""
-    dl, qtf = _retrieval_frames(spark, sf_dir)
-    top = _ranked_top(_bm25_score_frame(dl, qtf), "b6", 20).select(
+    wide = _retrieval_wide(spark, sf_dir)
+    top = _ranked_top(_bm25_score_frame(wide), "b6", 20).select(
         "doc_id", F.col("r").alias("ra")
     )
-    q = _ql_score_frame(dl, qtf)
+    q = _ql_score_frame(wide)
     wb = Window.orderBy(F.desc("q6"), "doc_id")
     j = (
         top.join(q, "doc_id")

@@ -27,7 +27,8 @@ from .q26_r8_mixed import (
     _TOK_SQL_CTES,
     _bm25_score_frame,
     _ql_score_frame,
-    _retrieval_frames,
+    _rel_from_wide,
+    _retrieval_wide,
 )
 from .q27_r9_retrieval import _ranked_top
 
@@ -59,9 +60,20 @@ def _ranked_gain_frames(spark, sf_dir):
     """(rg, gm): the 20-row weak-ranker (first-term tf) ranking with
     graded gains, and the per-doc gain table (shared by the
     ideal-ranking histogram)."""
-    dl, qtf = _retrieval_frames(spark, sf_dir)
-    gm = qtf.groupBy("doc_id").agg(F.count("*").cast("long").alias("g"))
-    weak = qtf.filter(F.col("tok") == _BM25_TERMS[0]).select("doc_id", "tf")
+    wide = _retrieval_wide(spark, sf_dir)
+    # g = #distinct matched terms and the weak first-term ranking, both
+    # columnar over the wide frame (= the old qtf aggregate/filter rows)
+    g_expr = (F.col("__tf0") > 0).cast("long")
+    for _i in range(1, len(_BM25_TERMS)):
+        g_expr = g_expr + (F.col(f"__tf{_i}") > 0).cast("long")
+    gm = (
+        wide.select("doc_id", g_expr.cast("long").alias("g"))
+        .filter(F.col("g") > 0)
+    )
+    weak = (
+        wide.filter(F.col("__tf0") > 0)
+        .select("doc_id", F.col("__tf0").alias("tf"))
+    )
     rg = (
         _ranked_top(weak, "tf", 20)
         .join(gm, "doc_id", "left")
@@ -295,11 +307,11 @@ register(
 
 def _drbo(spark, sf_dir):
     """RBO via the cumulative overlap histogram + constant p-powers."""
-    dl, qtf = _retrieval_frames(spark, sf_dir)
-    ra = _ranked_top(_bm25_score_frame(dl, qtf), "b6", 20).select(
+    wide = _retrieval_wide(spark, sf_dir)
+    ra = _ranked_top(_bm25_score_frame(wide), "b6", 20).select(
         "doc_id", F.col("r").alias("ra")
     )
-    rb = _ranked_top(_ql_score_frame(dl, qtf), "q6", 20).select(
+    rb = _ranked_top(_ql_score_frame(wide), "q6", 20).select(
         "doc_id", F.col("r").alias("rb")
     )
     com = ra.join(rb, "doc_id").select(
@@ -384,16 +396,13 @@ register(
 
 def _dmap(spark, sf_dir):
     """MAP@20 off the shared ranked+flag frame."""
-    dl, qtf = _retrieval_frames(spark, sf_dir)
-    rel = (
-        qtf.groupBy("doc_id")
-        .agg(F.count("*").alias("__nt"))
-        .filter(F.col("__nt") == len(_BM25_TERMS))
-        .select("doc_id", F.lit(1).alias("flag"))
-        .localCheckpoint(eager=False)
-    )
+    wide = _retrieval_wide(spark, sf_dir)
+    rel = _rel_from_wide(wide)
     nrel = rel.agg(F.count("*").cast("long").alias("n_relevant"))
-    weak = qtf.filter(F.col("tok") == _BM25_TERMS[0]).select("doc_id", "tf")
+    weak = (
+        wide.filter(F.col("__tf0") > 0)
+        .select("doc_id", F.col("__tf0").alias("tf"))
+    )
     ranked = (
         _ranked_top(weak, "tf", 20)
         .join(rel, "doc_id", "left")
@@ -474,16 +483,13 @@ register(
 
 def _drprec(spark, sf_dir):
     """P@k sweep + R-precision — one 20-row aggregate."""
-    dl, qtf = _retrieval_frames(spark, sf_dir)
-    rel = (
-        qtf.groupBy("doc_id")
-        .agg(F.count("*").alias("__nt"))
-        .filter(F.col("__nt") == len(_BM25_TERMS))
-        .select("doc_id", F.lit(1).alias("flag"))
-        .localCheckpoint(eager=False)
-    )
+    wide = _retrieval_wide(spark, sf_dir)
+    rel = _rel_from_wide(wide)
     nrel = rel.agg(F.least(F.count("*"), F.lit(20)).cast("long").alias("rr"))
-    weak = qtf.filter(F.col("tok") == _BM25_TERMS[0]).select("doc_id", "tf")
+    weak = (
+        wide.filter(F.col("__tf0") > 0)
+        .select("doc_id", F.col("__tf0").alias("tf"))
+    )
     ranked = (
         _ranked_top(weak, "tf", 20)
         .join(rel, "doc_id", "left")
