@@ -169,69 +169,78 @@ def span_corruption(
     )
 
 
-def _bpe_token_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Dense (doc_id, pos, tok) rows from whitespace tokens (empties
-    filtered) — the frame every BPE round operates on."""
+def _bpe_doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, toks): whitespace tokens as ONE array row per document
+    (empties filtered; zero-token docs dropped, matching the old
+    posexplode frame which emitted no rows for them). Array form keeps
+    each document's merge locality inside its own row, so a BPE merge
+    round is a pure projection — no doc_id exchange, ever."""
     tk = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != F.lit("")
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(tk).alias("p", "tok")
-    ).select("doc_id", (F.col("p") + 1).cast("long").alias("pos"), "tok")
+    return df.select(F.col(id_col).alias("doc_id"), tk.alias("toks")).filter(
+        F.size("toks") > 0
+    )
 
 
-def _bpe_rewrite(cur: DataFrame, x: str, y: str, led: DataFrame | None = None) -> DataFrame:
-    """One greedy left-to-right non-overlapping merge of the adjacent
-    pair (x, y) over a (doc_id, pos, tok) frame, via the islands-parity
-    trick (see bpe_train_rounds docstring); returns the merged frame
-    with re-densified positions. Pass ``led`` (the frame WITH the nxt
-    lead column, e.g. the census input) to skip recomputing the lead
-    window — the training loop shares one windowed frame per round."""
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    if led is None:
-        led = cur.withColumn("nxt", F.lead("tok").over(wdoc))
-    pred = F.when((F.col("tok") == F.lit(x)) & (F.col("nxt") == F.lit(y)), 1).otherwise(0)
-    # Islands parity with ONE window key: a run of consecutive pr=1
-    # positions starts where pr=1 and the previous row has pr=0 (or
-    # none); the running MAX of those start positions gives every pr=1
-    # row ITS island's start, and "odd offset within the island" is
-    # (pos - start) % 2 == 0. The original formulation reached the
-    # same flags through row_numbers over (doc_id, pr) and
-    # (doc_id, pr, grp) — two extra exchanges PER ROUND that repartition
-    # the whole token frame on keys no other stage uses. Everything
-    # here rides the same doc_id-partitioned, pos-ordered window as the
-    # lead/lag steps, so the rewrite costs one shuffle total.
-    wrun = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    marked = led.withColumn("pr", pred).withColumn(
-        "st_pos",
-        F.max(
-            F.when(
-                (F.col("pr") == 1)
-                & (F.coalesce(F.lag(pred).over(wdoc), F.lit(0)) == 0),
-                F.col("pos"),
+def _bpe_pair_counts(arr: DataFrame) -> DataFrame:
+    """Adjacent-pair census over the (doc_id, toks) frame: explode the
+    zipped (tok, nxt) pairs and count. ONE shuffle whose map side
+    partial-aggregates the (pair, count) rows — the windowed-lead
+    formulation repartitioned the whole token frame by doc_id first
+    (full-width rows through an exchange) before it could count."""
+    pairs = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.struct(a.alias("tok"), b.alias("nxt")),
+    )
+    return (
+        arr.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.tok").alias("tok"), F.col("p.nxt").alias("nxt"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _bpe_merge_expr(toks, x: str, y: str):
+    """Greedy left-to-right non-overlapping merge of the adjacent pair
+    (x, y) over a token array, as a pure ``aggregate`` fold: state is
+    (accumulated tokens, unresolved previous token). Each token either
+    completes a merge with the pending one, flushes it, or becomes the
+    new pending token — exactly the sequential semantics ("a a a a"
+    with pair (a, a) -> ["a a", "a a"]) the old islands-parity windows
+    computed with a doc_id shuffle. Element copies are quadratic in doc
+    length worst-case, bounded by the corpus max (~100 tokens here);
+    comparisons are linear."""
+    merged = F.lit(x + " " + y)
+    nul = F.lit(None).cast("string")
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"), nul.alias("prev")
+    )
+
+    def step(s, tok):
+        return (
+            F.when(s["prev"].isNull(), F.struct(s["acc"].alias("acc"), tok.alias("prev")))
+            .when(
+                (s["prev"] == F.lit(x)) & (tok == F.lit(y)),
+                F.struct(
+                    F.concat(s["acc"], F.array(merged)).alias("acc"),
+                    nul.alias("prev"),
+                ),
             )
-        ).over(wrun),
-    )
-    is_start = (
-        (F.col("pr") == 1) & ((F.col("pos") - F.col("st_pos")) % 2 == 0)
-    ).cast("int")
-    flagged = marked.withColumn("is_start", is_start).withColumn(
-        "consumed", F.coalesce(F.lag("is_start").over(wdoc), F.lit(0))
-    )
-    survivors = flagged.filter(F.col("consumed") == 0).select(
-        "doc_id",
-        "pos",
-        F.when(
-            F.col("is_start") == 1, F.concat(F.col("tok"), F.lit(" "), F.col("nxt"))
+            .otherwise(
+                F.struct(
+                    F.concat(s["acc"], F.array(s["prev"])).alias("acc"),
+                    tok.alias("prev"),
+                )
+            )
         )
-        .otherwise(F.col("tok"))
-        .alias("tok"),
-    )
-    return survivors.select(
-        "doc_id",
-        F.row_number().over(wdoc).cast("long").alias("__npos"),
-        "tok",
-    ).withColumnsRenamed({"__npos": "pos"})
+
+    def fin(s):
+        return F.when(s["prev"].isNull(), s["acc"]).otherwise(
+            F.concat(s["acc"], F.array(s["prev"]))
+        )
+
+    return F.aggregate(toks, init, step, fin)
 
 
 def bpe_train_rounds(
@@ -250,23 +259,29 @@ def bpe_train_rounds(
 
     Greedy non-overlap is the sequential-looking part ("a a a a" with
     pair (a,a) merges positions 1-2 and 3-4, not 2-3); it is computed
-    declaratively with the islands trick: within each maximal run of
-    consecutive pair-match positions, every ODD-offset position starts a
-    merge, and the position after a merge start is consumed. All windows
-    partition by document id — bounded by document length, never a
-    global sort — and each round's surviving (doc_id, pos, tok) frame is
-    persisted so round N+1 reads the cache instead of replaying rounds
-    1..N (the Lloyd-round persistence pattern). The per-round top pair
-    is a 1-row TakeOrdered collect (the model-broadcast pattern): the
-    merge decision must become a literal in the next round's plan.
+    per document as a pure ``aggregate`` fold over the document's token
+    ARRAY (:func:`_bpe_merge_expr`) — merge locality never leaves the
+    row, so a rewrite round costs ZERO shuffles (the earlier
+    islands-parity formulation repartitioned a (doc_id, pos, tok) token
+    frame by doc_id once per round). The census explodes adjacent pairs
+    straight out of the arrays into a partially-aggregated count — the
+    only per-round shuffle carries (pair, count) rows. Each round's
+    surviving array frame is persisted so round N+1 reads the cache
+    instead of replaying rounds 1..N (the Lloyd-round persistence
+    pattern). The per-round top pair is a 1-row TakeOrdered collect
+    (the model-broadcast pattern): the merge decision must become a
+    literal in the next round's plan.
 
     Stops early if a round finds no adjacent pairs. The heavy work —
-    census aggregates and per-document windows — is fully distributed;
+    census aggregates and per-document folds — is fully distributed;
     only the ``rounds``-row merge table lives on the driver."""
     spark = df.sparkSession
     merges = _bpe_learn_merges(df, id_col, text_col, rounds)
+    # numSlices=1: the merge table is `rounds` rows — the default would
+    # parallelize it to defaultParallelism near-empty tasks per action
     return spark.createDataFrame(
-        merges, schema="round int, tok_a string, tok_b string, pair_count bigint"
+        spark.sparkContext.parallelize(merges, 1),
+        schema="round int, tok_a string, tok_b string, pair_count bigint",
     )
 
 
@@ -275,23 +290,17 @@ def _bpe_learn_merges(
 ) -> list[tuple[int, str, str, int]]:
     """The training loop behind :func:`bpe_train_rounds`: returns the
     learned merges as driver literals (1-row TakeOrdered collect per
-    round; each round's survivor frame persisted, all unpersisted on
-    exit)."""
-    cur = _bpe_token_positions(df, id_col, text_col)
+    round; each round's survivor array frame persisted, all unpersisted
+    on exit)."""
+    cur = _bpe_doc_tokens(df, id_col, text_col)
     persisted = []
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
     merges: list[tuple[int, str, str, int]] = []
     try:
         for r in range(1, rounds + 1):
-            # persist the POST-window frame: both the census (now) and
-            # the rewrite (below) read it, so the lead window runs once
-            # per round instead of twice
-            led = cur.withColumn("nxt", F.lead("tok").over(wdoc)).persist()
-            persisted.append(led)
+            cur = cur.persist()
+            persisted.append(cur)
             top = (
-                led.filter(F.col("nxt").isNotNull())
-                .groupBy("tok", "nxt")
-                .agg(F.count("*").alias("cnt"))
+                _bpe_pair_counts(cur)
                 .orderBy(F.desc("cnt"), "tok", "nxt")
                 .limit(1)
                 .collect()
@@ -302,7 +311,9 @@ def _bpe_learn_merges(
             merges.append((r, x, y, int(cnt)))
             if r == rounds:
                 break
-            cur = _bpe_rewrite(cur, x, y, led=led)
+            cur = cur.select(
+                "doc_id", _bpe_merge_expr(F.col("toks"), x, y).alias("toks")
+            )
         return merges
     finally:
         for f in persisted:
@@ -320,15 +331,21 @@ def bpe_tokenize_with_merges(
     applying them in order and report per-document compression —
     (doc_id, n_tok_before, n_tok_after). Because the learned merges are
     driver literals by the time the output plan is built, the apply
-    side is a PURE expression chain (``rounds`` islands-parity window
-    passes in one job, no collects in its lineage) — the shape a
-    tokenize-the-whole-corpus production job has, where the merge table
-    is read from the tokenizer artifact instead of retrained."""
+    side is a PURE expression chain (``rounds`` nested merge folds over
+    each document's token array in one shuffle-free projection, no
+    collects in its lineage) — the shape a tokenize-the-whole-corpus
+    production job has, where the merge table is read from the
+    tokenizer artifact instead of retrained."""
     merges = _bpe_learn_merges(df, id_col, text_col, rounds)
-    base = _bpe_token_positions(df, id_col, text_col)
-    before = base.groupBy("doc_id").agg(F.count("*").alias("n_tok_before"))
-    cur = base
+    cur = F.col("toks")
     for _, x, y, _cnt in merges:
-        cur = _bpe_rewrite(cur, x, y)
-    after = cur.groupBy("doc_id").agg(F.count("*").alias("n_tok_after"))
-    return before.join(after, "doc_id").orderBy("doc_id")
+        cur = _bpe_merge_expr(cur, x, y)
+    return (
+        _bpe_doc_tokens(df, id_col, text_col)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tok_before"),
+            F.size(cur).cast("long").alias("n_tok_after"),
+        )
+        .orderBy("doc_id")
+    )

@@ -129,18 +129,20 @@ def _bpe_ref(texts, rounds):
 
 
 def test_bpe_rewrite_matches_python_reference(spark):
-    """The islands-parity windows must implement EXACTLY greedy
+    """The per-document merge FOLD must implement EXACTLY greedy
     left-to-right non-overlapping merging — including self-overlapping
     runs ('a a a a' with pair (a,a) -> ['a a', 'a a']). 200 seeded
     random docs over a 3-token alphabet (runs are frequent), ONE Spark
-    job, every doc compared to the Python reference."""
+    job, every doc compared to the Python reference — plus a NESTED
+    two-merge expression (the inference-path shape) checked by applying
+    the reference merges sequentially."""
     import random
 
     from pyspark.sql import functions as F
 
     from real_estate_data_pipeline_spark.ops.packing import (
-        _bpe_rewrite,
-        _bpe_token_positions,
+        _bpe_doc_tokens,
+        _bpe_merge_expr,
     )
 
     rng = random.Random(42)
@@ -149,15 +151,31 @@ def test_bpe_rewrite_matches_python_reference(spark):
         for i in range(200)
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    base = _bpe_token_positions(df, "doc_id", "text")
+    base = _bpe_doc_tokens(df, "doc_id", "text")
     for pair in [("a", "a"), ("a", "b"), ("c", "c")]:
-        merged = _bpe_rewrite(base, *pair)
-        got = {}
-        for r in merged.orderBy("doc_id", "pos").collect():
-            got.setdefault(r["doc_id"], []).append(r["tok"])
+        merged = base.select(
+            "doc_id", _bpe_merge_expr(F.col("toks"), *pair).alias("toks")
+        )
+        got = {r["doc_id"]: list(r["toks"]) for r in merged.collect()}
         for doc_id, text in docs:
             want = _greedy_merge_ref([t for t in text.split() if t], *pair)
-            assert got.get(doc_id, []) == want, (pair, doc_id, text)
+            if not want:
+                assert doc_id not in got, (pair, doc_id, text)
+            else:
+                assert got[doc_id] == want, (pair, doc_id, text)
+    nested = base.select(
+        "doc_id",
+        _bpe_merge_expr(
+            _bpe_merge_expr(F.col("toks"), "a", "a"), "a a", "b"
+        ).alias("toks"),
+    )
+    got = {r["doc_id"]: list(r["toks"]) for r in nested.collect()}
+    for doc_id, text in docs:
+        want = _greedy_merge_ref(
+            _greedy_merge_ref([t for t in text.split() if t], "a", "a"), "a a", "b"
+        )
+        if want:
+            assert got[doc_id] == want, (doc_id, text)
 
 
 def test_bpe_train_rounds_matches_python_reference(spark):
