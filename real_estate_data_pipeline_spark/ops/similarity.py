@@ -346,7 +346,9 @@ def knn_self_join(
         safe_norm(F.col(vec_col)).alias("__n"),
         F.posexplode(bucket_arr).alias("__band", "__bkt"),
     )
-    und = _scored_pairs_within(b, ["__band", "__bkt"], id_col, vec_col, score_dp, max_block)
+    und = _scored_pairs_within(
+        b, ["__band", "__bkt"], id_col, vec_col, score_dp, max_block, dedup=False
+    )
     return _orient_and_rank(und, k)
 
 
@@ -357,13 +359,17 @@ def _scored_pairs_within(
     vec_col: str,
     score_dp: int | None = None,
     max_block: int | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Unordered cosine-scored candidate pairs within each group.
     least/greatest ids, not positional (x, y): collect_list order
     differs per group, so the same pair could surface as (x, y) in one
     group and (y, x) in another and survive the dedup twice — duplicate
     edges would then occupy two of the k ranks. Expects a ``__n``
-    precomputed-norm column.
+    precomputed-norm column. Pass ``dedup=False`` when the consumer
+    collapses duplicates itself (e.g. :func:`_dedup_and_rank`'s
+    single-exchange tail) — the duplicate scores are identical, so the
+    collapse point is a plan choice, not a semantic one.
 
     ``max_block`` defaults to NONE here (unlike the dedup ops): kNN
     answers are silently WRONG if a bucket/cell truncates its members
@@ -376,7 +382,7 @@ def _scored_pairs_within(
         c = dot(x["v"], y["v"]) / (x["n"] * y["n"])
         return F.round(c, score_dp) if score_dp is not None else c
 
-    return pairs_within_groups(
+    out = pairs_within_groups(
         b,
         group_cols,
         F.struct(
@@ -388,13 +394,38 @@ def _scored_pairs_within(
             _score(x, y).alias("cosine_sim"),
         ),
         max_block=max_block,
-    ).dropDuplicates(["id_a", "id_b"])
+    )
+    return out.dropDuplicates(["id_a", "id_b"]) if dedup else out
+
+
+def _dedup_and_rank(edges: DataFrame, k: int) -> DataFrame:
+    """Duplicate-edge collapse + per-left-id top-k in ONE exchange
+    (r15 opt round). The old tail was dropDuplicates(left_id, right_id)
+    followed by a row_number window over left_id — TWO exchanges, one
+    hashed on the pair and one on left_id. Partitioning once by left_id
+    alone satisfies BOTH: hash partitioning on a subset of the grouping
+    key clusters the (left_id, right_id) aggregate correctly, and the
+    aggregate preserves that partitioning for the window, which then
+    only sorts. A duplicate edge carries the same (rounded) score in
+    every group that emits it, so max() returns exactly the value
+    dropDuplicates kept."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
+    return (
+        edges.repartition("left_id")
+        .groupBy("left_id", "right_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def _orient_and_rank(und: DataFrame, k: int) -> DataFrame:
     """Each unordered pair (dot computed ONCE — cosine is symmetric)
     becomes both kNN-edge orientations via a cheap two-struct explode,
-    then a per-left-id top-k rank."""
+    then the one-exchange dedup + per-left-id top-k rank."""
     oriented = und.select(
         F.explode(
             F.array(
@@ -411,14 +442,7 @@ def _orient_and_rank(und: DataFrame, k: int) -> DataFrame:
             )
         ).alias("__p")
     ).select("__p.*")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
-    return (
-        oriented.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return _dedup_and_rank(oriented, k)
 
 
 def ivf_centroids(
@@ -573,7 +597,9 @@ def ivf_knn_self_join(
         .filter(F.col("__rn") <= nprobe)
         .select(id_col, vec_col, "__n", "cid")
     )
-    und = _scored_pairs_within(assign, ["cid"], id_col, vec_col, score_dp, max_block)
+    und = _scored_pairs_within(
+        assign, ["cid"], id_col, vec_col, score_dp, max_block, dedup=False
+    )
     return _orient_and_rank(und, k)
 
 
@@ -657,15 +683,7 @@ def ivf_knn_self_join_arrow(
     per_cell = assign.groupBy("cid").applyInPandas(
         _cell_knn, "left_id long, right_id long, cosine_sim double"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
-    return (
-        per_cell.dropDuplicates(["left_id", "right_id"])
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return _dedup_and_rank(per_cell, k)
 
 
 def knn_self_join_arrow(
@@ -740,15 +758,7 @@ def knn_self_join_arrow(
     per_bucket = b.groupBy("__band", "__bkt").applyInPandas(
         _bucket_knn, "left_id long, right_id long, cosine_sim double"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
-    return (
-        per_bucket.dropDuplicates(["left_id", "right_id"])
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return _dedup_and_rank(per_bucket, k)
 
 
 def knn_join(
@@ -788,13 +798,8 @@ def knn_join(
     if score_dp is not None:
         # rounded ranking key -> engine-exact edges (see knn_self_join)
         cos = F.round(cos, score_dp)
-    scored = pairs.select(
-        "left_id", "right_id", cos.alias("cosine_sim")
-    ).dropDuplicates(["left_id", "right_id"])
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
-    return scored.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k).drop("__rk")
+    scored = pairs.select("left_id", "right_id", cos.alias("cosine_sim"))
+    return _dedup_and_rank(scored, k)
 
 
 def ivf_knn_join(
@@ -849,11 +854,8 @@ def ivf_knn_join(
             dot(F.col("__left_id_v"), F.col("__right_id_v"))
             / (F.col("__left_id_n") * F.col("__right_id_n"))
         ).alias("cosine_sim"),
-    ).dropDuplicates(["left_id", "right_id"])
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("left_id").orderBy(F.desc("cosine_sim"), F.col("right_id"))
-    return scored.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k).drop("__rk")
+    )
+    return _dedup_and_rank(scored, k)
 
 
 def hard_negative_topk(
