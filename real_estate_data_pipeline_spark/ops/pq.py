@@ -42,6 +42,16 @@ from pyspark.sql import functions as F
 from .similarity import l2_dist_sq
 
 
+def _local_df(spark, rows, schema):
+    """Model-frame ``createDataFrame`` pinned to ONE partition.
+
+    ``spark.createDataFrame(list)`` parallelizes across the default
+    parallelism — every action that touches the frame (broadcast build,
+    collect) then schedules 32 near-empty tasks for a handful of rows.
+    One slice makes those single-task jobs (same rows, same types)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def _subdim(dim: int, m: int) -> int:
     """Subspace width ``dim // m``, rejecting non-divisible shapes that
     would silently drop the trailing dimensions from every code and
@@ -90,6 +100,49 @@ def pq_codebooks(
     )
 
 
+def _entries_by_sub(spark, cb_rows, m: int):
+    """Regroup collected codebook rows into an ``m``-row (sub, entries)
+    frame — entries sorted by code so ties resolve identically
+    everywhere. The rows are DATA in a LocalRelation (broadcast-join
+    build side), never plan literals: embedding the codebook as literal
+    expression nodes was A/B-measured in the r15 opt round and rejected
+    (driver-side plan construction/analysis cost seconds per query)."""
+    by_sub: dict[int, list] = {}
+    for r in cb_rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), list(r["cvec"]))
+        )
+    rows = [(s, sorted(by_sub[s])) for s in sorted(by_sub)]
+    if len(rows) != m:
+        raise ValueError(f"codebook covers {len(rows)} subspaces, expected {m}")
+    return _local_df(
+        spark, rows, "sub int, entries array<struct<code:int,cvec:array<double>>>"
+    )
+
+
+def _sub_slice(vec, sub, d: int):
+    """Subvector ``sub`` of ``vec`` as doubles (``sub`` may be a lambda
+    variable or a column)."""
+    return F.transform(F.slice(vec, sub * d + 1, d), lambda x: x.cast("double"))
+
+
+def _argmin_entry(entries, sv):
+    """Min over struct(6-dp L2, code) — the same (distance, lowest-code)
+    argmin the old ``groupBy.min(struct)`` computed, as a per-row array
+    expression: after a broadcast codebook join every (id, sub) group is
+    map-local, so aggregating it through an exchange shuffled the corpus
+    for groups that never span partitions."""
+    return F.array_min(
+        F.transform(
+            entries,
+            lambda e: F.struct(
+                F.round(l2_dist_sq(sv, e["cvec"]), 6).alias("__d6"),
+                e["code"].alias("code"),
+            ),
+        )
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: DataFrame,
@@ -101,29 +154,28 @@ def pq_encode(
     """Encode each vector as ``m`` codes: per subspace, the 6-dp-rounded-
     argmin-L2 codebook entry (ties -> lowest code).
 
-    Plan: corpus x broadcast(codebook) map -> per-(id, sub) argmin via a
-    partial-aggregating ``min(struct(d6, code))`` — the shuffle carries one
-    slim row per (id, sub), never the vectors. (A pre-exploded
-    subvector + BroadcastHashJoin-on-sub variant was A/B-measured in the
-    r15 opt round and LOST to this bounded-crossJoin shape — codegen's
-    subexpression elimination already computes each slice once per row,
-    and the Generate + join machinery costs more than it saves.)"""
+    Plan (r15 opt round): the ``m``-row (sub, entries) codebook
+    broadcast-joins on ``sub`` and the argmin is a per-row array
+    expression — encode is a pure map over the corpus, ZERO exchanges.
+    The previous shape (corpus x broadcast(codebook) crossJoin ->
+    ``groupBy(id, sub).min(struct)``) shuffled one slim row per
+    (id, sub) to aggregate groups that were already map-local; same
+    number of L2 evaluations either way (the fold is interpreted in
+    both), so dropping the exchange and the k-times row materialization
+    is a strict win."""
     d = _subdim(dim, m)
-    sub_slice = F.transform(
-        F.slice(F.col(vec_col), F.col("sub") * d + 1, d), lambda x: x.cast("double")
-    )
-    scored = (
+    cbs = _entries_by_sub(df.sparkSession, codebooks.collect(), m)
+    enc = (
         df.select(id_col, vec_col)
-        .crossJoin(F.broadcast(codebooks))
         .select(
             id_col,
-            "sub",
-            "code",
-            F.round(l2_dist_sq(sub_slice, F.col("cvec")), 6).alias("__d6"),
+            vec_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
         )
+        .join(F.broadcast(cbs), "sub")
     )
-    best = scored.groupBy(id_col, "sub").agg(F.min(F.struct("__d6", "code")).alias("__b"))
-    return best.select(id_col, "sub", F.col("__b.code").alias("code"))
+    best = _argmin_entry(F.col("entries"), _sub_slice(F.col(vec_col), F.col("sub"), d))
+    return enc.select(id_col, "sub", best["code"].alias("code"))
 
 
 def pq_refine(
@@ -140,45 +192,41 @@ def pq_refine(
     established — AVG order differences die under the rounding).
     Starved codes keep their seed centroid, so code ids never shift.
 
-    r15 opt round — the refinement is ONE corpus pass and one collect:
-    the encode argmin CARRIES its subvector through the aggregate
-    (``first`` over a value constant within the (id, sub) group), so
-    the old codes-back-to-vectors equi-join — a second shuffle of the
-    corpus plus a whole join stage — is gone; the per-(sub, code, pos)
-    means (m*k*d rows, bounded by the codebook, never by the corpus)
-    are collected and the refined codebook is assembled driver-side
-    against the seed rows (the same bounded model-broadcast pattern as
-    the per-round collect the training loop already did). Returns a
-    LITERAL-backed DataFrame, so downstream encode/ADC plans embed the
-    refined codebook without replaying the refinement lineage. Values
-    are unchanged: same slices, same fold, same 6-dp-rounded means
-    (AVG partial-order differences die under the rounding exactly as
-    they always did across engines)."""
+    r15 opt round — the refinement is ONE corpus pass and one collect,
+    with ZERO corpus-sized exchanges: the per-(id, sub) argmin is a
+    map-side array expression over the broadcast (sub, entries) codebook
+    (see :func:`_argmin_entry` — the old ``groupBy(id, sub)`` shuffled
+    every subvector to aggregate groups that were already map-local),
+    so the only shuffle carries the partial-aggregated per-(sub, code,
+    pos) sums (m*k*d rows, bounded by the codebook, never by the
+    corpus); those means are collected and the refined codebook is
+    assembled driver-side against the seed rows (the same bounded
+    model-broadcast pattern as the per-round collect the training loop
+    already did). Returns a LITERAL-backed DataFrame, so downstream
+    encode/ADC plans embed the refined codebook without replaying the
+    refinement lineage. Values are unchanged: same slices, same fold,
+    same 6-dp-rounded means (AVG partial-order differences die under
+    the rounding exactly as they always did across engines)."""
     d = _subdim(dim, m)
     spark = df.sparkSession
     cb_rows = codebooks.collect()
-    cb_lit = spark.createDataFrame(cb_rows, schema=codebooks.schema)
-    sub_slice = F.transform(
-        F.slice(F.col(vec_col), F.col("sub") * d + 1, d), lambda x: x.cast("double")
-    )
-    scored = (
-        df.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cb_lit))
+    cbs = _entries_by_sub(spark, cb_rows, m)
+    sub_slice = _sub_slice(F.col(vec_col), F.col("sub"), d)
+    enc = (
+        df.select(vec_col)
         .select(
-            id_col,
+            vec_col, F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
+        )
+        .join(F.broadcast(cbs), "sub")
+        .select(
             "sub",
-            "code",
-            F.round(l2_dist_sq(sub_slice, F.col("cvec")), 6).alias("__d6"),
+            _argmin_entry(F.col("entries"), sub_slice)["code"].alias("code"),
             sub_slice.alias("__sv"),
         )
     )
-    best = scored.groupBy(id_col, "sub").agg(
-        F.min(F.struct("__d6", "code")).alias("__b"),
-        F.first("__sv").alias("__sv"),
-    )
-    els = best.select(
+    els = enc.select(
         "sub",
-        F.col("__b.code").alias("code"),
+        "code",
         F.posexplode("__sv").alias("pos", "el"),
     )
     means = els.groupBy("sub", "code", "pos").agg(F.round(F.avg("el"), 6).alias("m"))
@@ -190,7 +238,7 @@ def pq_refine(
         mm = by_sc.get((r["sub"], r["code"]))
         cvec = [mm[p] for p in range(d)] if mm else list(r["cvec"])
         out.append((r["sub"], r["code"], cvec))
-    return spark.createDataFrame(out, schema=codebooks.schema)
+    return _local_df(spark, out, codebooks.schema)
 
 
 def pq_adc_topk(
@@ -232,26 +280,69 @@ def pq_adc_topk(
         # is the round's one corpus pass), so downstream encode/ADC
         # plans embed the refined rows instead of replaying the lineage.
         cb = pq_refine(df, cb, id_col, vec_col, m, dim)
-    codes = pq_encode(df, cb, id_col, vec_col, m, dim)
     d = _subdim(dim, m)
-    qsub = F.transform(
-        F.slice(F.col("__q"), F.col("sub") * d + 1, d), lambda x: x.cast("double")
+    spark = df.sparkSession
+    cb_rows = cb.collect()
+    # ADC table: a Project over a LocalRelation (codebook rows with the
+    # validated query row attached as a data column) — Catalyst's
+    # ConvertToLocalRelation folds it driver-side, so the m*k micro
+    # cells cost no Spark job. Exactly the old cell expressions.
+    qv = [float(x) for x in qrows[0]["__q"]]
+    adc_in = _local_df(
+        spark,
+        [(int(r["sub"]), int(r["code"]), list(r["cvec"]), qv) for r in cb_rows],
+        "sub int, code int, cvec array<double>, q array<double>",
     )
-    q = df.sparkSession.createDataFrame(qrows, schema=qdf.schema)
-    adc = (
-        cb.crossJoin(F.broadcast(q))
-        .select(
-            "sub",
-            "code",
-            F.floor(F.round(l2_dist_sq(qsub, F.col("cvec")), 6) * 1e6 + F.lit(0.5))
-            .cast("long")
-            .alias("__micro"),
-        )
+    qsub = _sub_slice(F.col("q"), F.col("sub"), d)
+    micro_rows = adc_in.select(
+        "sub",
+        "code",
+        F.floor(F.round(l2_dist_sq(qsub, F.col("cvec")), 6) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("__micro"),
+    ).collect()
+    micro_by_sub: dict[int, dict[int, int]] = {}
+    for r in micro_rows:
+        micro_by_sub.setdefault(r["sub"], {})[r["code"]] = int(r["__micro"])
+    by_sub: dict[int, list] = {}
+    for r in cb_rows:
+        by_sub.setdefault(int(r["sub"]), []).append((int(r["code"]), list(r["cvec"])))
+    subs_data = []
+    for s in range(m):
+        entries = sorted(by_sub[s])
+        if [c for c, _ in entries] != list(range(len(entries))):
+            raise ValueError("PQ codes must be dense 0..k-1 per subspace")
+        subs_data.append((entries, [micro_by_sub[s][c] for c, _ in entries]))
+    # r15 opt round: encode + ADC lookup + distance sum FUSE into one
+    # per-row expression over a single broadcast row holding the
+    # codebook entries and micro cells as DATA (never plan literals —
+    # the literal-codebook variant was measured and rejected: plan
+    # construction/analysis cost seconds per query). The old shape
+    # (pq_encode's per-(id, sub) exchange, then join + groupBy(id))
+    # shuffled the corpus twice to aggregate rows that originate from
+    # the same input row; this one is a pure map -> the whole scoring
+    # chain is ONE corpus scan feeding TakeOrdered.
+    bdf = _local_df(
+        spark,
+        [(subs_data,)],
+        "subs array<struct<entries:array<struct<code:int,cvec:array<double>>>,"
+        "micro:array<bigint>>>",
+    )
+
+    def _micro_of(s):
+        sb = F.element_at(F.col("subs"), s + 1)
+        best = _argmin_entry(sb["entries"], _sub_slice(F.col(vec_col), s, d))
+        return F.element_at(sb["micro"], best["code"] + 1)
+
+    am = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + _micro_of(s),
     )
     summed = (
-        codes.join(F.broadcast(adc), ["sub", "code"])
-        .groupBy(id_col)
-        .agg(F.sum("__micro").alias("__am"))
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(bdf))
+        .select(id_col, am.alias("__am"))
     )
     return (
         summed.select(id_col, (F.col("__am").cast("double") / 1e6).alias("approx_dist"))
