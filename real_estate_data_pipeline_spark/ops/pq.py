@@ -39,17 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import l2_dist_sq
-
-
-def _local_df(spark, rows, schema):
-    """Model-frame ``createDataFrame`` pinned to ONE partition.
-
-    ``spark.createDataFrame(list)`` parallelizes across the default
-    parallelism — every action that touches the frame (broadcast build,
-    collect) then schedules 32 near-empty tasks for a handful of rows.
-    One slice makes those single-task jobs (same rows, same types)."""
-    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+from .similarity import l2_dist_sq, local_model_df as _local_df
 
 
 def _subdim(dim: int, m: int) -> int:

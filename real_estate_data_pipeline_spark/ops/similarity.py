@@ -35,6 +35,33 @@ def gaussian_planes(bits: int, dim: int = _PLANE_DIM, seed: int = _PLANE_SEED) -
     return [[float(v) for v in row] for row in rng.standard_normal((bits, dim))]
 
 
+def local_model_df(spark, rows, schema):
+    """Model-frame ``createDataFrame`` pinned to ONE partition: the
+    default parallelizes a handful of rows across defaultParallelism,
+    so every broadcast build / collect of the frame schedules 32
+    near-empty tasks (same rows, same types either way)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
+def _rows_one_row_df(model_df: DataFrame, col_name: str):
+    """Collect a small model frame into a ONE-ROW frame whose single
+    column holds every row as an array of structs — the broadcast shape
+    for map-side argmin/top-k over the model (r15 opt round): the model
+    stays DATA in the build side, never plan literals, and per-row
+    selection becomes an array expression instead of a crossJoin +
+    window that shuffled the corpus to rank map-local candidates."""
+    from pyspark.sql import types as T
+
+    rows = model_df.collect()
+    return local_model_df(
+        model_df.sparkSession,
+        [([tuple(r) for r in rows],)],
+        T.StructType(
+            [T.StructField(col_name, T.ArrayType(T.StructType(list(model_df.schema))))]
+        ),
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision."""
     return F.aggregate(
@@ -215,24 +242,36 @@ def ivf_assign(
     (centroids, assignments) where each vector is assigned to its nearest
     centroid.
 
-    Plan shape: centroid table is tiny -> broadcast; assignment is a map
-    over the corpus + a per-row argmin (window row_number over n_cells
-    candidates). At 100 TB the corpus would be *written partitioned by
-    cell id*, making probes partition-prunable scans."""
-    from pyspark.sql import Window
-
-    cent = (
+    Plan shape (r15 opt round): the collected centroid table rides ONE
+    broadcast row as an array and the per-row argmin is an array_min
+    over per-centroid (distance, cid) structs — assignment is a pure
+    map over the corpus. The previous shape (crossJoin + row_number
+    window partitioned by id) shuffled the corpus n_cells-wide to rank
+    candidates that were already map-local; same distance evaluations,
+    identical picks (min over struct(__d, cid) == the window's
+    orderBy(__d, cid) rn=1). At 100 TB the corpus would be *written
+    partitioned by cell id*, making probes partition-prunable scans."""
+    spark = df.sparkSession
+    lazy_cent = (
         df.orderBy(id_col)
         .limit(n_cells)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
-    pairs = df.select(id_col, vec_col).crossJoin(F.broadcast(cent))
-    scored = pairs.withColumn("__d", l2_dist_sq(F.col(vec_col), F.col("cvec")))
-    w = Window.partitionBy(id_col).orderBy("__d", "cid")
+    cent = local_model_df(spark, lazy_cent.collect(), lazy_cent.schema)
+    one = _rows_one_row_df(cent, "cents")
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                l2_dist_sq(F.col(vec_col), c["cvec"]).alias("__d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
     assign = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "cid")
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(one))
+        .select(id_col, best["cid"].alias("cid"))
     )
     return cent, assign
 
@@ -507,14 +546,30 @@ def ivf_centroids(
                 "cid", _best_cell(F.col(vec_col))
             )
         else:
+            # r15 opt round: the old crossJoin + row_number window
+            # shuffled the corpus n_cells-wide to rank candidates that
+            # were already map-local; the collected (cid, cvec, cn)
+            # table rides one broadcast row and the argmax is an
+            # array_min over (-cos, cid) structs — identical picks
+            # (desc(__cos), cid == min struct(-__cos, cid); negation is
+            # IEEE-exact), zero corpus exchanges per round.
             c = cent.withColumn("cn", F.sqrt(l2_norm_sq(F.col("cvec"))))
+            one = _rows_one_row_df(c, "cents")
             v = df.select(id_col, vec_col, safe_norm(F.col(vec_col)).alias("__n"))
-            scored = v.crossJoin(F.broadcast(c)).withColumn(
-                "__cos", dot(F.col(vec_col), F.col("cvec")) / (F.col("__n") * F.col("cn"))
+            best = F.array_min(
+                F.transform(
+                    F.col("cents"),
+                    lambda cc: F.struct(
+                        (
+                            -(dot(F.col(vec_col), cc["cvec"]) / (F.col("__n") * cc["cn"]))
+                        ).alias("__nc"),
+                        cc["cid"].alias("cid"),
+                    ),
+                )
             )
-            w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), "cid")
-            assign = scored.withColumn("__rn", F.row_number().over(w)).filter(
-                F.col("__rn") == 1
+            assign = (
+                v.crossJoin(F.broadcast(one))
+                .select(vec_col, best["cid"].alias("cid"))
             )
         mean = F.avg("__x")
         if round_dp is not None:
@@ -547,12 +602,13 @@ def ivf_centroids(
                 T.StructField("cvec", T.ArrayType(T.DoubleType()), True),
             ]
         )
-        cent = df.sparkSession.createDataFrame(
+        cent = local_model_df(
+            df.sparkSession,
             [
                 (cid, [mm[p] for p in range(len(mm))])
                 for cid, mm in sorted(by_c.items())
             ],
-            schema=cent_schema,
+            cent_schema,
         )
     return cent.withColumn("cn", F.sqrt(l2_norm_sq(F.col("cvec"))))
 
@@ -586,16 +642,33 @@ def ivf_knn_self_join(
     """
     cent = ivf_centroids(df, id_col, vec_col, n_cells, refine, round_dp=centroid_dp)
     v = df.select(id_col, vec_col, safe_norm(F.col(vec_col)).alias("__n"))
-    scored = v.crossJoin(F.broadcast(cent)).withColumn(
-        "__cos", dot(F.col(vec_col), F.col("cvec")) / (F.col("__n") * F.col("cn"))
+    # r15 opt round: per-row top-nprobe cells as a map-side array sort
+    # over the broadcast centroid row — the old crossJoin + row_number
+    # window shuffled the corpus n_cells-wide to rank map-local
+    # candidates. array_sort on struct(-cos, cid) == the window's
+    # orderBy(desc(__cos), cid); negation is IEEE-exact, slice keeps the
+    # same nprobe rows.
+    one = _rows_one_row_df(cent, "cents")
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda cc: F.struct(
+                (
+                    -(dot(F.col(vec_col), cc["cvec"]) / (F.col("__n") * cc["cn"]))
+                ).alias("__nc"),
+                cc["cid"].alias("cid"),
+            ),
+        )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), "cid")
     assign = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= nprobe)
-        .select(id_col, vec_col, "__n", "cid")
+        v.crossJoin(F.broadcast(one))
+        .select(
+            id_col,
+            vec_col,
+            "__n",
+            F.explode(F.slice(ranked, 1, nprobe)).alias("__p"),
+        )
+        .select(id_col, vec_col, "__n", F.col("__p.cid").alias("cid"))
     )
     und = _scored_pairs_within(
         assign, ["cid"], id_col, vec_col, score_dp, max_block, dedup=False
@@ -824,24 +897,39 @@ def ivf_knn_join(
     ``ivf_assign``), turning each probe into a partition-pruned scan and
     leaving only the query side to shuffle."""
     cent = ivf_centroids(right, right_id, vec_col, n_cells, refine)
+    # r15 opt round: both sides' cell routing is a map-side array sort
+    # over the broadcast centroid row (see ivf_knn_self_join) — the old
+    # crossJoin + row_number window shuffled each corpus n_cells-wide
+    # to rank map-local candidates.
+    one = _rows_one_row_df(cent, "cents")
 
     def _assigned(df, id_in, id_out, probes):
+        v_col, n_col = f"__{id_out}_v", f"__{id_out}_n"
         v = df.select(
             F.col(id_in).alias(id_out),
-            F.col(vec_col).alias(f"__{id_out}_v"),
-            F.sqrt(l2_norm_sq(F.col(vec_col))).alias(f"__{id_out}_n"),
+            F.col(vec_col).alias(v_col),
+            F.sqrt(l2_norm_sq(F.col(vec_col))).alias(n_col),
         )
-        scored = v.crossJoin(F.broadcast(cent)).withColumn(
-            "__cos",
-            dot(F.col(f"__{id_out}_v"), F.col("cvec")) / (F.col(f"__{id_out}_n") * F.col("cn")),
+        ranked = F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda cc: F.struct(
+                    (
+                        -(dot(F.col(v_col), cc["cvec"]) / (F.col(n_col) * cc["cn"]))
+                    ).alias("__nc"),
+                    cc["cid"].alias("cid"),
+                ),
+            )
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(id_out).orderBy(F.desc("__cos"), "cid")
         return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= probes)
-            .select(id_out, f"__{id_out}_v", f"__{id_out}_n", "cid")
+            v.crossJoin(F.broadcast(one))
+            .select(
+                id_out,
+                v_col,
+                n_col,
+                F.explode(F.slice(ranked, 1, probes)).alias("__p"),
+            )
+            .select(id_out, v_col, n_col, F.col("__p.cid").alias("cid"))
         )
 
     lb = _assigned(left, left_id, "left_id", nprobe)
