@@ -32,6 +32,7 @@ def asof_join(
     suffix: str = "_asof",
     direction: str = "backward",
     tolerance_seconds: float | None = None,
+    max_of_ties: bool = False,
 ) -> DataFrame:
     """Left as-of join (pandas ``merge_asof`` parity, distributed):
     every left row + the value columns of the matched right row with
@@ -53,7 +54,17 @@ def asof_join(
     Still ONE shuffle on the key per direction (nearest = the same
     union windowed twice, no extra shuffle: both windows partition by
     the key, and the second sort rides the first's exchange). Right
-    side should be unique per (key, ts) — pre-aggregate otherwise.
+    side should be unique per (key, ts) — pre-aggregate otherwise, OR
+    pass ``max_of_ties=True`` (single value column only): the value
+    column joins the window sort key, so the last tied right row the
+    window sees IS the per-(key, ts) max — identical to pre-aggregating
+    ``max(value)`` (r15 opt round: the pre-aggregation was a second
+    full shuffle of the right side that reduced nothing on
+    near-unique-timestamp data; folding it into the one union-trick
+    sort halves the right side's shuffled bytes). Caveat: a (key, ts)
+    group whose values are ALL null forward-fills past the group
+    instead of matching as null — same class as the NULL known edge
+    below.
     Known edge (vs pandas merge_asof): the value columns forward-fill
     independently of the matched row's timestamp, so a matched right row
     whose value column is NULL surfaces the nearest OLDER non-null value
@@ -63,6 +74,12 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest: {direction}")
+    if max_of_ties and len(value_cols) != 1:
+        raise ValueError(
+            "max_of_ties resolves ties by ONE value column joining the sort "
+            f"key; with {len(value_cols)} value columns the per-column maxima "
+            "can come from different rows — pre-aggregate instead"
+        )
     lt = left.withColumn("__ts", F.col(left_ts).cast("timestamp")).withColumn(
         "__side", F.lit(1)
     )
@@ -87,14 +104,19 @@ def asof_join(
 
     # right rows (side=0) sort before left rows at equal ts in BOTH
     # orderings -> a right row at exactly left_ts is visible ("<="/">=")
+    # with max_of_ties the value column is the ties' LAST sort key in
+    # BOTH directions (asc: nulls first, so the last tied row the
+    # window sees is the non-null max — exactly what a max() pre-
+    # aggregation of the tied group returns)
+    tie_keys = [F.col(value_cols[0]).asc()] if max_of_ties else []
     w_back = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *tie_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_fwd = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), *tie_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     windows = {"backward": [("b", w_back)], "forward": [("f", w_fwd)]}.get(

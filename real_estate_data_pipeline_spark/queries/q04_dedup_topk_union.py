@@ -29,7 +29,9 @@ register(
 def _w1(spark, sf_dir):
     """W1 keep-latest dedup with deterministic tie-break.
     Ref: silver_etl_script.py:641-652 (+ SURVEY §7.4.3 tie fix)."""
-    o = t(spark, sf_dir, "orders")
+    # r15 opt round: nothing but the window exchange follows the scan —
+    # the fan-out exchange parallelized nothing (A/B: 0.64 -> 0.31 s)
+    o = t(spark, sf_dir, "orders", fan_out=False)
     d = dedup.keep_latest(o, ["o_custkey"], "o_orderdate", tiebreakers=["o_orderkey"])
     return d.select(
         "o_custkey", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_s")

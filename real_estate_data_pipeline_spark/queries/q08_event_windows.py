@@ -28,7 +28,9 @@ register(
 def _tumbling(spark, sf_dir):
     """Tumbling event-time window aggregate (batch form; streaming variant
     in streaming/events.py uses the same expression + watermark)."""
-    e = t(spark, sf_dir, "events")
+    # r15 opt round: scan feeds the agg exchange through one projection —
+    # fan-out parallelized nothing (A/B: 0.64 -> 0.31 s)
+    e = t(spark, sf_dir, "events", fan_out=False)
     w = F.window("ts", "1 hour")
     return (
         e.groupBy(w.alias("w"), F.col("event_type"))
@@ -136,7 +138,9 @@ register(
 def _sessions(spark, sf_dir):
     """Session windows via gaps-and-islands (30-min inactivity gap) —
     batch analogue of streaming session windows."""
-    e = t(spark, sf_dir, "events")
+    # r15 opt round: scan feeds the session-window exchange through one
+    # projection — fan-out parallelized nothing (A/B: 0.77 -> 0.55 s)
+    e = t(spark, sf_dir, "events", fan_out=False)
     sess = _gap_sessions(e)
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),

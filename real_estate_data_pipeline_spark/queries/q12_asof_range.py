@@ -33,20 +33,26 @@ def _asof(spark, sf_dir):
     DuckDB's native ASOF JOIN."""
     from ..ops.asof import asof_join
 
-    o = t(spark, sf_dir, "orders").select(
+    o = t(spark, sf_dir, "orders", fan_out=False).select(
         "o_orderkey",
         (F.col("o_custkey") % 20).alias("k"),
         # orders live in 1995-2001, events in 2024: shift orders +29y so
         # the time ranges interleave
         (F.col("o_orderdate") + F.expr("INTERVAL 29 YEARS")).alias("ts"),
     )
-    e = (
-        t(spark, sf_dir, "events")
-        .select((F.col("user_id") % 20).alias("k"), "ts", "value")
-        .groupBy("k", "ts")
-        .agg(F.max("value").alias("ev_value"))
+    # r15 opt round: the max-per-(k, ts) pre-aggregation (a second
+    # full shuffle of events that reduced nothing on near-unique
+    # timestamps) folds into the as-of window sort via max_of_ties —
+    # identical values, one events shuffle instead of two
+    # fan_out=False: both union sides reach the as-of exchange through
+    # trivial projections (A/B: 0.87 -> 0.59 s)
+    e = t(spark, sf_dir, "events", fan_out=False).select(
+        (F.col("user_id") % 20).alias("k"), "ts", F.col("value").alias("ev_value")
     )
-    out = asof_join(o, e, on="k", left_ts="ts", right_ts="ts", value_cols=["ev_value"])
+    out = asof_join(
+        o, e, on="k", left_ts="ts", right_ts="ts", value_cols=["ev_value"],
+        max_of_ties=True,
+    )
     return out.select("o_orderkey", "k", "ev_value_asof")
 
 
@@ -85,20 +91,24 @@ def _asof_fwd(spark, sf_dir):
     shuffle as backward, descending window."""
     from ..ops.asof import asof_join
 
-    o = t(spark, sf_dir, "orders").select(
+    o = t(spark, sf_dir, "orders", fan_out=False).select(
         "o_orderkey",
         (F.col("o_custkey") % 20).alias("k"),
         (F.col("o_orderdate") + F.expr("INTERVAL 29 YEARS")).alias("ts"),
     )
-    e = (
-        t(spark, sf_dir, "events")
-        .select((F.col("user_id") % 20).alias("k"), "ts", "value")
-        .groupBy("k", "ts")
-        .agg(F.max("value").alias("ev_value"))
+    # r15 opt round: the max-per-(k, ts) pre-aggregation (a second
+    # full shuffle of events that reduced nothing on near-unique
+    # timestamps) folds into the as-of window sort via max_of_ties —
+    # identical values, one events shuffle instead of two
+    # fan_out=False: both union sides reach the as-of exchange through
+    # trivial projections (A/B: 0.87 -> 0.59 s)
+    e = t(spark, sf_dir, "events", fan_out=False).select(
+        (F.col("user_id") % 20).alias("k"), "ts", F.col("value").alias("ev_value")
     )
     out = asof_join(
         o, e, on="k", left_ts="ts", right_ts="ts", value_cols=["ev_value"],
         suffix="_next", direction="forward", tolerance_seconds=72 * 3600,
+        max_of_ties=True,
     )
     return out.select("o_orderkey", "k", "ev_value_next")
 

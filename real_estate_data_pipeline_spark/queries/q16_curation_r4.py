@@ -2156,20 +2156,23 @@ def _dasofnearest(spark, sf_dir):
     exchange."""
     from ..ops.asof import asof_join
 
-    o = t(spark, sf_dir, "orders").select(
+    o = t(spark, sf_dir, "orders", fan_out=False).select(
         "o_orderkey",
         (F.col("o_custkey") % 20).alias("k"),
         (F.col("o_orderdate") + F.expr("INTERVAL 29 YEARS")).alias("ts"),
     )
-    e = (
-        t(spark, sf_dir, "events")
-        .select((F.col("user_id") % 20).alias("k"), "ts", "value")
-        .groupBy("k", "ts")
-        .agg(F.max("value").alias("ev_value"))
+    # r15 opt round: the max-per-(k, ts) pre-aggregation (a second
+    # full shuffle of events that reduced nothing on near-unique
+    # timestamps) folds into the as-of window sort via max_of_ties —
+    # identical values, one events shuffle instead of two
+    # fan_out=False: both union sides reach the as-of exchange through
+    # trivial projections (A/B: 0.87 -> 0.59 s)
+    e = t(spark, sf_dir, "events", fan_out=False).select(
+        (F.col("user_id") % 20).alias("k"), "ts", F.col("value").alias("ev_value")
     )
     out = asof_join(
         o, e, on="k", left_ts="ts", right_ts="ts",
-        value_cols=["ev_value"], direction="nearest",
+        value_cols=["ev_value"], direction="nearest", max_of_ties=True,
     )
     return out.select(
         "o_orderkey", "k", F.col("ev_value_asof").alias("ev_value_nearest")

@@ -133,3 +133,43 @@ def test_asof_invalid_direction(spark):
     left, right = _asof_frames(spark)
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, "k", "ts", "rts", ["v"], direction="sideways")
+
+
+def test_asof_max_of_ties_matches_preaggregation(spark):
+    """max_of_ties folds the per-(key, ts) max into the window sort —
+    must equal pre-aggregating max(value) for every direction, incl.
+    tied groups whose max arrives first and mixed-null groups."""
+    from real_estate_data_pipeline_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 1), ("a", "2024-01-01 12:00:00", 2),
+         ("b", "2024-01-01 11:00:00", 3)],
+        "k string, ts string, lid int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        # 09:00 group: max (9.5) listed BEFORE a smaller tie; 11:30
+        # group: a NULL tie beside non-nulls; b: singleton
+        [("a", "2024-01-01 09:00:00", 9.5), ("a", "2024-01-01 09:00:00", 2.0),
+         ("a", "2024-01-01 11:30:00", None), ("a", "2024-01-01 11:30:00", 11.5),
+         ("a", "2024-01-01 11:30:00", 4.0), ("b", "2024-01-01 10:00:00", 10.0)],
+        "k string, rts string, v double",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    agg = right.groupBy("k", "rts").agg(F.max("v").alias("v"))
+    for direction in ("backward", "forward", "nearest"):
+        got = _collect(
+            asof_join(left, right, "k", "ts", "rts", ["v"],
+                      direction=direction, max_of_ties=True)
+        )
+        want = _collect(
+            asof_join(left, agg, "k", "ts", "rts", ["v"], direction=direction)
+        )
+        assert got == want, (direction, got, want)
+
+
+def test_asof_max_of_ties_rejects_multiple_value_cols(spark):
+    from real_estate_data_pipeline_spark.ops.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    right = right.withColumn("v2", F.col("v") * 2)
+    with pytest.raises(ValueError, match="max_of_ties"):
+        asof_join(left, right, "k", "ts", "rts", ["v", "v2"], max_of_ties=True)
