@@ -24,7 +24,10 @@ register(
 
 def _dexact(spark, sf_dir):
     """Exact dedup by content hash; one shuffle on the hashed text."""
-    d = t(spark, sf_dir, "documents")
+    # r15 opt round: pre-exchange work here is pushed filters /
+    # trivial projections — the local fan-out exchange parallelized
+    # nothing and cost a stage-job + a full serialization round (A/B)
+    d = t(spark, sf_dir, "documents", fan_out=False)
     return dedup.exact_dedup(d, ["text"], "doc_id")
 
 
@@ -658,7 +661,10 @@ register(
 
 def _simbf(spark, sf_dir):
     """Brute-force cosine top-k against the vec_id=0 query vector."""
-    e = t(spark, sf_dir, "embeddings")
+    # r15 opt round: pre-exchange work here is pushed filters /
+    # trivial projections — the local fan-out exchange parallelized
+    # nothing and cost a stage-job + a full serialization round (A/B)
+    e = t(spark, sf_dir, "embeddings", fan_out=False)
     qvec = F.first(F.col("embedding"))
     q = e.filter(F.col("vec_id") == 0).agg(qvec.alias("qv"))
     joined = e.crossJoin(F.broadcast(q))

@@ -32,7 +32,10 @@ def _q6(spark, sf_dir):
     """TPC-H Q6 shape: every predicate pushes into the parquet scan
     (date range, discount band, quantity) — the pure-pushdown showcase;
     verified by tests/test_plans.py."""
-    li = t(spark, sf_dir, "lineitem")
+    # r15 opt round: pre-exchange work here is pushed filters /
+    # trivial projections — the local fan-out exchange parallelized
+    # nothing and cost a stage-job + a full serialization round (A/B)
+    li = t(spark, sf_dir, "lineitem", fan_out=False)
     f = li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
@@ -181,7 +184,10 @@ def _dtop(spark, sf_dir):
     """Corpus vocabulary: tokenize -> explode -> count -> top-k. The
     explode is a map; the count is one shuffle on token; top-k is a
     TakeOrdered — the canonical scalable wordcount."""
-    d = t(spark, sf_dir, "documents")
+    # r15 opt round: pre-exchange work here is pushed filters /
+    # trivial projections — the local fan-out exchange parallelized
+    # nothing and cost a stage-job + a full serialization round (A/B)
+    d = t(spark, sf_dir, "documents", fan_out=False)
     toks = d.select(
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -235,7 +241,10 @@ def _ddf(spark, sf_dir):
     """Document frequency (IDF numerator): distinct token per doc ->
     count docs per token. Map-side distinct inside the array keeps the
     explode output at O(distinct tokens per doc)."""
-    d = t(spark, sf_dir, "documents")
+    # r15 opt round: pre-exchange work here is pushed filters /
+    # trivial projections — the local fan-out exchange parallelized
+    # nothing and cost a stage-job + a full serialization round (A/B)
+    d = t(spark, sf_dir, "documents", fan_out=False)
     total = d.agg(F.count("*").alias("__n"))  # stays lazy: broadcast scalar
     toks = d.select(
         "doc_id",

@@ -106,15 +106,17 @@ def _q8(spark, sf_dir):
     decimal sum per year, restricted to one region's customers. The
     region restriction prunes through broadcast joins before the
     single aggregation shuffle."""
-    l = t(spark, sf_dir, "lineitem")
-    # orders auto-broadcasts here: skip the fan-out exchange
+    # r15 opt round: pre-exchange work here is pushed filters /
+    # trivial projections — the local fan-out exchange parallelized
+    # nothing and cost a stage-job + a full serialization round (A/B)
+    l = t(spark, sf_dir, "lineitem", fan_out=False)
     o = t(spark, sf_dir, "orders", fan_out=False).select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = t(spark, sf_dir, "nation")
-    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    c = t(spark, sf_dir, "customer", fan_out=False).select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier", fan_out=False).select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation", fan_out=False)
+    r = t(spark, sf_dir, "region", fan_out=False).filter(F.col("r_name") == "ASIA")
     nc = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
         F.col("n_nationkey").alias("__cnk")
     )
@@ -519,16 +521,18 @@ def _q9(spark, sf_dir):
     broadcasts into the lineitem scan FIRST (shrinks the fact before
     the one big shuffle), supplier/nation broadcast, and only the
     surviving rows join orders shuffle-side."""
+    # r15 opt round: pre-exchange work here is pushed filters /
+    # trivial projections — the local fan-out exchange parallelized
+    # nothing and cost a stage-job + a full serialization round (A/B)
     p = (
-        t(spark, sf_dir, "part")
+        t(spark, sf_dir, "part", fan_out=False)
         .filter(F.col("p_name").like("%red%"))
         .select("p_partkey")
     )
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    # orders auto-broadcasts here: skip the fan-out exchange
+    s = t(spark, sf_dir, "supplier", fan_out=False).select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation", fan_out=False).select("n_nationkey", "n_name")
     o = t(spark, sf_dir, "orders", fan_out=False).select("o_orderkey", "o_orderdate")
-    li = t(spark, sf_dir, "lineitem").select(
+    li = t(spark, sf_dir, "lineitem", fan_out=False).select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     one = F.lit(1).cast("decimal(3,2)")
