@@ -36,10 +36,20 @@ surface, alongside ops/similarity.py.
 
 from __future__ import annotations
 
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import l2_dist_sq, local_model_df as _local_df
+
+
+def _round6(v: float) -> float:
+    """Spark's ``F.round(double, 6)`` reproduced exactly: Spark rounds
+    via ``BigDecimal.valueOf(d)`` (shortest round-trip decimal form,
+    same digits as Python ``repr``) with HALF_UP."""
+    return float(Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
 
 def _subdim(dim: int, m: int) -> int:
@@ -273,27 +283,23 @@ def pq_adc_topk(
     d = _subdim(dim, m)
     spark = df.sparkSession
     cb_rows = cb.collect()
-    # ADC table: a Project over a LocalRelation (codebook rows with the
-    # validated query row attached as a data column) — Catalyst's
-    # ConvertToLocalRelation folds it driver-side, so the m*k micro
-    # cells cost no Spark job. Exactly the old cell expressions.
+    # ADC table computed driver-side in pure Python — bit-identical to
+    # the former Spark expression (the L2 fold is the same sequential
+    # left-to-right double accumulation, and _round6 reproduces Spark's
+    # F.round on doubles exactly: BigDecimal.valueOf(d).setScale(6,
+    # HALF_UP) == Decimal(repr(d)).quantize(1e-6, HALF_UP), both on the
+    # shortest round-trip decimal form). The m*k cells are model-sized;
+    # evaluating them as a collect cost one Spark job per query.
     qv = [float(x) for x in qrows[0]["__q"]]
-    adc_in = _local_df(
-        spark,
-        [(int(r["sub"]), int(r["code"]), list(r["cvec"]), qv) for r in cb_rows],
-        "sub int, code int, cvec array<double>, q array<double>",
-    )
-    qsub = _sub_slice(F.col("q"), F.col("sub"), d)
-    micro_rows = adc_in.select(
-        "sub",
-        "code",
-        F.floor(F.round(l2_dist_sq(qsub, F.col("cvec")), 6) * 1e6 + F.lit(0.5))
-        .cast("long")
-        .alias("__micro"),
-    ).collect()
     micro_by_sub: dict[int, dict[int, int]] = {}
-    for r in micro_rows:
-        micro_by_sub.setdefault(r["sub"], {})[r["code"]] = int(r["__micro"])
+    for r in cb_rows:
+        s = int(r["sub"])
+        acc = 0.0
+        for x, y in zip(qv[s * d : (s + 1) * d], r["cvec"]):
+            acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+        micro_by_sub.setdefault(s, {})[int(r["code"])] = int(
+            math.floor(_round6(acc) * 1e6 + 0.5)
+        )
     by_sub: dict[int, list] = {}
     for r in cb_rows:
         by_sub.setdefault(int(r["sub"]), []).append((int(r["code"]), list(r["cvec"])))
