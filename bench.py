@@ -127,17 +127,50 @@ def main() -> None:
     # loaded host) so total bench wall stays bounded.
     timings: dict[str, float] = {}
     pass1_total = 0.0
+    sc = spark.sparkContext
     for _pass in range(2):
         if _pass == 1 and pass1_total > 90.0:
             break
         for name, q in bench_queries.items():
+            # job-group label (r16, additions-only telemetry): at small
+            # SF the bench is per-job fixed-cost bound, so job/stage
+            # counts are the host-noise-robust structural signal; the
+            # setJobGroup call itself is a thread-local property write
+            # (microseconds) inside the timed region, identical for
+            # every query and both passes.
+            sc.setJobGroup(f"bench:p{_pass}:{name}", name)
             start = time.perf_counter()
             materialize(q.fn(spark, sf_dir))
             el = round(time.perf_counter() - start, 3)
+            sc.setJobGroup(None, None)
             if _pass == 0:
                 pass1_total += el
             if name not in timings or el < timings[name]:
                 timings[name] = el
+
+    # Structural counters from pass 0 (deterministic; pass 1 re-runs the
+    # same plans). Collected AFTER the timed loop so the tracker walk
+    # costs nothing inside any timing.
+    tracker = sc.statusTracker()
+    jobs: dict[str, int] = {}
+    stages: dict[str, int] = {}
+    tasks: dict[str, int] = {}
+    for name in bench_queries:
+        jids = tracker.getJobIdsForGroup(f"bench:p0:{name}")
+        nstages = 0
+        ntasks = 0
+        for j in jids:
+            ji = tracker.getJobInfo(j)
+            if ji is None:
+                continue
+            for s in ji.stageIds:
+                si = tracker.getStageInfo(s)
+                if si is not None and si.numCompletedTasks > 0:
+                    nstages += 1
+                    ntasks += si.numTasks
+        jobs[name] = len(jids)
+        stages[name] = nstages
+        tasks[name] = ntasks
 
     calib_after = calibration(spark)
 
@@ -149,6 +182,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "jobs": jobs,
+                "stages": stages,
+                "tasks": tasks,
                 "sf": sf,
                 "dirty_host": bool(stale),
                 "preexisting_jvms": len(stale),

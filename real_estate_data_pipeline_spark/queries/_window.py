@@ -302,18 +302,8 @@ _PREVIOUSLY_SAMPLED = frozenset({
     "dq_benford_second_digit", "ml_ks_uniformity_dates",
     "evt_type_cooccurrence_lift", "part_brand_share_drift",
     "ml_pythagorean_means", "evt_peak_hour_mode",
-})
-
-_DRIVER_WINDOW = [
-    # r15 window (twelfth rotation): the 44 OLDEST never-driver-sampled
-    # oracled names (catalog order = registration age), PLUS — per
-    # VERDICT r14 item 3 — the 6 never-sampled rows-only multimodal
-    # entries (_WINDOW_ROWS_ONLY below), the one capability block with
-    # zero driver evidence of any kind.  The driver records rows-only
-    # entries as spark_rows + err='no_oracle' (exactly how the r1-r4
-    # window's minhash/simhash fast twins were recorded), so one run
-    # converts the multimodal family to driver evidence too.  49
-    # oracled names remain pooled for r16 before any r15 additions.
+    # round-15 rotated window (44 oracled + the one-time mm_* rows-only
+    # evidence slots — see the _WINDOW_ROWS_ONLY note below)
     "evt_nelson_aalen_weekly", "emb_norm_shell_audit",
     "evt_hill_tail_index", "ml_total_variation_flags",
     "ml_kuiper_test_quantity", "evt_eta_squared_weekday",
@@ -339,17 +329,55 @@ _DRIVER_WINDOW = [
     "mm_embed_dup_pairs", "mm_ppm_ahash_groups",
     "mm_png_ahash_groups", "mm_jpeg_ahash_groups",
     "mm_video_frame_dedup", "mm_gif_ahash_groups",
+})
+
+_DRIVER_WINDOW = [
+    # r16 window (thirteenth rotation): the 50 OLDEST never-driver-
+    # sampled ORACLED names (catalog order = registration age).
+    # Rows-only entries are PERMANENTLY INELIGIBLE from r16 on
+    # (VERDICT r15 item 3 / next-round #5): the r15 window carried the
+    # six mm_* rows-only entries as a deliberate one-time exception so
+    # the multimodal family gained driver evidence (CORRECTNESS_r15
+    # records them as spark_rows + err='no_oracle' — rows returned, no
+    # oracle to compare, by documented design), but those entries read
+    # as failures in the driver's n_correct tally, so every future
+    # window slot must be oracle-backed: the driver sample then always
+    # hash-verifies 50/50.  205 oracled names remained pooled when this
+    # rotation was cut.
+    "evt_peak_concurrency_hours", "evt_busy_periods_by_type_day",
+    "evt_pk_load_report_by_type", "evt_erlang_b_sweep",
+    "evt_crps_empirical_window", "evt_pinball_quantile_window",
+    "evt_winkler_interval_score", "evt_smape_bundle_seasonal",
+    "evt_diebold_mariano_naive", "cust_kish_ess_revenue_weights",
+    "ml_horvitz_thompson_total", "ml_neyman_allocation",
+    "ml_poststratification_estimate", "ml_cluster_deff_icc",
+    "basket_ptype_rule_measures", "ml_theil_u_brand_type",
+    "ml_gk_tau_brand_type", "ml_mcc_macro_f1_lang",
+    "ml_breslow_day_homogeneity", "evt_stream_interval_join_now",
+    "evt_records_foster_stuart", "evt_max_drawdown_daily",
+    "evt_longest_run_above_median", "evt_parkinson_volatility_daily",
+    "doc_lexical_richness_by_lang", "doc_msttr_segmental_ttr",
+    "cust_order_cohort_triangle", "lineitem_bullwhip_variance_ratio",
+    "lineitem_fisher_index_decomposition", "graph_closeness_ecc_hubs",
+    "emb_matryoshka_recall_sweep", "ml_iv_2sls_discount_qty",
+    "ml_oaxaca_blinder_rn", "ml_deming_regression_dq",
+    "evt_granger_clicks_to_purchases", "evt_cross_correlation_lags",
+    "evt_transfer_entropy_binary", "ml_lin_ccc_seasonal_forecast",
+    "evt_newey_west_variance", "ml_white_test_hetero",
+    "ml_ramsey_reset_quadratic", "ml_sobel_mediation_dmq",
+    "ml_box_cox_grid", "ml_hausman_iv_vs_ols",
+    "ml_gamma_fit_order_totals", "ml_beta_fit_return_share",
+    "lineitem_abc_xyz_matrix", "ml_dffits_topk",
+    "ml_press_predicted_r2", "ml_partial_f_add_quadratic",
 ]
 
-# The rows-only window exception (VERDICT r14 item 3): these six have
-# no DuckDB oracle BY DOCUMENTED DECISION (no codec surface in DuckDB
-# to reproduce pixel decode / aHash), so the driver's weaker rows-only
-# check is the strongest cross-engine evidence available for them.
-# Every OTHER window slot must stay oracle-backed.
-_WINDOW_ROWS_ONLY = frozenset({
-    "mm_embed_dup_pairs", "mm_ppm_ahash_groups", "mm_png_ahash_groups",
-    "mm_jpeg_ahash_groups", "mm_video_frame_dedup", "mm_gif_ahash_groups",
-})
+# Rows-only window exception: EMPTY from r16 on.  The six mm_* entries
+# (no DuckDB oracle by documented decision — no codec surface in DuckDB
+# to reproduce pixel decode / aHash) got their one-time driver rows-only
+# evidence in the r15 window and now live in _PREVIOUSLY_SAMPLED; every
+# window slot must be oracle-backed so CORRECTNESS_r* carries no
+# 'no_oracle' rows (VERDICT r15 next-round #5).
+_WINDOW_ROWS_ONLY = frozenset()
 
 
 def _reorder_catalog() -> None:
