@@ -311,6 +311,7 @@ def minhash_band_buckets(
     shingle_n: int = 3,
     perm_fns=None,
     band_hash_fn=None,
+    carry_all: bool = False,
 ) -> DataFrame:
     """The LSH band index rows for a corpus: one (id, signature, band,
     band-hash) row per document per band. This IS the frame a production
@@ -319,9 +320,11 @@ def minhash_band_buckets(
     against it instead of a full recompute (see
     :func:`incremental_minhash_dup_pairs`). Shared by the batch
     self-join path (:func:`minhash_dup_pairs`) so index and self-join
-    provably band identically."""
+    provably band identically. ``carry_all`` forwards to
+    :func:`bands_from_signatures` (default off: persisted schema
+    unchanged)."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, perm_fns)
-    return bands_from_signatures(sigs, id_col, num_perm, bands, band_hash_fn)
+    return bands_from_signatures(sigs, id_col, num_perm, bands, band_hash_fn, carry_all)
 
 
 def bands_from_signatures(
@@ -330,28 +333,41 @@ def bands_from_signatures(
     num_perm: int = 32,
     bands: int = 8,
     band_hash_fn=None,
+    carry_all: bool = False,
 ) -> DataFrame:
     """Band an ALREADY-COMPUTED signature frame (columns m0..m{n-1},
     e.g. a persisted signature store or a streaming-aggregation sink)
     into (id, __sig, band, bh) index rows — the banding half of
     :func:`minhash_band_buckets`, split out so signatures maintained
-    elsewhere (incremental stores, streaming state) band identically."""
+    elsewhere (incremental stores, streaming state) band identically.
+
+    ``carry_all=True`` additionally carries the row's FULL band-hash
+    array as ``__bhs`` (the hashes are computed once pre-explode either
+    way). The self-join path uses it to emit each candidate pair from
+    exactly one bucket — the first band both members agree on — which
+    deletes the pair-dedup exchange (r16 opt round). Off by default so
+    the persisted-index schema is unchanged."""
     band_hash_fn = band_hash_fn or (lambda cols: F.xxhash64(*cols))
     rows_per_band = num_perm // bands
     band_structs = []
     for b in range(bands):
         cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_structs.append(F.struct(F.lit(b).alias("band"), band_hash_fn(cols).alias("bh")))
-    return sigs.select(
+    pre = [
         F.col(id_col),
         F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("__sig"),
         F.explode(F.array(*band_structs)).alias("__b"),
-    ).select(
+    ]
+    post = [
         F.col(id_col),
         F.col("__sig"),
         F.col("__b.band").alias("band"),
         F.col("__b.bh").alias("bh"),
-    )
+    ]
+    if carry_all:
+        pre.insert(2, F.array(*[s["bh"] for s in band_structs]).alias("__bhs"))
+        post.insert(2, F.col("__bhs"))
+    return sigs.select(*pre).select(*post)
 
 
 def _sig_agreement(sig_a, sig_b, num_perm: int):
@@ -408,7 +424,18 @@ def incremental_pairs_from_buckets(
     already-banded new rows against the persisted index on
     (band, band-hash) and verify by signature agreement. Split out so a
     signature frame maintained as STREAMING state can feed the same
-    probe the batch path uses."""
+    probe the batch path uses.
+
+    Measured rejection (r16 opt round): a once-emission variant (emit
+    each pair only from the first band both signatures agree on, as
+    :func:`minhash_dup_pairs` now does) deletes this path's pair-dedup
+    exchange (5 -> 4 jobs at sf0.1) but must RECOMPUTE both sides' band
+    hashes from ``__sig`` per joined row — the persisted index schema
+    carries only (id, __sig, band, bh) — and with the portable sha256
+    family that per-row work consistently cost more than the saved
+    exchange (alternating A/B, 0/6 pairwise wins, ~+0.1 s). The
+    self-join path keeps once-emission because it carries the band-hash
+    array for free pre-explode; this probe keeps dropDuplicates."""
     idx = index_df.select(
         F.col(id_col).alias("__cid"),
         F.col("__sig").alias("__csig"),
@@ -454,12 +481,29 @@ def minhash_dup_pairs(
     :func:`minhash_dup_pairs_portable`); the banding algebra is shared,
     so proving it on the portable family proves it for both."""
     buckets = minhash_band_buckets(
-        df, id_col, text_col, num_perm, bands, shingle_n, perm_fns, band_hash_fn
+        df, id_col, text_col, num_perm, bands, shingle_n, perm_fns, band_hash_fn,
+        carry_all=True,
     )
 
     # Intra-bucket expansion, not a self-join (see ops/pairs.py):
     # buckets shuffle once on (band, bh) carrying (id, signature)
     # structs; the shingle->explode->32-min aggregate runs ONCE.
+    #
+    # Once-emission instead of dropDuplicates (r16 opt round): a pair
+    # that agrees on several bands used to surface once per shared
+    # bucket and pay a THIRD exchange (hash on (id_a, id_b)) to
+    # collapse the copies. Each member carries its full band-hash array
+    # (__bhs, computed once pre-explode), so the pair itself knows
+    # every band it agrees on — it is emitted ONLY from the first such
+    # band (within the current bucket both members' hashes match at
+    # position `band`, so the first agreeing index is always found and
+    # is <= band). Exactly one bucket satisfies the condition per pair;
+    # jaccard_est is deterministic per pair, so the emitted rows are
+    # exactly the old dropDuplicates output. (Under a max_block cap the
+    # old path kept a pair if both members survived in ANY shared
+    # bucket, the new one requires the FIRST-agreeing bucket — both are
+    # degraded semantics that only differ for groups above the cap,
+    # per the pairs_within_groups contract.)
     def _pair(x, y):
         agree = F.aggregate(
             F.zip_with(
@@ -468,21 +512,29 @@ def minhash_dup_pairs(
             F.lit(0),
             lambda acc, z: acc + z,
         )
+        first_band = F.array_position(
+            F.zip_with(x["bhs"], y["bhs"], lambda u, v: u == v), F.lit(True)
+        )
         return F.struct(
             F.least(x["id"], y["id"]).alias("id_a"),
             F.greatest(x["id"], y["id"]).alias("id_b"),
             (agree.cast("double") / F.lit(float(num_perm))).alias("jaccard_est"),
+            (first_band == F.col("band") + F.lit(1)).alias("__emit"),
         )
 
     return pairs_within_groups(
         buckets,
         ["band", "bh"],
-        F.struct(F.col(id_col).alias("id"), F.col("__sig").alias("sig")),
+        F.struct(
+            F.col(id_col).alias("id"),
+            F.col("__sig").alias("sig"),
+            F.col("__bhs").alias("bhs"),
+        ),
         _pair,
-        keep=lambda p: p["jaccard_est"] >= F.lit(jaccard_threshold),
+        keep=lambda p: p["__emit"] & (p["jaccard_est"] >= F.lit(jaccard_threshold)),
         max_block=max_block,
         split_factor=split_factor,
-    ).dropDuplicates(["id_a", "id_b"])
+    ).drop("__emit")
 
 
 def train_gram_set(
@@ -868,21 +920,44 @@ def simhash_pairs_from_signatures(
     # A pathological bucket (millions of identical signatures) degrades
     # to the max_block smallest members instead of OOMing the task; an
     # exact-dedup pre-pass remains the right fix for such corpora.
-    pairs = pairs_within_groups(
+    #
+    # Once-emission instead of distinct() (r16 opt round): a pair can
+    # agree on several segments -> one candidate per segment, and the
+    # old distinct() paid a whole extra exchange to collapse the
+    # copies. The XOR of the two signatures already encodes EVERY
+    # agreeing segment (segment j agrees iff its bits of the XOR are
+    # all zero), so the pair is emitted only from the FIRST agreeing
+    # segment — within the current bucket the members agree on __seg by
+    # construction, so a first agreeing index always exists and is
+    # <= __seg; exactly one bucket emits each pair, and hamming is
+    # deterministic per pair, so the rows are exactly the old
+    # distinct() output. (Same max_block caveat as minhash_dup_pairs:
+    # capped groups degrade slightly differently, per the
+    # pairs_within_groups contract.)
+    def _pair(x, y):
+        d = x["sim"].bitwiseXOR(y["sim"])
+        seg_agrees = []
+        for i in range(k):
+            sv = F.shiftrightunsigned(d, offsets[i])
+            if offsets[i] + widths[i] < 64:
+                sv = sv.bitwiseAND(F.lit((1 << widths[i]) - 1))
+            seg_agrees.append(sv == F.lit(0))
+        first_seg = F.array_position(F.array(*seg_agrees), F.lit(True))
+        return F.struct(
+            F.least(x["id"], y["id"]).alias("id_a"),
+            F.greatest(x["id"], y["id"]).alias("id_b"),
+            F.bit_count(d).alias("hamming"),
+            (first_seg == F.col("__seg") + F.lit(1)).alias("__emit"),
+        )
+
+    return pairs_within_groups(
         blocked,
         ["__seg", "__val"],
         F.struct(F.col(id_col).alias("id"), F.col("__sim").alias("sim")),
-        lambda x, y: F.struct(
-            F.least(x["id"], y["id"]).alias("id_a"),
-            F.greatest(x["id"], y["id"]).alias("id_b"),
-            F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
-        ),
-        keep=lambda p: p["hamming"] <= F.lit(max_hamming),
+        _pair,
+        keep=lambda p: p["__emit"] & (p["hamming"] <= F.lit(max_hamming)),
         max_block=max_block,
-    )
-    # a pair can agree on several segments -> one candidate per segment;
-    # hamming is deterministic per pair, so distinct() collapses them
-    return pairs.distinct()
+    ).drop("__emit")
 
 
 def portable_token_hash(g):

@@ -316,3 +316,46 @@ def test_incremental_minhash_equals_batch_restriction(spark):
             want.add((a, b, r["jaccard_est"]))
     assert inc == want
     assert inc, "fixture must produce at least one cross-split pair"
+
+
+def test_minhash_multi_band_pair_emitted_once(spark):
+    """r16 once-emission: identical documents agree on EVERY band, so
+    the pair is a candidate in all 8 buckets — it must surface exactly
+    once (the old path collapsed the copies with a dropDuplicates
+    exchange; the new path emits only from the first agreeing band)."""
+    from real_estate_data_pipeline_spark.ops.dedup import minhash_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different words appear here right now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_dup_pairs(
+        docs, "doc_id", "text", num_perm=32, bands=8, jaccard_threshold=0.5
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard_est"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_incremental_probe_multi_band_pair_emitted_once(spark):
+    """The index probe must return one row per (new, corpus) pair even
+    when the pair agrees on every band (dropDuplicates path — the
+    once-emission variant was measured slower here and rejected, see
+    incremental_pairs_from_buckets docstring)."""
+    from real_estate_data_pipeline_spark.ops import dedup
+
+    rows = [(i, "same text in every copy of this document") for i in range(4)]
+    rows += [(10 + i, f"unique filler sentence number {i} with tail") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bk = dedup.minhash_band_buckets_portable(df, "doc_id", "text", num_perm=16, bands=4)
+    idx, inc = bk.filter("doc_id < 2"), bk.filter("doc_id >= 2")
+    got = [
+        tuple(r)
+        for r in dedup.incremental_pairs_from_buckets(
+            idx, inc, "doc_id", num_perm=16, jaccard_threshold=0.5
+        ).collect()
+    ]
+    assert len(got) == len(set(got)) and got, "one row per pair, at least one pair"
+    assert sorted({(n, c) for n, c, _ in got}) == [(2, 0), (2, 1), (3, 0), (3, 1)]
