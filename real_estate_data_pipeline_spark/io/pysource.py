@@ -145,9 +145,25 @@ class SyntheticCorpusDataSource(DataSource):
         return SyntheticCorpusStreamReader(self.options)
 
 
+_REGISTER_LOCK = __import__("threading").Lock()
+
+
 def register(spark) -> None:
-    """Idempotent registration of the connector on a session."""
-    spark.dataSource.register(SyntheticCorpusDataSource)
+    """Idempotent registration of the connector on a session.
+
+    Thread-safe (r16): two queries registering concurrently can race
+    Spark's check-then-act inside ``registerPython`` and the loser gets
+    DATA_SOURCE_ALREADY_EXISTS — even though a SEQUENTIAL re-register
+    replaces silently. Serialize within this process and treat
+    already-exists as success (the connector class is identical)."""
+    from pyspark.errors import AnalysisException
+
+    with _REGISTER_LOCK:
+        try:
+            spark.dataSource.register(SyntheticCorpusDataSource)
+        except AnalysisException as e:
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+                raise
 
 
 class SyntheticCorpusStreamReader(SimpleDataSourceStreamReader):
