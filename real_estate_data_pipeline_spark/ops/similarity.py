@@ -602,15 +602,25 @@ def ivf_centroids(
                 T.StructField("cvec", T.ArrayType(T.DoubleType()), True),
             ]
         )
-        cent = local_model_df(
-            df.sparkSession,
-            [
-                (cid, [mm[p] for p in range(len(mm))])
-                for cid, mm in sorted(by_c.items())
-            ],
-            cent_schema,
-        )
-    return cent.withColumn("cn", F.sqrt(l2_norm_sq(F.col("cvec"))))
+        cent_local_rows = [
+            (cid, [mm[p] for p in range(len(mm))]) for cid, mm in sorted(by_c.items())
+        ]
+        cent = local_model_df(df.sparkSession, cent_local_rows, cent_schema)
+    out = cent.withColumn("cn", F.sqrt(l2_norm_sq(F.col("cvec"))))
+    if refine >= 1:
+        # r16 opt round (VERDICT #6): after >=1 Lloyd round the centroid
+        # values are ALREADY driver-side (the means collect assembled
+        # them) — re-collecting the 1-slice model frame costs a whole
+        # job per consumer. Ride the (cid, cvec) rows on the returned
+        # frame so collect-side consumers (the Arrow kNN paths, which
+        # recompute norms in numpy anyway) can skip that job; the frame
+        # itself is unchanged for everyone else.
+        from pyspark.sql import Row
+
+        out._redp_centroid_rows = [
+            Row(cid=cid, cvec=vec) for cid, vec in cent_local_rows
+        ]
+    return out
 
 
 def ivf_knn_self_join(
@@ -707,9 +717,13 @@ def ivf_knn_self_join_arrow(
     the same \"model broadcast\" pattern spark.ml uses)."""
     from pyspark.sql.functions import pandas_udf
 
-    cent_rows = ivf_centroids(
+    cent_df = ivf_centroids(
         df, id_col, vec_col, n_cells, refine, round_dp=centroid_dp, arrow=True
-    ).collect()
+    )
+    # after a refine round the centroid rows ride the frame (see
+    # ivf_centroids) — skip the 1-slice collect job; norms are
+    # recomputed in numpy below either way
+    cent_rows = getattr(cent_df, "_redp_centroid_rows", None) or cent_df.collect()
     C = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cn = np.linalg.norm(C, axis=1)
