@@ -48,7 +48,18 @@ from .similarity import l2_dist_sq, local_model_df as _local_df
 def _round6(v: float) -> float:
     """Spark's ``F.round(double, 6)`` reproduced exactly: Spark rounds
     via ``BigDecimal.valueOf(d)`` (shortest round-trip decimal form,
-    same digits as Python ``repr``) with HALF_UP."""
+    same digits as Python ``repr``) with HALF_UP.
+
+    JDK caveat (r16, ADVICE): ``Double.toString`` is only guaranteed
+    shortest-round-trip from JDK 19 (JDK-4511638); on older JDKs it can
+    emit a longer decimal, which could in principle straddle a .0000005
+    HALF_UP boundary the shortest form does not. This environment runs
+    JDK 17, where the equality is NOT guaranteed a priori — it is
+    instead verified empirically: the PQ oracle parities compare every
+    driver-side ADC cell against the engine on every suite run (and the
+    r15 A/B checked all 128 cells bit-for-bit). If a cell ever
+    diverges on some runtime, compute the ADC table through one tiny
+    Spark expression evaluation instead of this Python reproduction."""
     return float(Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
 
@@ -303,6 +314,15 @@ def pq_adc_topk(
     by_sub: dict[int, list] = {}
     for r in cb_rows:
         by_sub.setdefault(int(r["sub"]), []).append((int(r["code"]), list(r["cvec"])))
+    # coverage check (r16, ADVICE): a codebook lacking a subspace used
+    # to surface as a bare KeyError below, unlike pq_encode/pq_refine
+    # whose _entries_by_sub raises the intended diagnostic
+    if set(by_sub) != set(range(m)):
+        raise ValueError(
+            f"codebook must cover every subspace 0..{m - 1}; "
+            f"missing {sorted(set(range(m)) - set(by_sub))}, "
+            f"unexpected {sorted(set(by_sub) - set(range(m)))}"
+        )
     subs_data = []
     for s in range(m):
         entries = sorted(by_sub[s])

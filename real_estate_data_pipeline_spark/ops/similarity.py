@@ -556,12 +556,18 @@ def ivf_centroids(
             c = cent.withColumn("cn", F.sqrt(l2_norm_sq(F.col("cvec"))))
             one = _rows_one_row_df(c, "cents")
             v = df.select(id_col, vec_col, safe_norm(F.col(vec_col)).alias("__n"))
+            # NULL guard (r16, ADVICE): the old desc(__cos) window
+            # ranked NULL cosines LAST, but a struct whose first field
+            # is NULL sorts FIRST in array_min — a single NULL vector
+            # element would win every argmin. coalesce to +inf restores
+            # NULLS-LAST; value-identical whenever no cosine is NULL.
             best = F.array_min(
                 F.transform(
                     F.col("cents"),
                     lambda cc: F.struct(
-                        (
-                            -(dot(F.col(vec_col), cc["cvec"]) / (F.col("__n") * cc["cn"]))
+                        F.coalesce(
+                            -(dot(F.col(vec_col), cc["cvec"]) / (F.col("__n") * cc["cn"])),
+                            F.lit(float("inf")),
                         ).alias("__nc"),
                         cc["cid"].alias("cid"),
                     ),
@@ -659,12 +665,16 @@ def ivf_knn_self_join(
     # orderBy(desc(__cos), cid); negation is IEEE-exact, slice keeps the
     # same nprobe rows.
     one = _rows_one_row_df(cent, "cents")
+    # NULL guard (r16, ADVICE): coalesce to +inf so a NULL cosine ranks
+    # LAST (the old desc window's NULLS-LAST), not first as a bare NULL
+    # struct field would in array_sort; value-identical without NULLs.
     ranked = F.array_sort(
         F.transform(
             F.col("cents"),
             lambda cc: F.struct(
-                (
-                    -(dot(F.col(vec_col), cc["cvec"]) / (F.col("__n") * cc["cn"]))
+                F.coalesce(
+                    -(dot(F.col(vec_col), cc["cvec"]) / (F.col("__n") * cc["cn"])),
+                    F.lit(float("inf")),
                 ).alias("__nc"),
                 cc["cid"].alias("cid"),
             ),
@@ -924,12 +934,15 @@ def ivf_knn_join(
             F.col(vec_col).alias(v_col),
             F.sqrt(l2_norm_sq(F.col(vec_col))).alias(n_col),
         )
+        # NULL guard (r16, ADVICE): same NULLS-LAST coalesce as
+        # ivf_knn_self_join's routing sort.
         ranked = F.array_sort(
             F.transform(
                 F.col("cents"),
                 lambda cc: F.struct(
-                    (
-                        -(dot(F.col(v_col), cc["cvec"]) / (F.col(n_col) * cc["cn"]))
+                    F.coalesce(
+                        -(dot(F.col(v_col), cc["cvec"]) / (F.col(n_col) * cc["cn"])),
+                        F.lit(float("inf")),
                     ).alias("__nc"),
                     cc["cid"].alias("cid"),
                 ),

@@ -1182,7 +1182,14 @@ def _dsir_weight_frame(spark, sf_dir):
         tok.groupBy("tok")
         .agg(
             F.count("*").cast("long").alias("cr"),
-            F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("ct"),
+            # coalesce (r16, ADVICE): (NULL == 'en') is NULL and a sum
+            # of all-NULLs is NULL — a token whose instances all have
+            # NULL lang would get lr6 = NULL and silently drop out of
+            # every doc's w6. The old left-join + COALESCE shape gave 0
+            # for such tokens; preserve that.
+            F.sum(F.coalesce((F.col("lang") == "en").cast("long"), F.lit(0)))
+            .cast("long")
+            .alias("ct"),
         )
         .localCheckpoint(eager=False)  # consumers: tots scalar + lr table
     )
@@ -1202,6 +1209,12 @@ def _dsir_weight_frame(spark, sf_dir):
             - _micro((F.col("cr") + F.lit(1.0)) / (F.col("__tr") + F.col("__v")))
         ).alias("lr6"),
     )
+    # Scale note (r16, ADVICE): unlike the m-row codebook / n_cells
+    # centroid broadcasts, lr is VOCABULARY-sized — bounded for these
+    # token streams (unigram vocab plateaus ~1e5-1e6 entries of
+    # (string, long), tens of MB framed) but not by a model constant.
+    # If the vocabulary were unbounded (e.g. raw n-grams), drop the
+    # hint and let AQE pick broadcast vs shuffle join by size.
     return (
         tok.join(F.broadcast(lr), "tok")
         .groupBy("doc_id")

@@ -402,3 +402,29 @@ def test_pq_rerank_full_depth_is_exact(spark):
     qv = vecs[7]
     exact = sorted(vecs, key=lambda i: (((vecs[i] - qv) ** 2).sum(), i))[:5]
     assert got == exact
+
+
+def test_ivf_null_cosine_ranks_last(spark):
+    """r16 ADVICE guard: a NULL cosine (NULL vector element) must rank
+    LAST in the map-side argmin — as the pre-r15 desc window did — not
+    win every row's assignment as a bare NULL struct field would.
+    Seed 0 carries a NULL element, so every row's cosine against it is
+    NULL; rows 1-3 must still assign to the real centroid (cid 1) and
+    its refined mean must be exactly their rounded component means."""
+    from real_estate_data_pipeline_spark.ops.similarity import ivf_centroids
+
+    rows = [
+        (0, [1.0, None]),
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.8, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = {
+        r["cid"]: r["cvec"]
+        for r in ivf_centroids(df, n_cells=2, refine=1, round_dp=6).collect()
+    }
+    assert cent.get(1) == [
+        round((1.0 + 0.9 + 0.8) / 3, 6),
+        round((0.0 + 0.1 + 0.2) / 3, 6),
+    ], cent
