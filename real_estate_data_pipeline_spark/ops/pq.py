@@ -175,7 +175,8 @@ def pq_encode(
     both), so dropping the exchange and the k-times row materialization
     is a strict win."""
     d = _subdim(dim, m)
-    cbs = _entries_by_sub(df.sparkSession, codebooks.collect(), m)
+    cb_rows = getattr(codebooks, "_redp_cb_rows", None) or codebooks.collect()
+    cbs = _entries_by_sub(df.sparkSession, cb_rows, m)
     enc = (
         df.select(id_col, vec_col)
         .select(
@@ -220,7 +221,7 @@ def pq_refine(
     the rounding exactly as they always did across engines)."""
     d = _subdim(dim, m)
     spark = df.sparkSession
-    cb_rows = codebooks.collect()
+    cb_rows = getattr(codebooks, "_redp_cb_rows", None) or codebooks.collect()
     cbs = _entries_by_sub(spark, cb_rows, m)
     sub_slice = _sub_slice(F.col(vec_col), F.col("sub"), d)
     enc = (
@@ -249,7 +250,14 @@ def pq_refine(
         mm = by_sc.get((r["sub"], r["code"]))
         cvec = [mm[p] for p in range(d)] if mm else list(r["cvec"])
         out.append((r["sub"], r["code"], cvec))
-    return _local_df(spark, out, codebooks.schema)
+    refined = _local_df(spark, out, codebooks.schema)
+    # r16 opt round (same trick as ivf_centroids): the refined rows are
+    # already driver-side — ride them on the frame so collect-side
+    # consumers (pq_adc_topk, pq_encode) skip a whole re-collect job.
+    from pyspark.sql import Row
+
+    refined._redp_cb_rows = [Row(sub=s, code=c, cvec=v) for s, c, v in out]
+    return refined
 
 
 def pq_adc_topk(
@@ -293,7 +301,8 @@ def pq_adc_topk(
         cb = pq_refine(df, cb, id_col, vec_col, m, dim)
     d = _subdim(dim, m)
     spark = df.sparkSession
-    cb_rows = cb.collect()
+    # refined codebooks carry their rows (pq_refine) — skip the re-collect
+    cb_rows = getattr(cb, "_redp_cb_rows", None) or cb.collect()
     # ADC table computed driver-side in pure Python — bit-identical to
     # the former Spark expression (the L2 fold is the same sequential
     # left-to-right double accumulation, and _round6 reproduces Spark's
