@@ -1193,6 +1193,13 @@ def _dsir_weight_frame(spark, sf_dir):
         )
         .localCheckpoint(eager=False)  # consumers: tots scalar + lr table
     )
+    # Measured rejection (r16 opt round): collecting this 1-row totals
+    # frame and folding tr/tt/v in as long literals (to drop the
+    # broadcast crossJoin) was job-NEUTRAL (9 vs 9 — the tots broadcast
+    # build simply becomes a collect job) and wall-neutral-to-worse
+    # (2/6 pairwise). Same outcome as the doc_js driver-side grid:
+    # replacing a 1-row broadcast build with an explicit collect moves
+    # the job, it does not remove it. Kept as the broadcast crossJoin.
     tots = g.agg(
         F.sum("cr").cast("long").alias("__tr"),
         F.sum("ct").cast("long").alias("__tt"),
