@@ -27,6 +27,13 @@ TABLES = [
 @pytest.fixture(scope="module")
 def ddb(sf_oracle):
     con = duckdb.connect()
+    # r16: oracles run concurrently on cursors of this connection (see
+    # parity_futures); DuckDB's default of all-cores PER QUERY times 16
+    # concurrent cursors thrashed the scheduler (sys time ~3x user).
+    # 2 threads per query keeps total duck parallelism at ~2x cores.
+    # Thread count never changes results (the oracles are engineered
+    # order-independent and the compare canon-sorts regardless).
+    con.execute("SET threads TO 2")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_oracle}/{t}.parquet')"
@@ -123,31 +130,49 @@ ROWS_ONLY = [n for n, q in CATALOG.items() if q.oracle is None]
 # self-contained autoBroadcastJoinThreshold window (join strategy never
 # changes results, and its plan assert runs on bucketed tables other
 # threads don't touch).
-_PARITY_POOL_SIZE = int(os.environ.get("SPARK_GRAFT_PARITY_THREADS", "12"))
+_PARITY_POOL_SIZE = int(os.environ.get("SPARK_GRAFT_PARITY_THREADS", "16"))
 
 
 @pytest.fixture(scope="module")
-def parity_futures(spark, sf_oracle, request):
+def parity_futures(spark, sf_oracle, ddb, request):
     from concurrent.futures import ThreadPoolExecutor
 
     collected = getattr(request.config, "_parity_collected", None)
     names = [n for n in ORACLE_QUERIES if collected is None or n in collected]
     pool = ThreadPoolExecutor(max_workers=_PARITY_POOL_SIZE)
 
+    # The DuckDB half rides the same future: the 807 oracles measured
+    # 382 s SERIAL (recursive-CTE closures, pairwise-cosine CTEs), which
+    # was the parity section's true long pole once the Spark side was
+    # pooled. duckdb cursors of one connection are the documented
+    # concurrency pattern (views registered on the parent are visible),
+    # and duck execution releases the GIL. The comparison itself stays
+    # in the test body (fast, and pytest owns the assertion context).
     def _run(name: str):
-        return CATALOG[name].fn(spark, sf_oracle).toPandas()
+        cur = ddb.cursor()
+        try:
+            duck_pdf = cur.sql(CATALOG[name].oracle).df()
+        finally:
+            cur.close()
+        spark_pdf = CATALOG[name].fn(spark, sf_oracle).toPandas()
+        return spark_pdf, duck_pdf
 
     futures = {n: pool.submit(_run, n) for n in names}
     yield futures
-    pool.shutdown(wait=False, cancel_futures=True)
+    # wait=True: an aborted run (-x) must not close the parent duckdb
+    # connection while a worker cursor is mid-query
+    pool.shutdown(wait=True, cancel_futures=True)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(name, spark, sf_oracle, ddb, parity_futures):
     q = CATALOG[name]
     fut = parity_futures.get(name)
-    spark_pdf = fut.result() if fut is not None else q.fn(spark, sf_oracle).toPandas()
-    duck_pdf = ddb.sql(q.oracle).df()
+    if fut is not None:
+        spark_pdf, duck_pdf = fut.result()
+    else:
+        spark_pdf = q.fn(spark, sf_oracle).toPandas()
+        duck_pdf = ddb.sql(q.oracle).df()
     assert_dtype_kinds(name, spark_pdf, duck_pdf)
     assert_frames_exact(name, spark_pdf, duck_pdf)
 

@@ -779,7 +779,7 @@ def test_every_catalog_query_plans_clean(spark, sf_small):
     # py4j work (plan build + plan walk; the eager gate entries also run
     # their staged jobs) — thread-pool it so the py4j round-trips and
     # the staged Spark jobs overlap. Each name lints independently;
-    # offenders collect exactly as before. Measured 526 s -> ~90 s.
+    # offenders collect exactly as before. Measured 526 s -> ~150 s at 12 workers, ~120 s at 24 (py4j-bound).
     def _lint(name):
         df = CATALOG[name].fn(spark, sf_small)
         p = df._jdf.queryExecution().executedPlan().toString()
@@ -793,7 +793,7 @@ def test_every_catalog_query_plans_clean(spark, sf_small):
                 return name, f"unbounded global window: {gw[0]}"
         return name, None
 
-    with ThreadPoolExecutor(max_workers=12) as pool:
+    with ThreadPoolExecutor(max_workers=24) as pool:
         results = list(pool.map(_lint, sorted(_ALL)))
     offenders = {n: why for n, why in results if why is not None}
     assert not offenders, f"scale-unsafe plans: {offenders}"
